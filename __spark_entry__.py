@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``chatbot_spark/`` (see SURVEY.md §2 for the
+operator inventory this covers); ``chatbot_spark.workload`` declares the
+query ↔ oracle pairs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's universal-RAG read path (SURVEY §3.2)
+    end-to-end on sf0.001 — chunk documents, deterministically embed, then
+    exact L2 top-10 retrieval for a query workload embedded the same way.
+    """
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.chunking import subchunk
+    from chatbot_spark.operators.embed import embed_documents, embed_queries
+    from chatbot_spark.operators.topk import knn_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # ingest: chunk → embed (hash backend: deterministic, no model deps)
+    chunks = subchunk(
+        docs.select("doc_id", "text"), "text", max_chunk_size=200,
+        seq_col="chunk_seq", out_col="document",
+    ).withColumn("id", F.concat_ws("-", "doc_id", "chunk_seq"))
+    corpus = embed_documents(chunks, text_col="document", backend="hash", dim=64)
+
+    # retrieve: embed 5 queries with the same backend → exact top-10 (L2)
+    queries_df = embed_queries(
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        backend="hash",
+        dim=64,
+    )
+    return knn_join(queries_df, corpus, k=10, metric="l2")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from chatbot_spark.workload import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from chatbot_spark.workload import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

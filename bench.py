@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — no collect cost, no driver
+serialization) and is timed wall-clock. BASELINE.md §B defines the targets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline subset: one per operator family (vector search, similarity join,
+# dedup, text analysis, chunking, relational agg/join/window when present)
+HEADLINE = [
+    "knn_exact_l2",
+    "knn_exact_cosine",
+    "knn_per_label_quota",
+    "embedding_neardup",
+    "text_stats",
+    "dedup_exact",
+    "neardup_jaccard",
+    "chunk_fixed",
+    "vector_norms",
+]
+
+
+def main() -> None:
+    from chatbot_spark.session import get_spark
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    # warm the JVM + file listing so per-query times measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

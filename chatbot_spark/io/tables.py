@@ -1,0 +1,40 @@
+"""Parquet table access for the driver's testdata layout (TESTDATA.md).
+
+All readers are plain ``spark.read.parquet`` — Catalyst gets full pushdown
+(column pruning + predicate pushdown + partition pruning when the layout is
+partitioned). Never collect here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chatbot_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, e.g. load_table(spark, sf_dir, "lineitem")."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (SQL surface, SURVEY §2.K)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def write_corpus(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write the corpus/vector table partitioned like the reference's LIST
+    partitions (src/rag/doc_embedder.py:82-86) so component predicates
+    resolve to Parquet partition pruning."""
+    df.write.mode(mode).partitionBy("component_code").parquet(path)

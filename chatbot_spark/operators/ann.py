@@ -1,0 +1,188 @@
+"""Approximate nearest-neighbor index operators (SURVEY §2.I I6).
+
+The reference builds an HNSW index inside OceanBase (``VECTOR KEY ...
+TYPE=HNSW, DISTANCE=L2, M=16, EF_CONSTRUCTION=256, EF_SEARCH=64`` —
+src/tools/load.py:26). Spark has no HNSW; graph indexes are a poor fit for
+a shared-nothing batch engine. The Spark-native equivalents here keep the
+same contract (L2 top-k, recall traded for speed) with set-at-a-time
+execution:
+
+ * IVF (inverted-file) index: MLlib KMeans over a sample → every corpus row
+   gets a ``centroid_id`` → the table is written partitioned/clustered by
+   centroid. Search = shortlist nprobe nearest centroids per query (tiny
+   broadcast cross-join against ≤ a few thousand centroids), then exact
+   re-rank only inside those cells. At 100 TB the scan prunes to
+   nprobe/nlist of the data — the batch analog of HNSW's beam search.
+
+ * Random-hyperplane LSH (cosine) / BucketedRandomProjectionLSH (L2) via
+   MLlib: hash buckets as a column, candidates = bucket join.
+
+Both indexes are plain DataFrames/Parquet — no serving process, rebuildable
+per batch, and the exact operator (operators.topk) is the recall oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.functions.vector import sq_l2_distance
+
+
+class IVFIndex:
+    """Inverted-file ANN index: KMeans centroids + per-row cell assignment.
+
+    build():  corpus -> (model, indexed corpus with centroid_id)
+    search(): queries -> top-k per query scanning only nprobe cells
+    """
+
+    def __init__(self, centroids: DataFrame, indexed: DataFrame, vec_col: str, id_col: str):
+        self.centroids = centroids  # (centroid_id INT, centroid ARRAY<DOUBLE>)
+        self.indexed = indexed      # corpus + centroid_id
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        nlist: int = 64,
+        sample_fraction: float | None = None,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Fit KMeans on (a sample of) the corpus, assign every row to its
+        nearest centroid. The sample keeps the fit cheap at 100 TB; the
+        assignment is one narrow map over the corpus."""
+        feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+        fit_input = feat
+        if sample_fraction:
+            fit_input = feat.sample(fraction=sample_fraction, seed=seed)
+        model = KMeans(
+            k=nlist, seed=seed, featuresCol="__features", predictionCol="centroid_id"
+        ).fit(fit_input)
+        indexed = model.transform(feat).drop("__features")
+        centroids = feat.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        )
+        return cls(centroids, indexed, vec_col, id_col)
+
+    def write(self, path: str) -> None:
+        """Persist clustered by cell so a search scans only its cells'
+        files (partition pruning on centroid_id)."""
+        self.indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+    ) -> DataFrame:
+        """Top-k per query over the nprobe nearest cells.
+
+        Plan shape: queries × centroids (broadcast, tiny) → nprobe shortlist
+        → equi-join on centroid_id against the clustered corpus → exact
+        distance + per-query window. The big side is only ever equi-joined
+        and scanned nprobe/nlist."""
+        q = queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        qc = (
+            q.crossJoin(F.broadcast(self.centroids))
+            .withColumn("__cdist", sq_l2_distance(F.col("__qvec"), F.col("centroid")))
+            .withColumn(
+                "__crank",
+                F.row_number().over(
+                    Window.partitionBy("__qid").orderBy(F.col("__cdist").asc(), F.col("centroid_id").asc())
+                ),
+            )
+            .filter(F.col("__crank") <= nprobe)
+            .select("__qid", "__qvec", "centroid_id")
+        )
+        pairs = self.indexed.join(F.broadcast(qc), "centroid_id").select(
+            F.col("__qid").alias(query_id),
+            F.col(self.id_col).alias("neighbor_id"),
+            sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("__rdist").asc(), F.col("neighbor_id").asc())
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist", F.sqrt("__rdist"))
+            .drop("__rdist")
+        )
+
+
+class BRPIndex:
+    """BucketedRandomProjectionLSH (euclidean — the reference's metric)."""
+
+    def __init__(self, model, indexed: DataFrame, vec_col: str, id_col: str):
+        self.model = model
+        self.indexed = indexed
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        bucket_length: float = 2.0,
+        num_hash_tables: int = 3,
+        seed: int = 42,
+    ) -> "BRPIndex":
+        feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="__features",
+            outputCol="__hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        )
+        model = lsh.fit(feat)
+        return cls(model, model.transform(feat), vec_col, id_col)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        threshold: float = float("inf"),
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+    ) -> DataFrame:
+        """Batch top-k via approxSimilarityJoin (bucket-join, set-at-a-time —
+        NOT the per-query approxNearestNeighbors driver loop) + window."""
+        q = queries.select(
+            F.col(query_id).alias("__qid"),
+            array_to_vector(F.col(query_vec)).alias("__features"),
+        )
+        joined = self.model.approxSimilarityJoin(
+            q, self.indexed, threshold, distCol="dist"
+        ).select(
+            F.col(f"datasetA.__qid").alias(query_id),
+            F.col(f"datasetB.{self.id_col}").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+        return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, query_id: str = "query_id") -> float:
+    """Recall of an ANN result against the exact oracle (same contract:
+    (query_id, neighbor_id, rank)). The BENCH SLO is ≥ 0.95 @ k=10."""
+    hits = approx.join(
+        exact, [query_id, "neighbor_id"], "left_semi"
+    ).count()
+    total = exact.count()
+    return hits / total if total else 1.0

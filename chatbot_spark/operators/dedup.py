@@ -1,0 +1,293 @@
+"""Deduplication operators (SURVEY §2.J J1/J2) — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard, all engineered for 100 TB corpora.
+
+Scale design:
+ * Exact dedup: one hash-groupBy on a whitespace-normalized md5 — the
+   shuffle key is 32 bytes regardless of document size.
+ * MinHash+LSH: signature → band → bucket-join. The candidate join is on
+   (band_idx, band_hash) — only documents sharing a band collide, so the
+   join fans out per-bucket, never O(N²). Verification (exact Jaccard on
+   shingle sets) touches candidate pairs only.
+ * All hashes are md5-derived — bit-stable across engines, so the DuckDB
+   oracle can reproduce signatures exactly (no murmur3/engine-specific
+   hashing in any checked output).
+ * No UDFs anywhere: shingling, signatures and banding are higher-order
+   array expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.textstats import fingerprint, tokens
+
+
+# ---------------------------------------------------------------- exact (J1)
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text — min id wins (stable).
+    Equivalent to the PK-on-(id) dedup-on-write in SURVEY §1.2."""
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__keep_id", F.min(id_col).over(Window.partitionBy("__fp")))
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__fp", "__keep_id")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — pure builtins."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# ------------------------------------------------- MinHash + LSH (J2)
+
+def minhash_signature(col: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of ``num_hashes`` md5-min hex strings.
+
+    Hash family h_j(s) = md5(j || ':' || s); the signature component is the
+    lexicographic min over the document's shingles. md5 makes the family
+    portable: any engine computes the identical signature.
+    """
+    sh = shingles(col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` md5(band_idx || joined sig rows)."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH: shingle → signature → band →
+    bucket-join → (optional) exact-Jaccard verification.
+
+    Returns (id_a, id_b[, jaccard]) with id_a < id_b. The bucket join is the
+    only shuffle over full data and is keyed by (band, hash) — at 100 TB the
+    candidate set, not the corpus square, bounds the work.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        band_hashes(
+            minhash_signature(F.col(text_col), num_hashes, shingle_n),
+            bands,
+            rows_per_band,
+        ).alias("__bands"),
+    )
+    buckets = sigs.select(
+        "__id", F.explode("__bands").alias("__bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    j = jaccard_pairs_for(cand, df, id_col, text_col, shingle_n)
+    return j.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+# ------------------------------------------------ exact n-gram Jaccard
+
+def _shingle_posting(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
+    index join (posting-list self-join, group by pair, |A∩B| / |A∪B|).
+
+    This is the exact oracle for MinHash; at scale prefer minhash_lsh_pairs
+    (same output contract) — this one's join fans out on every shared
+    shingle, fine for verification sets, quadratic in the worst case.
+    """
+    post = _shingle_posting(df, id_col, text_col, shingle_n)
+    sizes = post.groupBy("__id").agg(F.count("*").alias("__n"))
+    inter = (
+        post.alias("a")
+        .join(post.alias("b"), (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_for(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Exact Jaccard for a given candidate-pair set (verification step)."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    return (
+        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sha", "__shb")).cast("double")
+            / F.size(F.array_union("__sha", "__shb")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------- SimHash
+
+def _hash32(c: Column, hex_off: int) -> Column:
+    """32-bit integer from an md5 hex substring — portable bit source."""
+    return F.conv(F.substring(F.md5(c), hex_off, 8), 16, 10).cast("long")
+
+
+def simhash_bits(col: Column, n_bits: int = 64) -> Column:
+    """SimHash over whitespace tokens as an ARRAY<INT> of 0/1 (length
+    ``n_bits``). Token bit b votes +1/−1; the simhash bit is sign(sum).
+
+    Entirely higher-order expressions — the per-token 64-bit hash comes
+    from two 32-bit md5 words, so no engine-specific hashing is involved.
+    """
+    toks = tokens(col)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                # (word >> (bpos % 32)) & 1 without shiftright (which needs a
+                # literal shift): word / 2^b truncated, then parity.
+                lambda bpos: (
+                    F.when(
+                        (
+                            F.floor(
+                                F.when(bpos < 32, _hash32(t, 1)).otherwise(_hash32(t, 9))
+                                / F.pow(F.lit(2.0), bpos % 32)
+                            ).cast("long")
+                            % 2
+                        )
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                ),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with block-LSH: split the simhash into
+    ``n_blocks`` contiguous blocks; pairs within hamming ≤ max_hamming must
+    share ≥1 identical block when max_hamming < n_blocks · block_size —
+    join on (block_idx, block_value), then verify the exact hamming
+    distance. Returns (id_a, id_b, hamming)."""
+    block = n_bits // n_blocks
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_bits(F.col(text_col), n_bits).alias("__bits"),
+    )
+    blocks = sh.select(
+        "__id",
+        "__bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("", F.slice("__bits", i * block + 1, block))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("__bi", "__bv"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.__bi") == F.col("b.__bi"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__bits").alias("__ba"),
+            F.col("b.__bits").alias("__bb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with("__ba", "__bb", lambda x, y: F.abs(x - y)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

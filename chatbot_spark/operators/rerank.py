@@ -1,0 +1,56 @@
+"""Hybrid rerank (SURVEY §2.I I7, §2.D D4, §2.E E3/E4).
+
+Reference: BGE-M3 ``compute_score`` fuses dense/sparse/colbert scores with
+weights 0.3/0.2/0.5 (src/rag/embedding/bge.py:29-32, 254-265), then sorts
+desc and keeps DEFAULT_RERANK_LIMIT=10 (rag_graph.py:405-412, ob.py:31).
+Gating: rerank only when enabled AND backend supports it AND >1 component
+(rag_graph.py:367-370).
+
+Spark-first: scoring is a column expression over the (small) candidate set
+— ≤ k·n_components rows per query — fused scores + a per-query window.
+The scorer is pluggable like the embedding backends; the deterministic
+hash scorer stands in for the cross-encoder (absent in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RERANK_LIMIT = 10  # reference ob.py:31
+W_DENSE, W_SPARSE, W_COLBERT = 0.3, 0.2, 0.5  # reference bge.py:29-32
+
+
+def fuse_scores(
+    dense: Column, sparse: Column, colbert: Column,
+    w_dense: float = W_DENSE, w_sparse: float = W_SPARSE, w_colbert: float = W_COLBERT,
+) -> Column:
+    """D4 weighted fusion — one row-wise expression."""
+    return w_dense * dense + w_sparse * sparse + w_colbert * colbert
+
+
+def hash_cross_score(query_text: Column, doc_text: Column) -> Column:
+    """Deterministic stand-in cross-encoder: md5-derived uniform [0,1)
+    from the (query, doc) pair — portable, reproducible, engine-agnostic."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("", query_text, doc_text)), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def rerank(
+    candidates: DataFrame,
+    query_id: str = "query_id",
+    score_col: str = "rerank_score",
+    keep: int = DEFAULT_RERANK_LIMIT,
+    tie_col: str = "neighbor_id",
+) -> DataFrame:
+    """E3/E4: order candidates per query by fused score desc, keep top-N."""
+    w = Window.partitionBy(query_id).orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
+    return (
+        candidates.withColumn("rerank_rank", F.row_number().over(w))
+        .filter(F.col("rerank_rank") <= keep)
+    )
+
+
+def should_rerank(enabled: bool, backend_has_rerank: bool, n_components: int) -> bool:
+    """Reference gating logic (rag_graph.py:367-370)."""
+    return enabled and backend_has_rerank and n_components > 1

@@ -1,0 +1,121 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY §2.J J4).
+
+Beyond-reference scope required by the north star: language ID, quality
+scoring, token counting, document fingerprinting — each a pure Catalyst
+expression (regexp + higher-order array functions), so they run JVM-side
+with whole-stage codegen over 100 TB of text with zero Python cost.
+
+Design notes for scale: every function here is a narrow map — no shuffle,
+no UDF; Catalyst pushes the needed column reads down to the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (deterministic heuristic — the
+# point is a reproducible distributed lang-ID operator, not model quality).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "es": ["el", "la", "de", "los", "que", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "et", "une"],
+}
+
+_CJK = r"[一-鿿぀-ヿ가-힯]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens via regexp_extract_all — robust to repeated
+    whitespace and identical across engines (unlike split())."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"\S+"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_count(col: Column) -> Column:
+    """Alphabetic words only (BPE-ish pre-tokenization classes)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+"), 0))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of GPT-style pre-tokenizer matches: runs of letters, runs of
+    digits, or single non-alphanumeric non-space chars. A deterministic
+    stand-in for a real BPE tokenizer's pre-split."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[.,!?;:]"), 0))
+    return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(markers, t)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang).cast("double") / F.greatest(
+        token_count(col), F.lit(1)
+    ).cast("double")
+
+
+def langid(col: Column) -> Column:
+    """n-gram/marker heuristic language ID: CJK char presence → zh, else
+    argmax of per-language stopword hits (ties broken en>es>de>fr),
+    'unknown' when no marker hits at all."""
+    cjk = F.size(F.regexp_extract_all(col, F.lit(_CJK), 0))
+    hits = {lang: stopword_hits(col, lang) for lang in LANG_MARKERS}
+    best = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] > 0), F.lit("es"))
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), F.lit("de"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return best
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality in [0,1]: length sweet-spot, reasonable
+    mean token length, some punctuation, some stopwords. Deterministic
+    arithmetic (single divisions — safe to round for oracles)."""
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    mean_tok_len = n_chars / F.greatest(n_tok, F.lit(1.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col, "en") >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.4 * len_ok + 0.2 * tok_ok + 0.2 * punct_ok + 0.2 * stop_ok)
+
+
+def fingerprint(col: Column) -> Column:
+    """Whitespace-normalized md5 content fingerprint — the exact-dedup key.
+    Portable across engines (md5 is bit-stable everywhere)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat set as columns — one narrow JVM-side map."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_words", word_count(c))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("stopword_ratio_en", stopword_ratio(c, "en"))
+        .withColumn("lang_pred", langid(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

@@ -1,0 +1,146 @@
+"""Exact top-k similarity search (SURVEY §2.I I4/I5, §2.E E1/E2).
+
+The reference delegates ANN top-k to OceanBase's HNSW index
+(src/rag/doc_embedder.py:196-220 ``similarity_search_by_vector``;
+index DDL src/tools/load.py:26, DISTANCE=L2, k=10 default src/rag/ob.py:30).
+Spark-first re-expression:
+
+  queries (small)  --broadcast-->  cross join with corpus
+                                   distance expr (JVM codegen)
+                                   slim projection (ids + dist only)
+                                   window top-k per query
+
+Scale notes (100 TB corpus, ~25 B rows at 1024-d):
+ * The query side is broadcast — the corpus never shuffles for the join;
+   the only shuffle is the (query_id, corpus_id, dist) projection feeding
+   the per-query window (~24 B/row), not the vectors.
+ * Ranking uses squared L2 (monotone in L2) — no sqrt per pair.
+ * Partition restriction (reference ``partition_names``) is a plain
+   ``component_code IN`` filter that Catalyst turns into Parquet partition
+   pruning — scan only the named partitions, exactly like the reference's
+   LIST partitions.
+ * This exact operator is the correctness oracle; at full scale the ANN
+   operators (chatbot_spark.operators.ann) cut the candidate set first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.functions.vector import DISTANCES, l2_distance, sq_l2_distance
+
+DEFAULT_SEARCH_LIMIT = 10  # reference src/rag/ob.py:30
+DEFAULT_RERANK_LIMIT = 10  # reference src/rag/ob.py:31
+
+
+def per_component_quota(n_components: int) -> int:
+    """Per-partition search limit when not reranking:
+    ``max(3, 13 - 3*n)`` (reference src/rag/rag_graph.py:371-375)."""
+    return max(3, 13 - 3 * n_components)
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = DEFAULT_SEARCH_LIMIT,
+    metric: str = "l2",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    extra_cols: list[str] | None = None,
+    component_codes: list[int] | None = None,
+    include_distance: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-neighbors of each query row over the corpus.
+
+    Returns (query_id, neighbor_id, rank[, dist, extra_cols...]) with
+    rank 1..k per query ordered by ascending distance, ties broken by
+    corpus id for determinism.
+    """
+    if component_codes is not None:
+        # reference partition_names pushdown (doc_embedder.py:191-192)
+        corpus_df = corpus_df.filter(F.col("component_code").isin(component_codes))
+
+    rank_dist = _rank_distance(metric)
+
+    q = queries_df.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    extra = list(extra_cols or [])
+    pairs = corpus_df.join(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        rank_dist(F.col("__qvec"), F.col(corpus_vec)).alias("__rdist"),
+        *extra,
+    )
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__rdist").asc(), F.col("neighbor_id").asc()
+    )
+    out = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if include_distance:
+        out = out.withColumn("dist", _reported(metric, F.col("__rdist")))
+    return out.drop("__rdist")
+
+
+def knn_join_per_component(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    n_components: int | None = None,
+    k: int | None = None,
+    metric: str = "l2",
+    **kwargs,
+) -> DataFrame:
+    """Multi-partition fan-out search (reference rag_graph.py:365-417, I8/E2):
+    top-k *per (query, component)* with the reference's quota heuristic.
+
+    The reference loops components and issues one search per partition
+    (rag_graph.py:389-401); set-at-a-time this is one filtered scan with a
+    window keyed by (query, component) — one job, no N-queries loop.
+    """
+    if k is None:
+        k = DEFAULT_RERANK_LIMIT if n_components is None else per_component_quota(n_components)
+    query_id = kwargs.get("query_id", "query_id")
+    query_vec = kwargs.get("query_vec", "query_embedding")
+    corpus_id = kwargs.get("corpus_id", "id")
+    corpus_vec = kwargs.get("corpus_vec", "embedding")
+    component_codes = kwargs.get("component_codes")
+
+    if component_codes is not None:
+        corpus_df = corpus_df.filter(F.col("component_code").isin(component_codes))
+
+    rank_dist = _rank_distance(metric)
+    q = queries_df.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    pairs = corpus_df.join(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id),
+        F.col("component_code"),
+        F.col(corpus_id).alias("neighbor_id"),
+        rank_dist(F.col("__qvec"), F.col(corpus_vec)).alias("__rdist"),
+    )
+    w = Window.partitionBy(query_id, "component_code").orderBy(
+        F.col("__rdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("dist", _reported(metric, F.col("__rdist")))
+        .drop("__rdist")
+    )
+
+
+def _rank_distance(metric: str):
+    """Distance used for ORDERING — squared L2 ranks identically to L2."""
+    if metric == "l2":
+        return sq_l2_distance
+    return DISTANCES[metric]
+
+
+def _reported(metric: str, rank_dist: Column) -> Column:
+    """Convert the ranking distance back to the metric's reported value."""
+    if metric == "l2":
+        return F.sqrt(rank_dist)
+    return rank_dist

@@ -1,0 +1,96 @@
+"""Dedup + text-stats operator tests (SURVEY §2.J)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from chatbot_spark.operators.embed import hash_embed_one
+from chatbot_spark.operators.textstats import langid, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, near),  # near dup of 1
+            (4, "completely different words about spark query engines at scale"),
+            (5, "el la de los que y es una frase en castellano corta"),
+        ],
+        "doc_id INT, text STRING",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]  # 2 collapsed into 1 (min id wins)
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = exact_dedup(docs, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    assert once.count() == twice.count()
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got  # one-word change → high jaccard
+    exact = next(r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2))
+    assert exact["jaccard"] == pytest.approx(1.0)
+
+
+def test_minhash_matches_exact_on_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact duplicates always share every band → must be found
+    assert (1, 2) in got
+    # verification step keeps reported jaccard exact
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert j[(1, 2)] == pytest.approx(1.0)
+
+
+def test_simhash_exact_dup_zero_hamming(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=16)
+    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert h.get((1, 2)) == 0
+    assert h.get((1, 3), 99) <= 16  # near dup within hamming radius
+
+
+def test_langid_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house of the king is big"),
+            (2, "el que de la los y es que de la los es el que"),
+        ],
+        "id INT, text STRING",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", langid(F.col("text")).alias("lang"), quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("n"),
+    ).collect()}
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[1]["n"] == 13
+    assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_hash_embedder_deterministic_unit():
+    a = hash_embed_one("same text", 64)
+    b = hash_embed_one("same text", 64)
+    c = hash_embed_one("other text", 64)
+    assert a == b
+    assert a != c
+    assert sum(x * x for x in a) == pytest.approx(1.0)

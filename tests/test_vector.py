@@ -1,0 +1,107 @@
+"""Vector function + top-k operator tests (SURVEY §2.I)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatbot_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+    normalize,
+)
+from chatbot_spark.operators.topk import knn_join, per_component_quota
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "id INT, v ARRAY<FLOAT>",
+    )
+
+
+def test_distances(spark, tiny):
+    row = (
+        tiny.filter("id = 2")
+        .select(
+            dot_product(F.col("v"), F.array(F.lit(1.0), F.lit(1.0), F.lit(0.0))).alias("dot"),
+            l2_norm(F.col("v")).alias("norm"),
+            l2_distance(F.col("v"), F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0))).alias("d0"),
+        )
+        .first()
+    )
+    assert row["dot"] == pytest.approx(2.0)
+    assert row["norm"] == pytest.approx(math.sqrt(2))
+    assert row["d0"] == pytest.approx(math.sqrt(2))
+
+
+def test_cosine_orthogonal(spark, tiny):
+    a = tiny.filter("id = 0").select(F.col("v").alias("a"))
+    b = tiny.filter("id = 1").select(F.col("v").alias("b"))
+    sim = a.crossJoin(b).select(cosine_similarity(F.col("a"), F.col("b")).alias("s")).first()["s"]
+    assert sim == pytest.approx(0.0)
+
+
+def test_normalize_unit(spark, tiny):
+    norms = tiny.select(l2_norm(normalize(F.col("v"))).alias("n")).collect()
+    for r in norms:
+        assert r["n"] == pytest.approx(1.0)
+
+
+def test_knn_self_is_nearest(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = knn_join(q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding")
+    top1 = {r["query_id"]: r["neighbor_id"] for r in res.filter("rank = 1").collect()}
+    # each query vector IS a corpus vector → its own nearest neighbor, dist 0
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    d = res.filter("rank = 1").select(F.max("dist")).first()[0]
+    assert d == pytest.approx(0.0)
+
+
+def test_knn_rank_is_sorted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 7").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    rows = knn_join(q, emb, k=10, corpus_id="vec_id", corpus_vec="embedding").orderBy("rank").collect()
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert len(rows) == 10
+
+
+def test_component_quota():
+    # reference rag_graph.py:371-375
+    assert per_component_quota(1) == 10
+    assert per_component_quota(2) == 7
+    assert per_component_quota(3) == 4
+    assert per_component_quota(4) == 3
+    assert per_component_quota(10) == 3
+
+
+def test_knn_component_filter(spark, sf_dir):
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumnRenamed("label", "component_code")
+    )
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = knn_join(
+        q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding",
+        component_codes=[1, 2], extra_cols=["component_code"],
+    )
+    codes = {r["component_code"] for r in res.collect()}
+    assert codes <= {1, 2}
