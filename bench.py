@@ -29,6 +29,15 @@ HEADLINE = [
     "neardup_jaccard",
     "chunk_fixed",
     "vector_norms",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "revenue_by_nation",
+    "rollup_returns",
+    "supplier_running_qty",
+    "events_hourly",
+    "sessionize",
+    "top_events_per_user",
+    "event_type_pivot",
 ]
 
 

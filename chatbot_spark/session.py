@@ -45,6 +45,9 @@ def get_spark(
         # 128 MB target splits mirror the reference's TABLET_SIZE=134217728
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # testdata events.parquet uses TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in io.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

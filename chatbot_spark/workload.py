@@ -377,3 +377,417 @@ def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     res = subchunk(docs, "text", max_chunk_size=100, seq_col="chunk_seq", out_col="chunk")
     return res.select("doc_id", F.col("chunk_seq").cast("long").alias("chunk_seq"), "chunk")
+
+# --------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables (SURVEY §2.B/C/D/E/F/G —
+# the SQL surface Catalyst gives the engine; oracles are classic ANSI SQL)
+# --------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: hash aggregation with partial (map-side) combine — TPC-H Q1 shape.
+    Quantities are integral doubles → exact sums; money sums are rounded to
+    BIGINT (see module float discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            # price has 2 decimals / price*(1-disc) has 4 → scale to true
+            # integers per row, then the BIGINT sum is exact in any order
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("sum_disc_price_e4"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM lineitem GROUP BY l_orderkey),
+ranked AS (
+  SELECT o.o_orderkey, o.o_orderpriority, c.c_mktsegment, rev.revenue_e4,
+         row_number() OVER (ORDER BY rev.revenue_e4 DESC, o.o_orderkey ASC) AS rank
+  FROM rev
+  JOIN orders o ON o.o_orderkey = rev.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING')
+SELECT o_orderkey, o_orderpriority, c_mktsegment, revenue_e4, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C/E/F: agg → equi-join (Catalyst picks broadcast for the dim side) →
+    global top-k (TakeOrderedAndProject). Rank orders by (revenue, key) so
+    ties are stable; revenue pre-rounded to BIGINT before ranking."""
+    li, orders, cust = (
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("revenue_e4")
+    )
+    joined = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderpriority", "c_mktsegment", "revenue_e4")
+    )
+    w = Window.orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderpriority", "c_mktsegment", "revenue_e4", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT n.n_name, r.r_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: multi-way join chain — fact-to-fact shuffle join (lineitem⋈orders)
+    then broadcast-hash joins for the small dims (customer/nation/region),
+    exactly the plan you want at 100 TB (verified in test_plans)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("revenue_e4"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: anti join (NOT EXISTS) — left_anti in Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "parts_ordered_semi",
+    """
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts
+FROM part p
+SEMI JOIN lineitem l ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def parts_ordered_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: semi join (EXISTS) — left_semi in Spark."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "rollup_returns",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: ROLLUP grouping sets (subtotals + grand total); NULL group keys
+    coalesced to 'ALL' so the hash compare is engine-agnostic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "supplier_running_qty",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty,
+       CAST(row_number() OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+FROM lineitem WHERE l_suppkey < 20
+""",
+)
+def supplier_running_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: window frame (running sum) + row_number with a total order —
+    quantity is integral so the running sum is exact in double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("running_qty"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+# --------------------------------------------------------------------------
+# Events: time-series / sessionization / JSON ops (SURVEY §2.E/F/G/H; the
+# batch shapes mirrored by chatbot_spark.streaming for Structured Streaming)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming hourly
+    rollup in chatbot_spark.streaming.events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            # value has 2 decimals → value*100 is a true integer → per-row
+            # round is exact, BIGINT sum is exact (no .5-boundary flakiness)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+@query(
+    "sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap flag + running sum (30-min gap) — the
+    classic batch form; the streaming twin is a session window with
+    watermark (chatbot_spark.streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 analog: JSON field extraction + aggregation (props is a JSON
+    string column, like the reference's metadata JSON)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "top_events_per_user",
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: per-group top-k (no arithmetic on value → raw doubles hash-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query(
+    "users_click_and_purchase",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: INTERSECT set op."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "user_days_click_not_purchase",
+    """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def user_days_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: EXCEPT set op at (user, day) grain (subtract = EXCEPT DISTINCT;
+    exceptAll would be bag semantics)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "day")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    return clicks.subtract(buys)
+
+
+@query(
+    "event_type_pivot",
+    """
+SELECT user_id % 100 AS user_bucket,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signups,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors
+FROM events GROUP BY 1
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: pivot-style conditional aggregation (FILTER/CASE counts)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 100)
+    agg = ev.groupBy("user_bucket").pivot(
+        "event_type", ["click", "view", "purchase", "signup", "error"]
+    ).count()
+    return agg.select(
+        "user_bucket",
+        F.coalesce("click", F.lit(0)).alias("clicks"),
+        F.coalesce("view", F.lit(0)).alias("views"),
+        F.coalesce("purchase", F.lit(0)).alias("purchases"),
+        F.coalesce("signup", F.lit(0)).alias("signups"),
+        F.coalesce("error", F.lit(0)).alias("errors"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    None,  # HLL sketches differ across engines — driver records rows-only
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: approx_count_distinct (HyperLogLog++). No oracle: sketch values
+    are engine-specific by construction; correctness is covered by the
+    exact n_users in events_hourly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
