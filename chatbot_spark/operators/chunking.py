@@ -171,10 +171,9 @@ def scan_markdown_dir(spark, path: str, skip_patterns: list[str] | None = None,
     (doc_processing.py:220-226 — which exit(0)s mid-loop; we stop cleanly).
     """
     df = (
-        spark.read.option("wholetext", True)
-        .option("recursiveFileLookup", True)
+        spark.read.option("recursiveFileLookup", True)
         .option("pathGlobFilter", "*.{md,mdx}")
-        .text(path)
+        .text(path, wholetext=True)
         .withColumnRenamed("value", "text")
         .withColumn("doc_url", F.input_file_name())
     )

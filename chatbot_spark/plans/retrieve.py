@@ -1,0 +1,142 @@
+"""Retrieval pipeline (SURVEY §3.1/§3.2) — the reference's read path as a
+batch plan over a queries DataFrame.
+
+Reference flow (rag_graph.py): route_mode → analyze_intent (LLM) →
+analyze_components (LLM) → search_documents (embed → per-component ANN →
+optional rerank) → generate_response (LLM + citation rewrite). The LLM
+stages are driver-side hooks here (§2.M — pluggable, stubbed); everything
+data-parallel is one Catalyst plan:
+
+    queries → embed UDF → partition-pruned similarity join →
+    per-(query,component) window quota → rerank UDF → top-10 →
+    reference-list assembly (URL dedup G2)
+
+Modes mirror rag_graph.py:176-189: "no_search" short-circuits,
+"universal" searches all partitions with k=10 and no rerank
+(rag_graph.py:247-257), "component" applies the quota heuristic + rerank
+gating (rag_graph.py:365-417).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.embed import embed_queries
+from chatbot_spark.operators.rerank import (
+    DEFAULT_RERANK_LIMIT,
+    hash_cross_score,
+    rerank,
+    should_rerank,
+)
+from chatbot_spark.operators.topk import (
+    DEFAULT_SEARCH_LIMIT,
+    knn_join,
+    per_component_quota,
+)
+
+
+@dataclass
+class RetrieveConfig:
+    mode: str = "universal"  # no_search | universal | component
+    components: list[str] = field(default_factory=list)
+    component_codes: list[int] | None = None
+    k: int = DEFAULT_SEARCH_LIMIT
+    metric: str = "l2"
+    rerank_enabled: bool = False
+    backend_has_rerank: bool = True
+    backend: str = "hash"
+    dim: int = 64
+
+
+def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
+    """Run the read path. queries_df needs (query_id, query_text) or a
+    precomputed query_embedding; corpus is the §1.3 embeddings table.
+
+    Returns (query_id, neighbor_id, rank, dist, document) — the reference's
+    list[Document] per query, set-at-a-time."""
+    if cfg.mode == "no_search":
+        # route_mode short-circuit (rag_graph.py:197-201): empty result,
+        # stable schema
+        return (
+            queries_df.select("query_id")
+            .limit(0)
+            .withColumn("neighbor_id", F.lit(None).cast("string"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("document", F.lit(None).cast("string"))
+        )
+
+    if "query_embedding" not in queries_df.columns:
+        queries_df = embed_queries(queries_df, backend=cfg.backend, dim=cfg.dim)
+
+    n_comp = len(cfg.component_codes or cfg.components) or 1
+    do_rerank = should_rerank(cfg.rerank_enabled, cfg.backend_has_rerank, n_comp)
+
+    if cfg.mode == "universal":
+        # §3.2: single global search, k=10, no rerank (rag_graph.py:247-257)
+        return knn_join(
+            queries_df, corpus, k=cfg.k, metric=cfg.metric,
+            extra_cols=["document"],
+        ).select("query_id", "neighbor_id", "rank", "dist", "document")
+
+    # component mode (§3.1): quota per component unless reranking
+    k = DEFAULT_RERANK_LIMIT if do_rerank else per_component_quota(n_comp)
+    candidates = _per_component_topk(
+        queries_df, corpus, k=k, metric=cfg.metric, codes=cfg.component_codes
+    )
+    if not do_rerank:
+        return candidates.select("query_id", "neighbor_id", "rank", "dist", "document")
+
+    # I7: pluggable cross-scorer (deterministic hash stand-in) + fusion sort
+    scored = candidates.join(
+        queries_df.select("query_id", "query_text"), "query_id", "left"
+    ).withColumn("rerank_score", hash_cross_score(F.col("query_text"), F.col("document")))
+    out = rerank(scored, keep=DEFAULT_RERANK_LIMIT)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rerank_rank").alias("rank"), "dist", "document",
+    )
+
+
+def _per_component_topk(
+    queries_df: DataFrame, corpus: DataFrame, k: int, metric: str, codes: list[int] | None
+) -> DataFrame:
+    from chatbot_spark.functions.vector import sq_l2_distance
+
+    if codes is not None:
+        corpus = corpus.filter(F.col("component_code").isin(codes))  # B2 pruning
+    q = queries_df.select(
+        F.col("query_id").alias("__qid"), F.col("query_embedding").alias("__qvec")
+    )
+    pairs = corpus.join(F.broadcast(q)).select(
+        F.col("__qid").alias("query_id"),
+        F.col("component_code"),
+        F.col("id").alias("neighbor_id"),
+        F.col("document"),
+        sq_l2_distance(F.col("__qvec"), F.col("embedding")).alias("__rd"),
+    )
+    w = Window.partitionBy("query_id", "component_code").orderBy(
+        F.col("__rd").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("dist", F.sqrt("__rd"))
+        .drop("__rd")
+    )
+
+
+def reference_list(results: DataFrame, url_expr=None) -> DataFrame:
+    """G2: first-seen-wins URL dedup + stable numbering for the reference
+    list (rag_graph.py:492-504). Input needs (query_id, rank, doc_url)."""
+    w_first = Window.partitionBy("query_id", "doc_url").orderBy("rank")
+    w_num = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        results.withColumn("__first", F.row_number().over(w_first))
+        .filter(F.col("__first") == 1)
+        .withColumn("ref_num", F.row_number().over(w_num))
+        .drop("__first")
+    )

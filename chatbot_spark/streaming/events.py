@@ -1,0 +1,100 @@
+"""Structured Streaming ingest + windowed aggregation (extension beyond
+the reference — SURVEY §1.2 notes the reference has no data-stream surface;
+its "streaming" is LLM token streaming. This module is the engine's
+streaming path for the events table shape.)
+
+Batch/stream parity: events_hourly / sessionize in chatbot_spark.workload
+are the batch twins of these plans — same grouping keys, same outputs, so
+a backfill (batch) and the live stream produce unionable tables.
+
+Scale notes: watermarks bound state; the hourly agg state is
+O(active windows × event types); session windows use Spark's built-in
+session_window with the same 30-min gap as the batch sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatbot_spark.schemas import TESTDATA_TABLES  # noqa: F401  (doc link)
+
+EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event parquet drops (swap for Kafka in prod —
+    same downstream plan)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of workload.events_hourly: tumbling 1-hour window +
+    per-type counts; watermark bounds late data and state size."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "sum_value_cents",
+        )
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with the built-in session_window — same
+    30-min gap as the batch lag/cumsum sessionizer (workload.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, checkpoint: str, output_path: str) -> None:
+    """Drain all available input (Trigger.AvailableNow) to parquet — the
+    test/backfill mode; production uses a continuous trigger."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", output_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_stream_once_complete(stream_df: DataFrame, checkpoint: str) -> list:
+    """Drain aggregating streams (complete mode) to an in-memory table and
+    return the rows — used by tests to check batch/stream parity."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stream_test_sink")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql("SELECT * FROM stream_test_sink").collect()

@@ -1,0 +1,175 @@
+"""End-to-end plan tests: ingest (§3.3), retrieve (§3.1/3.2), catalog
+(§2.K), interchange (§2.A A4/A5), agents (§2.M)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatbot_spark.plans.agents import analyze_components, analyze_intent, generate_response
+from chatbot_spark.plans.catalog import (
+    append_partition,
+    component_codes,
+    default_mapping,
+    discover_partitions,
+    join_component_codes,
+    table_exists,
+    validate_components,
+)
+from chatbot_spark.plans.ingest import ingest_documents
+from chatbot_spark.plans.retrieve import RetrieveConfig, reference_list, retrieve
+
+MD1 = "# Guide\n\nalpha install steps\n\n## Deploy\n\ndeploy oceanbase cluster now"
+MD2 = "plain notes about observer tuning and memory limits"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    docs = spark.createDataFrame(
+        [(MD1, "repo/oceanbase-doc/guide.md"), (MD2, "repo/oceanbase-doc/notes.md")],
+        "text STRING, doc_url STRING",
+    )
+    path = str(tmp_path_factory.mktemp("corpus") / "embeddings")
+    ingest_documents(docs, component="observer", component_code=1, output_path=path)
+    more = spark.createDataFrame([("ocp metrics dashboard help", "repo/ocp-doc/m.md")],
+                                 "text STRING, doc_url STRING")
+    ingest_documents(more, component="ocp", component_code=2, output_path=path)
+    return path
+
+
+def test_ingest_schema_and_partitioning(spark, corpus):
+    df = spark.read.parquet(corpus)
+    assert set(df.columns) == {"id", "embedding", "document", "metadata", "component_code"}
+    # partitioned layout → component dirs exist (LIST-partition analog)
+    assert sorted(r[0] for r in df.select("component_code").distinct().collect()) == [1, 2]
+    # metadata carries the DocumentMeta fields
+    md = df.filter("component_code = 1").select("metadata").first()[0]
+    assert md["component"] == "observer"
+    assert "oceanbase-doc" in md["doc_url"]
+    # uuid ids are unique
+    assert df.count() == df.select("id").distinct().count()
+
+
+def test_retrieve_universal(spark, corpus):
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "deploy oceanbase cluster now")], "query_id STRING, query_text STRING"
+    )
+    res = retrieve(queries, emb, RetrieveConfig(mode="universal", k=3))
+    rows = res.orderBy("rank").collect()
+    assert len(rows) == 3
+    # the exact-text chunk must be the top hit (hash embedder: same text ⇒ same vector)
+    assert "deploy oceanbase cluster" in rows[0]["document"]
+    assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_retrieve_component_mode_quota_and_pruning(spark, corpus):
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "observer tuning")], "query_id STRING, query_text STRING"
+    )
+    cfg = RetrieveConfig(mode="component", components=["observer"], component_codes=[1])
+    res = retrieve(queries, emb, cfg)
+    # quota for 1 component without rerank = 10 (but corpus smaller) and
+    # only component 1 rows
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert res.count() <= 10
+    assert "component_code = 2" not in plan
+
+
+def test_retrieve_rerank_path(spark, corpus):
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "memory limits")], "query_id STRING, query_text STRING"
+    )
+    cfg = RetrieveConfig(
+        mode="component", components=["observer", "ocp"], component_codes=[1, 2],
+        rerank_enabled=True,
+    )
+    res = retrieve(queries, emb, cfg)
+    rows = res.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_retrieve_no_search_mode(spark, corpus):
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame([("q1", "hi")], "query_id STRING, query_text STRING")
+    res = retrieve(queries, emb, RetrieveConfig(mode="no_search"))
+    assert res.count() == 0
+    assert set(res.columns) == {"query_id", "neighbor_id", "rank", "dist", "document"}
+
+
+def test_catalog_mapping_and_append(spark):
+    m = default_mapping(spark)
+    # DDL is source of truth: odp=6, odc=7 (NOT the reference dict bug)
+    codes = {r["component"]: r["component_code"] for r in m.collect()}
+    assert codes["odp"] == 6 and codes["odc"] == 7 and codes["obshell"] == 9
+    m2 = append_partition(m, "newcomp")
+    assert {r["component"]: r["component_code"] for r in m2.collect()}["newcomp"] == 11
+    # idempotent
+    assert append_partition(m2, "newcomp").count() == m2.count()
+    # C2 lookups: unknown → 0
+    assert component_codes(m, ["ocp", "nope"]) == [2, 0]
+
+
+def test_join_component_codes(spark):
+    m = default_mapping(spark)
+    df = spark.createDataFrame([("ocp",), ("mystery",)], "component STRING")
+    got = {r["component"]: r["component_code"] for r in join_component_codes(df, m).collect()}
+    assert got == {"ocp": 2, "mystery": 0}
+
+
+def test_validate_components():
+    sup = ["observer", "ocp", "oms"]
+    # order kept, dupes dropped, unknowns dropped, default appended (B4)
+    assert validate_components(["ocp", "bogus", "ocp", "oms"], sup) == ["ocp", "oms", "observer"]
+    assert validate_components([], sup) == ["observer"]
+
+
+def test_discover_partitions_and_exists(spark, corpus):
+    assert table_exists(spark, corpus)
+    assert not table_exists(spark, corpus + "_nope")
+    found = sorted(r[0] for r in discover_partitions(spark, corpus).collect())
+    assert found == [1, 2]
+
+
+def test_interchange_roundtrip(spark, tmp_path):
+    from chatbot_spark.io.interchange import export_json, load_json_records
+
+    src = spark.createDataFrame(
+        [
+            ("a", [0.1, 0.2], "doc a", {"k": "v"}, 1),
+            ("b", [0.3, 0.4], "doc b", {}, 2),
+        ],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata MAP<STRING,STRING>, component_code INT",
+    )
+    out = str(tmp_path / "export")
+    export_json(src, out)
+    back = load_json_records(spark, out)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "embedding", "document", "metadata", "component_code"}
+    a = back.filter("id = 'a'").first()
+    assert a["embedding"] == pytest.approx([0.1, 0.2])
+    assert a["metadata"]["k"] == "v"
+
+
+def test_reference_list_dedup(spark):
+    df = spark.createDataFrame(
+        [("q1", 1, "u1"), ("q1", 2, "u2"), ("q1", 3, "u1"), ("q1", 4, "u3")],
+        "query_id STRING, rank INT, doc_url STRING",
+    )
+    refs = reference_list(df).orderBy("ref_num").collect()
+    assert [(r["doc_url"], r["ref_num"]) for r in refs] == [("u1", 1), ("u2", 2), ("u3", 3)]
+
+
+def test_agents_stub_pipeline():
+    it = analyze_intent("How to deploy ocp cluster?")
+    assert it.type == "Features"
+    assert "ocp" in it.components
+    comps = analyze_components("observer memory error", [{"role": "user", "content": "using ocp"}])
+    assert comps == ["observer", "ocp"]  # present in query/history; no dup append
+    assert analyze_components("generic question") == ["observer"]  # default appended
+    ans = generate_response("q", ["snippet one", "snippet two"], ["http://u1", "http://u2"])
+    assert "[1](http://u1)" in ans and "[2](http://u2)" in ans
