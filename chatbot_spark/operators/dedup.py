@@ -60,13 +60,16 @@ def minhash_signature(col: Column, num_hashes: int = 12, shingle_n: int = 3) -> 
     portable: any engine computes the identical signature.
     """
     sh = shingles(col, shingle_n)
+
+    # NB: the lambda must take exactly ONE parameter — pyspark passes
+    # (element, index) to two-parameter lambdas, which would silently
+    # rebind a `j=j` default to the index column.
+    def _h(j: int):
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            )
-            for j in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _h(j))) for j in range(num_hashes)]
     )
 
 

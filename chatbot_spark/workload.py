@@ -213,9 +213,15 @@ WHERE a.vec_id < b.vec_id
 """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: ε-ball similarity self-join (embedding-cosine near-dup)."""
+    """J3: ε-ball similarity self-join (embedding-cosine near-dup) — the
+    blocked-matmul execution (broadcast side + BLAS per Arrow batch); the
+    expression-form operator embedding_neardup_pairs is its exact twin."""
+    from chatbot_spark.operators.similarity import embedding_neardup_pairs_blocked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    res = embedding_neardup_pairs(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.35)
+    res = embedding_neardup_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", min_cosine=0.35
+    )
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 # --------------------------------------------------------------------------
@@ -791,3 +797,110 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+# --------------------------------------------------------------------------
+# ANN + MinHash (SURVEY §2.I I6, §2.J J2 — index-accelerated variants; the
+# exact operators above are their oracles)
+# --------------------------------------------------------------------------
+
+@query(
+    "ivf_knn",
+    None,  # approximate by construction — recall vs knn_exact_l2 is gated
+    # in tests/test_ann.py (BASELINE.md SLO: recall@10 ≥ 0.95)
+)
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: IVF (KMeans-cell) ANN search — batch analog of the reference's
+    HNSW beam search (load.py:26). Scans only nprobe/nlist of the corpus."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    # nlist=8/nprobe=6 meets recall ≥ 0.95 on the uniform-random test
+    # vectors (worst case for IVF); clustered real corpora prune harder.
+    index = IVFIndex.build(emb, vec_col="embedding", id_col="vec_id", nlist=8)
+    res = index.search(q, k=10, nprobe=6)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+_DUCK_MINHASH_K = 6
+
+
+def _duck_minhash_sig_cols() -> str:
+    return ",\n       ".join(
+        f"min(md5('{j}:' || s)) AS sig_{j}" for j in range(_DUCK_MINHASH_K)
+    )
+
+
+@query(
+    "minhash_signatures",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))}) AS s
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       {_duck_minhash_sig_cols()}
+FROM sh GROUP BY doc_id
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: portable MinHash signatures — md5 hash family means any engine
+    reproduces the signature bit-for-bit (the property the LSH band join
+    relies on)."""
+    from chatbot_spark.operators.dedup import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(F.col("text"), num_hashes=_DUCK_MINHASH_K, shingle_n=3).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", j + 1).alias(f"sig_{j}") for j in range(_DUCK_MINHASH_K)],
+    )
+
+
+@query(
+    "minhash_lsh_neardup",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM documents WHERE doc_id < 200),
+sigs AS (
+  SELECT doc_id,
+         [ {', '.join(f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(_DUCK_MINHASH_K))} ] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, unnest([ {', '.join(f"md5(concat_ws('|', '{b}', sig[{2*b+1}], sig[{2*b+2}]))" for b in range(_DUCK_MINHASH_K // 2))} ]) AS bh
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.1
+""",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full pipeline: MinHash signature → LSH bands (3 bands × 2 rows) →
+    bucket-join candidates → exact-Jaccard verification. The md5 hash
+    family makes even the BANDING reproducible by the oracle — both engines
+    must produce the same candidate set, not just the same verified set."""
+    from chatbot_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    res = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=_DUCK_MINHASH_K, bands=_DUCK_MINHASH_K // 2, shingle_n=3,
+        jaccard_threshold=0.1,
+    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
