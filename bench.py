@@ -38,6 +38,12 @@ HEADLINE = [
     "sessionize",
     "top_events_per_user",
     "event_type_pivot",
+    "asof_purchase_click",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ivf_knn",
+    "hybrid_rerank",
+    "media_features",
 ]
 
 

@@ -110,16 +110,42 @@ def minhash_lsh_pairs(
     candidate set, not the corpus square, bounds the work.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
+    # Signatures via explode + groupBy(min), NOT the array-expression form
+    # (minhash_signature): the inlined higher-order tree is O(num_hashes ×
+    # shingling) per reference and, duplicated across the self-join below,
+    # blows up optimizer/codegen time. Here the per-row expression is six
+    # md5s of a scalar; the groupBy min is map-side-combinable (at 100 TB
+    # the shuffle carries one 6×32-byte row per document). Hash family and
+    # banding are bit-identical to minhash_signature/band_hashes.
+    post = df.select(
         F.col(id_col).alias("__id"),
-        band_hashes(
-            minhash_signature(F.col(text_col), num_hashes, shingle_n),
-            bands,
-            rows_per_band,
-        ).alias("__bands"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    sigs = post.groupBy("__id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh")))).alias(f"__s{j}")
+            for j in range(num_hashes)
+        ]
     )
     buckets = sigs.select(
-        "__id", F.explode("__bands").alias("__bucket")
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col(f"__s{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")

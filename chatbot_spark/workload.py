@@ -904,3 +904,453 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.1,
     )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+# --------------------------------------------------------------------------
+# SimHash (SURVEY §2.J J2 — the third dedup family; md5-derived bits make
+# even the 64-bit signature reproducible by the oracle)
+# --------------------------------------------------------------------------
+
+# hex → int for an 8-hex-char md5 word, pure SQL (DuckDB lacks conv()):
+# sum of digit_value * 16^(8-d) over the 8 positions, exact in DOUBLE.
+_DUCK_HEXWORD = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "d -> (strpos('0123456789abcdef', substr(md5({t}), {off} + d - 1, 1)) - 1) "
+    "* 2^(4*(8-d))), (a, x) -> a + x)"
+)
+
+
+@query(
+    "simhash_neardup",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(c='text')}) AS t
+  FROM documents WHERE doc_id < 200),
+h AS (
+  SELECT doc_id,
+         {_DUCK_HEXWORD.format(t='t', off=1)} AS w1,
+         {_DUCK_HEXWORD.format(t='t', off=9)} AS w2
+  FROM tok),
+votes AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN CAST(floor((CASE WHEN g.b < 32 THEN w1 ELSE w2 END)
+                   / 2^(g.b % 32)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, generate_series(0, 63) g(b)
+  GROUP BY doc_id, g.b),
+bits AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s
+  FROM votes GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, s, g.i AS bi, substr(s, 1 + 16*g.i, 16) AS bv
+  FROM bits, generate_series(0, 3) g(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT id_a, id_b,
+         len(list_filter(generate_series(1, 64),
+                         p -> substr(sa, p, 1) <> substr(sb, p, 1))) AS hamming
+  FROM cand)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 8
+""",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (SimHash family): 64-bit md5-derived simhash → 4-block LSH
+    candidates → exact hamming verify ≤ 8. The oracle reproduces the
+    whole pipeline down to the bit, including block candidate pruning."""
+    from chatbot_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    res = simhash_pairs(docs, max_hamming=8, n_bits=64, n_blocks=4)
+    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "lsh_knn",
+    None,  # seeded random hyperplanes aren't portable SQL; recall vs the
+    # exact oracle is gated in tests/test_ann.py (≥ 0.95 @ k=10)
+)
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 (LSH family): MLlib BucketedRandomProjectionLSH bucket-join
+    top-k — the reference's euclidean metric (load.py:26 DISTANCE=L2)."""
+    from chatbot_spark.operators.ann import BRPIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = BRPIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", bucket_length=2.0, num_hash_tables=6
+    )
+    res = index.search(q, k=10)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+# --------------------------------------------------------------------------
+# Hybrid rerank (SURVEY §2.I I7, §2.D D4, §2.E E3/E4) — three lexical
+# similarity signals fused with the reference's 0.3/0.2/0.5 weights
+# --------------------------------------------------------------------------
+
+_DUCK_NGRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - {nm1}, 1)), "
+    "i -> concat_ws(' ', {parts})))"
+)
+
+
+def _duck_ngrams(t: str, n: int) -> str:
+    parts = ", ".join(f"{t}[i+{j}]" for j in range(n))
+    return _DUCK_NGRAMS.format(t=t, nm1=n - 1, parts=parts)
+
+
+@query(
+    "hybrid_rerank",
+    f"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         {_duck_ngrams(_DUCK_TOKENS.format(c='text'), 3)} AS tri,
+         list_distinct({_DUCK_TOKENS.format(c='text')}) AS uni,
+         {_duck_ngrams(_DUCK_TOKENS.format(c='text'), 2)} AS bi
+  FROM documents WHERE doc_id < 5),
+c AS (
+  SELECT doc_id AS neighbor_id,
+         {_duck_ngrams(_DUCK_TOKENS.format(c='text'), 3)} AS tri,
+         list_distinct({_DUCK_TOKENS.format(c='text')}) AS uni,
+         {_duck_ngrams(_DUCK_TOKENS.format(c='text'), 2)} AS bi
+  FROM documents WHERE doc_id < 100),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(len(list_intersect(q.tri, c.tri)) AS DOUBLE) / len(list_distinct(list_concat(q.tri, c.tri))) AS dense,
+         CAST(len(list_intersect(q.uni, c.uni)) AS DOUBLE) / len(list_distinct(list_concat(q.uni, c.uni))) AS sparse,
+         CAST(len(list_intersect(q.bi, c.bi)) AS DOUBLE) / len(list_distinct(list_concat(q.bi, c.bi))) AS colbert
+  FROM q, c),
+fused AS (
+  SELECT query_id, neighbor_id,
+         0.3 * dense + 0.2 * sparse + 0.5 * colbert AS score
+  FROM scored),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rerank_rank
+  FROM fused)
+SELECT query_id, neighbor_id, CAST(rerank_rank AS BIGINT) AS rerank_rank,
+       round(score, 6) AS score
+FROM ranked WHERE rerank_rank <= 10
+""",
+)
+def hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7/D4/E3: hybrid rerank with the reference's weight fusion
+    (bge.py:29-32 — dense .3 / sparse .2 / colbert .5). The three signals
+    here are lexical jaccards at trigram/unigram/bigram granularity (the
+    deterministic stand-ins for dense/sparse/colbert model scores)."""
+    from chatbot_spark.operators.dedup import shingles
+    from chatbot_spark.operators.rerank import fuse_scores, rerank
+    from chatbot_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def feat(df, id_alias):
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            shingles(F.col("text"), 3).alias(f"{id_alias}_tri"),
+            F.array_distinct(tokens(F.col("text"))).alias(f"{id_alias}_uni"),
+            shingles(F.col("text"), 2).alias(f"{id_alias}_bi"),
+        )
+
+    q = feat(docs.filter(F.col("doc_id") < 5), "query_id")
+    c = feat(docs.filter(F.col("doc_id") < 100), "neighbor_id")
+
+    def jac(a, b):
+        return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+    pairs = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        fuse_scores(
+            jac(F.col("query_id_tri"), F.col("neighbor_id_tri")),
+            jac(F.col("query_id_uni"), F.col("neighbor_id_uni")),
+            jac(F.col("query_id_bi"), F.col("neighbor_id_bi")),
+        ).alias("score"),
+    )
+    res = rerank(pairs, query_id="query_id", score_col="score", keep=10)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rerank_rank").cast("long").alias("rerank_rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+# --------------------------------------------------------------------------
+# Temporal / range joins (operators.joins — beyond-reference §2.C scope)
+# --------------------------------------------------------------------------
+
+@query(
+    "asof_purchase_click",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts, event_id AS click_id FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, p.value, c.cts AS last_click_ts, c.click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+""",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): every purchase matched to the user's most
+    recent prior click. Executed as ONE shuffle (union + running
+    last-non-null window) — no range explosion; the oracle is DuckDB's
+    native ASOF JOIN."""
+    from chatbot_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    res = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        right_cols=["click_id"],
+    )
+    return res.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_cts").alias("last_click_ts"), "click_id",
+    )
+
+
+@query(
+    "range_join_price_bands",
+    """
+WITH bands(band, lo, hi) AS (
+  VALUES ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+         ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0))
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts × broadcast interval dimension, non-equi
+    predicate evaluated map-side — the fact table never shuffles for the
+    join; only the 4-group aggregation does."""
+    from chatbot_spark.operators.joins import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    res = range_join(part, bands, value_col="p_retailprice", how="inner")
+    return res.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+
+# --------------------------------------------------------------------------
+# Window families not yet covered: lag/lead, ntile, cube (§2.E/§2.D —
+# Catalyst builtins surfaced as checked queries)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_lag_lead",
+    """
+WITH e AS (SELECT event_id, user_id, ts, event_type FROM events WHERE user_id < 20)
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: lag/lead — per-user inter-event gap (exact integer microseconds)
+    and next event type."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "customer_ntile",
+    """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS balance_quartile
+FROM customer
+""",
+)
+def customer_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: ntile — account-balance quartiles within market segment
+    (deterministic tie order by key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+    )
+
+
+@query(
+    "orders_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: CUBE grouping sets over (status, priority) — subtotals + grand
+    total in one pass (partial aggregation per grouping set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_total_cents"),
+    )
+
+# --------------------------------------------------------------------------
+# Markdown / URL rewrites (§2.H H4/H5) as checked queries
+# --------------------------------------------------------------------------
+
+@query(
+    "setext_atx",
+    r"""
+WITH md AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || chr(10) || '====' || chr(10) ||
+         'Section ' || source || chr(10) || '----' || chr(10) ||
+         substr(text, 1, 80) AS md_text
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(md_text, '(?m)^(\S[^\n]*)\n=+[ \t]*$', '# \1', 'g'),
+         '(?m)^(\S[^\n]*)\n-+[ \t]*$', '## \1', 'g') AS atx_text
+FROM md
+""",
+)
+def setext_atx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: setext→ATX heading rewrite (reference convert_headings.py:18-19)
+    over synthesized setext markdown."""
+    from chatbot_spark.operators.chunking import setext_to_atx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    md = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"), F.lit("\n====\n"),
+            F.lit("Section "), F.col("source"), F.lit("\n----\n"),
+            F.substring("text", 1, 80),
+        ).alias("md_text"),
+    )
+    return md.select("doc_id", setext_to_atx(F.col("md_text")).alias("atx_text"))
+
+
+@query(
+    "doc_url_rewrite",
+    r"""
+WITH paths AS (
+  SELECT doc_id,
+         '/clones/' || (CASE WHEN doc_id % 3 = 0 THEN 'oceanbase-doc'
+                             WHEN doc_id % 3 = 1 THEN 'ocp-doc'
+                             ELSE 'ob-operator' END)
+         || '/docs/' || source || '/' || doc_id || '.md' AS path
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       CASE
+         WHEN regexp_matches(path, '^.*?oceanbase-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?oceanbase-doc/([^#]*)$',
+                'https://github.com/oceanbase/oceanbase-doc/blob/V4.3.4/\1')
+         WHEN regexp_matches(path, '^.*?ocp-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?ocp-doc/([^#]*)$',
+                'https://github.com/oceanbase/ocp-doc/blob/V4.3.0/\1')
+         WHEN regexp_matches(path, '^.*?oms-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?oms-doc/([^#]*)$',
+                'https://github.com/oceanbase/oms-doc/blob/V4.2.5/\1')
+         WHEN regexp_matches(path, '^.*?obd-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?obd-doc/([^#]*)$',
+                'https://github.com/oceanbase/obd-doc/blob/V2.10.0/\1')
+         WHEN regexp_matches(path, '^.*?ob-operator/([^#]*)$')
+           THEN regexp_replace(path, '^.*?ob-operator/([^#]*)$',
+                'https://github.com/oceanbase/ob-operator/blob/master/\1')
+         WHEN regexp_matches(path, '^.*?odp-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?odp-doc/([^#]*)$',
+                'https://github.com/oceanbase/odp-doc/blob/V4.3.2/\1')
+         WHEN regexp_matches(path, '^.*?odc-doc/([^#]*)$')
+           THEN regexp_replace(path, '^.*?odc-doc/([^#]*)$',
+                'https://github.com/oceanbase/odc-doc/blob/V4.3.2/\1')
+         ELSE path END AS url
+FROM paths
+""",
+)
+def doc_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: first-matching-rule doc-URL rewrite (reference ob.py:53-64,
+    81-93) over synthesized clone paths."""
+    from chatbot_spark.functions.text import rewrite_doc_url
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    paths = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/clones/"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("oceanbase-doc"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("ocp-doc"))
+            .otherwise(F.lit("ob-operator")),
+            F.lit("/docs/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".md"),
+        ).alias("path"),
+    )
+    return paths.select("doc_id", rewrite_doc_url(F.col("path")).alias("url"))
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (§2.J J5) as a checked query — binary columns +
+# mapInPandas feature extraction (decode kernel is the documented
+# deterministic fake; schema/batch plumbing is the real thing)
+# --------------------------------------------------------------------------
+
+_DUCK_MD5BYTE = (
+    "((strpos('0123456789abcdef', substr(md5({t}), {p}, 1)) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', substr(md5({t}), {p} + 1, 1)) - 1))"
+)
+
+
+@query(
+    "media_features",
+    f"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha,
+       CAST(64 + {_DUCK_MD5BYTE.format(t='text', p=1)} % 192 AS BIGINT) AS width,
+       CAST(64 + {_DUCK_MD5BYTE.format(t='text', p=3)} % 192 AS BIGINT) AS height
+FROM documents WHERE doc_id < 100
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: binary media column → mapInPandas decode/feature kernel.
+    Text bytes stand in for image payloads; the fake decoder derives
+    dimensions from the md5 digest (multimodal.py), which the oracle
+    reproduces byte-for-byte."""
+    from chatbot_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )

@@ -1,0 +1,109 @@
+"""as-of / range join semantics (operators/joins.py) against hand-computed
+expectations — backward match, strict mode, tolerance, no-match NULLs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 200, "t2"), (2, 50, "t3"), (3, 10, "t4")],
+        "sym INT, ts LONG, trade STRING",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 100, 11.0), (1, 150, 12.0), (2, 60, 20.0)],
+        "sym INT, qts LONG, px DOUBLE",
+    )
+    return trades, quotes
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    from chatbot_spark.operators.joins import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts")
+    got = _rows(out.select("trade", "asof_qts", "px"))
+    assert got == {
+        ("t1", 100, 11.0),  # equal ts matches (inclusive)
+        ("t2", 150, 12.0),  # latest prior quote
+        ("t3", None, None),  # quote at 60 is AFTER trade at 50
+        ("t4", None, None),  # no quotes for sym 3 at all
+    }
+
+
+def test_asof_strict(spark, trades_quotes):
+    from chatbot_spark.operators.joins import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts", strict=True)
+    got = _rows(out.select("trade", "asof_qts", "px"))
+    assert got == {
+        ("t1", 90, 10.0),  # strict: the equal-ts quote is excluded
+        ("t2", 150, 12.0),
+        ("t3", None, None),
+        ("t4", None, None),
+    }
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    from chatbot_spark.operators.joins import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        tolerance_seconds=20.0,
+    )
+    got = _rows(out.select("trade", "asof_qts", "px"))
+    assert got == {
+        ("t1", 100, 11.0),  # gap 0 ≤ 20
+        ("t2", None, None),  # gap 50 > 20 → voided
+        ("t3", None, None),
+        ("t4", None, None),
+    }
+
+
+def test_asof_matches_pandas_merge_asof(spark, sf_dir):
+    """Differential check vs pandas on real events data (sf0.001)."""
+    import pandas as pd
+
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    got = (
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="vts",
+                  right_cols=["view_id"])
+        .select("event_id", "view_id").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("vts")
+    want = (
+        pd.merge_asof(lp, rp, left_on="ts", right_on="vts", by="user_id")
+        [["event_id", "view_id"]].sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_bands(spark):
+    from chatbot_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0)], "id INT, v DOUBLE"
+    )
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0)], "band STRING, lo DOUBLE, hi DOUBLE"
+    )
+    out = _rows(range_join(facts, ranges, "v").select("id", "band"))
+    assert out == {(1, "low"), (2, "mid"), (3, "mid"), (4, None)}  # hi exclusive
