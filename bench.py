@@ -44,6 +44,7 @@ HEADLINE = [
     "ivf_knn",
     "hybrid_rerank",
     "media_features",
+    "rag_pipeline_e2e",
 ]
 
 

@@ -123,3 +123,63 @@ def embed_queries(
 ) -> DataFrame:
     """I2: embed the (small) query side with the same backend."""
     return df.withColumn(out_col, get_embedder(backend, **kwargs)(F.col(text_col)))
+
+
+# ---------------------------------------------------------- multi-vector (I3)
+
+MULTI_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("dense", T.ArrayType(T.FloatType())),
+        T.StructField("sparse", T.MapType(T.IntegerType(), T.FloatType())),
+    ]
+)
+
+
+def hash_sparse_weights(text: str) -> dict[int, float]:
+    """Deterministic lexical-weight stand-in for BGE-M3 sparse embeddings
+    (reference src/rag/embedding/bge.py:178: dict[token_id, weight]).
+
+    token_id = first 32 md5 bits of the token (mod 2^31, portable across
+    engines); weight = relative term frequency. Hash collisions within a
+    document merge their counts BEFORE the division so the weight is a
+    single exact double ratio.
+    """
+    import re
+
+    toks = re.findall(r"\S+", (text or "").lower())
+    if not toks:
+        return {}
+    counts: dict[int, int] = {}
+    for t in toks:
+        tid = int(hashlib.md5(t.encode("utf-8", errors="ignore")).hexdigest()[:8], 16) % 2147483648
+        counts[tid] = counts.get(tid, 0) + 1
+    n = len(toks)
+    return {tid: float(c / n) for tid, c in counts.items()}
+
+
+def make_hash_multi_embedder(dim: int = DEFAULT_DIM):
+    """I3: one pass → dense + sparse vectors (the reference's BGE-M3
+    ``embedding_type=Both`` shape, bge.py:173-222) as a struct column."""
+
+    @pandas_udf(MULTI_EMBED_SCHEMA)
+    def embed(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dense": texts.map(lambda t: hash_embed_one(t, dim)),
+                "sparse": texts.map(hash_sparse_weights),
+            }
+        )
+
+    return embed
+
+
+def multi_embed_documents(
+    df: DataFrame,
+    text_col: str = "document",
+    out_col: str = "multi_embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """I3 operator: ``out_col`` is STRUCT<dense ARRAY<FLOAT>, sparse
+    MAP<INT,FLOAT>> — colbert multi-vectors would be ARRAY<ARRAY<FLOAT>>
+    in the same struct (SURVEY §2.I I3)."""
+    return df.withColumn(out_col, make_hash_multi_embedder(dim)(F.col(text_col)))

@@ -815,10 +815,11 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _queries_from_embeddings(spark, sf_dir)
-    # nlist=8/nprobe=6 meets recall ≥ 0.95 on the uniform-random test
-    # vectors (worst case for IVF); clustered real corpora prune harder.
+    # nlist=8/nprobe=7 meets recall ≥ 0.95 on the uniform-random test
+    # vectors (worst case for IVF — no cluster structure to prune on);
+    # clustered real corpora prune much harder at the same recall.
     index = IVFIndex.build(emb, vec_col="embedding", id_col="vec_id", nlist=8)
-    res = index.search(q, k=10, nprobe=6)
+    res = index.search(q, k=10, nprobe=7)
     return res.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
@@ -1353,4 +1354,141 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sha",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
+    )
+
+# --------------------------------------------------------------------------
+# End-to-end RAG pipeline (SURVEY §3.2 / §7.1 — the flagship slice) as ONE
+# oracle-checked query: chunk → hash-embed → exact L2 top-k. The oracle
+# reproduces the md5-chained hash embedder bit-for-bit in SQL, including
+# numpy's 8-accumulator pairwise sum for the norm and the float32 rounding
+# of the stored vectors.
+# --------------------------------------------------------------------------
+
+_E2E_DIM = 16  # 64 bytes = 4 md5 digests per text
+
+# byte b (0..63) of the md5-chained stream for text {t}:
+# digest index = b//16, hex chars (b%16)*2+1, +2
+_DUCK_HASHBYTE = (
+    "((strpos('0123456789abcdef', substr(md5({t} || '|' || CAST(b // 16 AS VARCHAR)), (b % 16) * 2 + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({t} || '|' || CAST(b // 16 AS VARCHAR)), (b % 16) * 2 + 2, 1)) - 1))"
+)
+
+# numpy pairwise_sum order for n=16 (8 accumulators r[j]=a[j]+a[j+8], then
+# ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7))) over a_i = r[i+1]^2 (1-indexed SQL)
+_DUCK_NP16_SUMSQ = (
+    "(((({a1}+{a9})+({a2}+{a10}))+(({a3}+{a11})+({a4}+{a12})))"
+    "+((({a5}+{a13})+({a6}+{a14}))+(({a7}+{a15})+({a8}+{a16}))))"
+).format(**{f"a{i}": f"(r[{i}]*r[{i}])" for i in range(1, 17)})
+
+
+@query(
+    "rag_pipeline_e2e",
+    f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+chunks AS (
+  SELECT doc_id, u.seq AS chunk_seq, u.chunk AS txt,
+         CAST(doc_id AS VARCHAR) || '-' || CAST(u.seq AS VARCHAR) AS id
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(0, greatest((length(text) - 1) // 200, 0)),
+             i -> struct_pack(seq := i, chunk := substr(text, i * 200 + 1, 200)))) AS u
+    FROM d) s),
+inp AS (
+  SELECT 'c' AS role, id, txt FROM chunks
+  UNION ALL
+  SELECT 'q' AS role, CAST(doc_id AS VARCHAR) AS id, text AS txt
+  FROM d WHERE doc_id < 3),
+bytes AS (
+  SELECT role, id,
+         list_transform(generate_series(0, 63), b -> {_DUCK_HASHBYTE.format(t='txt')}) AS bs
+  FROM inp),
+raws AS (
+  SELECT role, id,
+         list_transform(generate_series(0, {_E2E_DIM - 1}),
+           k -> (bs[4*k+1] + bs[4*k+2]*256 + bs[4*k+3]*65536 + bs[4*k+4]*16777216)
+                / 2147483648.0 - 1.0) AS r
+  FROM bytes),
+emb AS (
+  SELECT role, id,
+         list_transform(r, x -> CAST(CAST(x / sqrt({_DUCK_NP16_SUMSQ}) AS FLOAT) AS DOUBLE)) AS e
+  FROM raws),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         {_DUCK_L2.format(a='q.e', b='c.e')} AS dist
+  FROM (SELECT * FROM emb WHERE role = 'q') q,
+       (SELECT * FROM emb WHERE role = 'c') c),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(dist, 6) AS dist
+FROM ranked WHERE rank <= 5
+""",
+)
+def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 universal-RAG read path end-to-end, oracle-checked: fixed-size
+    chunking (H2) → deterministic hash embedding (I1/I2) → exact L2 top-5
+    (I4/E1). The DuckDB oracle recomputes the embeddings themselves — the
+    whole pipeline is verified, not just the final join."""
+    from chatbot_spark.operators.chunking import subchunk
+    from chatbot_spark.operators.embed import embed_documents, embed_queries
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    chunks = subchunk(
+        docs.select("doc_id", "text"), "text", max_chunk_size=200,
+        seq_col="chunk_seq", out_col="document",
+    ).withColumn("id", F.concat_ws("-", "doc_id", "chunk_seq"))
+    corpus = embed_documents(chunks, text_col="document", backend="hash", dim=_E2E_DIM)
+    queries_df = embed_queries(
+        docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        backend="hash", dim=_E2E_DIM,
+    )
+    res = knn_join(queries_df, corpus, k=5, metric="l2", corpus_id="id")
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+# --------------------------------------------------------------------------
+# Multi-vector embedding (SURVEY §2.I I3) — sparse lexical weights checked
+# by recomputing token-id hashing + term frequencies in SQL
+# --------------------------------------------------------------------------
+
+@query(
+    "sparse_lexical_weights",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(c='text')}) AS t,
+         len({_DUCK_TOKENS.format(c='text')}) AS n
+  FROM documents WHERE doc_id < 50),
+ids AS (
+  SELECT doc_id, n,
+         CAST({_DUCK_HEXWORD.format(t='t', off=1)} AS BIGINT) % 2147483648 AS token_id
+  FROM tok),
+grp AS (
+  SELECT doc_id, token_id, CAST(count(*) AS DOUBLE) / any_value(n) AS w
+  FROM ids GROUP BY doc_id, token_id)
+SELECT doc_id, CAST(token_id AS BIGINT) AS token_id,
+       round(CAST(CAST(w AS FLOAT) AS DOUBLE), 6) AS weight
+FROM grp
+""",
+)
+def sparse_lexical_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: BGE-M3-style sparse lexical weights (bge.py:178 dict[token_id,
+    weight]) — the deterministic hash stand-in, exploded to rows so the
+    oracle can recompute ids and term frequencies exactly."""
+    from chatbot_spark.operators.embed import multi_embed_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    emb = multi_embed_documents(docs, text_col="text", out_col="me", dim=8)
+    return emb.select(
+        "doc_id", F.explode(F.col("me.sparse")).alias("token_id", "weight")
+    ).select(
+        "doc_id",
+        F.col("token_id").cast("long").alias("token_id"),
+        F.round(F.col("weight").cast("double"), 6).alias("weight"),
     )
