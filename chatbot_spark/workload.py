@@ -1492,3 +1492,46 @@ def sparse_lexical_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token_id").cast("long").alias("token_id"),
         F.round(F.col("weight").cast("double"), 6).alias("weight"),
     )
+
+# --------------------------------------------------------------------------
+# Structured Streaming (extension surface) — the hourly rollup drained with
+# Trigger.AvailableNow must equal the batch oracle exactly (stream/batch
+# parity is the correctness contract for the streaming path)
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_hourly_rollup",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hourly run as a real readStream →
+    watermarked window agg → AvailableNow drain; the batch SQL is the
+    oracle (exact parity, not approximate)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        hourly_rollup,
+        read_event_stream,
+        run_stream_once_complete,
+    )
+
+    base = tempfile.mkdtemp(prefix="cbs_stream_q_")
+    inpath = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
+    rows = run_stream_once_complete(
+        hourly_rollup(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
+    )
+    df = spark.createDataFrame(rows)
+    return df.select(
+        "hour", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+    )
