@@ -23,19 +23,25 @@ EXPORT_FIELDS = ["id", "embedding", "document", "metadata", "component_code"]  #
 
 
 def load_json_records(
-    spark: SparkSession, path: str, corpus_path: str | None = None
+    spark: SparkSession, path: str, corpus_path: str | None = None,
+    array_format: bool = True,
 ) -> DataFrame:
-    """A4: read interchange JSON (array or lines) into the corpus schema.
+    """A4: read interchange JSON into the corpus schema.
     The reference's CAST chain (load.py:121-146) becomes a declared read
     schema; its fallback-INSERT becomes PERMISSIVE mode (bad rows surface
-    in _corrupt_record rather than silently inserting uncast)."""
+    in _corrupt_record rather than silently inserting uncast).
+
+    ``array_format=True`` reads the reference's layout (ONE JSON array per
+    file, extract.py:162-166) via multiLine; pass False for JSON-lines
+    files (what ``export_json``/Spark writes) — multiLine on a lines file
+    silently parses only the first record."""
     schema = T.StructType(
         list(INTERCHANGE.fields)
         + [T.StructField("_corrupt_record", T.StringType(), True)]
     )
     df = (
         spark.read.schema(schema)
-        .option("multiLine", True)  # reference writes one JSON array
+        .option("multiLine", array_format)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)

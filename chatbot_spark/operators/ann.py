@@ -123,6 +123,17 @@ class IVFIndex:
             F.col(self.id_col).alias("neighbor_id"),
             sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),
         )
+        # partial top-k per (query, scan partition) — same skew guard as
+        # topk.knn_join: the final per-query window sees ≤ P×k rows
+        w1 = Window.partitionBy(query_id, "__pid").orderBy(
+            F.col("__rdist").asc(), F.col("neighbor_id").asc()
+        )
+        pairs = (
+            pairs.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrank", F.row_number().over(w1))
+            .filter(F.col("__lrank") <= k)
+            .drop("__pid", "__lrank")
+        )
         w = Window.partitionBy(query_id).orderBy(F.col("__rdist").asc(), F.col("neighbor_id").asc())
         return (
             pairs.withColumn("rank", F.row_number().over(w))

@@ -26,15 +26,30 @@ def cosine_topk_join(
     query_vec: str = "query_embedding",
     corpus_id: str = "id",
     corpus_vec: str = "embedding",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Top-k most-similar corpus rows per query under cosine similarity.
-    Output: (query_id, neighbor_id, rank, sim)."""
+    Output: (query_id, neighbor_id, rank, sim).
+
+    ``two_phase`` mirrors topk.knn_join: partial top-k per (query,
+    scan-partition) first, so the per-query window never sees a Q-hot
+    group at scale; output is bit-identical."""
     q = queries_df.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec"))
     pairs = corpus_df.join(F.broadcast(q)).select(
         F.col("__qid").alias(query_id),
         F.col(corpus_id).alias("neighbor_id"),
         cosine_similarity(F.col("__qvec"), F.col(corpus_vec)).alias("sim"),
     )
+    if two_phase:
+        w1 = Window.partitionBy(query_id, "__pid").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        pairs = (
+            pairs.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrank", F.row_number().over(w1))
+            .filter(F.col("__lrank") <= k)
+            .drop("__pid", "__lrank")
+        )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -52,12 +52,22 @@ def knn_join(
     extra_cols: list[str] | None = None,
     component_codes: list[int] | None = None,
     include_distance: bool = True,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Exact k-nearest-neighbors of each query row over the corpus.
 
     Returns (query_id, neighbor_id, rank[, dist, extra_cols...]) with
     rank 1..k per query ordered by ascending distance, ties broken by
     corpus id for determinism.
+
+    ``two_phase`` (default): every query's candidate set is the WHOLE
+    corpus, so a single window keyed by query_id funnels N rows into Q
+    reducer groups — with few queries that is a built-in skew hotspot at
+    scale. Phase 1 ranks within (query_id, scan-partition-id): the same
+    slim rows shuffle once but hash across Q×P balanced groups, each
+    emitting ≤ k; phase 2 ranks the surviving Q×P×k rows. Output is
+    bit-identical to the single-phase plan (total order (dist, id) in
+    both phases).
     """
     if component_codes is not None:
         # reference partition_names pushdown (doc_embedder.py:191-192)
@@ -75,6 +85,17 @@ def knn_join(
         rank_dist(F.col("__qvec"), F.col(corpus_vec)).alias("__rdist"),
         *extra,
     )
+
+    if two_phase:
+        w1 = Window.partitionBy(query_id, "__pid").orderBy(
+            F.col("__rdist").asc(), F.col("neighbor_id").asc()
+        )
+        pairs = (
+            pairs.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrank", F.row_number().over(w1))
+            .filter(F.col("__lrank") <= k)
+            .drop("__pid", "__lrank")
+        )
 
     w = Window.partitionBy(query_id).orderBy(
         F.col("__rdist").asc(), F.col("neighbor_id").asc()

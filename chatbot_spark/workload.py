@@ -1535,3 +1535,89 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
     )
+
+# --------------------------------------------------------------------------
+# Quality filtering (SURVEY §2.J J4 — the training-data quality gate)
+# --------------------------------------------------------------------------
+
+@query(
+    "quality_filter",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKENS.format(c='text')}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct,
+         CAST({_duck_stophits('en')} AS DOUBLE)
+           / greatest(len({_DUCK_TOKENS.format(c='text')}), 1) AS stopr
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 2.0
+                      AND n_chars / greatest(n_tok, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN stopr >= 0.01 THEN 1.0 ELSE 0.0 END) AS quality
+  FROM s)
+SELECT doc_id, round(CAST(quality AS DOUBLE), 6) AS quality
+FROM q WHERE quality >= 0.6
+""",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: composite quality score (length sweet-spot, token shape,
+    punctuation, stopword presence) used as a keep/drop gate — the
+    training-data quality filter pattern."""
+    from chatbot_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id", F.round("quality", 6).alias("quality"))
+    )
+
+# --------------------------------------------------------------------------
+# JSON interchange round-trip (SURVEY §2.A A4/A5) — export → re-load must
+# preserve every value bit-for-bit; the oracle reads the ORIGINAL parquet,
+# so any loss in the JSON hop shows up as a hash mismatch
+# --------------------------------------------------------------------------
+
+@query(
+    "json_roundtrip",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e0_e6,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+FROM embeddings
+""",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: corpus → reference-format JSON records → re-load → aggregate.
+    The checksum (per-row scaled first component, exact integer sum) proves
+    the embedding floats survive the JSON hop losslessly."""
+    import os
+    import tempfile
+
+    from chatbot_spark.io.interchange import export_json, load_json_records
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding"),
+        F.lit(None).cast("string").alias("document"),
+        F.create_map(F.lit("label"), F.col("label").cast("string")).alias("metadata"),
+        F.col("label").cast("int").alias("component_code"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_json_q_"), "export")
+    export_json(corpus, path)
+    back = load_json_records(spark, path, array_format=False)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("id").cast("long")).alias("sum_ids"),
+        F.sum(
+            F.round(F.element_at("embedding", 1).cast("double") * 1000000).cast("long")
+        ).alias("sum_e0_e6"),
+        F.countDistinct("component_code").alias("n_labels"),
+    )
