@@ -1621,3 +1621,64 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_e0_e6"),
         F.countDistinct("component_code").alias("n_labels"),
     )
+
+# --------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q17/Q4 analogs — Catalyst decorrelates
+# them into joins; the oracles keep the subquery form)
+# --------------------------------------------------------------------------
+
+@query(
+    "small_quantity_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    expressed as an aggregate + equi-join so Catalyst's plan IS the
+    decorrelated form (one shuffle on partkey, broadcast of the per-part
+    averages if small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+@query(
+    "late_orders_by_priority",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one line
+    shipped >90 days after the order date, counted by priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -173,3 +173,22 @@ def test_agents_stub_pipeline():
     assert analyze_components("generic question") == ["observer"]  # default appended
     ans = generate_response("q", ["snippet one", "snippet two"], ["http://u1", "http://u2"])
     assert "[1](http://u1)" in ans and "[2](http://u2)" in ans
+
+
+def test_sql_callable_udf_registry(spark):
+    """SURVEY §2.L: the UDF registry is SQL-callable via spark.udf.register."""
+    from chatbot_spark.functions import register_sql_functions
+    from chatbot_spark.operators.embed import hash_embed_one
+
+    names = register_sql_functions(spark, dim=8)
+    assert set(names) == {"embed_text", "md_header_split", "rerank_score"}
+
+    row = spark.sql(
+        "SELECT embed_text('hello world') AS e, "
+        "size(md_header_split('# T\\nbody')) AS n_chunks, "
+        "rerank_score('q', 'd') AS s"
+    ).collect()[0]
+    want = hash_embed_one("hello world", 8)
+    assert [round(x, 5) for x in row["e"]] == [round(x, 5) for x in want]
+    assert row["n_chunks"] == 1
+    assert 0.0 <= row["s"] < 1.0

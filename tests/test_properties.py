@@ -1,0 +1,146 @@
+"""Property-based tests (SURVEY §5.3): chunk reassembly is lossless,
+hashes/embeddings are deterministic and well-formed, dedup is idempotent.
+
+Pure-Python kernels get full Hypothesis fuzzing; Spark-executed properties
+run one job over a Hypothesis-generated BATCH of documents (per-example
+Spark jobs would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------- pure python
+
+TEXT = st.text(min_size=0, max_size=500)
+
+
+@given(TEXT, st.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_hash_embed_unit_norm_and_deterministic(text, dim):
+    from chatbot_spark.operators.embed import hash_embed_one
+
+    a = hash_embed_one(text, dim)
+    b = hash_embed_one(text, dim)
+    assert a == b
+    assert len(a) == dim
+    n = math.sqrt(sum(x * x for x in a))
+    assert abs(n - 1.0) < 1e-9
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_sparse_weights_sum_to_one(text):
+    from chatbot_spark.operators.embed import hash_sparse_weights
+
+    w = hash_sparse_weights(text)
+    assert all(0.0 < v <= 1.0 for v in w.values())
+    if w:
+        assert abs(sum(w.values()) - 1.0) < 1e-9  # term frequencies
+    else:
+        assert not text.split()
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_markdown_split_reassembles(text):
+    """H1 header split loses no content: concatenated chunk contents plus
+    heading lines reproduce every non-blank input line."""
+    from chatbot_spark.operators.chunking import _split_markdown
+
+    chunks = _split_markdown(text)
+    # the splitter strips whitespace at chunk boundaries (flush() strips
+    # the joined buffer), so the preserved invariant is the multiset of
+    # stripped non-blank, non-heading lines
+    out_lines = []
+    for c in chunks:
+        out_lines.extend(s for s in (l.strip() for l in c["content"].splitlines()) if s)
+    in_lines = [
+        s for s in (l.strip() for l in text.splitlines())
+        if s and not s.startswith("#")
+    ]
+    # every non-heading, non-blank input line survives somewhere
+    from collections import Counter
+
+    assert not (Counter(in_lines) - Counter(out_lines))
+
+
+# ------------------------------------------------------------- spark (batch)
+
+def test_subchunk_lossless_batch(spark):
+    """H2 reassembly == original for a fuzzed batch of documents."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.chunking import subchunk
+
+    texts = [
+        "",
+        "a",
+        "x" * 99,
+        "y" * 100,
+        "z" * 101,
+        "αβγ" * 80,  # multibyte
+        "line\nline\n" * 30,
+        " lead trail " * 25,
+    ] + [f"doc {i} " + "word " * (i * 7 % 95) for i in range(40)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id INT, t STRING")
+    back = (
+        subchunk(df, "t", max_chunk_size=100, seq_col="seq", out_col="c")
+        .groupBy("id")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("seq", "c"))).getField("c")).alias("r"))
+    )
+    joined = df.join(back, "id").collect()
+    assert len(joined) == len(texts)
+    for r in joined:
+        reassembled = "".join(r["r"]) if isinstance(r["r"], list) else r["r"]
+        assert reassembled == r["t"], f"doc {r['id']} lost content"
+
+
+def test_exact_dedup_idempotent_and_fixpoint(spark):
+    from chatbot_spark.operators.dedup import exact_dedup
+
+    rows = [(i, f"doc {i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    assert once.count() == 7
+    assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+        r["doc_id"] for r in twice.collect()
+    )
+    # min-id-wins: survivors are exactly ids 0..6
+    assert sorted(r["doc_id"] for r in once.collect()) == list(range(7))
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.textstats import fingerprint
+
+    pairs = [
+        ("Hello  World", "  hello world "),
+        ("a\nb\tc", "A B C"),
+        ("x" * 50, "X" * 50),
+    ]
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    rows = df.select(
+        (fingerprint(F.col("a")) == fingerprint(F.col("b"))).alias("eq")
+    ).collect()
+    assert all(r["eq"] for r in rows)
+
+
+def test_minhash_contains_exact_dups(spark):
+    """Exact duplicates MUST surface as jaccard-1.0 pairs (MinHash never
+    misses identical shingle sets — every band collides)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [f"some document body number {i} with shared words" for i in range(10)]
+    rows = [(i, t) for i, t in enumerate(base)] + [(100 + i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(10):
+        assert (i, 100 + i) in got
