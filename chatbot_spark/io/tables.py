@@ -50,3 +50,23 @@ def write_corpus(df: DataFrame, path: str, mode: str = "append") -> None:
     partitions (src/rag/doc_embedder.py:82-86) so component predicates
     resolve to Parquet partition pruning."""
     df.write.mode(mode).partitionBy("component_code").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table for co-located joins: two tables bucketed on
+    the same key with the same bucket count join WITHOUT a shuffle (the
+    exchange is replaced by bucket-aligned scans). At 100 TB this is how
+    repeated fact-fact joins (lineitem⋈orders every query) amortize their
+    shuffle to write time — the Spark analog of co-partitioned storage.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -1682,3 +1682,59 @@ def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+# --------------------------------------------------------------------------
+# Ingest pipeline (SURVEY §3.3, the write path) — markdown header split →
+# title metadata → embed → partitionBy(component_code) write → read back
+# with a partition-pruned scan. Rows-only check (writes a temp corpus);
+# the per-operator pieces are oracle-checked above.
+# --------------------------------------------------------------------------
+
+@query("ingest_pipeline", None)
+def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/K1/B2: synthesize markdown from documents, run the reference's
+    full ingest (split_documents H1-H3 → hash embed I1 → uuid ids H7 →
+    partitioned write), then read the corpus back filtered to half the
+    components — the filter must resolve to partition pruning."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.chunking import split_documents
+    from chatbot_spark.operators.embed import embed_documents
+    from chatbot_spark.io.tables import write_corpus
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    md = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 4).cast("int").alias("component_code"),
+        F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"), F.lit(".md")).alias("doc_url"),
+        F.concat(
+            F.lit("# Doc "), F.col("doc_id").cast("string"),
+            F.lit("\n\n## Body\n"), F.col("text"),
+        ).alias("text"),
+    )
+    chunks = split_documents(md, text_col="text", url_col="doc_url", max_chunk_size=200)
+    corpus = embed_documents(chunks, text_col="document", backend="hash", dim=16).select(
+        F.expr("uuid()").alias("id"),
+        "component_code",
+        "embedding",
+        "document",
+        F.create_map(
+            F.lit("chunk_title"), F.col("chunk_title"),
+            F.lit("enhanced_title"), F.col("enhanced_title"),
+        ).alias("metadata"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_ingest_q_"), "corpus")
+    write_corpus(corpus, path, mode="overwrite")
+
+    back = spark.read.parquet(path).filter(F.col("component_code").isin([0, 1]))
+    return (
+        back.groupBy("component_code")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("id").alias("n_ids"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+        )
+        .orderBy("component_code")
+    )

@@ -192,3 +192,30 @@ def test_sql_callable_udf_registry(spark):
     assert [round(x, 5) for x in row["e"]] == [round(x, 5) for x in want]
     assert row["n_chunks"] == 1
     assert 0.0 <= row["s"] < 1.0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
+    """Co-located (bucketed) fact-fact join plans without an Exchange."""
+    from chatbot_spark.io.tables import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    lineitem = load_table(spark, sf_dir, "lineitem").limit(2000)
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", n_buckets=4,
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-family join so bucket alignment is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+        assert joined.count() > 0  # finalize the adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucket alignment removes the shuffle on both sides
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
