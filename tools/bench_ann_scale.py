@@ -1,0 +1,95 @@
+"""ANN crossover benchmark: exact vs IVF top-k at corpus sizes where the
+index can actually pay for itself (the driver's embeddings table is 2k
+rows — overhead-bound; BASELINE.md §C points here).
+
+Synthesizes a deterministic N×64 corpus with loosely clustered structure
+(cluster centers + noise — the shape real embedding corpora have), then
+measures per-search wall time of exact vs IVF (amortizing one build) and
+the recall of IVF against exact.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_ann_scale.py [N] [nlist] [nprobe]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    dim, n_clusters, n_queries, k = 64, 256, 10, 10
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.session import get_spark
+
+    spark = get_spark("ann-scale")
+
+    # clustered synthetic corpus: center(id % n_clusters) + U(-0.5, 0.5) noise,
+    # all seeded rand -> deterministic
+    centers = [
+        F.array(*[(F.rand(seed=1000 + c) * 10).cast("double") for _ in range(1)])
+        for c in range(1)
+    ]  # (placeholder to keep expression style obvious below)
+    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+    # center component j of cluster c = 10 * fractional(sin(c*131 + j*17)) —
+    # deterministic, engine-side, no python loop over rows
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            10.0 * (F.sin(F.col("cl") * 131 + j * 17) - F.floor(F.sin(F.col("cl") * 131 + j * 17)))
+            + F.rand(seed=7) - 0.5
+        ).cast("float"),
+    )
+    corpus = base.select(F.col("id").alias("vec_id"), vec.alias("embedding")).persist()
+    corpus.count()
+
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    ).persist()
+    queries.count()
+
+    def timed(build_fn):
+        """First run pays codegen/plan warmup; the timed run constructs a
+        FRESH DataFrame (new RDD lineage) so Spark cannot reuse the first
+        run's shuffle files — the warm time is real compute."""
+        build_fn().collect()
+        t0 = time.time()
+        out = build_fn().collect()
+        return out, time.time() - t0
+
+    exact_rows, t_exact = timed(
+        lambda: knn_join(queries, corpus, k=k, metric="l2", corpus_id="vec_id")
+    )
+
+    t0 = time.time()
+    index = IVFIndex.build(corpus, vec_col="embedding", id_col="vec_id", nlist=nlist)
+    index.indexed.persist().count()
+    t_build = time.time() - t0
+
+    approx_rows, t_search = timed(lambda: index.search(queries, k=k, nprobe=nprobe))
+
+    exact_df = spark.createDataFrame(exact_rows)
+    approx_df = spark.createDataFrame(approx_rows)
+    rec = recall_at_k(approx_df, exact_df)
+
+    print(json.dumps({
+        "n": n, "dim": dim, "nlist": nlist, "nprobe": nprobe, "k": k,
+        "exact_search_sec": round(t_exact, 3),
+        "ivf_build_sec": round(t_build, 3),
+        "ivf_search_sec": round(t_search, 3),
+        "speedup_search": round(t_exact / t_search, 2),
+        "recall_at_10": round(rec, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
