@@ -279,9 +279,33 @@ def simhash_pairs(
     join on (block_idx, block_value), then verify the exact hamming
     distance. Returns (id_a, id_b, hamming)."""
     block = n_bits // n_blocks
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        simhash_bits(F.col(text_col), n_bits).alias("__bits"),
+    # Signature via explode + 64 map-side-combinable vote sums, NOT the
+    # inlined simhash_bits expression: the nested higher-order tree,
+    # duplicated across the candidate self-join below, explodes optimizer/
+    # codegen time (same pathology minhash_lsh_pairs had). Bit values are
+    # identical to simhash_bits.
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(
+        "__id",
+        _hash32(F.col("__t"), 1).alias("__w1"),
+        _hash32(F.col("__t"), 9).alias("__w2"),
+    )
+
+    def vote(b: int) -> Column:
+        word = F.col("__w1") if b < 32 else F.col("__w2")
+        bit = F.floor(word / F.lit(float(2 ** (b % 32)))).cast("long") % 2
+        return F.sum(F.when(bit == 1, 1).otherwise(-1))
+
+    votes = tok.groupBy("__id").agg(*[vote(b).alias(f"__v{b}") for b in range(n_bits)])
+    sh = votes.select(
+        "__id",
+        F.array(
+            *[
+                F.when(F.col(f"__v{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+                for b in range(n_bits)
+            ]
+        ).alias("__bits"),
     )
     blocks = sh.select(
         "__id",
@@ -320,3 +344,58 @@ def simhash_pairs(
         )
     )
     return cand.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------- duplicate-cluster resolution (J2)
+
+def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, canonical_id),
+    canonical = min id in the component (keep-min-id dedup policy; SURVEY
+    §2.J J2 "connected components → keep min id").
+
+    Iterative label propagation: every node starts as its own label; each
+    round takes the min of its own and its neighbors' labels. Converges in
+    O(log(diameter)) rounds — near-dup clusters are shallow, so this is
+    2-4 shuffles in practice. Lineage is cut per round (localCheckpoint on
+    the small label table) so plans don't grow; the edge table is persisted
+    once. Only ids that appear in ``pairs`` are returned (singletons are
+    trivially their own canonical).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))

@@ -112,3 +112,38 @@ def generate_response(
         return m.group(0)
 
     return re.sub(r"\[+@(\d+)\]+", _rewrite, raw)
+
+
+def classify_intents_batch(df, query_col: str = "query_text", llm: LLM = stub_llm):
+    """M1 set-at-a-time: intent classification over a queries DataFrame as
+    an Arrow-batched pandas UDF (SURVEY §2.M — "batch variant = pandas_udf
+    over a queries DF"). The LLM hook is invoked per text inside the batch;
+    a production backend would issue one batched API call per Arrow batch.
+    Adds STRUCT<type STRING, rewrite STRING, components ARRAY<STRING>>.
+    """
+    import pandas  # noqa: F401 — annotation namespace for the UDF hint
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    schema = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("rewrite", T.StringType()),
+            T.StructField("components", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    # NB: signature hints use the real pandas classes (not strings) — with
+    # `from __future__ import annotations` pyspark resolves string hints in
+    # MODULE scope, where a function-local `import pandas as pd` is invisible.
+    def classify(texts: pandas.Series) -> pandas.DataFrame:
+        rows = []
+        for t in texts.fillna(""):
+            i = analyze_intent(t, llm=llm)
+            rows.append({"type": i.type, "rewrite": i.rewrite, "components": i.components})
+        return pandas.DataFrame(rows, columns=["type", "rewrite", "components"])
+
+    classify.__annotations__ = {"texts": pandas.Series, "return": pandas.DataFrame}
+    classify_udf = pandas_udf(schema)(classify)
+    return df.withColumn("intent", classify_udf(F.col(query_col)))

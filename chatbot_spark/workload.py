@@ -1738,3 +1738,51 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_code")
     )
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution (SURVEY §2.J J2: connected components →
+# keep-min-id). The oracle computes components with a recursive CTE.
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM documents WHERE doc_id < 200),
+post AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 resolution step: exact-Jaccard near-dup pairs → connected
+    components → canonical keeper (min doc_id per cluster). Iterative
+    label propagation on Spark; recursive-CTE transitive closure in the
+    oracle — both must agree on every component."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1
+    )
+    return resolve_duplicate_clusters(pairs).select(
+        "doc_id", F.col("canonical_id").cast("long").alias("canonical_id")
+    )

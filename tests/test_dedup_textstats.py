@@ -94,3 +94,18 @@ def test_hash_embedder_deterministic_unit():
     assert a == b
     assert a != c
     assert sum(x * x for x in a) == pytest.approx(1.0)
+
+
+def test_resolve_duplicate_clusters(spark):
+    """Chain a-b-c collapses to min(a); disjoint pair keeps its own min;
+    transitivity crosses multiple hops."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (20, 21), (9, 11), (40, 2)], "id_a LONG, id_b LONG"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters(pairs).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}

@@ -219,3 +219,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_classify_intents_batch(spark):
+    """M1 batch variant agrees with the scalar driver-side classifier."""
+    from chatbot_spark.plans.agents import analyze_intent, classify_intents_batch
+
+    qs = [
+        "How do I deploy ocp on kubernetes?",
+        "observer crashed with an error",
+        "hello there",
+    ]
+    df = spark.createDataFrame([(i, q) for i, q in enumerate(qs)], "qid INT, query_text STRING")
+    rows = {r["qid"]: r["intent"] for r in classify_intents_batch(df).collect()}
+    for i, q in enumerate(qs):
+        want = analyze_intent(q)
+        assert rows[i]["type"] == want.type
+        assert list(rows[i]["components"]) == want.components
