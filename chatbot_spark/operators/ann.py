@@ -85,9 +85,27 @@ class IVFIndex:
         return cls(centroids, indexed, vec_col, id_col)
 
     def write(self, path: str) -> None:
-        """Persist clustered by cell so a search scans only its cells'
-        files (partition pruning on centroid_id)."""
-        self.indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        """Persist the index: corpus clustered by cell (a search scans only
+        its probed cells' files — parquet partition pruning on centroid_id)
+        plus the centroid table."""
+        self.indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/cells"
+        )
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id"
+    ) -> "IVFIndex":
+        """Reopen a written index. The centroid shortlist then prunes the
+        cells scan at the FILE level: only nprobe/nlist of the corpus
+        parquet is read (PartitionFilters on centroid_id)."""
+        return cls(
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/cells"),
+            vec_col,
+            id_col,
+        )
 
     def search(
         self,
@@ -118,7 +136,14 @@ class IVFIndex:
             .filter(F.col("__crank") <= nprobe)
             .select("__qid", "__qvec", "centroid_id")
         )
-        pairs = self.indexed.join(F.broadcast(qc), "centroid_id").select(
+        # Static cell pruning: the probed-cell set is tiny (≤ Q×nprobe ids,
+        # one metadata-scale collect), and an explicit isin filter turns
+        # into parquet PartitionFilters on a written index — guaranteed
+        # file-level pruning, not dependent on dynamic partition pruning.
+        probed = [r[0] for r in qc.select("centroid_id").distinct().collect()]
+        corpus_side = self.indexed.filter(F.col("centroid_id").isin(probed))
+
+        pairs = corpus_side.join(F.broadcast(qc), "centroid_id").select(
             F.col("__qid").alias(query_id),
             F.col(self.id_col).alias("neighbor_id"),
             sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),

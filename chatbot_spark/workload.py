@@ -1786,3 +1786,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_duplicate_clusters(pairs).select(
         "doc_id", F.col("canonical_id").cast("long").alias("canonical_id")
     )
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (the explicit form — rollup/cube above are its sugar) via
+# the engine's SQL surface (§2.D / §2.K register_views)
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: explicit GROUPING SETS through the SQL surface — one pass
+    producing (flag,status), (flag) and grand-total rows (Expand +
+    partial aggregation underneath)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+@query(
+    "stream_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM e)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (built-in session_window, 30-min gap)
+    drained with AvailableNow; the oracle rebuilds the same sessions with
+    a batch lag/cumsum — window end = last event + gap, Spark's
+    session_window contract."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        run_stream_once_complete,
+        session_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="cbs_sess_q_")
+    inpath = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
+    rows = run_stream_once_complete(
+        session_rollup(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
+    )
+    df = spark.createDataFrame(rows)
+    return df.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -78,3 +78,21 @@ def test_brp_lsh_recall(corpus, queries, exact):
     )
     approx = index.search(queries, k=10)
     assert recall_at_k(approx, exact) >= 0.95
+
+
+def test_ivf_write_load_prunes_partitions(spark, corpus, queries, tmp_path):
+    """The written index searches from disk with file-level partition
+    pruning on centroid_id, and returns exactly the in-memory results."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    index = IVFIndex.build(corpus, vec_col="embedding", id_col="vec_id", nlist=8)
+    path = str(tmp_path / "ivf")
+    index.write(path)
+    loaded = IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+
+    res_disk = loaded.search(queries, k=10, nprobe=3)
+    res_mem = index.search(queries, k=10, nprobe=3)
+    assert sorted(map(tuple, res_disk.collect())) == sorted(map(tuple, res_mem.collect()))
+
+    plan = res_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
