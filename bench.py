@@ -41,10 +41,23 @@ HEADLINE = [
     "asof_purchase_click",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "dedup_clusters",
     "ivf_knn",
     "hybrid_rerank",
     "media_features",
     "rag_pipeline_e2e",
+    "quality_filter",
+    "sparse_lexical_weights",
+    "customer_ntile",
+    "events_lag_lead",
+    "orders_cube",
+    "revenue_grouping_sets",
+    "range_join_price_bands",
+    "small_quantity_revenue",
+    "late_orders_by_priority",
+    "setext_atx",
+    "doc_url_rewrite",
+    "json_roundtrip",
 ]
 
 
