@@ -1862,3 +1862,59 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+# --------------------------------------------------------------------------
+# Markdown corpus scan from REAL files (SURVEY §2.A A1-A3 + §2.H H1/H3):
+# documents are materialized as .md files, scanned with the distributed
+# file source (glob filter + skip pattern + limit), header-split, and the
+# oracle recomputes the expected chunks straight from the table
+# --------------------------------------------------------------------------
+
+@query(
+    "markdown_scan",
+    """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_chunks,
+       'Doc ' || doc_id || ' -> Body' AS enhanced_title,
+       text AS document
+FROM documents
+WHERE doc_id < 20 AND doc_id % 3 != 0
+""",
+)
+def markdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 end-to-end on the filesystem: write one .md per document
+    (every 3rd under a path the skip pattern drops), scan with
+    pathGlobFilter + recursiveFileLookup + rlike skip, header-split
+    (H1/H3). Synthesized docs have a known shape, so the oracle can state
+    the expected chunking exactly."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.chunking import scan_markdown_dir, split_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    base = tempfile.mkdtemp(prefix="cbs_mdscan_q_")
+    os.makedirs(os.path.join(base, "skipme"), exist_ok=True)
+    for r in docs.select("doc_id", "text").collect():
+        sub = "skipme" if r["doc_id"] % 3 == 0 else "keep"
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+        with open(os.path.join(base, sub, f"{r['doc_id']}.md"), "w") as f:
+            f.write(f"# Doc {r['doc_id']}\n\n## Body\n{r['text']}")
+        # a non-markdown file the glob must ignore
+        with open(os.path.join(base, sub, f"{r['doc_id']}.txt"), "w") as f:
+            f.write("not markdown")
+
+    scanned = scan_markdown_dir(spark, base, skip_patterns=["skipme"])
+    chunks = split_documents(scanned, text_col="text", url_col="doc_url")
+    return (
+        chunks.withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("doc_url"), r"(\d+)\.md$", 1).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("enhanced_title").alias("enhanced_title"),
+            F.max("document").alias("document"),
+        )
+    )
