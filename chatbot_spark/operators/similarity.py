@@ -134,6 +134,8 @@ def embedding_neardup_pairs_blocked(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         M, I = b_mat.value, b_ids.value
         for pdf in batches:
+            if pdf.empty:  # empty partitions yield empty Arrow batches
+                continue
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             qids = pdf[id_col].to_numpy(dtype=np.int64)

@@ -87,9 +87,14 @@ def run_stream_once(stream_df: DataFrame, checkpoint: str, output_path: str) -> 
 def run_stream_once_complete(stream_df: DataFrame, checkpoint: str) -> list:
     """Drain aggregating streams (complete mode) to an in-memory table and
     return the rows — used by tests to check batch/stream parity."""
+    import uuid
+
+    # unique sink per drain — a fixed name collides across queries in one
+    # session and would silently serve another stream's table
+    sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
-        .queryName("stream_test_sink")
+        .queryName(sink)
         .option("checkpointLocation", checkpoint)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -97,4 +102,6 @@ def run_stream_once_complete(stream_df: DataFrame, checkpoint: str) -> list:
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    return spark.sql("SELECT * FROM stream_test_sink").collect()
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    spark.catalog.dropTempView(sink)
+    return rows
