@@ -58,6 +58,8 @@ HEADLINE = [
     "setext_atx",
     "doc_url_rewrite",
     "json_roundtrip",
+    "rolling_fingerprints",
+    "markdown_scan",
 ]
 
 

@@ -1918,3 +1918,39 @@ def markdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("document").alias("document"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Rolling-hash fingerprints (SURVEY §2.J J4: "document fingerprinting
+# (rolling hash)") — Rabin–Karp windows + winnowed min-per-block selection
+# --------------------------------------------------------------------------
+
+@query(
+    "rolling_fingerprints",
+    """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+           i -> list_reduce(list_transform(generate_series(0, 7),
+                  j -> CAST(coalesce(ascii(substr(text, i + j, 1)), 0) AS BIGINT)),
+                (acc, c) -> (acc * 257 + c) % 1000000007)) AS hs
+  FROM documents WHERE doc_id < 50),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(0, CAST(ceil(len(hs) / 4.0) AS BIGINT) - 1),
+           b -> list_min(hs[b*4 + 1 : b*4 + 4])))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+""",
+)
+def rolling_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: rolling-hash fingerprints, one row per (doc, selected
+    fingerprint). The oracle recomputes every polynomial hash and the
+    winnowing selection exactly (integer arithmetic, no floats)."""
+    from chatbot_spark.operators.textstats import rolling_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.explode(rolling_fingerprints(F.col("text"), window=8, block=4)).alias("fp"),
+    )
