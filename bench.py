@@ -72,8 +72,22 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench")
-    # warm the JVM + file listing so per-query times measure the queries
+    # warm the JVM + file listing + Arrow python workers so per-query times
+    # measure the queries, not one-time process startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    def _warm_fn(s):
+        return s
+
+    # real-class annotations: string hints (future-annotations) don't resolve
+    _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _warm = pandas_udf("long")(_warm_fn)
+
+    spark.range(32).repartition(32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
