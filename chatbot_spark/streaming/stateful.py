@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+Built-in ``session_window`` (streaming/events.py) handles gap-only
+sessions. This module's sessionizer additionally SPLITS on boundary
+events (e.g. ``signup`` starts a fresh session regardless of gap) — a
+semantics the built-in cannot express; per SURVEY §1.2 the streaming
+surface is an extension beyond the reference (whose "streaming" is LLM
+token streaming, rag_graph.py:692-765).
+
+Emission contract (deterministic, oracle-checkable): a session is emitted
+exactly when a later event of the same user closes it (gap exceeded or
+boundary hit). After a full drain the emitted set is therefore "every
+session except each user's currently-open last one" — a set a batch SQL
+oracle states exactly, with no dependence on wall-clock, watermark
+position, or micro-batch boundaries.
+
+State per user is one open session (start, last_ts, count) — O(users)
+state, constant per key, no growth with stream length. A production
+deployment would add ``GroupStateTimeout.EventTimeTimeout`` to also flush
+sessions idle past the watermark; that emission depends on watermark
+position, so the parity surface keeps NoTimeout semantics.
+
+Ordering assumption: micro-batches arrive in event-time order per key
+(the standard applyInPandasWithState contract — state folds forward).
+Within a batch, events are sorted by (ts, event_id) in the kernel, so
+same-timestamp ties fold identically to the batch oracle's window order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+)
+# open-session state: epoch-nanosecond bounds + event count
+SESSION_STATE_SCHEMA = "start_ns BIGINT, last_ns BIGINT, n BIGINT"
+
+
+def sessionize_with_boundaries(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    boundary_types: tuple[str, ...] = ("signup",),
+) -> DataFrame:
+    """Gap + boundary sessionization over a stream of
+    (user_id, ts, event_type, ...) rows.
+
+    A new session starts when (a) the user has no open session, (b) the
+    gap since their last event exceeds ``gap_minutes`` (strict >, matching
+    the batch sessionizer), or (c) the event's type is a boundary type.
+    ``session_end`` = last event + gap, the same contract as
+    session_window and workload.stream_sessionize.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    boundaries = set(boundary_types)
+
+    def fold(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_ns = batch["ts"].astype("int64").to_numpy()
+        types = batch["event_type"].to_numpy()
+
+        start_ns, last_ns, n = state.get if state.exists else (0, 0, 0)
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        for t, et in zip(ts_ns, types):
+            boundary = et in boundaries
+            if n > 0 and (boundary or t - last_ns > gap_ns):
+                closed.append((start_ns, last_ns, n))
+                n = 0
+            if n == 0:
+                start_ns = t
+            last_ns = t
+            n += 1
+        state.update((int(start_ns), int(last_ns), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed]),
+                    "session_end": pd.to_datetime([c[1] + gap_ns for c in closed]),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_once_append(stream_df: DataFrame, checkpoint: str) -> list:
+    """Drain an append-mode stream (AvailableNow) to a memory sink and
+    return the rows — the applyInPandasWithState twin of
+    events.run_stream_once_complete."""
+    import uuid
+
+    sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    spark.catalog.dropTempView(sink)
+    return rows

@@ -827,6 +827,44 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_knn_fullprobe",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 correctness envelope, oracle-checked: IVF search probing EVERY
+    cell must equal the exact scan bit-for-bit (same fold order, same
+    (dist, id) tie-break) — the index only ever prunes, never perturbs.
+    This pins the whole index machinery (fit, assignment, shortlist,
+    cell join, two-phase window) against the exact-knn SQL oracle; the
+    pruned nprobe<nlist path is then recall-gated in tests/test_ann.py."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = IVFIndex.build(emb, vec_col="embedding", id_col="vec_id", nlist=8)
+    res = index.search(q, k=10, nprobe=8)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 _DUCK_MINHASH_K = 6
 
 
@@ -1862,6 +1900,73 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+@query(
+    "stream_boundary_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+                OR event_type = 'signup'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM e),
+g AS (
+  SELECT user_id, sess_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, session_start, session_end, n_events
+FROM (SELECT g.*, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM g)
+WHERE sess_id < mx
+""",
+)
+def stream_boundary_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    sessions split on a 30-min gap OR a 'signup' boundary event — a
+    semantics session_window cannot express. Input is drained as 4
+    time-sliced micro-batches so cross-batch state carry is actually
+    exercised; the oracle rebuilds the sessions batch-side and keeps
+    exactly the closed ones (every session but each user's last — the
+    operator's deterministic emission contract)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import read_event_stream
+    from chatbot_spark.streaming.stateful import (
+        run_stream_once_append,
+        sessionize_with_boundaries,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_bsess_q_")
+    inpath = os.path.join(base, "in")
+    # sequential time slices -> sequential mod-times -> in-order batches
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    rows = run_stream_once_append(
+        sessionize_with_boundaries(
+            read_event_stream(spark, inpath, max_files_per_trigger=1)
+        ),
+        os.path.join(base, "ckpt"),
+    )
+    df = spark.createDataFrame(rows, schema="user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT")
+    return df.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
 
 # --------------------------------------------------------------------------
 # Markdown corpus scan from REAL files (SURVEY §2.A A1-A3 + §2.H H1/H3):

@@ -123,3 +123,48 @@ def test_text_functions(spark):
     assert "[1](http://u1)" in row["rew"] and "[2](http://u2)" in row["rew"]
     assert "[[@9]]" in row["rew"]  # out-of-range left untouched
     assert row["stripped"] == "body"
+
+
+def test_boundary_sessionize_semantics(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap split, boundary split,
+    cross-batch state carry, and the emission contract (a user's open last
+    session is never emitted)."""
+    from chatbot_spark.streaming.events import read_event_stream
+    from chatbot_spark.streaming.stateful import (
+        run_stream_once_append,
+        sessionize_with_boundaries,
+    )
+
+    def ev(eid, minute, user, etype="click"):
+        return (eid, f"2024-01-01 10:{minute:02d}:00", user, etype, 1.0, "{}")
+
+    schema = "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    # batch 1: u1 two events 5 min apart; u2 one event
+    b1 = [ev(1, 0, 1), ev(2, 5, 1), ev(3, 0, 2)]
+    # batch 2 (later ts): u1 signup at :10 -> boundary closes session 1
+    # (2 events); then a 40-min gap closes session 2 (1 event). u2's lone
+    # session stays open -> never emitted.
+    b2 = [ev(4, 10, 1, "signup"), ev(5, 55, 1)]
+    inpath = str(tmp_path / "in")
+    for batch in (b1, b2):
+        (
+            spark.createDataFrame(batch, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(inpath)
+        )
+    rows = run_stream_once_append(
+        sessionize_with_boundaries(
+            read_event_stream(spark, inpath, max_files_per_trigger=1)
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in rows
+    )
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 2),  # closed by boundary
+        (1, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1),  # closed by gap
+    ]
