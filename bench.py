@@ -55,6 +55,12 @@ HEADLINE = [
     "range_join_price_bands",
     "small_quantity_revenue",
     "late_orders_by_priority",
+    "volume_shipping",
+    "promo_revenue",
+    "urgent_late_by_year",
+    "brand_disjunctive_revenue",
+    "acctbal_percentiles",
+    "supplier_rank_distribution",
     "setext_atx",
     "doc_url_rewrite",
     "json_roundtrip",

@@ -70,6 +70,24 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str | None = None
+) -> DataFrame:
+    """Streaming exact deduplication across micro-batches (J1's streaming
+    twin): first occurrence of each key wins, duplicates arriving in ANY
+    later micro-batch are dropped via the dedup state store.
+
+    ``watermark=None`` keeps state forever — deterministic, the parity
+    surface (oracle = batch DISTINCT). With a watermark the state is
+    bounded via ``dropDuplicatesWithinWatermark`` — the 100 TB/day
+    production mode, where a key's dedup guarantee holds within the
+    watermark horizon (exactly the contract log pipelines need: dups
+    arrive close together; state doesn't grow with stream lifetime)."""
+    if watermark is None:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint: str, output_path: str) -> None:
     """Drain all available input (Trigger.AvailableNow) to parquet — the
     test/backfill mode; production uses a continuous trigger."""

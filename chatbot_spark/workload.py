@@ -2059,3 +2059,261 @@ def rolling_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(rolling_fingerprints(F.col("text"), window=8, block=4)).alias("fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Relational depth: multi-aliased join chains, disjunctive join predicates,
+# conditional aggregation, exact percentiles, rank-distribution windows
+# (SURVEY §2.C/§2.D/§2.E — the Catalyst surface a reference user's ad-hoc
+# SQL relies on, exercised in TPC-H Q7/Q12/Q14/Q19 shapes over testdata)
+# --------------------------------------------------------------------------
+
+@query(
+    "volume_shipping",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dim joined TWICE under different aliases
+    (supplier side vs customer side) — exercises Catalyst's attribute
+    dedup across self-referenced dims. Plan shape at 100 TB: one
+    fact-to-fact shuffle join (lineitem⋈orders); every dim broadcast; the
+    nation-pair disjunction applied post-join on broadcast columns."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "supplier", "orders", "customer", "nation")}
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                  .cast("long")).alias("revenue_e4"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "promo_revenue",
+    """
+WITH m AS (
+  SELECT CAST(month(l.l_shipdate) AS BIGINT) AS ship_month,
+         CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY ship_month)
+SELECT ship_month, promo_e4, total_e4,
+       round(100.0 * promo_e4 / total_e4, 4) AS promo_pct
+FROM m
+""",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (promo share of revenue)
+    per ship month. The pct ratio is derived from the two EXACT integer
+    sums, so the float output is a deterministic function of identical
+    bigints in both engines (see the float-discipline note atop this
+    module). Date predicate pushes to the parquet scan; part broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    m = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))).alias("promo_e4"),
+            F.sum(rev_e4).alias("total_e4"),
+        )
+    )
+    return m.select(
+        "ship_month", "promo_e4", "total_e4",
+        F.round(100.0 * F.col("promo_e4") / F.col("total_e4"), 4).alias("promo_pct"),
+    )
+
+
+@query(
+    "urgent_late_by_year",
+    """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY order_year
+""",
+)
+def urgent_late_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to this schema's priority column):
+    join-then-conditional-count of lines shipped >90 days after order,
+    split by priority class. The non-equi residual (shipdate vs
+    orderdate+90d) rides on the equi-join — one shuffle total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "brand_disjunctive_revenue",
+    """
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+""",
+)
+def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive predicate groups mixing join-side
+    (brand/size) and fact-side (quantity) columns. Catalyst extracts the
+    common sub-predicates it can push (brand IN, size<=35, quantity<=30
+    bounds) to each scan and evaluates the residual OR post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        j.filter(band("Brand#1", 15, 1, 11) | band("Brand#2", 25, 10, 20) | band("Brand#3", 35, 20, 30))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                  .cast("long")).alias("revenue_e4"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+
+
+@query(
+    "acctbal_percentiles",
+    """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       round(quantile_cont(c_acctbal, 0.95), 4) AS p95_bal,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (SURVEY §2.D extension:
+    the sort-based aggregate family). Both engines compute linear
+    interpolation at rank (n-1)*p over the sorted values, so round(4) on
+    bounded balances is engine-stable. At 100 TB prefer approx_percentile
+    (t-digest, mergeable partial aggs) — exact percentile requires a
+    per-group sort; here it doubles as the approx oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.95)), 4).alias("p95_bal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "supplier_rank_distribution",
+    """
+SELECT s.s_suppkey, n.n_name,
+       round(percent_rank() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal, s.s_suppkey), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal, s.s_suppkey), 6) AS cd
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+)
+def supplier_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (SURVEY §2.E window family): rank
+    distributions within nation. Ordering key includes s_suppkey so ties
+    can't flip between engines; both compute (rank-1)/(n-1) in double —
+    bit-identical."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_suppkey", "n_name",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    """
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events
+WHERE event_id < 20000
+GROUP BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (J1's streaming twin): the same events are
+    delivered TWICE in separate micro-batches (at-least-once delivery);
+    dropDuplicates state drops every cross-batch replay, so the drained
+    count per type equals batch COUNT(DISTINCT). The watermarked
+    state-bounded variant is unit-tested (test_stream_dedup_watermark)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import dedup_stream, read_event_stream
+    from chatbot_spark.streaming.stateful import run_stream_once_append
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    base = tempfile.mkdtemp(prefix="cbs_sdedup_q_")
+    inpath = os.path.join(base, "in")
+    for _ in range(2):  # duplicate delivery
+        ev.coalesce(1).write.mode("append").parquet(inpath)
+    rows = run_stream_once_append(
+        dedup_stream(read_event_stream(spark, inpath, max_files_per_trigger=1)),
+        os.path.join(base, "ckpt"),
+    )
+    deduped = spark.createDataFrame(
+        [(r["event_id"], r["event_type"]) for r in rows],
+        schema="event_id BIGINT, event_type STRING",
+    )
+    return deduped.groupBy("event_type").agg(F.count("*").cast("long").alias("n_unique"))

@@ -168,3 +168,31 @@ def test_boundary_sessionize_semantics(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 2),  # closed by boundary
         (1, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1),  # closed by gap
     ]
+
+
+def test_stream_dedup_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replays within the watermark horizon
+    are dropped across micro-batches; state is bounded by the watermark
+    (the 100 TB/day mode of dedup_stream)."""
+    from chatbot_spark.streaming.events import dedup_stream, read_event_stream
+    from chatbot_spark.streaming.stateful import run_stream_once_append
+
+    schema = "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}") for i in range(5)]
+    inpath = str(tmp_path / "in")
+    for _ in range(2):  # identical batch replayed -> dups arrive in a later micro-batch
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(inpath)
+        )
+    out = run_stream_once_append(
+        dedup_stream(
+            read_event_stream(spark, inpath, max_files_per_trigger=1),
+            watermark="1 hour",
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2, 3, 4]
