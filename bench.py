@@ -61,6 +61,9 @@ HEADLINE = [
     "brand_disjunctive_revenue",
     "acctbal_percentiles",
     "supplier_rank_distribution",
+    "train_test_split",
+    "vocab_topk",
+    "pack_sequences",
     "setext_atx",
     "doc_url_rewrite",
     "json_roundtrip",

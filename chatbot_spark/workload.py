@@ -2317,3 +2317,117 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id BIGINT, event_type STRING",
     )
     return deduped.groupBy("event_type").agg(F.count("*").cast("long").alias("n_unique"))
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (north-star §2.J extension): deterministic
+# train/val/test split, vocabulary building, sequence packing — the three
+# steps between "deduped corpus" and "token batches" in an LLM data pipeline
+# --------------------------------------------------------------------------
+
+@query(
+    "train_test_split",
+    f"""
+WITH b AS (
+  SELECT source,
+         CAST({_DUCK_HEXWORD.format(t="CAST(doc_id AS VARCHAR)", off=1)} AS BIGINT) % 10 AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY source, split
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by md5(doc_id) — content-stable
+    (re-running over a grown corpus never moves an old doc across splits,
+    unlike rand() or zipWithIndex), embarrassingly parallel (no shuffle
+    until the audit count), and portable (md5, not engine hash). The
+    audit output counts docs per (source, split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    return (
+        docs.select(
+            "source",
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "vocab_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(c='text')}) AS token
+  FROM documents)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY token
+ORDER BY df DESC, token
+LIMIT 100
+""",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency (ties
+    broken by token so the selected set is engine-stable). Map-side
+    partial aggregation carries (token → partial df/tf) so the shuffle
+    moves one row per distinct token per partition, not one per
+    occurrence; the global top-k is a TakeOrdered over the agg output."""
+    from chatbot_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 16 AS bucket,
+         len({_DUCK_TOKENS.format(c='text')}) AS n_tok
+  FROM documents),
+c AS (
+  SELECT bucket, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t)
+SELECT CAST(bucket * 1000000 + floor(off / 2048) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM c GROUP BY seq_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk form): docs are concatenated in
+    doc_id order within a shard and each doc is assigned to the 2048-token
+    sequence containing its start offset. Sharding by doc_id % 16 keeps
+    the running-sum window per-shard — at 100 TB each shard packs
+    independently (no global sort, no single-partition window; shard count
+    scales with the cluster). seq_id = shard * 1e6 + local chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chatbot_spark.operators.textstats import tokens
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("bucket"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        c.groupBy((F.col("bucket") * 1000000 + F.floor(F.col("off") / 2048)).alias("seq_id"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
