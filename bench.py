@@ -64,6 +64,7 @@ HEADLINE = [
     "train_test_split",
     "vocab_topk",
     "pack_sequences",
+    "event_type_unpivot",
     "setext_atx",
     "doc_url_rewrite",
     "json_roundtrip",

@@ -2431,3 +2431,38 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy((F.col("bucket") * 1000000 + F.floor(F.col("off") / 2048)).alias("seq_id"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
     )
+
+
+@query(
+    "event_type_unpivot",
+    """
+WITH p AS (
+  SELECT user_id % 100 AS user_bucket,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+         CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signups
+  FROM events GROUP BY 1)
+SELECT user_bucket, metric, n
+FROM p
+UNPIVOT (n FOR metric IN (clicks, purchases, signups))
+""",
+)
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of event_type_pivot) via
+    DataFrame.unpivot / SQL stack() — §2.G set-op family completion. A
+    narrow map-side transform: no shuffle beyond the feeding aggregate
+    (each wide row explodes to 3 long rows in place). DuckDB's UNPIVOT
+    drops NULL cells by default; counts here are never NULL (FILTER
+    yields 0), so both engines emit exactly 3 rows per bucket."""
+    ev = load_table(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 100)
+    wide = ev.groupBy("user_bucket").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("signups"),
+    )
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=["clicks", "purchases", "signups"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
