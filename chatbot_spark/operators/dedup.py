@@ -271,14 +271,26 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     n_bits: int = 64,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with block-LSH: split the simhash into
-    ``n_blocks`` contiguous blocks; pairs within hamming ≤ max_hamming must
-    share ≥1 identical block when max_hamming < n_blocks · block_size —
-    join on (block_idx, block_value), then verify the exact hamming
-    distance. Returns (id_a, id_b, hamming)."""
-    block = n_bits // n_blocks
+    ``n_blocks`` contiguous (possibly uneven) blocks; by pigeonhole, a pair
+    within hamming ≤ max_hamming MUST share ≥1 identical block when
+    ``n_blocks >= max_hamming + 1`` (the default) — at most ``max_hamming``
+    blocks can contain a differing bit. Join on (block_idx, block_value),
+    then verify the exact hamming distance. Returns (id_a, id_b, hamming).
+
+    Passing an explicit ``n_blocks < max_hamming + 1`` trades candidate
+    recall for fewer join buckets: a pair can then spread its ≤max_hamming
+    differing bits so every block differs (e.g. 2 bits in each of 4 blocks
+    at max_hamming=8) and is silently dropped — only exact candidate
+    generation above the threshold, not completeness, is guaranteed."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError(f"n_blocks={n_blocks} > n_bits={n_bits}")
+    sizes = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [1 + sum(sizes[:i]) for i in range(n_blocks)]
     # Signature via explode + 64 map-side-combinable vote sums, NOT the
     # inlined simhash_bits expression: the nested higher-order tree,
     # duplicated across the candidate self-join below, explodes optimizer/
@@ -313,7 +325,7 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws("", F.slice("__bits", i * block + 1, block))
+                    F.concat_ws("", F.slice("__bits", offsets[i], sizes[i]))
                     for i in range(n_blocks)
                 ]
             )

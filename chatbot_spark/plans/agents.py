@@ -97,7 +97,12 @@ def generate_response(
     prompt = (
         f"Answer in {lang} using only these snippets, cite as [[@N]]:\n{context}\n\nQ: {query}"
     )
-    raw = llm(prompt)
+    # reference base.py:170-208 — one retry on an unusable (empty) completion
+    raw = ""
+    for _attempt in range(2):
+        raw = llm(prompt) or ""
+        if raw.strip():
+            break
     try:
         # the stub returns JSON; a real LLM returns prose with [[@N]] markers
         json.loads(raw)

@@ -58,6 +58,12 @@ def test_normalize_unit(spark, tiny):
         assert r["n"] == pytest.approx(1.0)
 
 
+def test_normalize_zero_vector_passthrough(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "id INT, v ARRAY<FLOAT>")
+    out = df.select(normalize(F.col("v")).alias("u")).first()["u"]
+    assert out == [0.0, 0.0, 0.0]  # not nulls from 0/0
+
+
 def test_knn_self_is_nearest(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 3").select(
