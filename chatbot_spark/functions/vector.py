@@ -75,6 +75,28 @@ def normalize(a: Column) -> Column:
     return F.zip_with(a, F.array_repeat(safe, F.size(a)), lambda x, n: _d(x) / n)
 
 
+def maxsim(q: Column, d: Column) -> Column:
+    """ColBERT late-interaction MaxSim over multi-vector columns
+    (ARRAY<ARRAY<FLOAT>> of per-token unit vectors): for each query token
+    vector, the max dot product against any doc token vector; averaged
+    over query tokens (FlagEmbedding's colbert_score normalizes by query
+    length). Pure higher-order expressions — JVM codegen, no Python.
+
+    Determinism: the inner dot folds in element order, max is an exact
+    comparison, and the outer sum folds in query-token order — so any
+    engine replaying the same fold order reproduces the score bit-for-bit.
+    """
+    per_q = F.transform(
+        q,
+        lambda qt: F.coalesce(
+            F.array_max(F.transform(d, lambda dt: dot_product(qt, dt))),
+            F.lit(0.0).cast("double"),
+        ),
+    )
+    total = F.aggregate(per_q, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return F.when(F.size(q) > 0, total / F.size(q)).otherwise(F.lit(0.0).cast("double"))
+
+
 DISTANCES = {
     "l2": l2_distance,
     "sq_l2": sq_l2_distance,

@@ -1555,6 +1555,162 @@ def sparse_lexical_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("weight").cast("double"), 6).alias("weight"),
     )
 
+# ColBERT late-interaction rerank (SURVEY §2.I I3/I7 — the third BGE-M3
+# leg + the real 0.3/0.2/0.5 fusion, reference bge.py:29-32, 254-265).
+# The oracle re-derives every token vector, sparse weight, and the MaxSim
+# fold from documents — full-pipeline verification like rag_pipeline_e2e.
+
+# dot of two 16-dim vectors in index order (bit-identical to Spark's
+# zip_with+aggregate fold: (0+t1)+t2+... == t1+t2+... exactly in IEEE)
+_DUCK_DOT16 = (
+    "list_reduce(list_transform(generate_series(1, 16), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "colbert_rerank",
+    f"""
+WITH d AS (SELECT doc_id, text, lower(text) AS lt FROM documents WHERE doc_id < 30),
+-- dense: md5-chained 16-dim unit embedding of the RAW text (e2e machinery)
+inp AS (
+  SELECT doc_id, text AS txt FROM d),
+bytes AS (
+  SELECT doc_id, list_transform(generate_series(0, 63), b -> {_DUCK_HASHBYTE.format(t='txt')}) AS bs
+  FROM inp),
+raws AS (
+  SELECT doc_id, list_transform(generate_series(0, 15),
+           k -> (bs[4*k+1] + bs[4*k+2]*256 + bs[4*k+3]*65536 + bs[4*k+4]*16777216)
+                / 2147483648.0 - 1.0) AS r
+  FROM bytes),
+dense AS (
+  SELECT doc_id, list_transform(r, x -> CAST(CAST(x / sqrt({_DUCK_NP16_SUMSQ}) AS FLOAT) AS DOUBLE)) AS e
+  FROM raws),
+-- sparse: token_id -> float32(term frequency), collisions merged pre-division
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lt, '\\S+')) AS t,
+         len(regexp_extract_all(lt, '\\S+')) AS n
+  FROM d),
+sparse AS (
+  SELECT doc_id,
+         CAST({_DUCK_HEXWORD.format(t='t', off=1)} AS BIGINT) % 2147483648 AS token_id,
+         CAST(CAST(count(*) AS DOUBLE) / any_value(n) AS FLOAT) AS w
+  FROM tok GROUP BY doc_id, token_id),
+-- colbert: per-token 16-dim unit vectors for the first 16 tokens
+ctok AS (
+  SELECT doc_id, u.p, u.t
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, least(len(regexp_extract_all(lt, '\\S+')), 16)),
+                        i -> struct_pack(p := i, t := regexp_extract_all(lt, '\\S+')[i]))) AS u
+        FROM d) s),
+cbytes AS (
+  SELECT doc_id, p, list_transform(generate_series(0, 63), b -> {_DUCK_HASHBYTE.format(t='t')}) AS bs
+  FROM ctok),
+craws AS (
+  SELECT doc_id, p, list_transform(generate_series(0, 15),
+           k -> (bs[4*k+1] + bs[4*k+2]*256 + bs[4*k+3]*65536 + bs[4*k+4]*16777216)
+                / 2147483648.0 - 1.0) AS r
+  FROM cbytes),
+cvecs AS (
+  SELECT doc_id, p, list_transform(r, x -> CAST(CAST(x / sqrt({_DUCK_NP16_SUMSQ}) AS FLOAT) AS DOUBLE)) AS e
+  FROM craws),
+-- pair scoring: queries doc_id < 3 vs all 30 candidates
+pairs AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id
+          FROM (SELECT doc_id FROM d WHERE doc_id < 3) q, d c),
+dense_s AS (
+  SELECT p.query_id, p.neighbor_id, {_DUCK_DOT16.format(a='qe.e', b='ce.e')} AS dense_sim
+  FROM pairs p JOIN dense qe ON qe.doc_id = p.query_id
+               JOIN dense ce ON ce.doc_id = p.neighbor_id),
+sparse_terms AS (
+  SELECT p.query_id, p.neighbor_id, qs.token_id,
+         CAST(qs.w AS DOUBLE) * CAST(cs.w AS DOUBLE) AS term
+  FROM pairs p
+  JOIN sparse qs ON qs.doc_id = p.query_id
+  JOIN sparse cs ON cs.doc_id = p.neighbor_id AND cs.token_id = qs.token_id),
+sparse_s AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY token_id)),
+                     (acc, x) -> acc + x) AS sparse_dot
+  FROM sparse_terms GROUP BY query_id, neighbor_id),
+-- maxsim: per query token (in order), max dot vs any candidate token
+msim_per_q AS (
+  SELECT p.query_id, p.neighbor_id, qv.p AS qp,
+         max({_DUCK_DOT16.format(a='qv.e', b='cv.e')}) AS best
+  FROM pairs p
+  JOIN cvecs qv ON qv.doc_id = p.query_id
+  JOIN cvecs cv ON cv.doc_id = p.neighbor_id
+  GROUP BY p.query_id, p.neighbor_id, qv.p),
+msim AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(best ORDER BY qp)),
+                     (acc, x) -> acc + x) / count(*) AS cb
+  FROM msim_per_q GROUP BY query_id, neighbor_id),
+scored AS (
+  SELECT ds.query_id, ds.neighbor_id,
+         0.3 * ds.dense_sim + 0.2 * COALESCE(ss.sparse_dot, 0.0) + 0.5 * COALESCE(m.cb, 0.0) AS score
+  FROM dense_s ds
+  LEFT JOIN sparse_s ss ON ss.query_id = ds.query_id AND ss.neighbor_id = ds.neighbor_id
+  LEFT JOIN msim m ON m.query_id = ds.query_id AND m.neighbor_id = ds.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def colbert_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3/I7: the full three-legged BGE-M3 rerank — dense cosine (unit
+    vectors → plain dot) + sparse lexical dot + ColBERT MaxSim, fused with
+    the reference's 0.3/0.2/0.5 weights (bge.py:29-32, 254-265), top-5 per
+    query. The oracle recomputes all three legs from `documents` down to
+    the float32 rounding of each weight — candidate scoring, fold orders,
+    and the fusion are verified bit-for-bit.
+
+    Determinism contract: every fold (dense dot, sparse dot over ascending
+    token_id, MaxSim over query-token order) is a left fold from 0.0 both
+    here and in the oracle; max is an exact comparison; ranks tie-break on
+    neighbor_id."""
+    from chatbot_spark.operators.embed import multi_embed_documents
+    from chatbot_spark.operators.rerank import fuse_scores, rerank
+    from chatbot_spark.functions.vector import dot_product, maxsim
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    emb = multi_embed_documents(docs, text_col="text", out_col="me", dim=16, max_tokens=16)
+
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("me").alias("qme")
+    )
+    c = emb.select(F.col("doc_id").alias("neighbor_id"), F.col("me").alias("cme"))
+
+    pairs = F.broadcast(q).crossJoin(c)
+    dense_sim = dot_product(F.col("qme.dense"), F.col("cme.dense"))
+    # sparse dot folded in ascending-token_id order (array_sort on entries
+    # sorts by key), missing keys contribute 0 — same order as the oracle
+    sparse_dot = F.aggregate(
+        F.array_sort(F.map_entries(F.col("qme.sparse"))),
+        F.lit(0.0).cast("double"),
+        lambda acc, e: acc
+        + F.coalesce(
+            e["value"].cast("double")
+            * F.try_element_at(F.col("cme.sparse"), e["key"]).cast("double"),
+            F.lit(0.0).cast("double"),
+        ),
+    )
+    cb = maxsim(F.col("qme.colbert"), F.col("cme.colbert"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        fuse_scores(dense_sim, sparse_dot, cb).alias("score"),
+    )
+    top = rerank(scored, score_col="score", keep=5)
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rerank_rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
 # --------------------------------------------------------------------------
 # Structured Streaming (extension surface) — the hourly rollup drained with
 # Trigger.AvailableNow must equal the batch oracle exactly (stream/batch

@@ -109,3 +109,38 @@ def test_resolve_duplicate_clusters(spark):
         for r in resolve_duplicate_clusters(pairs).collect()
     }
     assert got == {3: 3, 7: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}
+
+
+def test_backend_registry_matches_reference_dispatch():
+    """The BACKENDS registry mirrors the reference's EMBEDDED_TYPE factory
+    (base.py:21-66: default/ollama/openai) plus its BGE-M3 model; unknown
+    backends raise like the factory's invalid-type branch."""
+    from chatbot_spark.operators.embed import BACKENDS, get_embedder
+
+    assert {"hash", "openai", "ollama", "bge", "sentence_transformers"} <= set(BACKENDS)
+    with pytest.raises(ValueError):
+        get_embedder("no_such_backend")
+    # gated backends build their UDFs without the model/server present —
+    # failure is deferred to first use, like the reference's lazy imports
+    for name in ("openai", "ollama", "bge", "sentence_transformers"):
+        assert get_embedder(name) is not None
+
+
+def test_colbert_maxsim_identity_ranks_self_first(spark):
+    """MaxSim of a doc against itself is 1.0 (every token matches itself
+    at dot=1 for unit vectors); against a disjoint-token doc it is < 1."""
+    from chatbot_spark.functions.vector import maxsim
+    from chatbot_spark.operators.embed import multi_embed_documents
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    emb = multi_embed_documents(df, text_col="text", out_col="me", dim=16)
+    a = emb.filter("doc_id = 0").select(F.col("me.colbert").alias("qa"))
+    pairs = a.crossJoin(emb.select(F.col("doc_id"), F.col("me.colbert").alias("cb")))
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in pairs.select("doc_id", maxsim(F.col("qa"), F.col("cb")).alias("s")).collect()
+    }
+    assert rows[0] == pytest.approx(1.0)
+    assert rows[1] < rows[0]
