@@ -91,20 +91,25 @@ def embedding_neardup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
-    block: DataFrame | None = None,
+    tile_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Blocked-matmul variant of embedding_neardup_pairs — identical output,
-    ~50× faster: one side is collected/broadcast as a dense numpy matrix,
-    the other streams through mapInPandas doing a BLAS matmul per Arrow
-    batch and emitting only pairs above threshold.
+    """Blocked-matmul variant of embedding_neardup_pairs — identical pair
+    set, ~50× faster: the corpus is cut into broadcast-sized TILES; each
+    tile is materialized as a dense numpy matrix and broadcast, and the
+    full corpus streams through mapInPandas doing one BLAS matmul per
+    (Arrow batch × tile), emitting only pairs above threshold. The union
+    over tiles is the full upper triangle: a pair (a < b) is emitted
+    exactly once, by the single tile that owns ``b``.
 
-    Scale contract: the broadcast side must fit an executor (~1 GB ≈ 4 M
-    rows at 64-d float32). For corpus × corpus at 100 TB, tile the corpus
-    into broadcast-sized blocks and union the per-block outputs (the
-    driver loop over tiles is metadata-only); or prefilter candidates with
-    ann.BRPIndex and feed only bucket-mates here.
+    Scale contract: driver/executor memory holds ONE tile at a time
+    (``tile_rows`` ≈ 1 M × 64-d float64 = 512 MB; size it to the executor),
+    never the corpus — corpus × corpus at 100 TB runs as a metadata-only
+    driver loop over ~corpus/tile_rows tiles, each a full-parallel scan.
+    Compute is the same N² flops regardless of tiling; scan cost is
+    n_tiles × corpus, the classic blocked outer product. For sub-N² work
+    feed ann.BRPIndex bucket-mates instead of tiling.
 
-    Cosine math matches the expression form bit-for-bit is NOT guaranteed
+    Cosine math matching the expression form bit-for-bit is NOT guaranteed
     (BLAS reassociates) — so the exact-expression variant stays the oracle;
     this one is for throughput. Differences are ≤1e-6 in practice; the
     threshold compare uses a tiny epsilon so the pair SET is stable.
@@ -115,14 +120,6 @@ def embedding_neardup_pairs_blocked(
     import pandas as pd
     from pyspark.sql import types as T
 
-    side = block if block is not None else df
-    rows = side.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = df.sparkSession.sparkContext.broadcast(ids)
-    b_mat = df.sparkSession.sparkContext.broadcast(mat)
-
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -131,18 +128,46 @@ def embedding_neardup_pairs_blocked(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        M, I = b_mat.value, b_ids.value
-        for pdf in batches:
-            if pdf.empty:  # empty partitions yield empty Arrow batches
-                continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = q @ M.T  # (batch, N) BLAS
-            bi, bj = np.nonzero(sims >= min_cosine - 1e-12)
-            ia, ib, s = qids[bi], I[bj], sims[bi, bj]
-            keep = ia < ib  # upper triangle, id_a < id_b
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
+    side = df.select(id_col, vec_col)
+    n = side.count()
+    n_tiles = max(1, -(-n // tile_rows))
+    # deterministic tile ownership by id hash — tiles are disjoint and cover
+    # the corpus, so the per-tile `stream_id < tile_id` emit is exactly-once
+    tile_of = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n_tiles))
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    spark = df.sparkSession
+    outs = []
+    for t in range(n_tiles):
+        rows = side.filter(tile_of == t).collect()  # ONE bounded tile
+        if not rows:
+            continue
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+
+        def kernel(
+            batches: Iterator[pd.DataFrame], _b_mat=b_mat, _b_ids=b_ids
+        ) -> Iterator[pd.DataFrame]:
+            M, I = _b_mat.value, _b_ids.value
+            for pdf in batches:
+                if pdf.empty:  # empty partitions yield empty Arrow batches
+                    continue
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                qids = pdf[id_col].to_numpy(dtype=np.int64)
+                sims = q @ M.T  # (batch, tile) BLAS
+                bi, bj = np.nonzero(sims >= min_cosine - 1e-12)
+                ia, ib, s = qids[bi], I[bj], sims[bi, bj]
+                keep = ia < ib  # upper triangle, id_a < id_b
+                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
+
+        outs.append(side.mapInPandas(kernel, out_schema))
+
+    if not outs:
+        return spark.createDataFrame([], out_schema)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -111,3 +111,30 @@ def test_knn_component_filter(spark, sf_dir):
     )
     codes = {r["component_code"] for r in res.collect()}
     assert codes <= {1, 2}
+
+
+def test_blocked_neardup_tiled_equals_exact(spark, sf_dir):
+    """The tiled blocked-matmul near-dup must produce the IDENTICAL pair
+    set as the exact expression form on a corpus spanning several tiles
+    (tile_rows far below the corpus size forces the multi-tile path and
+    the exactly-once upper-triangle emit across tiles)."""
+    from chatbot_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, min_cosine=0.3).collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_blocked(
+            emb, min_cosine=0.3, tile_rows=max(n // 4, 1)
+        ).collect()
+    }
+    assert set(tiled) == set(exact)
+    for k, v in tiled.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
