@@ -236,3 +236,80 @@ def test_classify_intents_batch(spark):
         want = analyze_intent(q)
         assert rows[i]["type"] == want.type
         assert list(rows[i]["components"]) == want.components
+
+
+def test_stage_archive_roundtrip_full_ingest(spark, tmp_path):
+    """A6 end-to-end: a tar.gz of .md files stages into a directory, then
+    the FULL ingest pipeline (A1 scan → H4 → H1-H3 → I1 → H7 → A9 write)
+    runs on it and the corpus reads back chunk-complete."""
+    import tarfile
+
+    from chatbot_spark.plans.ingest import ingest_markdown, stage_source
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.md").write_text(MD1)
+    (src / "b.md").write_text(MD2)
+    (src / "skipme.txt").write_text("not markdown")
+    tgz = tmp_path / "corpus.tar.gz"
+    with tarfile.open(tgz, "w:gz") as tf:
+        for f in src.iterdir():
+            tf.add(f, arcname=f.name)
+
+    staged = stage_source(str(tgz), str(tmp_path / "staged"))
+    out = str(tmp_path / "corpus_out")
+    corpus = ingest_markdown(
+        spark, staged, component="observer", component_code=1,
+        skip_patterns=[], dim=8, output_path=out,
+    )
+    rows = corpus.collect()
+    # MD1 has 3 header sections (#, ## → 2 non-empty contents) + MD2 1 chunk
+    docs_seen = {os.path.basename(r["metadata"]["doc_url"]) for r in rows}
+    assert docs_seen == {"a.md", "b.md"}
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(r["component_code"] == 1 for r in rows)
+
+
+def test_stage_archive_rejects_traversal(tmp_path):
+    """Archive members must not escape the staging dir (untrusted drops)."""
+    import zipfile
+
+    from chatbot_spark.plans.ingest import stage_archive
+
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../outside.md", "# escaped")
+    with pytest.raises(ValueError):
+        stage_archive(str(evil), str(tmp_path / "staged"))
+
+
+def test_stage_uploads_and_dir_passthrough(tmp_path):
+    from chatbot_spark.plans.ingest import stage_source
+
+    f1 = tmp_path / "one.md"
+    f1.write_text("# One")
+    staged = stage_source([str(f1)], str(tmp_path / "up"))
+    assert os.path.exists(os.path.join(staged, "one.md"))
+    # an existing directory passes through unchanged
+    assert stage_source(str(tmp_path), str(tmp_path / "unused")) == str(tmp_path)
+
+
+def test_stage_git_repo_shallow_clone(tmp_path):
+    """A7 against a local bare repo — no network; --depth 1 must bring the
+    tree, not the history."""
+    import subprocess
+
+    from chatbot_spark.plans.ingest import stage_git_repo
+
+    origin = tmp_path / "origin"
+    origin.mkdir()
+    subprocess.run(["git", "init", "-q", str(origin)], check=True)
+    (origin / "doc.md").write_text("# From Git")
+    subprocess.run(["git", "-C", str(origin), "add", "."], check=True)
+    subprocess.run(
+        ["git", "-C", str(origin), "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "init"],
+        check=True,
+    )
+    dest = stage_git_repo(str(origin), str(tmp_path / "clone"))
+    assert os.path.exists(os.path.join(dest, "doc.md"))
