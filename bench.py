@@ -70,6 +70,8 @@ HEADLINE = [
     "rolling_fingerprints",
     "markdown_scan",
     "colbert_rerank",
+    "audio_features",
+    "video_frames",
 ]
 
 

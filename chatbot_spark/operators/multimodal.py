@@ -102,17 +102,166 @@ def extract_image_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
-def decode_audio(df: DataFrame) -> DataFrame:
-    """STUB: real audio decode requires codecs not in this container."""
-    raise NotImplementedError(
-        "audio decode needs soundfile/ffmpeg (not installed); the plumbing "
-        "pattern is extract_image_features — swap the kernel body"
-    )
+# ------------------------------------------------------------------ audio
+# REAL kernel: RIFF/WAVE is parseable with the stdlib (`wave`) and PCM16
+# decodes with one numpy frombuffer — no ffmpeg needed. Features are exact
+# integers (sum of squares, peak, zero crossings) so an oracle can verify
+# the whole parse→decode→extract path bit-for-bit. Compressed formats
+# (mp3/ogg) would swap the decode body only.
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def sawtooth_pcm16(freq: int, rate: int, n: int):
+    """Integer-exact sawtooth samples in [-16383, 16383]: pure integer
+    arithmetic (no transcendentals), so any engine reproduces every sample
+    — the determinism strategy the hash embedder uses, applied to audio."""
+    import numpy as np
+
+    t = np.arange(n, dtype=np.int64)
+    return (((t * freq) % rate) * 32766 // rate - 16383).astype(np.int16)
+
+
+def synth_wav_pcm16(samples, rate: int) -> bytes:
+    """Write mono PCM16 samples as a real RIFF/WAVE byte string."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """J5 audio: parse the RIFF/WAVE container, decode PCM16, and extract
+    exact-integer features in ONE mapInPandas pass (the production shape
+    for a real audio featurizer; a spectral model would extend the kernel
+    body, not the plumbing)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                with wave.open(io.BytesIO(content), "rb") as w:
+                    rate, channels = w.getframerate(), w.getnchannels()
+                    width, n_frames = w.getsampwidth(), w.getnframes()
+                    frames = w.readframes(n_frames)
+                if width != 2:
+                    raise ValueError(f"only PCM16 supported, got width={width}")
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                if channels > 1:  # mixdown: first channel (deterministic)
+                    s = s[::channels]
+                sign = s < 0
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "sample_rate": rate,
+                        "channels": channels,
+                        "bit_depth": 8 * width,
+                        "n_frames": n_frames,
+                        "duration_ms": n_frames * 1000 // rate,
+                        "peak": int(np.abs(s).max()) if len(s) else 0,
+                        "sum_sq": int((s * s).sum()),
+                        "zero_crossings": int((sign[1:] != sign[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------ video
+# The container has no ffmpeg, so real codecs are out — but the brief's
+# contract is real PLUMBING with the decode behind a deterministic stand-in.
+# RAWV is a minimal uncompressed container (magic + dims + frame count +
+# contiguous grayscale frames) whose parse/sample path is byte-identical in
+# shape to an ffmpeg-backed kernel: header walk, per-frame offsets, stride
+# sampling, one output row per sampled frame. Swapping in ffmpeg changes
+# only `_decode`.
+
+_RAWV_MAGIC = b"RAWV"
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("pix_sum", T.LongType(), True),
+    ]
+)
+
+
+def synth_rawv(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic grayscale video: pixel(i, fr) = (7i + 13·fr + seed)
+    % 256 — pure integer arithmetic, reproducible by any engine."""
+    import struct
+
+    import numpy as np
+
+    header = _RAWV_MAGIC + struct.pack("<HHI", width, height, n_frames)
+    i = np.arange(width * height, dtype=np.int64)
+    frames = [
+        ((7 * i + 13 * fr + seed) % 256).astype(np.uint8).tobytes()
+        for fr in range(n_frames)
+    ]
+    return header + b"".join(frames)
 
 
 def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video frame sampling requires ffmpeg (not installed)."""
-    raise NotImplementedError(
-        "video frame sampling needs ffmpeg (not installed); plumbing "
-        "pattern: mapInPandas yielding one row per sampled frame"
-    )
+    """J5 video: parse the container header, seek frame offsets, decode
+    every ``every_n``-th frame, one output row per sampled frame — ONE
+    mapInPandas pass (batch of videos in, batch of frames out)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                if content[:4] != _RAWV_MAGIC:
+                    raise ValueError("not a RAWV container")
+                w, h, n = struct.unpack("<HHI", content[4:12])
+                fsize = w * h
+                for fr in range(0, n, every_n):
+                    off = 12 + fr * fsize
+                    frame = np.frombuffer(content[off : off + fsize], dtype=np.uint8)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": fr,
+                            "width": w,
+                            "height": h,
+                            "n_frames": n,
+                            "pix_sum": int(frame.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)

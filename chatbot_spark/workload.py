@@ -1418,6 +1418,138 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
     )
 
+@query(
+    "audio_features",
+    """
+WITH p AS (
+  SELECT doc_id, 100 + (doc_id % 8) * 50 AS f, 8000 AS r,
+         800 + (doc_id % 5) * 80 AS n
+  FROM documents WHERE doc_id < 20),
+t AS (
+  SELECT doc_id, f, r, n, unnest(generate_series(0, n - 1)) AS i FROM p),
+s AS (
+  SELECT doc_id, r, n, i,
+         ((i * f) % r) * 32766 // r - 16383 AS v
+  FROM t),
+lagged AS (
+  SELECT doc_id, r, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(any_value(r) AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bit_depth,
+       CAST(any_value(n) AS BIGINT) AS n_frames,
+       CAST(any_value(n) * 1000 // any_value(r) AS BIGINT) AS duration_ms,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM lagged GROUP BY doc_id
+""",
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 audio, oracle-checked end-to-end: integer-exact sawtooth samples
+    (freq/length keyed off doc_id) are written as REAL RIFF/WAVE bytes,
+    then the audio kernel PARSES the container, decodes PCM16, and
+    extracts exact-integer features — the oracle recomputes every sample
+    from the closed-form integer formula, so a WAV header bug, a PCM
+    decode bug, or a feature bug all surface as mismatches."""
+    import pandas as pd_  # noqa: F401
+
+    from chatbot_spark.operators.multimodal import (
+        extract_audio_features,
+        sawtooth_pcm16,
+        synth_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    params = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        (F.lit(100) + (F.col("doc_id") % 8) * 50).cast("int").alias("freq"),
+        F.lit(8000).alias("rate"),
+        (F.lit(800) + (F.col("doc_id") % 5) * 80).cast("int").alias("n"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                synth_wav_pcm16(sawtooth_pcm16(int(f), int(r), int(n)), int(r))
+                for f, r, n in zip(pdf["freq"], pdf["rate"], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "modality": "audio",
+                    "content": out["content"],
+                    "mime": "audio/wav",
+                    "meta": [{} for _ in range(len(out))],
+                }
+            )
+
+    from chatbot_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = params.mapInPandas(synth, MEDIA_SCHEMA)
+    return extract_audio_features(media)
+
+@query(
+    "video_frames",
+    """
+WITH p AS (
+  SELECT doc_id, 16 AS w, 8 AS h, 9 + doc_id % 4 AS n
+  FROM documents WHERE doc_id < 10),
+fr AS (
+  SELECT doc_id, w, h, n, unnest(generate_series(0, n - 1)) AS f FROM p),
+sampled AS (SELECT * FROM fr WHERE f % 3 = 0),
+px AS (
+  SELECT doc_id, w, h, n, f, unnest(generate_series(0, w * h - 1)) AS i
+  FROM sampled)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(any_value(n) AS BIGINT) AS n_frames,
+       CAST(sum((7 * i + 13 * f + doc_id) % 256) AS BIGINT) AS pix_sum
+FROM px GROUP BY doc_id, f
+""",
+)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 video, oracle-checked: deterministic RAWV containers (pixel =
+    (7i + 13·fr + doc_id) % 256) synthesized per doc, then the frame
+    sampler PARSES the header, seeks frame offsets, and decodes every 3rd
+    frame — the oracle recomputes each sampled frame's exact pixel sum."""
+    from chatbot_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample, synth_rawv
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    params = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        (F.lit(9) + F.col("doc_id") % 4).cast("int").alias("n"),
+        F.col("doc_id").cast("int").alias("seed"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "video",
+                    "content": [
+                        synth_rawv(16, 8, int(n), int(s))
+                        for n, s in zip(pdf["n"], pdf["seed"])
+                    ],
+                    "mime": "video/rawv",
+                    "meta": [{} for _ in range(len(pdf))],
+                }
+            )
+
+    media = params.mapInPandas(synth, MEDIA_SCHEMA)
+    return frame_sample(media, every_n=3)
+
 # --------------------------------------------------------------------------
 # End-to-end RAG pipeline (SURVEY §3.2 / §7.1 — the flagship slice) as ONE
 # oracle-checked query: chunk → hash-embed → exact L2 top-k. The oracle

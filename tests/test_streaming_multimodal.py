@@ -85,13 +85,52 @@ def test_multimodal_pipeline(spark, tmp_path):
     assert again["a.bin"]["width"] == rows["a.bin"]["width"]
 
 
-def test_multimodal_stubs_raise(spark):
-    from chatbot_spark.operators.multimodal import decode_audio, frame_sample
+def test_audio_kernel_parses_real_wav(spark):
+    """The audio kernel must parse a genuine RIFF/WAVE container and
+    recover exact-integer features; known tiny inputs pin the math."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_audio(None)
-    with pytest.raises(NotImplementedError):
-        frame_sample(None)
+    from chatbot_spark.operators.multimodal import (
+        extract_audio_features,
+        sawtooth_pcm16,
+        synth_wav_pcm16,
+    )
+
+    # [-16383, 0, 16383, -16383]: sum_sq = 3*16383^2, peak 16383, 2 crossings
+    s = np.array([-16383, 0, 16383, -16383], dtype=np.int16)
+    media = spark.createDataFrame(
+        [("m1", "audio", synth_wav_pcm16(s, 8000), "audio/wav", {}),
+         ("m2", "audio", synth_wav_pcm16(sawtooth_pcm16(200, 8000, 800), 8000), "audio/wav", {})],
+        "media_id STRING, modality STRING, content BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    m1 = rows["m1"]
+    assert (m1["sample_rate"], m1["channels"], m1["bit_depth"]) == (8000, 1, 16)
+    assert m1["n_frames"] == 4
+    assert m1["peak"] == 16383
+    assert m1["sum_sq"] == 3 * 16383 * 16383
+    # sign changes: (-,+ at idx2? signs: neg, nonneg, nonneg, neg) -> 2
+    assert m1["zero_crossings"] == 2
+    m2 = rows["m2"]
+    assert m2["n_frames"] == 800 and m2["duration_ms"] == 100
+
+
+def test_video_frame_sample_offsets_and_sums(spark):
+    """RAWV parse: header dims, stride sampling, per-frame exact pixel
+    sums matching the closed-form synth formula."""
+    from chatbot_spark.operators.multimodal import frame_sample, synth_rawv
+
+    w, h, n, seed = 8, 4, 10, 3
+    media = spark.createDataFrame(
+        [("v1", "video", synth_rawv(w, h, n, seed), "video/rawv", {})],
+        "media_id STRING, modality STRING, content BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    rows = sorted(frame_sample(media, every_n=4).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 4, 8]
+    for r in rows:
+        expect = sum((7 * i + 13 * r["frame_idx"] + seed) % 256 for i in range(w * h))
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
+        assert r["pix_sum"] == expect
 
 
 def test_text_functions(spark):
