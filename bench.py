@@ -72,6 +72,11 @@ HEADLINE = [
     "colbert_rerank",
     "audio_features",
     "video_frames",
+    "catalog_roundtrip",
+    "component_code_join",
+    "reference_dedup",
+    "citation_rewrite",
+    "intents_batch",
 ]
 
 

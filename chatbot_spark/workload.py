@@ -2799,3 +2799,206 @@ def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+# --------------------------------------------------------------------------
+# Catalog / orchestration surface as driver-checked queries (SURVEY §2.K
+# K1-K5, §2.C C2, §2.G G2, §2.H H6, §2.M M1) — previously pytest-only;
+# each is SQL-expressible, so the DuckDB oracle is the hard gate.
+# --------------------------------------------------------------------------
+
+@query(
+    "catalog_roundtrip",
+    """
+WITH mapping(component, component_code) AS (
+  VALUES ('default_modules', 0), ('observer', 1), ('ocp', 2), ('oms', 3),
+         ('obd', 4), ('operator', 5), ('odp', 6), ('odc', 7),
+         ('obshell', 9), ('miniob', 10), ('newcomp', 11)),
+live AS (SELECT DISTINCT 1 + doc_id % 4 AS code FROM documents WHERE doc_id < 40)
+SELECT component,
+       CAST(component_code AS BIGINT) AS component_code,
+       CAST(CASE WHEN component_code IN (SELECT code FROM live) THEN 1 ELSE 0 END AS BIGINT)
+         AS has_partition,
+       CAST(1 AS BIGINT) AS table_ok
+FROM mapping
+""",
+)
+def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3+K4+K5+D3 in one round-trip: extend the component mapping with
+    max+1 (ADD PARTITION analog), write a corpus partitioned by
+    component_code (CREATE TABLE analog), discover the live partition codes
+    from the files (SHOW CREATE parse analog), and existence-check the
+    table — the oracle recomputes the mapping, the max+1 code, and the
+    expected live-partition set from `documents`."""
+    import os
+    import tempfile
+
+    from chatbot_spark.plans.catalog import (
+        append_partition,
+        default_mapping,
+        discover_partitions,
+        table_exists,
+    )
+
+    extended = append_partition(default_mapping(spark), "newcomp")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    corpus = docs.select(
+        "doc_id", "text", (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("component_code")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_catalog_q_"), "corpus")
+    corpus.write.mode("overwrite").partitionBy("component_code").parquet(path)
+
+    live = discover_partitions(spark, path).withColumnRenamed("component_code", "live_code")
+    ok = 1 if table_exists(spark, path) else 0
+    return (
+        extended.join(
+            F.broadcast(live), extended["component_code"] == live["live_code"], "left"
+        )
+        .select(
+            "component",
+            F.col("component_code").cast("long").alias("component_code"),
+            F.when(F.col("live_code").isNotNull(), 1).otherwise(0).cast("long").alias("has_partition"),
+            F.lit(ok).cast("long").alias("table_ok"),
+        )
+    )
+
+
+@query(
+    "component_code_join",
+    """
+WITH names(idx, component) AS (
+  VALUES (0, 'observer'), (1, 'ocp'), (2, 'nosuch'), (3, 'odp'), (4, 'miniob'), (5, 'obshell')),
+mapping(component, code) AS (
+  VALUES ('default_modules', 0), ('observer', 1), ('ocp', 2), ('oms', 3),
+         ('obd', 4), ('operator', 5), ('odp', 6), ('odc', 7),
+         ('obshell', 9), ('miniob', 10))
+SELECT d.doc_id, n.component,
+       CAST(COALESCE(m.code, 0) AS BIGINT) AS component_code
+FROM (SELECT doc_id, CAST(doc_id % 6 AS INT) AS idx FROM documents WHERE doc_id < 60) d
+JOIN names n ON n.idx = d.idx
+LEFT JOIN mapping m ON m.component = n.component
+""",
+)
+def component_code_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 set-at-a-time: names → codes via broadcast equi-join against the
+    component mapping dimension, unknown names defaulting to 0 (the
+    reference's doc_embedder.py:105 fallback)."""
+    from chatbot_spark.plans.catalog import default_mapping, join_component_codes
+
+    names = ["observer", "ocp", "nosuch", "odp", "miniob", "obshell"]
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    with_names = docs.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(n) for n in names]), (F.col("doc_id") % 6 + 1).cast("int")).alias("component"),
+    )
+    out = join_component_codes(with_names, default_mapping(spark))
+    return out.select("doc_id", "component", F.col("component_code").cast("long").alias("component_code"))
+
+
+@query(
+    "reference_dedup",
+    """
+WITH results AS (
+  SELECT doc_id % 3 AS query_id,
+         CAST(doc_id // 3 + 1 AS BIGINT) AS rank,
+         'https://docs/' || CAST(doc_id % 7 AS VARCHAR) AS doc_url
+  FROM documents WHERE doc_id < 30),
+first_seen AS (
+  SELECT query_id, rank, doc_url,
+         row_number() OVER (PARTITION BY query_id, doc_url ORDER BY rank) AS fs
+  FROM results)
+SELECT query_id, rank, doc_url,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS ref_num
+FROM first_seen WHERE fs = 1
+""",
+)
+def reference_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: first-seen-wins URL dedup + stable renumbering for the
+    reference list (rag_graph.py:492-504) over a deterministic synthetic
+    retrieval result (3 queries × 10 ranks, URLs colliding mod 7)."""
+    from chatbot_spark.plans.retrieve import reference_list
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    results = docs.select(
+        (F.col("doc_id") % 3).alias("query_id"),
+        (F.col("doc_id") / 3 + 1).cast("long").alias("rank"),
+        F.concat(F.lit("https://docs/"), (F.col("doc_id") % 7).cast("string")).alias("doc_url"),
+    )
+    out = reference_list(results)
+    return out.select("query_id", "rank", "doc_url", F.col("ref_num").cast("long").alias("ref_num"))
+
+
+@query(
+    "citation_rewrite",
+    """
+SELECT doc_id,
+       replace(replace(
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' cites [[@1]] and [@2] and [[@3]].',
+         '[[@1]]', '[1](https://a/' || CAST(doc_id AS VARCHAR) || ')'),
+         '[@2]', '[2](https://b)') AS answer
+FROM documents WHERE doc_id < 50
+""",
+)
+def citation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: [[@N]] / [@N] citation markers rewrite to [N](url_N) from a
+    per-row URL array (1-indexed; out-of-range orders — [[@3]] here, with
+    only 2 URLs — stay untouched, rag_graph.py:530-533)."""
+    from chatbot_spark.functions.text import rewrite_citations
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    with_text = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"),
+            F.lit(" cites [[@1]] and [@2] and [[@3]]."),
+        ).alias("answer_raw"),
+        F.array(
+            F.concat(F.lit("https://a/"), F.col("doc_id").cast("string")),
+            F.lit("https://b"),
+        ).alias("urls"),
+    )
+    return with_text.select(
+        "doc_id", rewrite_citations(F.col("answer_raw"), F.col("urls")).alias("answer")
+    )
+
+
+_INTENT_PREFIX = (
+    "Classify the intent of this OceanBase question as JSON "
+    "{type, rewrite, components}: "
+)
+
+
+@query(
+    "intents_batch",
+    f"""
+WITH q AS (
+  SELECT doc_id, '{_INTENT_PREFIX}' || text AS prompt
+  FROM documents WHERE doc_id < 40),
+lp AS (SELECT doc_id, prompt, lower(prompt) AS l FROM q)
+SELECT doc_id,
+       CASE WHEN strpos(l,'error')>0 OR strpos(l,'fail')>0 OR strpos(l,'diagnos')>0 OR strpos(l,'slow')>0
+              THEN 'Diagnosis'
+            WHEN strpos(l,'how')>0 OR strpos(l,'what')>0 OR strpos(l,'feature')>0 OR strpos(l,'support')>0
+              THEN 'Features'
+            ELSE 'Chat' END AS itype,
+       substr(prompt, 1, 200) AS rewrite,
+       COALESCE(array_to_string(list_filter(
+         ['observer','ocp','oms','obd','operator','odp','odc','obshell','miniob'],
+         c -> strpos(l, c) > 0), ','), '') AS components
+FROM lp
+""",
+)
+def intents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 set-at-a-time: intent classification over a queries DataFrame
+    via the Arrow-batched pandas UDF with the deterministic stub LLM —
+    the oracle replays the stub's keyword heuristics, the 200-char
+    rewrite truncation, and the ordered component substring scan."""
+    from chatbot_spark.plans.agents import classify_intents_batch
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = classify_intents_batch(docs.select("doc_id", F.col("text").alias("query_text")))
+    return out.select(
+        "doc_id",
+        F.col("intent.type").alias("itype"),
+        F.col("intent.rewrite").alias("rewrite"),
+        F.array_join(F.col("intent.components"), ",").alias("components"),
+    )
