@@ -77,6 +77,12 @@ HEADLINE = [
     "reference_dedup",
     "citation_rewrite",
     "intents_batch",
+    "tfidf_topk",
+    "salted_event_counts",
+    "upsert_latest",
+    "approx_percentile_slo",
+    "csv_orc_roundtrip",
+    "stream_static_join",
 ]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chatbot_spark.schemas import TESTDATA_TABLES
 
@@ -51,6 +52,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str = "id",
+    version_col: str = "version",
+) -> DataFrame:
+    """A9 upsert semantics (the reference's add_documents replaces rows by
+    id, doc_embedder.py:90-114): keep the LATEST version of each id across
+    base ∪ updates — union + one per-id window, no driver round-trip.
+
+    Ties on version are broken toward ``updates`` (marked as the later
+    source), matching replace-on-conflict semantics. At scale this is one
+    shuffle on id; with both sides bucketed on id (write_bucketed) the
+    exchange disappears entirely.
+    """
+    from pyspark.sql import Window
+
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
 
 
 def write_corpus(df: DataFrame, path: str, mode: str = "append") -> None:

@@ -1,0 +1,98 @@
+"""Lexical (sparse / keyword) retrieval — TF-IDF top-k over a document
+corpus (SURVEY §2.I I5 family: the text leg of hybrid search; the
+reference's BGE-M3 sparse "lexical weights" leg, bge.py:178, is the
+learned analog of this classic form).
+
+Spark-first shape: tokenize → explode → two hash aggregations (term
+frequencies per doc, document frequencies per term) → query-term semi-join
+→ per-(query, doc) score fold → two-phase top-k window. Every stage is a
+map-side-combinable aggregate or an equi-join keyed by term — at 100 TB
+the posting-list join shuffles on `token`, the natural key, and never
+materializes a dense N×V matrix.
+
+Determinism contract (float-parity discipline, see workload.py header):
+per-term contributions are ``tf · N / df`` — one double division of exact
+integers, bit-identical on any IEEE engine — and the per-document score
+folds those contributions in SORTED TERM ORDER via array_sort + aggregate,
+so an oracle replaying the same fold reproduces the score bit-for-bit.
+A plain SUM() would be partition-order-dependent and unverifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.textstats import tokens
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, tf) posting list — explode + count, map-side combinable."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def document_frequencies(postings: DataFrame) -> DataFrame:
+    """(token, df) from a posting list — one count per distinct (id, token)
+    already guaranteed by term_frequencies' groupBy."""
+    return postings.groupBy("token").agg(F.count("*").alias("df"))
+
+
+def tfidf_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+) -> DataFrame:
+    """Top-k corpus docs per query by unsmoothed TF-IDF: score(q, d) =
+    Σ_{t ∈ terms(q)} tf(d, t) · N / df(t), folded in sorted term order.
+
+    Output: (query_id, neighbor_id, rank, score). BM25's saturation
+    (k1, b) belongs to a production scorer; this rational form keeps every
+    score an exact composition of integer-derived doubles so the result
+    is engine-reproducible — the property the correctness gate needs.
+    """
+    postings = term_frequencies(corpus_df, corpus_id, corpus_text)
+    dfreq = document_frequencies(postings)
+    n_docs = corpus_df.select(F.col(corpus_id)).distinct().count()
+
+    qterms = (
+        queries_df.select(
+            F.col(query_id).alias("__qid"),
+            F.explode(F.array_distinct(tokens(F.col(query_text)))).alias("token"),
+        )
+    )
+    # per-(query, doc, term) contribution: exact ints → ONE double division
+    contrib = (
+        qterms.join(dfreq, "token")
+        .join(postings, "token")
+        .select(
+            "__qid",
+            F.col("id").alias("neighbor_id"),
+            "token",
+            (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("w"),
+        )
+    )
+    # deterministic fold: sort contributions by token, then left-fold from 0.0
+    scored = (
+        contrib.groupBy("__qid", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "w"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["w"],
+            ).alias("score")
+        )
+    )
+    w2 = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id), "neighbor_id", "rank", "score")
+    )

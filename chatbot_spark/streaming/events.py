@@ -123,3 +123,11 @@ def run_stream_once_complete(stream_df: DataFrame, checkpoint: str) -> list:
     rows = spark.sql(f"SELECT * FROM {sink}").collect()
     spark.catalog.dropTempView(sink)
     return rows
+
+
+def enrich_join_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (broadcast)
+    static dimension — the streaming analog of the batch dim join, no
+    state, no watermark needed (the static side is re-read per trigger if
+    its source changes)."""
+    return events.join(F.broadcast(dim), on)

@@ -3002,3 +3002,266 @@ def intents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("intent.rewrite").alias("rewrite"),
         F.array_join(F.col("intent.components"), ",").alias("components"),
     )
+
+# --------------------------------------------------------------------------
+# Lexical TF-IDF retrieval (SURVEY §2.I I5 — the text leg of hybrid
+# search). Scores are exact compositions of integer-derived doubles folded
+# in sorted term order, so the oracle reproduces them bit-for-bit.
+# --------------------------------------------------------------------------
+
+@query(
+    "tfidf_topk",
+    """
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+n AS (SELECT count(*) AS n_docs FROM c),
+post AS (
+  SELECT doc_id AS id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM c) s
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS token
+  FROM c WHERE doc_id < 3),
+contrib AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token,
+         CAST(p.tf AS DOUBLE) * (SELECT n_docs FROM n) / d.df AS w
+  FROM qterms q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: lexical top-10 by TF-IDF (rational idf — exact-int derived, see
+    operators/lexical.py determinism contract) over a 200-doc corpus with
+    the first 3 docs as queries; posting-list joins keyed by token, scores
+    folded in sorted term order."""
+    from chatbot_spark.operators.lexical import tfidf_topk as _tfidf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    res = _tfidf(queries_df, docs, k=10)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+# --------------------------------------------------------------------------
+# Scale patterns as verifiable queries: salted aggregation (hot-key skew),
+# keep-latest upsert, and the approx-percentile SLO — each oracle-checked
+# because the pattern is exact by construction (integer partials, window
+# dedup, bounded error vs the exact form).
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_event_counts",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: event_type has 3 hot keys (33 TB/key at
+    100 TB); the salted two-phase plan balances the wide shuffle across
+    16 sub-groups per key and re-aggregates the tiny partials. The oracle
+    is the PLAIN groupBy — integer partials make the salted plan exactly
+    equal, which is the point: same answer, balanced shuffle."""
+    from chatbot_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        key_cols=["event_type"],
+        salt_source=F.col("user_id"),
+        aggs={
+            "n_events": ("sum", F.count("*")),
+            "sum_value_cents": ("sum", F.sum(F.round(F.col("value") * 100).cast("long"))),
+            "max_user": ("max", F.max("user_id")),
+        },
+        n_salts=16,
+    ).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )
+
+
+@query(
+    "upsert_latest",
+    """
+WITH base AS (
+  SELECT doc_id AS id, 1 AS version, text FROM documents WHERE doc_id < 150),
+updates AS (
+  SELECT doc_id AS id, 2 AS version, 'v2:' || text AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+unioned AS (
+  SELECT id, version, text, 0 AS src FROM base
+  UNION ALL SELECT id, version, text, 1 AS src FROM updates),
+ranked AS (
+  SELECT id, version, text,
+         row_number() OVER (PARTITION BY id ORDER BY version DESC, src DESC) AS rn
+  FROM unioned)
+SELECT id, CAST(version AS BIGINT) AS version, md5(text) AS content_md5
+FROM ranked WHERE rn = 1
+""",
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 upsert: rows 100-199 get a v2 rewrite; keep-latest must retain
+    v1 only for 0-99, v2 for 100-199 — one window over the id-keyed union
+    (the reference's replace-by-id add_documents, doc_embedder.py:90-114)."""
+    from chatbot_spark.io.tables import upsert_latest as _upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("version"), "text"
+    )
+    updates = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        F.col("doc_id").alias("id"),
+        F.lit(2).alias("version"),
+        F.concat(F.lit("v2:"), F.col("text")).alias("text"),
+    )
+    out = _upsert(base, updates, id_col="id", version_col="version")
+    return out.select(
+        "id", F.col("version").cast("long").alias("version"), F.md5("text").alias("content_md5")
+    )
+
+
+@query(
+    "approx_percentile_slo",
+    """
+SELECT 1 AS within_tolerance, CAST(count(*) AS BIGINT) AS n_groups
+FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority) g
+""",
+)
+def approx_percentile_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.D approx family: approx_percentile (the 100 TB path — mergeable
+    sketches, no global sort) vs the exact percentile, per order priority.
+    Sketch values are engine-specific AND nearest-rank (the exact form
+    interpolates — on small groups the two legitimately diverge by more
+    than any relative tolerance), so the driver invariant is the BRACKET
+    SLO: in every group the approx p50 must lie within the exact
+    [p40, p60] and the approx p90 within the exact [p80, p100]. The
+    oracle asserts the flag and the group count."""
+    o = load_table(spark, sf_dir, "orders")
+    both = o.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").alias("ap"),
+        F.expr("percentile(o_totalprice, array(0.4, 0.6, 0.8, 1.0))").alias("ep"),
+    )
+    checked = both.select(
+        F.when(
+            (F.col("ap")[0] >= F.col("ep")[0]) & (F.col("ap")[0] <= F.col("ep")[1])
+            & (F.col("ap")[1] >= F.col("ep")[2]) & (F.col("ap")[1] <= F.col("ep")[3]),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok")
+    )
+    return checked.agg(
+        F.min("ok").cast("int").alias("within_tolerance"),
+        F.count("*").alias("n_groups"),
+    )
+
+@query(
+    "csv_orc_roundtrip",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_dates
+FROM orders
+""",
+)
+def csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A source formats beyond parquet/JSON: orders → CSV (header,
+    explicit schema on re-read — never inferSchema in production) → ORC →
+    aggregate. Exact integer checksums prove decimals, dates, and strings
+    survive both hops; a lossy format hop (float formatting, date parsing)
+    breaks the cents sum immediately."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"
+    )
+    base = tempfile.mkdtemp(prefix="cbs_fmt_q_")
+    csv_path = os.path.join(base, "csv")
+    orc_path = os.path.join(base, "orc")
+    o.write.mode("overwrite").option("header", True).csv(csv_path)
+    back_csv = (
+        spark.read.option("header", True)
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING, o_orderdate DATE")
+        .csv(csv_path)
+    )
+    back_csv.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct("o_orderdate").alias("n_dates"),
+    )
+
+@query(
+    "stream_static_join",
+    """
+WITH dim AS (SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events)
+SELECT e.event_type, d.cohort,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY e.event_type, d.cohort
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrich: a real readStream joined per micro-batch to a
+    static broadcast dimension (user → cohort), then aggregated and
+    drained with AvailableNow — the batch join+groupBy SQL is the exact
+    oracle (stream/batch parity, not approximate)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        enrich_join_static,
+        read_event_stream,
+        run_stream_once_complete,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "cohort", (F.col("user_id") % 10).cast("long")
+    )
+    base = tempfile.mkdtemp(prefix="cbs_stream_sj_")
+    inpath = os.path.join(base, "in")
+    ev.write.mode("overwrite").parquet(inpath)
+    stream = enrich_join_static(read_event_stream(spark, inpath), dim)
+    agg = stream.groupBy("event_type", "cohort").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+    rows = run_stream_once_complete(agg, os.path.join(base, "ckpt"))
+    df = spark.createDataFrame(rows)
+    return df.select(
+        "event_type",
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+    )

@@ -107,3 +107,55 @@ def test_range_join_bands(spark):
     )
     out = _rows(range_join(facts, ranges, "v").select("id", "band"))
     assert out == {(1, "low"), (2, "mid"), (3, "mid"), (4, None)}  # hi exclusive
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("user_id").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            ev,
+            key_cols=["event_type"],
+            salt_source=F.col("user_id"),
+            aggs={"n": ("sum", F.count("*")), "mx": ("max", F.max("user_id"))},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_upsert_latest_tie_breaks_toward_updates(spark):
+    from chatbot_spark.io.tables import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 1, "old"), (2, 5, "keep")], "id LONG, version LONG, text STRING"
+    )
+    updates = spark.createDataFrame(
+        [(1, 1, "new-same-version"), (3, 1, "insert")], "id LONG, version LONG, text STRING"
+    )
+    got = {r["id"]: r["text"] for r in upsert_latest(base, updates).collect()}
+    # same version on id=1 → updates side wins (replace-on-conflict)
+    assert got == {1: "new-same-version", 2: "keep", 3: "insert"}
+
+
+def test_tfidf_topk_known_scores(spark):
+    from chatbot_spark.operators.lexical import tfidf_topk
+
+    corpus = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple apple cherry"), (2, "durian")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame([(100, "apple")], "query_id LONG, query_text STRING")
+    rows = sorted(tfidf_topk(q, corpus, k=3).collect(), key=lambda r: r["rank"])
+    # df(apple)=2, N=3 → doc1: tf=2 → 2*3/2=3.0; doc0: tf=1 → 1.5; doc2 absent
+    assert [(r["neighbor_id"], r["score"]) for r in rows] == [(1, 3.0), (0, 1.5)]
