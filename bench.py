@@ -83,6 +83,14 @@ HEADLINE = [
     "approx_percentile_slo",
     "csv_orc_roundtrip",
     "stream_static_join",
+    "order_count_distribution",
+    "idle_rich_customers",
+    "late_sole_supplier",
+    "top_supplier_revenue",
+    "nation_revenue_share",
+    "bulk_part_suppliers",
+    "market_share",
+    "big_orders",
 ]
 
 

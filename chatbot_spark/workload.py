@@ -3265,3 +3265,402 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
     )
+
+# --------------------------------------------------------------------------
+# Deep decorrelation coverage (TPC-H Q8/Q11/Q13/Q15/Q18/Q20/Q21/Q22 shapes)
+# — the remaining classic subquery forms: outer-join distributions, scalar
+# subqueries in HAVING/WHERE, nested IN over grouped HAVING, and the
+# EXISTS + NOT EXISTS combination. Spark side expresses each as the
+# decorrelated join/aggregate plan Catalyst would produce; the oracle keeps
+# the subquery form. All money stays in exact integer cents/e4 units.
+# --------------------------------------------------------------------------
+
+@query(
+    "order_count_distribution",
+    """
+SELECT CAST(n_orders AS BIGINT) AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) pc
+GROUP BY n_orders
+""",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join survives an aggregation twice —
+    per-customer order counts (customers with zero orders kept), then the
+    distribution of those counts. Both aggregations are map-side
+    combinable; the join shuffles once on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+t AS (SELECT sum(bal_cents) AS tot, count(*) AS n FROM c WHERE bal_cents > 0)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c.bal_cents) AS BIGINT) AS sum_bal_cents
+FROM c, t
+WHERE c.bal_cents * t.n > t.tot
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (mean positive balance) +
+    anti join (no RECENT orders — the date filter keeps the anti side
+    non-trivial on this data). The mean comparison is done in exact
+    integers — bal*n > total — so no float average ever exists to disagree
+    on; the scalar aggregate is a 1-row broadcast, the anti join shuffles
+    on custkey with its date filter pushed below the join."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01'")
+    )
+    t = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("tot"), F.count("*").alias("n")
+    )
+    rich = cust.crossJoin(F.broadcast(t)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("tot")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"), F.sum("bal_cents").alias("sum_bal_cents")
+    ).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("sum_bal_cents").cast("long").alias("sum_bal_cents"),
+    )
+
+
+@query(
+    "late_sole_supplier",
+    """
+SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+)
+def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table —
+    suppliers who were the ONLY late shipper in a multi-supplier order.
+    Instead of two correlated semi/anti joins (three scans), one grouped
+    pass computes per-order distinct-supplier and distinct-late-supplier
+    counts; the predicate pair becomes n_supp > 1 AND n_late_supp = 1 —
+    same answer, one shuffle on orderkey."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+            "int"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        flagged.filter(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = late_pairs.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, rev.total_rev_e4
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate once, then keep the argmax rows via a
+    scalar-subquery max — expressed as the aggregate joined to its own
+    1-row max (broadcast), no second scan of lineitem. Revenue in exact
+    e4 units so max-equality has no float ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("total_rev_e4")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_e4").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_e4") == F.col("__mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_rev_e4",
+        )
+    )
+
+
+@query(
+    "nation_revenue_share",
+    """
+WITH rev AS (
+  SELECT n.n_name,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name)
+SELECT n_name, rev_e4,
+       round(CAST(rev_e4 AS DOUBLE) / (SELECT sum(rev_e4) FROM rev), 6) AS share
+FROM rev
+WHERE rev_e4 * 50 > (SELECT sum(rev_e4) FROM rev)
+""",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped aggregate filtered against a global scalar
+    subquery (HAVING share-of-total). The global total re-aggregates the
+    per-group partials (no second lineitem scan) and broadcasts; the
+    threshold compares exact ints (rev*50 > total) and the reported share
+    is ONE double division of exact ints — bit-identical on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("rev_e4")
+        )
+    )
+    tot = rev.agg(F.sum("rev_e4").alias("__tot"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_e4") * 50 > F.col("__tot"))
+        .select(
+            "n_name",
+            "rev_e4",
+            F.round(F.col("rev_e4").cast("double") / F.col("__tot"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "bulk_part_suppliers",
+    """
+WITH q AS (
+  SELECT l_suppkey, l_partkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 70)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(b.n_bulk_parts AS BIGINT) AS n_bulk_parts
+FROM supplier s
+JOIN (SELECT l_suppkey, count(*) AS n_bulk_parts FROM q GROUP BY l_suppkey) b
+  ON b.l_suppkey = s.s_suppkey
+""",
+)
+def bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN — suppliers shipping bulk volume
+    (>70 units) of any 'red' part. The inner IN becomes a broadcast
+    semi-join on the pruned part list; the grouped HAVING is one shuffle
+    on (suppkey, partkey); quantities are summed as exact ints."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    q = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"))
+        .filter(F.col("sq") > 70)
+    )
+    per_supp = q.groupBy("l_suppkey").agg(F.count("*").alias("n_bulk_parts"))
+    return s.join(per_supp, s.s_suppkey == per_supp.l_suppkey).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("n_bulk_parts").cast("long").alias("n_bulk_parts"),
+    )
+
+
+@query(
+    "market_share",
+    """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev_e4,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey AND cn.n_regionkey = 2
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END) AS BIGINT) AS target_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+             / sum(rev_e4), 6) AS share
+FROM base GROUP BY o_year
+""",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — NATION_7's fraction of ECONOMY-part
+    revenue sold to region-2 customers, per order year. Conditional sums
+    stay exact ints; the share is one double division. Dimension sides
+    (part filter, nation, supplier, customer) broadcast; the only wide
+    shuffle is the final groupBy on year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+            .alias("rev_e4"),
+            "supp_nation",
+        )
+    )
+    tgt = F.when(F.col("supp_nation") == "NATION_7", F.col("rev_e4")).otherwise(F.lit(0))
+    return base.groupBy("o_year").agg(
+        F.sum(tgt).cast("long").alias("target_rev_e4"),
+        F.sum("rev_e4").cast("long").alias("total_rev_e4"),
+    ).select(
+        "o_year",
+        "target_rev_e4",
+        "total_rev_e4",
+        F.round(
+            F.col("target_rev_e4").cast("double") / F.col("total_rev_e4"), 6
+        ).alias("share"),
+    )
+
+
+@query(
+    "big_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200)
+SELECT c.c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       big.total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice_cents DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING — the top 10 largest
+    orders whose total quantity exceeds 200 units. The HAVING aggregate is
+    one shuffle on orderkey (map-side combinable); customer broadcasts;
+    the top-10 is a TakeOrdered with a tie-free (price, orderkey) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
