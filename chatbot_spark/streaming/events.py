@@ -125,6 +125,47 @@ def run_stream_once_complete(stream_df: DataFrame, checkpoint: str) -> list:
     return rows
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    max_delay: str = "2 hours",
+    watermark: str = "31 days",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right events within (left.ts, left.ts + max_delay], equi-keyed on
+    ``on`` — the funnel/attribution shape (click → purchase within 2 h).
+
+    Both sides carry watermarks: inner-join matches emit as soon as both
+    rows have arrived (append mode, no completion wait), and the watermark
+    + time-range condition is what lets Spark EVICT buffered rows once
+    they can no longer match — state is O(events within the watermark
+    horizon), not O(stream). The default watermark here is generous (the
+    parity tests replay a month of history out of order across
+    micro-batches and must lose nothing); production attribution would run
+    with a watermark just above ``max_delay``.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("__lk"),
+        F.col("ts").alias("left_ts"),
+        F.col("event_id").alias("left_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("__rk"),
+        F.col("ts").alias("right_ts"),
+        F.col("event_id").alias("right_id"),
+    )
+    return l.join(
+        r,
+        (F.col("__lk") == F.col("__rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("__lk").alias(on), "left_ts", "left_id", "right_ts", "right_id"
+    )
+
+
 def enrich_join_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static join: every micro-batch joins against the (broadcast)
     static dimension — the streaming analog of the batch dim join, no

@@ -3664,3 +3664,58 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+@query(
+    "stream_interval_join",
+    """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT CAST(c.user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_delay_us
+FROM c JOIN p
+  ON p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id % 10
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the funnel/attribution shape): click
+    and purchase streams joined on user within a 2-hour event-time window.
+    The input replays as 4 time-sliced micro-batches (maxFilesPerTrigger=1)
+    so the join state actually buffers across batches; the drained pairs
+    are aggregated batch-side and the batch interval-join SQL is the exact
+    oracle — stream/batch parity with microsecond-exact delay sums."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        run_stream_once,
+        stream_interval_join as _sij,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_sij_q_")
+    inpath = os.path.join(base, "in")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    clicks = read_event_stream(spark, inpath, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, inpath, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    outpath = os.path.join(base, "out")
+    run_stream_once(_sij(clicks, purchases), os.path.join(base, "ckpt"), outpath)
+    pairs = spark.read.parquet(outpath)
+    return pairs.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.unix_micros("right_ts") - F.unix_micros("left_ts")).alias(
+            "sum_delay_us"
+        ),
+    )
