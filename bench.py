@@ -154,6 +154,22 @@ def main() -> None:
         loaded.search(q, k=10, nprobe=7).write.format("noop").mode("overwrite").save()
     times["ivf_search"] = round((time.time() - t0) / n_search, 3)
 
+    # PQ measured the same way: codebook fit + encode + persist once,
+    # then ADC search (16-byte codes, exact re-rank of the shortlist).
+    from chatbot_spark.operators.pq import PQIndex
+
+    pq_path = os.path.join(tempfile.mkdtemp(prefix="cbs_bench_pq_"), "pq")
+    t0 = time.time()
+    PQIndex.build(emb, vec_col="embedding", id_col="vec_id", m=16, ksub=32).write(pq_path)
+    times["pq_build"] = round(time.time() - t0, 3)
+    pq_loaded = PQIndex.load(spark, pq_path, vec_col="embedding", id_col="vec_id")
+    t0 = time.time()
+    for _ in range(n_search):
+        pq_loaded.search(q, k=10, rerank=100, corpus=emb).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    times["pq_search"] = round((time.time() - t0) / n_search, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

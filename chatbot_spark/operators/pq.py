@@ -1,0 +1,277 @@
+"""Product-quantization ANN (SURVEY §2.I I6 family — the memory-scale
+path beyond IVF cell pruning).
+
+IVF (operators/ann.py) prunes WHICH rows a search scans; PQ compresses
+WHAT each scanned row costs: a d-dim float32 vector (4·d bytes) becomes
+``m`` uint8 codes (m bytes — 32× smaller at d=64/m=8, 256× at
+d=1024/m=16). At 100 TB of raw embeddings the PQ code table is a few
+hundred GB — small enough to keep hot — and search never touches the raw
+vectors except to re-rank a tiny candidate set. This is the standard
+IVF-PQ recipe (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; FAISS `IVFx,PQy`), re-expressed set-at-a-time:
+
+ * fit: per-subspace k-means codebooks on a bounded driver sample
+   (same sampling contract as IVFIndex.build — the codebooks only need
+   the density shape).
+ * encode: one Arrow-batched pass; each row's code is argmin against the
+   (m, ksub, dsub) codebook tensor shipped in the closure — BLAS per
+   batch, emitted as a BINARY column (m bytes/row).
+ * search (ADC — asymmetric distance computation): per query build an
+   (m, ksub) lookup table of sub-distances, broadcast ALL query LUTs
+   (Q·m·ksub doubles — a few MB for thousands of queries), then one
+   mapInPandas over the code table: distance = sum of m table gathers,
+   partial top-k INSIDE the kernel (each partition emits ≤ Q·k rows),
+   global window top-k after. No shuffle touches anything row-count
+   sized; the wide data never moves.
+ * optional exact re-rank: top-R ADC candidates equi-join back to the
+   raw vectors by id (R·Q rows — tiny), exact L2, final top-k. This is
+   what restores recall lost to quantization.
+
+Determinism contract: seeded numpy fit, argmin ties break to the lowest
+code index, ADC sums fold in fixed subspace order, and every ranking
+window tie-breaks on neighbor id — same discipline as operators/ann.py.
+The reference's HNSW index (src/tools/load.py:26) is the serving-side
+analog; see ann.py's module docstring for why batch Spark replaces it
+with pruned/compressed scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.functions.vector import sq_l2_distance
+from chatbot_spark.operators.ann import _numpy_kmeans
+
+
+def _fit_codebooks(X, m: int, ksub: int, seed: int, max_iter: int):
+    """Per-subspace seeded k-means → (m, ksub, dsub) float64 tensor."""
+    import numpy as np
+
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _numpy_kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, max_iter)
+    return books
+
+
+def _encode_codes(col, books):
+    """pandas_udf: vector column → BINARY pq code (m bytes, one uint8 per
+    subspace; requires ksub ≤ 256). Ties break to the lowest code index."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+    b2 = (b**2).sum(axis=2)  # (m, ksub)
+
+    def one_batch(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(list(s), dtype=np.float64)  # (B, d)
+        codes = np.empty((X.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            # ||x-c||² ∝ -2x·c + ||c||²; argmin breaks ties at lowest index
+            codes[:, j] = (Xj @ b[j].T * -2 + b2[j][None, :]).argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    one_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(T.BinaryType())(one_batch)(col)
+
+
+class PQIndex:
+    """Product-quantized corpus: BINARY codes + the codebook tensor.
+
+    build():  corpus -> encoded corpus (id + pq_code, m bytes/row)
+    search(): queries -> top-k per query by ADC over the code table,
+              optionally exact-re-ranked against the raw vectors.
+    """
+
+    def __init__(self, books, encoded: DataFrame, vec_col: str, id_col: str):
+        self.books = books          # numpy (m, ksub, dsub)
+        self.encoded = encoded      # (id_col, pq_code BINARY)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        m: int = 8,
+        ksub: int = 256,
+        fit_sample_size: int = 100_000,
+        seed: int = 42,
+        max_iter: int = 25,
+    ) -> "PQIndex":
+        """Fit codebooks on ≤ fit_sample_size driver-side rows (the FAISS
+        training contract — codebooks need density shape, not the corpus),
+        then encode every row distributed in one narrow Arrow pass."""
+        import numpy as np
+
+        if not 0 < ksub <= 256:
+            raise ValueError("ksub must fit a uint8 code (1..256)")
+        X = np.array(
+            [r[0] for r in corpus.select(vec_col).limit(fit_sample_size).collect()],
+            dtype=np.float64,
+        )
+        books = _fit_codebooks(X, m, ksub, seed, max_iter)
+        encoded = corpus.select(
+            F.col(id_col), _encode_codes(F.col(vec_col), books).alias("pq_code")
+        )
+        return cls(books, encoded, vec_col, id_col)
+
+    def write(self, path: str) -> None:
+        """Persist code table + codebooks (codebooks as one tiny parquet
+        of (subspace, code, center) rows — engine-portable, no pickle)."""
+        self.encoded.write.mode("overwrite").parquet(f"{path}/codes")
+        m, ksub, dsub = self.books.shape
+        rows = [
+            (j, c, [float(x) for x in self.books[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ]
+        self.encoded.sparkSession.createDataFrame(
+            rows, "subspace INT, code INT, center ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id") -> "PQIndex":
+        import numpy as np
+
+        rows = spark.read.parquet(f"{path}/books").collect()
+        m = max(r["subspace"] for r in rows) + 1
+        ksub = max(r["code"] for r in rows) + 1
+        dsub = len(rows[0]["center"])
+        books = np.empty((m, ksub, dsub), dtype=np.float64)
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["center"]
+        return cls(books, spark.read.parquet(f"{path}/codes"), vec_col, id_col)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        rerank: int = 0,
+        corpus: DataFrame | None = None,
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+    ) -> DataFrame:
+        """ADC top-k. With ``rerank=R > 0`` (requires ``corpus``), the top
+        R ADC candidates per query are re-scored with exact L2 against the
+        raw vectors and the final top-k comes from those exact distances —
+        output then matches the exact operator's (rank, dist) contract on
+        every candidate quantization ranked correctly."""
+        import numpy as np
+
+        qrows = queries.select(query_id, query_vec).collect()
+        if not qrows:
+            raise ValueError("empty query set")
+        qids = [r[0] for r in qrows]
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
+        b = self.books
+        m, ksub, dsub = b.shape
+        # (Q, m, ksub) LUT of exact sub-distances query↔codebook center
+        luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+        for j in range(m):
+            Qj = Q[:, j * dsub : (j + 1) * dsub]  # (Q, dsub)
+            d2 = (Qj**2).sum(axis=1)[:, None] - 2 * Qj @ b[j].T + (b[j] ** 2).sum(axis=1)[None, :]
+            luts[:, j, :] = d2
+        id_field = self.encoded.schema[self.id_col]
+        qid_field = queries.schema[query_id]
+        out_schema = (
+            f"{query_id} {qid_field.dataType.simpleString()}, "
+            f"neighbor_id {id_field.dataType.simpleString()}, adist DOUBLE"
+        )
+        id_col = self.id_col
+        kk = max(k, rerank)
+
+        def adc_partition(batches):
+            import pandas as pd
+
+            # accumulate per-partition candidates, emit one partial top-k
+            best: list[pd.DataFrame] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.frombuffer(
+                    b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
+                ).reshape(len(pdf), m)
+                ids = pdf[id_col].to_numpy()
+                frames = []
+                for qi in range(len(qids)):
+                    # gather: distance = Σ_j LUT[qi, j, code_j]; the
+                    # expanded form can dip to −ε for (near-)self matches —
+                    # clamp so sqrt never sees a negative
+                    dist = np.maximum(
+                        luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 0.0
+                    )
+                    take = min(kk, len(dist))
+                    part = np.argpartition(dist, take - 1)[:take]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                query_id: qids[qi],
+                                "neighbor_id": ids[part],
+                                "adist": dist[part],
+                            }
+                        )
+                    )
+                best.append(pd.concat(frames, ignore_index=True))
+            if not best:
+                return
+            allc = pd.concat(best, ignore_index=True)
+            # partial top-k per query within this partition (stable order:
+            # adist then id — the global window re-ranks identically)
+            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+            yield allc.groupby(query_id, sort=False).head(kk)
+
+        cands = self.encoded.mapInPandas(adc_partition, schema=out_schema)
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("adist").asc(), F.col("neighbor_id").asc()
+        )
+        if not rerank:
+            return (
+                cands.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .withColumn("dist", F.sqrt("adist"))
+                .drop("adist")
+            )
+        if corpus is None:
+            raise ValueError("rerank requires the raw-vector corpus")
+        top_r = (
+            cands.withColumn("__arank", F.row_number().over(w))
+            .filter(F.col("__arank") <= rerank)
+            .drop("__arank", "adist")
+        )
+        q = queries.select(
+            F.col(query_id), F.col(query_vec).alias("__qvec")
+        )
+        exact = (
+            top_r.join(
+                corpus.select(
+                    F.col(self.id_col).alias("neighbor_id"),
+                    F.col(self.vec_col).alias("__cvec"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q), query_id)
+            .withColumn("__rdist", sq_l2_distance(F.col("__qvec"), F.col("__cvec")))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(
+            F.col("__rdist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist", F.sqrt("__rdist"))
+            .select(query_id, "neighbor_id", "rank", "dist")
+        )

@@ -3719,3 +3719,26 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_delay_us"
         ),
     )
+
+@query(
+    "pq_knn",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 memory-scale path: product-quantized ANN (operators/pq.py) —
+    the corpus is scanned as 16-byte codes (16× smaller than the raw
+    64-d float32 vectors), ADC-scored per query, and the top-100 shortlist
+    exact-re-ranked. Codebooks are seed-dependent like the IVF centroids,
+    so the driver oracle asserts the recall SLO (≥ 0.95 @ k=10 vs the
+    exact scan, computed in-plan); the zero-quantization-error pytest pins
+    the ADC machinery against the exact operator."""
+    from chatbot_spark.operators.pq import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = PQIndex.build(emb, vec_col="embedding", id_col="vec_id", m=16, ksub=32)
+    approx = index.search(q, k=10, rerank=100, corpus=emb)
+    exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
+    return _ann_recall_summary(approx, exact)
