@@ -66,6 +66,38 @@ COMMENT = {
         "narrow per-partition pipeline that scales linearly with media "
         "volume — the shape a real codec kernel inherits unchanged."
     ),
+    "salted_event_counts": (
+        "The skew-safe shape: first exchange keyed by (event_type, salt) — "
+        "16 balanced sub-groups per hot key instead of one reducer per "
+        "key — with partial_* map-side combine BEFORE it, then a second "
+        "exchange that moves only keys × n_salts partial rows. Both "
+        "aggregation phases stay in whole-stage codegen; no UDF, no "
+        "collect."
+    ),
+    "late_sole_supplier": (
+        "The Q21 EXISTS + NOT EXISTS pair collapsed to one grouped pass: "
+        "lineitem is scanned twice (late pairs; per-order supplier counts "
+        "via Expand for the two count-distincts), orders and supplier are "
+        "broadcast, and the n_supp>1 ∧ n_late=1 predicate rides the "
+        "aggregate — no correlated re-execution, no third scan, shuffles "
+        "keyed only by orderkey/suppkey."
+    ),
+    "market_share": (
+        "Q8 shape at scale: every dimension side (part filter, orders→"
+        "customer→nation chain, supplier→nation) is a BroadcastExchange; "
+        "lineitem never shuffles until the final partial+final year "
+        "aggregate — ONE wide exchange total. Both conditional sums are "
+        "exact-int partials; the share division happens on the final "
+        "aggregated rows."
+    ),
+    "tfidf_topk": (
+        "Lexical retrieval as posting-list algebra: tokenize/explode then "
+        "two map-side-combinable aggregations (tf, df) shuffled on their "
+        "natural keys, a query-term equi-join keyed by token, and the "
+        "deterministic sorted-fold score inside one projection. No dense "
+        "matrix, no UDF — every stage is codegen'd and shuffle keys never "
+        "exceed (doc, token) granularity."
+    ),
 }
 
 
