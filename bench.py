@@ -91,6 +91,9 @@ HEADLINE = [
     "bulk_part_suppliers",
     "market_share",
     "big_orders",
+    "pq_knn",
+    "compact_small_files",
+    "stratified_sample",
 ]
 
 

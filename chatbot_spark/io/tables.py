@@ -84,6 +84,35 @@ def upsert_latest(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    n_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    streaming/append ingest needs at scale: micro-batch sinks and
+    per-partition appends leave thousands of KB-sized files, and at 100 TB
+    the NameNode/listing and per-file open costs dominate scan time long
+    before the bytes do.
+
+    One distributed pass: read → ``repartition(n_files)`` (round-robin,
+    balanced output sizes) and/or ``maxRecordsPerFile`` (bounds the large
+    end) → write to ``dst_path``. Never compacts in place — readers of
+    ``src_path`` are unaffected until the swap, and a failed compaction
+    leaves the source intact (the swap is the caller's atomic step).
+    Returns the compacted DataFrame (reader of ``dst_path``)."""
+    df = spark.read.parquet(src_path)
+    if n_files:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(dst_path)
+    return spark.read.parquet(dst_path)
+
+
 def write_corpus(df: DataFrame, path: str, mode: str = "append") -> None:
     """Write the corpus/vector table partitioned like the reference's LIST
     partitions (src/rag/doc_embedder.py:82-86) so component predicates

@@ -1,0 +1,66 @@
+"""Deterministic sampling operators (training-pipeline surface).
+
+`df.sample()` / `df.sampleBy()` draw from a seeded RNG whose stream
+depends on partition layout: a retried task, a repartitioned input, or a
+different engine re-draws a DIFFERENT sample. For training-data work that
+is a correctness bug (a re-run of the pipeline must reproduce the same
+corpus subset bit-for-bit), so these operators sample by CONTENT HASH
+instead: a row is kept iff ``md5(key) mod D < fraction·D``. Properties:
+
+ * deterministic across retries, partitionings, engines — the decision is
+   a pure function of the row key (same discipline as the md5-bucket
+   train/test split in workload.train_test_split);
+ * uniform: md5's first 8 hex chars are uniform over [0, 2³²);
+ * stratified: per-stratum fractions via a broadcast threshold table —
+   no per-stratum scans, one pass, filter rides the scan;
+ * oracle-friendly: any engine with md5 reproduces the exact subset.
+
+The hash denominator D = 10⁴ gives 0.01 % fraction granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 10_000
+
+
+def _hash_point(key: Column) -> Column:
+    """Uniform int in [0, _DENOM) from the first 8 md5 hex chars of the
+    key rendered as a string (portable: any engine reproduces it)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % _DENOM
+    )
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Content-hash Bernoulli sample: keep iff md5(key) lands below the
+    fraction threshold. Same subset on every run, engine, and layout."""
+    return df.filter(_hash_point(F.col(key)) < int(round(fraction * _DENOM)))
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the downsample-by-source /
+    downsample-by-language shape): strata map to keep-fractions; strata
+    absent from ``fractions`` are dropped entirely (fraction 0).
+
+    One broadcast hash-join against the tiny threshold table + one
+    filter — a single scan regardless of stratum count, versus
+    ``sampleBy``'s RNG draw which is layout-dependent and per-engine."""
+    spark = df.sparkSession
+    thresholds = spark.createDataFrame(
+        [(s, int(round(f * _DENOM))) for s, f in fractions.items()],
+        f"{strata_col} STRING, __keep_below INT",
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(_hash_point(F.col(key)) < F.col("__keep_below"))
+        .drop("__keep_below")
+    )

@@ -3742,3 +3742,94 @@ def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = index.search(q, k=10, rerank=100, corpus=emb)
     exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
     return _ann_recall_summary(approx, exact)
+
+# --------------------------------------------------------------------------
+# Table maintenance + deterministic sampling (100 TB ops surface):
+# small-file compaction with lossless-content proof, and content-hash
+# stratified sampling that any engine reproduces exactly
+# --------------------------------------------------------------------------
+
+@query(
+    "compact_small_files",
+    f"""
+SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_DUCK_HEXWORD.format(t='text', off=1)}) AS BIGINT) AS content_checksum
+FROM documents WHERE doc_id < 400
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance: 400 docs written as 64 tiny files (the shape a
+    micro-batch sink leaves behind), compacted to 4 in one distributed
+    pass. The oracle pins the file counts AND a content checksum
+    recomputed from the source table — compaction must be byte-lossless
+    and the file-count claim is measured from the filesystem, not
+    assumed."""
+    import glob
+    import os
+    import tempfile
+
+    from chatbot_spark.io.tables import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="cbs_compact_q_")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    files_before = len(glob.glob(os.path.join(src, "*.parquet")))
+    back = compact_parquet(spark, src, dst, n_files=4)
+    files_after = len(glob.glob(os.path.join(dst, "*.parquet")))
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")).alias(
+            "content_checksum"
+        ),
+    ).select(
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        "n_rows",
+        "content_checksum",
+    )
+
+
+@query(
+    "stratified_sample",
+    f"""
+WITH keyed AS (
+  SELECT event_type, value,
+         CAST({_DUCK_HEXWORD.format(t='CAST(event_id AS VARCHAR)', off=1)} AS BIGINT) % 10000 AS hp
+  FROM events),
+thresholds AS (
+  SELECT * FROM (VALUES ('click', 4000), ('view', 1000), ('purchase', 10000))
+  AS t(event_type, keep_below)),
+sampled AS (
+  SELECT k.event_type, k.value
+  FROM keyed k JOIN thresholds t ON t.event_type = k.event_type
+  WHERE k.hp < t.keep_below)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM sampled GROUP BY event_type
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (operators/sampling.py):
+    clicks kept at 40%, views at 10%, purchases at 100%, everything else
+    dropped — decided by content hash, so the EXACT subset is the oracle
+    (sampleBy's RNG sample would be layout-dependent and unverifiable).
+    This is the downsample-by-source shape of training-data curation,
+    retry-safe by construction."""
+    from chatbot_spark.operators.sampling import hash_stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = hash_stratified_sample(
+        ev,
+        strata_col="event_type",
+        fractions={"click": 0.4, "view": 0.1, "purchase": 1.0},
+        key="event_id",
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )

@@ -1,0 +1,50 @@
+"""Table maintenance + deterministic sampling (the 100 TB ops surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_deterministic_sample_is_layout_invariant(spark, sf_dir):
+    """The content-hash sample must be identical no matter how the input
+    is partitioned — the property sampleBy's RNG cannot give."""
+    from chatbot_spark.operators.sampling import deterministic_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    a = {r.event_id for r in deterministic_sample(ev, "event_id", 0.3).collect()}
+    b = {
+        r.event_id
+        for r in deterministic_sample(ev.repartition(17, "user_id"), "event_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < ev.count()
+
+
+def test_hash_stratified_sample_fractions_and_strata(spark, sf_dir):
+    from chatbot_spark.operators.sampling import hash_stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hash_stratified_sample(
+        ev, "event_type", {"click": 0.5, "purchase": 1.0}, key="event_id"
+    )
+    counts = {r.event_type: r.n for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    full = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"click", "purchase"}          # other strata dropped
+    assert counts["purchase"] == full["purchase"]        # fraction 1.0 keeps all
+    assert 0.3 * full["click"] < counts["click"] < 0.7 * full["click"]
+    # sampled rows are a subset of the original
+    assert out.join(ev, "event_id", "left_anti").count() == 0
+
+
+def test_compact_parquet_lossless_and_bounded(spark, sf_dir, tmp_path):
+    from chatbot_spark.io.tables import compact_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    docs.repartition(32).write.parquet(src)
+    back = compact_parquet(spark, src, dst, n_files=2)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    assert len(glob.glob(f"{dst}/*.parquet")) == 2
+    orig = {(r.doc_id, r.text) for r in docs.collect()}
+    assert {(r.doc_id, r.text) for r in back.collect()} == orig
