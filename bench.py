@@ -94,6 +94,8 @@ HEADLINE = [
     "pq_knn",
     "compact_small_files",
     "stratified_sample",
+    "incremental_rollup",
+    "incremental_distinct_hll",
 ]
 
 

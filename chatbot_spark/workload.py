@@ -3833,3 +3833,87 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
+
+@query(
+    "incremental_rollup",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+""",
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: three ingest batches (time
+    slices) each produce per-key PARTIALS (count/sum/max — all mergeable),
+    and the stored partials re-aggregate to the final rollup without ever
+    rescanning earlier batches. The oracle is the full recompute — exact
+    equality of integer partials IS the maintenance invariant. At 100 TB
+    this is the nightly-rollup shape: each day aggregates only its own
+    data; the merge touches keys × days rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = [("1970-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2099-01-01")]
+    partials = None
+    for lo, hi in cuts:
+        p = (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("p_n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("p_sum"),
+                F.max("user_id").alias("p_max"),
+            )
+        )
+        partials = p if partials is None else partials.unionByName(p)
+    return partials.groupBy("event_type").agg(
+        F.sum("p_n").cast("long").alias("n_events"),
+        F.sum("p_sum").cast("long").alias("sum_value_cents"),
+        F.max("p_max").cast("long").alias("max_user"),
+    )
+
+
+@query(
+    "incremental_distinct_hll",
+    """
+SELECT CAST(30 AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       1 AS merged_within_5pct, 1 AS global_within_5pct
+FROM events
+""",
+)
+def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (the only way COUNT(DISTINCT)
+    scales to incremental 100 TB pipelines): one HLL sketch per day,
+    union-merged into the month's estimate — no day ever rescanned, state
+    is days × 1 sketch. Sketch bytes are engine-specific, so the driver
+    invariant is the accuracy SLO: merged and single-pass estimates both
+    within 5% of the exact distinct (computed in-plan), plus the exact
+    count itself which the oracle recomputes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    glob = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("global_est"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        merged.crossJoin(glob)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).cast("int").alias("merged_within_5pct"),
+            (
+                F.abs(F.col("global_est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).cast("int").alias("global_within_5pct"),
+        )
+    )
