@@ -96,6 +96,11 @@ HEADLINE = [
     "stratified_sample",
     "incremental_rollup",
     "incremental_distinct_hll",
+    "forecast_revenue",
+    "min_cost_supplier",
+    "nation_year_profit",
+    "returned_item_revenue",
+    "brand_supplier_count",
 ]
 
 

@@ -3917,3 +3917,228 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("global_within_5pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion (Q2/Q6/Q9/Q10/Q16 shapes — with these, all 22 TPC-H
+# query shapes are covered, adapted to the testdata schema which has no
+# partsupp table: lineitem's (l_partkey, l_suppkey) pairs stand in for
+# part-supplier relationships and s_acctbal / p_retailprice stand in for
+# ps_supplycost where a cost column is needed)
+# --------------------------------------------------------------------------
+
+@query(
+    "forecast_revenue",
+    """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no joins — the query
+    where pushdown IS the plan. All three predicates (shipdate range,
+    discount band, quantity cap) push to the parquet scan as
+    PushedFilters, ReadSchema carries only the 4 referenced columns, and
+    the aggregate is a map-side partial + single-row final. At 100 TB
+    this reads only row groups whose min/max stats overlap 1996."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                  .cast("long")).alias("revenue_e4"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "min_cost_supplier",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name AS nation,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM part p
+  JOIN ps ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_size <= 15),
+m AS (SELECT p_partkey, min(acctbal_cents) AS min_cents FROM cand GROUP BY p_partkey)
+SELECT c.p_partkey, c.s_suppkey, c.s_name, c.nation, c.acctbal_cents
+FROM cand c JOIN m ON m.p_partkey = c.p_partkey AND c.acctbal_cents = m.min_cents
+ORDER BY c.acctbal_cents DESC, c.p_partkey ASC, c.s_suppkey ASC
+LIMIT 100
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery (the lowest-balance
+    European supplier actually shipping each part; s_acctbal stands in
+    for ps_supplycost). Decorrelated Spark-side as ONE window min over
+    the candidate set — a single shuffle on p_partkey instead of the
+    aggregate-then-rejoin the SQL spells out. Dims (supplier, nation,
+    region) broadcast onto the distinct part-supplier pairs; exact-cents
+    comparison so the min matches bit-for-bit. Deterministic full order
+    key + LIMIT keeps the 100-row set identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "p_partkey", "s_suppkey", "s_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("__min", F.min("acctbal_cents").over(w))
+        .filter(F.col("acctbal_cents") == F.col("__min"))
+        .drop("__min")
+        .orderBy(F.col("acctbal_cents").desc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "nation_year_profit",
+    """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.1 * l.l_quantity) * 10000) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+""",
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and order year.
+    Profit = revenue − cost, with p_retailprice*0.1*l_quantity standing
+    in for ps_supplycost*l_quantity (no partsupp table). The p_name
+    contains-filter prunes part BEFORE the join (Catalyst pushes it to
+    the broadcast build side), lineitem⋈orders is the one fact-fact
+    shuffle, every dim broadcasts. Per-row profit is rounded to exact
+    integer e4 units before the (order-dependent) sum, per the float
+    discipline atop this module."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit_e4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit_e4).alias("profit_e4"))
+    )
+
+
+@query(
+    "returned_item_revenue",
+    """
+WITH r AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-10-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, nation)
+SELECT c_custkey, c_name, nation, revenue_e4
+FROM r ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20
+""",
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. The orderdate range prunes orders at the scan; the
+    returnflag filter prunes lineitem; customer/nation broadcast. The
+    top-20 is a TakeOrderedAndProject (partial per-partition top-k →
+    driver merge), never a full sort, and the (revenue, custkey) order
+    key is tie-free so the 20-row set is engine-stable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                  .cast("long")).alias("revenue_e4")
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "brand_supplier_count",
+    """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p_size
+""",
+)
+def brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT IN exclusion list (negative-balance suppliers standing in
+    for the complaints subquery). l_suppkey is non-nullable so NOT IN is
+    exactly a left ANTI join — no null-aware single-partition fallback.
+    The part predicates (brand/type/size IN) prune the broadcast side
+    before the join; count(DISTINCT) expands to a two-phase partial
+    (group on key+suppkey, then count) under AQE."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
