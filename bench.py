@@ -101,6 +101,7 @@ HEADLINE = [
     "nation_year_profit",
     "returned_item_revenue",
     "brand_supplier_count",
+    "dataprep_pipeline",
 ]
 
 

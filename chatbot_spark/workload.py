@@ -4142,3 +4142,126 @@ def brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end LLM training-data-prep pipeline (§2.J composite): quality gate
+# → exact dedup → near-dup cluster removal → deterministic split → token
+# audit. Each stage is an oracle-checked operator above; this query proves
+# the COMPOSITION (each stage consuming the previous stage's survivors)
+# agrees end-to-end, which is the shape an actual 100 TB pretraining-data
+# job runs as one DAG.
+# --------------------------------------------------------------------------
+
+@query(
+    "dataprep_pipeline",
+    f"""
+WITH st AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKENS.format(c='text')}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct,
+         CAST({_duck_stophits('en')} AS DOUBLE)
+           / greatest(len({_DUCK_TOKENS.format(c='text')}), 1) AS stopr
+  FROM documents),
+qs AS (
+  SELECT doc_id,
+         0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN n_chars / greatest(n_tok, 1.0) >= 2.0
+                      AND n_chars / greatest(n_tok, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN stopr >= 0.01 THEN 1.0 ELSE 0.0 END) AS quality
+  FROM st),
+qd AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  JOIN qs ON qs.doc_id = d.doc_id WHERE qs.quality >= 0.6),
+fp AS (
+  SELECT doc_id, source, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM qd),
+keepmin AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+d1 AS (
+  SELECT fp.doc_id, fp.source, fp.text FROM fp
+  JOIN keepmin k ON k.f = fp.f AND k.keep_id = fp.doc_id),
+sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM d1),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+drop_ids AS (
+  SELECT DISTINCT s.a AS doc_id FROM sym s
+  WHERE EXISTS (SELECT 1 FROM sym t WHERE t.a = s.a AND t.b < s.a)),
+final AS (
+  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+b AS (
+  SELECT source, text,
+         CAST({_DUCK_HEXWORD.format(t="CAST(doc_id AS VARCHAR)", off=1)} AS BIGINT) % 10 AS bucket
+  FROM final)
+SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_DUCK_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM b GROUP BY split
+""",
+)
+def dataprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data-prep DAG as ONE composed Spark plan:
+
+      documents → quality gate (≥0.6 composite score, J4)
+                → exact dedup (normalized-md5 keep-min-id, J1)
+                → near-dup removal (3-gram Jaccard ≥0.1 pairs → drop every
+                  doc that near-dups a lower id, J2)
+                → deterministic md5 80/10/10 split (content-stable)
+                → per-split doc/token/source audit.
+
+    Near-dup drop policy: a doc is dropped iff it pairs with ANY lower
+    doc_id — the keep-min-per-cluster rule restated pairwise, so a chain
+    a—b—c keeps only its minimum. (For transitive clusters this equals
+    connected components with keep-min: every non-min member pairs with
+    the min or with an intermediate lower id.)
+
+    Scale shape: the quality gate and fingerprint are per-row map work;
+    exact dedup shuffles once on the fingerprint; near-dup candidates come
+    from the shingle posting-list join (bucketed, never all-pairs); the
+    split is shuffle-free. One DAG, three shuffles total before the audit
+    agg — no intermediate materialization."""
+    from chatbot_spark.operators.dedup import exact_dedup
+    from chatbot_spark.operators.textstats import quality_score, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = docs.filter(quality_score(F.col("text")) >= 0.6).select("doc_id", "source", "text")
+    d1 = exact_dedup(passed)
+    pairs = ngram_jaccard_pairs(
+        d1, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1
+    )
+    # drop every doc that near-dups a LOWER id (keep-min pairwise)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = d1.join(drops, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    )
+    return (
+        final.select(
+            "source",
+            "text",
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
