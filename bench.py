@@ -102,6 +102,7 @@ HEADLINE = [
     "returned_item_revenue",
     "brand_supplier_count",
     "dataprep_pipeline",
+    "stream_left_outer_join",
 ]
 
 

@@ -131,10 +131,11 @@ def stream_interval_join(
     on: str = "user_id",
     max_delay: str = "2 hours",
     watermark: str = "31 days",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    right events within (left.ts, left.ts + max_delay], equi-keyed on
-    ``on`` — the funnel/attribution shape (click → purchase within 2 h).
+    """Stream-stream join with an event-time interval condition: right
+    events within (left.ts, left.ts + max_delay], equi-keyed on ``on`` —
+    the funnel/attribution shape (click → purchase within 2 h).
 
     Both sides carry watermarks: inner-join matches emit as soon as both
     rows have arrived (append mode, no completion wait), and the watermark
@@ -144,6 +145,17 @@ def stream_interval_join(
     parity tests replay a month of history out of order across
     micro-batches and must lose nothing); production attribution would run
     with a watermark just above ``max_delay``.
+
+    ``how="left_outer"`` additionally emits (left, NULL) for every left
+    row that found no match — but only once the watermark passes
+    left.ts + max_delay, because until then a match could still arrive.
+    Consequence for bounded drains (AvailableNow): rows near the end of
+    input never see the watermark pass them, so their outer results stay
+    buffered forever. Callers must append a far-future sentinel row to
+    BOTH input streams (and filter it out downstream) to push the
+    watermark past all real data; the `stream_left_outer_join` workload
+    query shows the pattern. Production continuous streams don't need
+    this — new data advances the watermark naturally.
     """
     l = left.withWatermark("ts", watermark).select(
         F.col(on).alias("__lk"),
@@ -160,7 +172,7 @@ def stream_interval_join(
         (F.col("__lk") == F.col("__rk"))
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
+        how,
     ).select(
         F.col("__lk").alias(on), "left_ts", "left_id", "right_ts", "right_id"
     )

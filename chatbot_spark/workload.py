@@ -4265,3 +4265,87 @@ def dataprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — the "clicks that never
+# converted" half of attribution. Outer results only emit once the
+# watermark proves no match can still arrive, so the bounded drain appends
+# a far-future sentinel to both streams to push the watermark past all
+# real data (see stream_interval_join's docstring).
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_left_outer_join",
+    """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT CAST(c.user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted,
+       CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(c.ts)), 0) AS BIGINT) AS sum_delay_us
+FROM c LEFT JOIN p
+  ON p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id % 10
+""",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, drained with
+    AvailableNow over 4 time-sliced micro-batches plus a sentinel batch
+    (one 2099 click+purchase for user −1 on both streams) that advances
+    the watermark past every real row so all unmatched-left results are
+    EVICTED and emitted before the drain ends. The batch LEFT JOIN SQL is
+    the exact oracle — stream and batch must agree on both the matched
+    delays (µs-exact) and the per-bucket count of never-converted clicks.
+    State at scale: watermark (1 h above the 2 h match window) bounds the
+    buffer to O(events per 3 h horizon) regardless of stream length."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        run_stream_once,
+        stream_interval_join as _sij,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_slo_q_")
+    inpath = os.path.join(base, "in")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    # sentinel: far-future click AND purchase for user -1 — advances both
+    # watermarks past all real data, flushing buffered outer-join state
+    sent = spark.createDataFrame(
+        [(-1, -1, "click"), (-2, -1, "purchase")],
+        "event_id BIGINT, user_id BIGINT, event_type STRING",
+    ).withColumn("ts", F.lit("2099-06-01 00:00:00").cast("timestamp"))
+    for f in ev.schema.fields:
+        if f.name not in sent.columns:
+            sent = sent.withColumn(f.name, F.lit(None).cast(f.dataType))
+    sent.select(ev.columns).coalesce(1).write.mode("append").parquet(inpath)
+
+    clicks = read_event_stream(spark, inpath, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, inpath, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    outpath = os.path.join(base, "out")
+    run_stream_once(
+        _sij(clicks, purchases, watermark="1 hour", how="left_outer"),
+        os.path.join(base, "ckpt"),
+        outpath,
+    )
+    pairs = spark.read.parquet(outpath).filter(F.col("user_id") >= 0)
+    return pairs.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("right_ts").isNull(), 1).otherwise(0)).cast("long").alias("n_unconverted"),
+        F.coalesce(
+            F.sum(F.unix_micros("right_ts") - F.unix_micros("left_ts")), F.lit(0)
+        ).cast("long").alias("sum_delay_us"),
+    )
