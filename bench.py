@@ -103,6 +103,7 @@ HEADLINE = [
     "brand_supplier_count",
     "dataprep_pipeline",
     "stream_left_outer_join",
+    "range_layout_pruning",
 ]
 
 

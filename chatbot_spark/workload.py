@@ -4349,3 +4349,76 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.unix_micros("right_ts") - F.unix_micros("left_ts")), F.lit(0)
         ).cast("long").alias("sum_delay_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data layout / clustering (the OPTIMIZE-ZORDER-lite of table maintenance):
+# range-cluster a table on its hot filter key so point/range predicates
+# touch O(1) files instead of O(all). At 100 TB this is the difference
+# between a scan that opens 4 files and one that opens 40 000.
+# --------------------------------------------------------------------------
+
+@query(
+    "range_layout_pruning",
+    """
+SELECT 1 AS clustered_le_2_files, 1 AS clustered_lt_unclustered,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id * 1000003 + event_id) AS BIGINT) AS content_checksum
+FROM events WHERE user_id < 2
+""",
+)
+def range_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout clustering: the same events written two ways — round-robin
+    ``repartition(16)`` (every file holds every key range) vs
+    ``repartitionByRange(16, user_id).sortWithinPartitions(user_id, ts)``
+    (each file owns one contiguous key range, rows sorted within). A
+    selective user_id predicate then touches ~every file in the first
+    layout but ≤2 files in the clustered one (≤2, not 1, because a range
+    boundary can split the filtered keys) — measured in-plan via
+    ``count(DISTINCT input_file_name())`` over the filtered rows.
+
+    The sort also tightens parquet row-group min/max stats, so the pushed
+    user_id filter skips row groups inside non-matching files — the
+    data-skipping half that input_file_name can't see.
+
+    Invariants the driver checks: file-locality flags, plus exact row
+    count and content checksum of the clustered readback against the
+    ORIGINAL table (clustering must be lossless)."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_layout_q_")
+    scattered, clustered = os.path.join(base, "scat"), os.path.join(base, "clus")
+    ev.repartition(16).write.parquet(scattered)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.parquet(clustered)
+    )
+    pred = F.col("user_id") < 2
+    files_scat = (
+        spark.read.parquet(scattered)
+        .filter(pred)
+        .withColumn("__f", F.input_file_name())
+        .agg(F.countDistinct("__f").alias("nf"))
+    )
+    back = spark.read.parquet(clustered).filter(pred)
+    files_clus = back.withColumn("__f", F.input_file_name()).agg(
+        F.countDistinct("__f").alias("nf")
+    )
+    stats = back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("user_id") * 1000003 + F.col("event_id")).cast("long").alias("content_checksum"),
+    )
+    return (
+        files_clus.select(F.col("nf").alias("nf_clus"))
+        .crossJoin(files_scat.select(F.col("nf").alias("nf_scat")))
+        .crossJoin(stats)
+        .select(
+            (F.col("nf_clus") <= 2).cast("int").alias("clustered_le_2_files"),
+            (F.col("nf_clus") < F.col("nf_scat")).cast("int").alias("clustered_lt_unclustered"),
+            "n_rows",
+            "content_checksum",
+        )
+    )
