@@ -175,6 +175,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist_index: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
     index join (posting-list self-join, group by pair, |A∩B| / |A∪B|).
@@ -182,8 +183,17 @@ def ngram_jaccard_pairs(
     This is the exact oracle for MinHash; at scale prefer minhash_lsh_pairs
     (same output contract) — this one's join fans out on every shared
     shingle, fine for verification sets, quadratic in the worst case.
+
+    ``persist_index=True`` caches the shingle posting list (it feeds both
+    self-join sides AND the size table — 3 consumers); use it when ``df``
+    is itself an expensive subtree (e.g. downstream of quality filtering +
+    dedup) that would otherwise be recomputed per consumer.
     """
     post = _shingle_posting(df, id_col, text_col, shingle_n)
+    if persist_index:
+        from pyspark import StorageLevel
+
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = post.groupBy("__id").agg(F.count("*").alias("__n"))
     inter = (
         post.alias("a")

@@ -96,3 +96,78 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("__qid").alias(query_id), "neighbor_id", "rank", "score")
     )
+
+
+def bm25_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_mode: str = "lucene",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+) -> DataFrame:
+    """Top-k corpus docs per query by BM25 — TF-IDF plus the two things
+    that make it the production lexical scorer: term-frequency saturation
+    (k1) and document-length normalization (b):
+
+        score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    ``idf_mode``:
+      * "lucene"   — ln(1 + (N − df + 0.5)/(df + 0.5)), the standard form.
+        ln() is libm-dependent in its last ulp, so cross-ENGINE bit-parity
+        is not guaranteed (fine in production, wrong for the oracle gate).
+      * "rational" — (N − df + 0.5)/(df + 0.5), the same monotone ordering
+        per term without the transcendental: every factor is a division /
+        product of exact-integer-derived doubles, so any IEEE engine
+        reproduces the score bit-for-bit. The correctness gate runs this.
+
+    Same distributed shape as tfidf_topk: posting-list joins keyed by
+    token (never a dense matrix), map-side-combinable aggs, sorted-term
+    fold, two-phase top-k window. dl/avgdl adds one tiny (doc_id → dl)
+    broadcast-sized side input derived from the postings themselves."""
+    postings = term_frequencies(corpus_df, corpus_id, corpus_text)
+    dfreq = document_frequencies(postings)
+    doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    n_docs = corpus_df.select(F.col(corpus_id)).distinct().count()
+    # avgdl: one double division of two exact ints — identical in any engine
+    total_tokens = doclen.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total_tokens) / float(n_docs)
+
+    qterms = queries_df.select(
+        F.col(query_id).alias("__qid"),
+        F.explode(F.array_distinct(tokens(F.col(query_text)))).alias("token"),
+    )
+    idf_rational = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf = F.log1p(idf_rational) if idf_mode == "lucene" else idf_rational
+    tfd = F.col("tf").cast("double")
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        qterms.join(dfreq, "token")
+        .join(postings, "token")
+        .join(doclen, "id")
+        .select(
+            "__qid",
+            F.col("id").alias("neighbor_id"),
+            "token",
+            (idf * sat).alias("w"),
+        )
+    )
+    scored = contrib.groupBy("__qid", "neighbor_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "w"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["w"],
+        ).alias("score")
+    )
+    w2 = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id), "neighbor_id", "rank", "score")
+    )

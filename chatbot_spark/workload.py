@@ -4242,9 +4242,16 @@ def dataprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     passed = docs.filter(quality_score(F.col("text")) >= 0.6).select("doc_id", "source", "text")
-    d1 = exact_dedup(passed)
+    # d1 feeds three consumers (both posting-join sides via the index,
+    # and the final anti-join); persist it — and the posting index — so
+    # the quality+dedup subtree runs once, not 4x. MEMORY_AND_DISK: at
+    # 100 TB the deduped corpus spills instead of OOMing.
+    from pyspark import StorageLevel
+
+    d1 = exact_dedup(passed).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(
-        d1, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1
+        d1, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1,
+        persist_index=True,
     )
     # drop every doc that near-dups a LOWER id (keep-min pairwise)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -4421,4 +4428,69 @@ def range_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "content_checksum",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (I5 family — the production keyword scorer:
+# TF-IDF + tf saturation + doc-length normalization). Rational-idf mode so
+# every factor is a division/product of exact-int-derived doubles — no
+# transcendentals, engine-reproducible (lexical.py::bm25_topk docstring).
+# --------------------------------------------------------------------------
+
+@query(
+    "bm25_topk",
+    """
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM c),
+post AS (
+  SELECT doc_id AS id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM c) s
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY id),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS token
+  FROM c WHERE doc_id < 3),
+contrib AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token,
+         (((SELECT n_docs FROM n) - d.df + 0.5) / (d.df + 0.5))
+         * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM ad)))) AS w
+  FROM qterms q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token
+  JOIN dl l ON l.id = p.id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: BM25 top-10 (k1=1.2, b=0.75, rational idf) over the same
+    200-doc corpus / 3-query workload as tfidf_topk — posting-list joins
+    on token, doc-length side input, sorted-term fold. The oracle spells
+    the identical arithmetic shape (same association order per the float
+    discipline atop this module); 'lucene' log-idf mode exists for
+    production but is not oracle-gated (libm last-ulp variance)."""
+    from chatbot_spark.operators.lexical import bm25_topk as _bm25
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    res = _bm25(queries_df, docs, k=10, idf_mode="rational")
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
     )
