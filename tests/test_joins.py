@@ -159,3 +159,61 @@ def test_tfidf_topk_known_scores(spark):
     rows = sorted(tfidf_topk(q, corpus, k=3).collect(), key=lambda r: r["rank"])
     # df(apple)=2, N=3 → doc1: tf=2 → 2*3/2=3.0; doc0: tf=1 → 1.5; doc2 absent
     assert [(r["neighbor_id"], r["score"]) for r in rows] == [(1, 3.0), (0, 1.5)]
+
+
+def test_bm25_topk_hand_computed(spark):
+    from chatbot_spark.operators.lexical import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple apple cherry"), (2, "durian")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame([(100, "apple")], "query_id LONG, query_text STRING")
+    rows = sorted(
+        bm25_topk(q, corpus, k=3, idf_mode="rational").collect(),
+        key=lambda r: r["rank"],
+    )
+    # N=3, df(apple)=2 → idf = (3-2+0.5)/(2+0.5) = 0.6
+    # dl: doc0=2, doc1=3, doc2=1; avgdl = 6/3 = 2.0
+    # doc1: tf=2 → 0.6 * 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/2)) = 2.64/3.65
+    # doc0: tf=1 → 0.6 * 2.2 / (1 + 1.2*(0.25 + 0.75*2/2)) = 1.32/2.2 = 0.6
+    exp1 = 0.6 * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.0))
+    exp0 = 0.6 * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.0))
+    got = [(r["neighbor_id"], r["score"]) for r in rows]
+    assert got[0][0] == 1 and abs(got[0][1] - exp1) < 1e-12
+    assert got[1][0] == 0 and abs(got[1][1] - exp0) < 1e-12
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # same tf, different doc lengths → shorter doc scores higher (the
+    # property TF-IDF lacks and BM25's b-term adds)
+    from chatbot_spark.operators.lexical import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(0, "apple x y z w v u t s r"), (1, "apple b")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id LONG, query_text STRING")
+    rows = {r["neighbor_id"]: r["score"] for r in bm25_topk(q, corpus, k=2).collect()}
+    assert rows[1] > rows[0]
+
+
+def test_bm25_lucene_and_rational_agree_on_ranking(spark):
+    from chatbot_spark.operators.lexical import bm25_topk
+    from chatbot_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 60
+    )
+    q = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    a = bm25_topk(q, docs, k=5, idf_mode="lucene").collect()
+    b = bm25_topk(q, docs, k=5, idf_mode="rational").collect()
+    # both idfs are monotone-decreasing in df, so the per-query top-5 SETS
+    # agree (scores differ; ordering may differ only among near-ties)
+    seta = {(r["query_id"], r["neighbor_id"]) for r in a}
+    setb = {(r["query_id"], r["neighbor_id"]) for r in b}
+    overlap = len(seta & setb) / max(len(seta), 1)
+    assert overlap >= 0.8
