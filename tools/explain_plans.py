@@ -98,6 +98,46 @@ COMMENT = {
         "matrix, no UDF — every stage is codegen'd and shuffle keys never "
         "exceed (doc, token) granularity."
     ),
+    "forecast_revenue": (
+        "Q6: the pushdown showcase — all three predicates appear in "
+        "PushedFilters on the single lineitem scan, ReadSchema carries "
+        "only the 4 referenced columns, and the plan is scan → "
+        "partial_sum/count → one-row exchange → final agg. At 100 TB the "
+        "shipdate range prunes row groups via parquet min/max stats "
+        "before a byte of the other columns is read."
+    ),
+    "min_cost_supplier": (
+        "Q2 decorrelated: the correlated scalar-min subquery becomes ONE "
+        "window (min over p_partkey) on the candidate set — no "
+        "aggregate-then-rejoin, no second pass. Dims (part, supplier, "
+        "nation, region) are all BroadcastExchange onto the distinct "
+        "(l_partkey, l_suppkey) pairs, so the only wide exchanges are the "
+        "pair-distinct and the window partitioning; the top-100 is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+    "nation_year_profit": (
+        "Q9: one fact-fact shuffle (lineitem⋈orders, sort-merge at "
+        "scale); part — prefiltered by the name predicate BEFORE the "
+        "broadcast — plus supplier and nation all BroadcastExchange. The "
+        "per-row profit expression folds to an exact-int e4 value inside "
+        "the scan-side projection, so the wide aggregate moves one long "
+        "per row."
+    ),
+    "bm25_topk": (
+        "BM25 = TF-IDF's posting-list plan plus one more map-side "
+        "combinable aggregation (doc length) joined back on id. The "
+        "saturation/length-norm arithmetic is a single codegen'd "
+        "projection; no new shuffle keys beyond (doc), (token), "
+        "(query, doc)."
+    ),
+    "dataprep_pipeline": (
+        "The composed quality→dedup→near-dup→split→audit DAG: the "
+        "persisted dedup output feeds the posting self-join's both sides "
+        "(InMemoryTableScan ×2) and the anti-join; shuffles are keyed by "
+        "fingerprint (dedup), shingle (candidate join), pair (intersection "
+        "count), and split (audit agg) — each the minimal key for its "
+        "stage, none row-count-quadratic."
+    ),
 }
 
 
