@@ -186,6 +186,25 @@ def main() -> None:
         ).save()
     times["pq_search"] = round((time.time() - t0) / n_search, 3)
 
+    # IVF-PQ: the composed production index — coarse-cell pruning AND
+    # compressed codes; search scans nprobe/nlist of the corpus as m-byte
+    # codes with an exact re-rank of the shortlist.
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    ivfpq_path = os.path.join(tempfile.mkdtemp(prefix="cbs_bench_ivfpq_"), "ivfpq")
+    t0 = time.time()
+    IVFPQIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ksub=32
+    ).write(ivfpq_path)
+    times["ivfpq_build"] = round(time.time() - t0, 3)
+    ivfpq_loaded = IVFPQIndex.load(spark, ivfpq_path, vec_col="embedding", id_col="vec_id")
+    t0 = time.time()
+    for _ in range(n_search):
+        ivfpq_loaded.search(q, k=10, nprobe=7, rerank=100, corpus=emb).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    times["ivfpq_search"] = round((time.time() - t0) / n_search, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

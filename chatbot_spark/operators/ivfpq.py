@@ -1,0 +1,290 @@
+"""IVF-PQ ANN — the composed 100 TB index (SURVEY §2.I I6 family).
+
+operators/ann.py::IVFIndex prunes WHICH rows a search scans (nprobe/nlist
+cells); operators/pq.py::PQIndex compresses WHAT each scanned row costs
+(m uint8 codes instead of 4·d bytes). IVF-PQ is their composition — the
+FAISS ``IVFx,PQy`` recipe (Jégou et al., TPAMI 2011) re-expressed
+set-at-a-time:
+
+ * fit: coarse k-means centroids on a bounded driver sample, then PQ
+   codebooks fit on the sample's RESIDUALS (x − centroid). Residual
+   encoding is what makes the composition better than either part: after
+   subtracting the cell center, the residual distribution is tighter, so
+   the same ksub spends its codes on finer structure.
+ * encode: ONE Arrow-batched pass per corpus row — assign cell (BLAS
+   argmin vs the broadcast centroid matrix), subtract its center, PQ-code
+   the residual. Stored row: (id, centroid_id, m-byte code).
+ * search: per query, shortlist nprobe cells (broadcast centroid
+   cross-join — same as IVF); per (query, probed cell) build an
+   (m, ksub) ADC lookup table from the query's OWN residual against that
+   cell (q − c), exact because ||q − x||² = ||(q−c) − (x−c)||²; one
+   mapInPandas over the code table filtered to probed cells — partition
+   pruning on a written index — with partial top-k inside the kernel.
+   Nothing row-count-sized ever shuffles.
+ * optional exact re-rank of the top-R shortlist against the raw vectors
+   (equi-join by id, R·Q rows) — restores recall lost to quantization.
+
+Determinism: seeded fits, argmin ties to the lowest index, ADC folds in
+fixed subspace order, rankings tie-break on neighbor id — the same
+contract as ann.py/pq.py, so the full-probe + zero-error configurations
+are bit-reproducible against the exact scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.functions.vector import sq_l2_distance
+from chatbot_spark.operators.ann import _numpy_kmeans
+from chatbot_spark.operators.pq import _fit_codebooks
+
+
+def _encode_cell_and_code(vec_col, centers, books):
+    """One Arrow pass: vector → (centroid_id, residual pq code). The
+    centroid matrix and codebook tensor ride the closure (both tiny)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(centers, dtype=np.float64)
+    c2 = (c**2).sum(axis=1)
+    b = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+    b2 = (b**2).sum(axis=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("pq_code", T.BinaryType()),
+        ]
+    )
+
+    def one_batch(s):
+        if len(s) == 0:
+            return pd.DataFrame({"centroid_id": pd.Series([], dtype="int32"),
+                                 "pq_code": pd.Series([], dtype=object)})
+        X = np.array(list(s), dtype=np.float64)
+        cell = (X @ c.T * -2 + c2[None, :]).argmin(axis=1)
+        R = X - c[cell]
+        codes = np.empty((X.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            Rj = R[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (Rj @ b[j].T * -2 + b2[j][None, :]).argmin(axis=1)
+        return pd.DataFrame(
+            {"centroid_id": cell.astype("int32"), "pq_code": [x.tobytes() for x in codes]}
+        )
+
+    one_batch.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(schema)(one_batch)(vec_col)
+
+
+class IVFPQIndex:
+    """Coarse cells + residual PQ codes: (id, centroid_id, pq_code)."""
+
+    def __init__(self, centers, books, encoded: DataFrame, vec_col: str, id_col: str):
+        self.centers = centers      # numpy (nlist, d)
+        self.books = books          # numpy (m, ksub, dsub) — residual codebooks
+        self.encoded = encoded      # (id_col, centroid_id, pq_code)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        nlist: int = 8,
+        m: int = 8,
+        ksub: int = 256,
+        fit_sample_size: int = 100_000,
+        seed: int = 42,
+        max_iter: int = 25,
+    ) -> "IVFPQIndex":
+        """Driver-sample fit (FAISS training contract: density shape only),
+        distributed encode in ONE narrow Arrow pass — no shuffle at all."""
+        import numpy as np
+
+        if not 0 < ksub <= 256:
+            raise ValueError("ksub must fit a uint8 code (1..256)")
+        X = np.array(
+            [r[0] for r in corpus.select(vec_col).limit(fit_sample_size).collect()],
+            dtype=np.float64,
+        )
+        centers = _numpy_kmeans(X, min(nlist, len(X)), seed, max_iter)
+        assign = (X @ centers.T * -2 + (centers**2).sum(axis=1)[None, :]).argmin(axis=1)
+        books = _fit_codebooks(X - centers[assign], m, ksub, seed, max_iter)
+        enc = corpus.select(
+            F.col(id_col),
+            _encode_cell_and_code(F.col(vec_col), centers, books).alias("__cc"),
+        ).select(id_col, F.col("__cc.centroid_id").alias("centroid_id"),
+                 F.col("__cc.pq_code").alias("pq_code"))
+        return cls(centers, books, enc, vec_col, id_col)
+
+    def write(self, path: str) -> None:
+        """Codes clustered by cell (search scans only probed cells' files —
+        parquet partition pruning), centroids + codebooks as tiny portable
+        parquet (no pickle)."""
+        self.encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+        spark = self.encoded.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        mm, ksub, _ = self.books.shape
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in self.books[j, c]])
+                for j in range(mm)
+                for c in range(ksub)
+            ],
+            "subspace INT, code INT, center ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id"
+    ) -> "IVFPQIndex":
+        import numpy as np
+
+        crows = spark.read.parquet(f"{path}/centroids").collect()
+        centers = np.empty((len(crows), len(crows[0]["centroid"])), dtype=np.float64)
+        for r in crows:
+            centers[r["centroid_id"]] = r["centroid"]
+        brows = spark.read.parquet(f"{path}/books").collect()
+        m = max(r["subspace"] for r in brows) + 1
+        ksub = max(r["code"] for r in brows) + 1
+        books = np.empty((m, ksub, len(brows[0]["center"])), dtype=np.float64)
+        for r in brows:
+            books[r["subspace"], r["code"]] = r["center"]
+        return cls(centers, books, spark.read.parquet(f"{path}/codes"), vec_col, id_col)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        rerank: int = 0,
+        corpus: DataFrame | None = None,
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+    ) -> DataFrame:
+        """ADC top-k over nprobe cells. LUTs are per (query, probed cell)
+        — built from the query's residual against that cell, so the ADC
+        distance is exactly ||q − x||² up to quantization of x alone."""
+        import numpy as np
+
+        qrows = queries.select(query_id, query_vec).collect()
+        if not qrows:
+            raise ValueError("empty query set")
+        qids = [r[0] for r in qrows]
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)
+        c = self.centers
+        b = self.books
+        m, ksub, dsub = b.shape
+        nprobe = min(nprobe, len(c))
+        # per-query probed cells (tiny: Q × nlist on the driver)
+        cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
+        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+        # LUT tensor keyed (qi, probed cell) — residual q−c vs codebooks
+        luts: dict[int, list[tuple[int, "np.ndarray"]]] = {}
+        for qi in range(len(qids)):
+            for cell in probe[qi]:
+                rq = Q[qi] - c[cell]
+                lut = np.empty((m, ksub), dtype=np.float64)
+                for j in range(m):
+                    rj = rq[j * dsub : (j + 1) * dsub]
+                    lut[j] = (rj**2).sum() - 2 * b[j] @ rj + (b[j] ** 2).sum(axis=1)
+                luts.setdefault(int(cell), []).append((qi, lut))
+
+        probed_cells = sorted(luts)
+        # static cell pruning — PartitionFilters on a written index
+        cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
+        id_field = self.encoded.schema[self.id_col]
+        qid_field = queries.schema[query_id]
+        out_schema = (
+            f"{query_id} {qid_field.dataType.simpleString()}, "
+            f"neighbor_id {id_field.dataType.simpleString()}, adist DOUBLE"
+        )
+        id_col = self.id_col
+        kk = max(k, rerank)
+
+        def adc_partition(batches):
+            import pandas as pd
+
+            best: list[pd.DataFrame] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for cell, grp in pdf.groupby("centroid_id", sort=False):
+                    pairs = luts.get(int(cell))
+                    if not pairs:
+                        continue
+                    codes = np.frombuffer(
+                        b"".join(grp["pq_code"].tolist()), dtype=np.uint8
+                    ).reshape(len(grp), m)
+                    ids = grp[id_col].to_numpy()
+                    for qi, lut in pairs:
+                        dist = np.maximum(
+                            lut[np.arange(m)[None, :], codes].sum(axis=1), 0.0
+                        )
+                        take = min(kk, len(dist))
+                        part = np.argpartition(dist, take - 1)[:take]
+                        best.append(
+                            pd.DataFrame(
+                                {
+                                    query_id: qids[qi],
+                                    "neighbor_id": ids[part],
+                                    "adist": dist[part],
+                                }
+                            )
+                        )
+            if not best:
+                return
+            allc = pd.concat(best, ignore_index=True)
+            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+            yield allc.groupby(query_id, sort=False).head(kk)
+
+        cands = cands_src.mapInPandas(adc_partition, schema=out_schema)
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("adist").asc(), F.col("neighbor_id").asc()
+        )
+        if not rerank:
+            return (
+                cands.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .withColumn("dist", F.sqrt("adist"))
+                .drop("adist")
+            )
+        if corpus is None:
+            raise ValueError("rerank requires the raw-vector corpus")
+        top_r = (
+            cands.withColumn("__arank", F.row_number().over(w))
+            .filter(F.col("__arank") <= rerank)
+            .drop("__arank", "adist")
+        )
+        q = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))
+        exact = (
+            top_r.join(
+                corpus.select(
+                    F.col(self.id_col).alias("neighbor_id"),
+                    F.col(self.vec_col).alias("__cvec"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q), query_id)
+            .withColumn("__rdist", sq_l2_distance(F.col("__qvec"), F.col("__cvec")))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(
+            F.col("__rdist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist", F.sqrt("__rdist"))
+            .select(query_id, "neighbor_id", "rank", "dist")
+        )

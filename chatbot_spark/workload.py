@@ -4494,3 +4494,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@query(
+    "ivfpq_knn",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 composed scale path: IVF-PQ (operators/ivfpq.py) — coarse cells
+    prune WHICH rows are scanned (nprobe/nlist), residual PQ codes shrink
+    WHAT each scanned row costs (m bytes vs 4·d), exact re-rank of the
+    shortlist restores recall. Seed-dependent like IVF/PQ, so the driver
+    oracle asserts the recall SLO (≥ 0.95 @ k=10 vs the in-plan exact
+    scan); the zero-residual-error pytest pins the ADC machinery."""
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = IVFPQIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ksub=32
+    )
+    approx = index.search(q, k=10, nprobe=7, rerank=100, corpus=emb)
+    exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
+    return _ann_recall_summary(approx, exact)

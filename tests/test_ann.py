@@ -162,3 +162,79 @@ def test_pq_write_load_roundtrip(spark, corpus, queries, tmp_path):
     a = sorted(map(tuple, index.search(queries, k=5).collect()))
     b = sorted(map(tuple, loaded.search(queries, k=5).collect()))
     assert a == b
+
+
+def test_ivfpq_zero_residual_error_matches_exact(spark):
+    """With nlist=1 (every residual is x − c0, the same shift) and every
+    subvector drawn from ≤ ksub distinct values, the residual codebooks
+    represent the corpus losslessly — full-probe ADC must then reproduce
+    the exact top-k sets and distances (float tolerance; fold orders
+    differ)."""
+    import numpy as np
+
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    rng = np.random.default_rng(7)
+    vocab = rng.normal(size=(4, 8, 4))
+    picks = rng.integers(0, 8, size=(300, 4))
+    X = np.concatenate([vocab[j, picks[:, j]] for j in range(4)], axis=1)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    index = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=1, m=4, ksub=8
+    )
+    got = index.search(queries, k=10, nprobe=1).collect()
+    exact = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in exact
+    }
+    ed = {(r.query_id, r.neighbor_id): r.dist for r in exact}
+    # 1e-6 not 1e-9: the residual recentering (q−c) − (x−c) cancels two
+    # O(‖x‖) terms, costing a few ulps more than PQ's direct form
+    assert all(abs(r.dist - ed[(r.query_id, r.neighbor_id)]) < 1e-6 for r in got)
+
+
+def test_ivfpq_recall_slo(corpus, queries, exact):
+    """Pruned probes + residual ADC + re-rank: SLO ≥ 0.95 @ k=10 on the
+    worst-case (uniform) corpus at nprobe=6/8."""
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    index = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ksub=32
+    )
+    approx = index.search(queries, k=10, nprobe=6, rerank=100, corpus=corpus)
+    assert recall_at_k(approx, exact) >= 0.95
+
+
+def test_ivfpq_write_load_roundtrip_and_pruning(spark, corpus, queries, tmp_path):
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    index = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=8, ksub=16
+    )
+    path = str(tmp_path / "ivfpq")
+    index.write(path)
+    loaded = IVFPQIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    a = sorted(map(tuple, index.search(queries, k=5, nprobe=3).collect()))
+    b_df = loaded.search(queries, k=5, nprobe=3)
+    assert a == sorted(map(tuple, b_df.collect()))
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivfpq_codes_are_m_bytes(corpus):
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+    from pyspark.sql import functions as F
+
+    index = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8, ksub=16
+    )
+    lens = index.encoded.select(F.length("pq_code").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [8]
