@@ -313,3 +313,60 @@ def test_stage_git_repo_shallow_clone(tmp_path):
     )
     dest = stage_git_repo(str(origin), str(tmp_path / "clone"))
     assert os.path.exists(os.path.join(dest, "doc.md"))
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering for selective fact-fact joins: Catalyst
+    injects a bloom_filter_agg on the filtered (orders) side and a
+    might_contain predicate on the probe (lineitem) scan, so at 100 TB the
+    shuffle moves only rows that can possibly match — the runtime analog
+    of static predicate pushdown. Local thresholds are lowered to trigger
+    the rule at test scale; production defaults (10 GB application side)
+    fire exactly in the case that matters."""
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join — with a broadcast join the bloom filter
+        # would be redundant (the whole build side ships anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        # and the result is unchanged by the runtime filter
+        n_bloom = j.collect()[0]["count"] if j.count() else 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    n_plain = plain.collect()[0]["count"] if plain.count() else 0
+    assert n_bloom == n_plain
