@@ -107,6 +107,9 @@ HEADLINE = [
     # file-replay harness, not the join plan
     "range_layout_pruning",
     "bm25_topk",
+    "ivfpq_knn",
+    "rollup_hierarchy",
+    "scd2_user_state",
 ]
 
 

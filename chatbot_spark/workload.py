@@ -4519,3 +4519,93 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = index.search(q, k=10, nprobe=7, rerank=100, corpus=emb)
     exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
     return _ann_recall_summary(approx, exact)
+
+
+# --------------------------------------------------------------------------
+# Rollup hierarchy reuse (the continuous-aggregate ladder): hour partials
+# are the ONLY thing computed from raw events; day and month levels
+# re-aggregate the level below. At 100 TB the raw table is touched once
+# per refresh window, and each coarser level costs rows(finer level).
+# --------------------------------------------------------------------------
+
+@query(
+    "rollup_hierarchy",
+    """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY day, event_type)
+SELECT CAST(month(day) AS BIGINT) AS month, event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM d GROUP BY month, event_type
+""",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate ladder: events → hour partials → day partials
+    → month summary, each level aggregating ONLY the level below (the raw
+    table is scanned exactly once). count/sum are mergeable, so the
+    ladder is exact — the oracle computes day→month directly from raw
+    events and must agree to the integer. The n_days audit column counts
+    day rows per (month, type), proving the intermediate level's
+    granularity survived the re-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    daily = hourly.groupBy(
+        F.to_date(F.date_trunc("day", "hour")).alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    return daily.groupBy(
+        F.month("day").cast("long").alias("month"), "event_type"
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_value_cents"),
+    )
+
+
+@query(
+    "scd2_user_state",
+    """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 50),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM e
+  WHERE prev IS NULL OR event_type <> prev),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+       CAST(coalesce(epoch_us(valid_to), -1) AS BIGINT) AS valid_to_us
+FROM iv
+""",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (operators/scd.py): each user's event
+    stream becomes attribute-validity intervals — consecutive duplicate
+    states collapse (a no-op update opens no version), the latest row
+    stays open. Both window passes share one (user, ts, id) partitioning
+    → a single exchange in the plan. µs-exact interval bounds; -1 marks
+    the open row (NULL would be dropped by the hash compare)."""
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    iv = scd2_intervals(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return iv.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).cast("long").alias("valid_to_us"),
+    )

@@ -217,3 +217,41 @@ def test_bm25_lucene_and_rational_agree_on_ranking(spark):
     setb = {(r["query_id"], r["neighbor_id"]) for r in b}
     overlap = len(seta & setb) / max(len(seta), 1)
     assert overlap >= 0.8
+
+
+def test_scd2_intervals_collapse_noop_updates(spark):
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    feed = spark.createDataFrame(
+        [
+            (1, "a", 100, 1),
+            (1, "a", 200, 2),   # no-op: same attr — must NOT open a version
+            (1, "b", 300, 3),
+            (1, "a", 400, 4),   # back to a — a NEW version (not merged with the first)
+            (2, "x", 150, 5),
+        ],
+        "user_id LONG, event_type STRING, ts LONG, event_id LONG",
+    )
+    rows = sorted(
+        scd2_intervals(feed, ts_col="ts", tiebreak_col="event_id").collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    got = [(r["user_id"], r["event_type"], r["valid_from"], r["valid_to"]) for r in rows]
+    assert got == [
+        (1, "a", 100, 300),
+        (1, "b", 300, 400),
+        (1, "a", 400, None),
+        (2, "x", 150, None),
+    ]
+
+
+def test_scd2_single_exchange_plan(spark):
+    """Both window passes share one (key, order) partitioning — the plan
+    must contain exactly one Exchange."""
+    from chatbot_spark.operators.scd import scd2_intervals
+    from chatbot_spark.io.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    iv = scd2_intervals(ev, ts_col="ts", tiebreak_col="event_id")
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
