@@ -107,9 +107,11 @@ HEADLINE = [
     # file-replay harness, not the join plan
     "range_layout_pruning",
     "bm25_topk",
-    "ivfpq_knn",
+    # ivfpq_knn: like ivf_knn, the correctness query bundles build + an
+    # exact-scan recall check — measured by ivfpq_build/ivfpq_search below
     "rollup_hierarchy",
     "scd2_user_state",
+    "source_mixture",
 ]
 
 

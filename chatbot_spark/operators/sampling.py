@@ -64,3 +64,42 @@ def hash_stratified_sample(
         .filter(_hash_point(F.col(key)) < F.col("__keep_below"))
         .drop("__keep_below")
     )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key: str,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Data-mixing resample — the pretraining mixture-weights op: stratum
+    s contributes each of its rows ``weights[s]`` times IN EXPECTATION,
+    deterministically. A weight of 2.3 emits 2 full copies of every row
+    plus a third copy of the content-hash-chosen 30 % subset; 0.4 keeps
+    the hash-chosen 40 %. Strata absent from ``weights`` are dropped.
+
+    Same content-hash discipline as the samplers above (bit-reproducible
+    across runs/engines/layouts — epoch-stable mixtures are what make
+    training runs comparable); upsampled copies are distinguished by
+    ``copy_col`` (0-based) so downstream shuffles/dedup don't collapse
+    them. One broadcast join + array_repeat/posexplode — a single scan,
+    output size Σ_s rows(s)·w(s), no RNG, no driver loop."""
+    spark = df.sparkSession
+    rows = []
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {s!r}: {w}")
+        base = int(w)
+        rows.append((s, base, int(round((w - base) * _DENOM))))
+    table = spark.createDataFrame(
+        rows, f"{strata_col} STRING, __base INT, __extra_below INT"
+    )
+    n_copies = F.col("__base") + (
+        _hash_point(F.col(key)) < F.col("__extra_below")
+    ).cast("int")
+    return (
+        df.join(F.broadcast(table), strata_col)
+        .select("*", F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(copy_col, "__one"))
+        .drop("__base", "__extra_below", "__one")
+    )

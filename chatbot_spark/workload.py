@@ -4609,3 +4609,54 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_from").alias("valid_from_us"),
         F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).cast("long").alias("valid_to_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture-weighted resampling (the pretraining data-mixing op): per-source
+# target weights, deterministic content-hash acceptance, >1x weights emit
+# integer replicas + a hash-chosen fractional subset — epoch-stable.
+# --------------------------------------------------------------------------
+
+@query(
+    "source_mixture",
+    f"""
+WITH w(source, base, extra_below) AS (
+  VALUES ('src0', 2, 5000), ('src1', 0, 2500), ('src2', 1, 0), ('src3', 0, 7500)),
+j AS (
+  SELECT d.source, d.doc_id, w.base, w.extra_below,
+         CAST({_DUCK_HEXWORD.format(t="CAST(doc_id AS VARCHAR)", off=1)} AS BIGINT) % 10000 AS h
+  FROM documents d JOIN w ON w.source = d.source),
+rep AS (
+  SELECT source, doc_id,
+         unnest(range(0, base + CASE WHEN h < extra_below THEN 1 ELSE 0 END)) AS copy_idx
+  FROM j)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(copy_idx) AS BIGINT) AS max_copy,
+       CAST(sum(doc_id * (copy_idx + 1)) AS BIGINT) AS membership_checksum
+FROM rep GROUP BY source
+""",
+)
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights {src0: 2.5, src1: 0.25, src2: 1.0, src3: 0.75}:
+    src0 rows appear 2 or 3 times (hash-chosen half gets the 3rd copy),
+    src1 keeps a quarter, src2 passes through exactly once, src3 keeps
+    three quarters; every other source drops. The checksum is over
+    (doc_id, copy_idx) pairs, so the oracle verifies the exact multiset
+    — which docs, with how many copies — not just counts."""
+    from chatbot_spark.operators.sampling import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mixture(
+        docs.select("doc_id", "source"),
+        strata_col="source",
+        weights={"src0": 2.5, "src1": 0.25, "src2": 1.0, "src3": 0.75},
+        key="doc_id",
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy_idx").cast("long").alias("max_copy"),
+        F.sum(F.col("doc_id") * (F.col("copy_idx") + 1)).cast("long").alias("membership_checksum"),
+    )

@@ -48,3 +48,43 @@ def test_compact_parquet_lossless_and_bounded(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{dst}/*.parquet")) == 2
     orig = {(r.doc_id, r.text) for r in docs.collect()}
     assert {(r.doc_id, r.text) for r in back.collect()} == orig
+
+
+def test_weighted_mixture_expected_multiplicities(spark):
+    from chatbot_spark.operators.sampling import weighted_mixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(200)],
+        "doc_id LONG, source STRING",
+    )
+    mixed = weighted_mixture(
+        df, strata_col="source", weights={"a": 2.5, "b": 0.5}, key="doc_id"
+    )
+    per = {
+        r["source"]: r
+        for r in mixed.groupBy("source")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    # a: every doc 2 or 3 copies → 200 ≤ n ≤ 300, all 100 docs present
+    assert per["a"]["d"] == 100 and 200 <= per["a"]["n"] <= 300
+    # b: hash-chosen subset, one copy each
+    assert per["b"]["n"] == per["b"]["d"] <= 100
+    # determinism: re-running yields the identical multiset
+    again = weighted_mixture(
+        df, strata_col="source", weights={"a": 2.5, "b": 0.5}, key="doc_id"
+    )
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_mixture_copy_indices_are_dense(spark):
+    from chatbot_spark.operators.sampling import weighted_mixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, "a") for i in range(50)], "doc_id LONG, source STRING")
+    mixed = weighted_mixture(df, "source", {"a": 3.0}, key="doc_id")
+    rows = mixed.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
+    ).collect()
+    assert all(r["n"] == 3 and r["mn"] == 0 and r["mx"] == 2 for r in rows)
