@@ -144,3 +144,40 @@ def test_minhash_contains_exact_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     for i in range(10):
         assert (i, 100 + i) in got
+
+
+def test_scd2_matches_python_reference_model(spark):
+    """Randomized (seeded) change feeds: the Spark SCD2 intervals must
+    equal a brute-force per-key Python fold — collapse consecutive
+    duplicates, close each interval at the next change."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        t = 0
+        for _ in range(rng.randint(0, 30)):
+            t += rng.randint(1, 5)
+            rows.append((uid, rng.choice("abc"), t, eid))
+            eid += 1
+    if not rows:
+        return
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    feed = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts LONG, event_id LONG")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(feed, ts_col="ts", tiebreak_col="event_id").collect()
+    )
+    # reference model: per key, in (ts, event_id) order
+    want = []
+    by_key: dict[int, list] = {}
+    for uid, attr, t, e in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_key.setdefault(uid, []).append((attr, t))
+    for uid, seq in by_key.items():
+        changes = [seq[0]] + [p for prev, p in zip(seq, seq[1:]) if p[0] != prev[0]]
+        for i, (attr, t) in enumerate(changes):
+            vt = changes[i + 1][1] if i + 1 < len(changes) else None
+            want.append((uid, attr, t, vt))
+    assert got == sorted(want)
