@@ -112,6 +112,7 @@ HEADLINE = [
     "rollup_hierarchy",
     "scd2_user_state",
     "source_mixture",
+    "asof_forward_next_purchase",
 ]
 
 

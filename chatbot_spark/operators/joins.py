@@ -34,15 +34,22 @@ def asof_join(
     right_cols: list[str] | None = None,
     strict: bool = False,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the right row with the
-    greatest ``right_ts`` ≤ ``left_ts`` (< when ``strict``) for the same
-    ``on`` key; right columns are NULL when no prior right row exists.
+    """As-of join: each left row gets the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the default) or
+    the smallest ``right_ts`` ≥ ``left_ts`` (``direction="forward"``) for
+    the same ``on`` key — < / > when ``strict``; right columns are NULL
+    when no such right row exists.
 
-    Matches DuckDB/pandas ``merge_asof`` backward semantics, which is the
-    oracle contract. ``tolerance_seconds`` voids matches older than the
-    window (pandas ``tolerance=``).
+    Matches DuckDB/pandas ``merge_asof`` semantics, which is the oracle
+    contract. ``tolerance_seconds`` voids matches further than the window
+    (pandas ``tolerance=``). Both directions are the SAME one-shuffle
+    union+window plan — forward just traverses each key's timeline in
+    descending order, so "last right row seen" becomes "next right row".
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     r = right.select(
@@ -63,11 +70,12 @@ def asof_join(
     r = r.withColumn("__lrow", F.lit(None).cast(l.schema["__lrow"].dataType))
 
     # At equal ts the right row must sort BEFORE the left row so it is
-    # visible to the frame (inclusive ≤); strict mode flips that order.
+    # visible to the frame (inclusive ≤ / ≥); strict mode flips that order.
     side_order = F.col("__is_right").asc() if strict else F.col("__is_right").desc()
+    ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
@@ -80,13 +88,12 @@ def asof_join(
 
     if tolerance_seconds is not None:
         # void matches outside the tolerance window (keep the left row)
-        stale = (
-            F.col("__rt").isNotNull()
-            & (
-                F.col("__t").cast("double") - F.col("__rt").cast("double")
-                > F.lit(float(tolerance_seconds))
-            )
+        gap = (
+            F.col("__t").cast("double") - F.col("__rt").cast("double")
+            if direction == "backward"
+            else F.col("__rt").cast("double") - F.col("__t").cast("double")
         )
+        stale = F.col("__rt").isNotNull() & (gap > F.lit(float(tolerance_seconds)))
         out = out.select(
             "__k", "__t", "__is_right", "__lrow",
             F.when(stale, F.lit(None)).otherwise(F.col("__rt")).alias("__rt"),

@@ -4660,3 +4660,39 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("copy_idx").cast("long").alias("max_copy"),
         F.sum(F.col("doc_id") * (F.col("copy_idx") + 1)).cast("long").alias("membership_checksum"),
     )
+
+
+@query(
+    "asof_forward_next_purchase",
+    """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(coalesce(epoch_us(min(p.ts)), -1) AS BIGINT) AS next_purchase_us
+FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY c.event_id, c.user_id
+""",
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py direction="forward"): each
+    click matched to the user's NEXT purchase at-or-after it — the
+    time-to-conversion primitive. Same one-shuffle union+window plan as
+    the backward form, traversing each user's timeline descending. The
+    oracle is the min-over-qualifying-rows SQL, which is the forward
+    as-of definition spelled relationally; -1 marks never-converted."""
+    from chatbot_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    res = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        right_cols=[], direction="forward",
+    )
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.unix_micros("asof_pts"), F.lit(-1)).cast("long").alias("next_purchase_us"),
+    )

@@ -255,3 +255,45 @@ def test_scd2_single_exchange_plan(spark):
     iv = scd2_intervals(ev, ts_col="ts", tiebreak_col="event_id")
     plan = iv._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_asof_forward_inclusive(spark, trades_quotes):
+    from chatbot_spark.operators.joins import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts", direction="forward"
+    )
+    got = _rows(out.select("trade", "asof_qts", "px"))
+    assert got == {
+        ("t1", 100, 11.0),  # equal ts matches (inclusive)
+        ("t2", None, None),  # no quote at/after 200
+        ("t3", 60, 20.0),   # next quote after the trade
+        ("t4", None, None),
+    }
+
+
+def test_asof_forward_matches_pandas(spark):
+    import pandas as pd
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    got = (
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="pts",
+                  right_cols=["purchase_id"], direction="forward")
+        .select("event_id", "purchase_id").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("pts")
+    want = (
+        pd.merge_asof(lp, rp, left_on="ts", right_on="pts", by="user_id",
+                      direction="forward")
+        [["event_id", "purchase_id"]].sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
