@@ -113,6 +113,7 @@ HEADLINE = [
     "scd2_user_state",
     "source_mixture",
     "asof_forward_next_purchase",
+    "rrf_hybrid",
 ]
 
 

@@ -4696,3 +4696,133 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.coalesce(F.unix_micros("asof_pts"), F.lit(-1)).cast("long").alias("next_purchase_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion — the standard production
+# combiner for dense + lexical retrievers (score = Σ 1/(60 + rank_i);
+# rank-based, so no score normalization across retrievers is needed).
+# The oracle recomputes BOTH retrievers from scratch: the dense side's
+# hash embeddings byte-for-byte (the rag_pipeline_e2e machinery) and the
+# BM25 side's rational-idf scores, then replays the fusion arithmetic.
+# --------------------------------------------------------------------------
+
+@query(
+    "rrf_hybrid",
+    f"""
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+inp AS (
+  SELECT 'c' AS role, doc_id, text AS txt FROM c
+  UNION ALL
+  SELECT 'q' AS role, doc_id, text AS txt FROM c WHERE doc_id < 3),
+bytes AS (
+  SELECT role, doc_id,
+         list_transform(generate_series(0, 63), b -> {_DUCK_HASHBYTE.format(t='txt')}) AS bs
+  FROM inp),
+raws AS (
+  SELECT role, doc_id,
+         list_transform(generate_series(0, {_E2E_DIM - 1}),
+           k -> (bs[4*k+1] + bs[4*k+2]*256 + bs[4*k+3]*65536 + bs[4*k+4]*16777216)
+                / 2147483648.0 - 1.0) AS r
+  FROM bytes),
+emb AS (
+  SELECT role, doc_id,
+         list_transform(r, x -> CAST(CAST(x / sqrt({_DUCK_NP16_SUMSQ}) AS FLOAT) AS DOUBLE)) AS e
+  FROM raws),
+dpairs AS (
+  SELECT q.doc_id AS query_id, cc.doc_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.e', b='cc.e')} AS dist
+  FROM (SELECT * FROM emb WHERE role = 'q') q,
+       (SELECT * FROM emb WHERE role = 'c') cc),
+dense AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM dpairs QUALIFY rank <= 20),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM c),
+post AS (
+  SELECT doc_id AS id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM c) s
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY id),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS token
+  FROM c WHERE doc_id < 3),
+contrib AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token,
+         (((SELECT n_docs FROM n) - d.df + 0.5) / (d.df + 0.5))
+         * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM ad)))) AS w
+  FROM qterms q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token
+  JOIN dl l ON l.id = p.id),
+bscored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY query_id, neighbor_id),
+lex AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM bscored QUALIFY rank <= 20),
+fused AS (
+  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / (60 + d.rank), 0.0) + coalesce(1.0 / (60 + l.rank), 0.0) AS score
+  FROM dense d FULL JOIN lex l
+    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id),
+franked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM fused)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, round(score, 6) AS score
+FROM franked WHERE rank <= 10
+""",
+)
+def rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, fused by RRF (k=60): dense top-20 (deterministic
+    hash embeddings, exact L2) ∪ BM25 top-20 (rational idf), score =
+    1/(60+rank_dense) + 1/(60+rank_bm25) with absent ranks contributing
+    0 — a FULL OUTER join of two rank lists, never a score-scale
+    normalization (the reason RRF is the production default). Plan: both
+    retrievers share the docs scan; the fusion join is (queries × ≤40)
+    rows — trivially broadcast; the final top-10 is one window."""
+    from chatbot_spark.operators.embed import embed_documents, embed_queries
+    from chatbot_spark.operators.lexical import bm25_topk as _bm25
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    corpus = embed_documents(docs.select("doc_id", "text"), text_col="text",
+                             backend="hash", dim=_E2E_DIM)
+    queries_df = embed_queries(
+        docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+        ),
+        backend="hash", dim=_E2E_DIM,
+    )
+    dense = knn_join(
+        queries_df, corpus, k=20, metric="l2", corpus_id="doc_id", corpus_vec="embedding"
+    ).select("query_id", "neighbor_id", F.col("rank").alias("__rd"))
+    lex = _bm25(
+        queries_df.select("query_id", "query_text"), docs, k=20, idf_mode="rational"
+    ).select("query_id", "neighbor_id", F.col("rank").alias("__rl"))
+    fused = dense.join(lex, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("__rd")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("__rl")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
