@@ -370,3 +370,27 @@ def test_runtime_bloom_filter_join_pruning(spark):
     )
     n_plain = plain.collect()[0]["count"] if plain.count() else 0
     assert n_bloom == n_plain
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB scan-reduction feature for star joins: a fact table
+    partitioned on the join key, joined to a FILTERED dim, gets a
+    dynamicpruningexpression PartitionFilter — the fact scan reads only
+    partitions the dim's surviving keys name, discovered at runtime from
+    the broadcast. Static pushdown can't do this (the key set isn't known
+    until the dim filter runs)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 2.0)],
+        "event_type STRING, wt DOUBLE",
+    ).filter(F.col("wt") > 1.5)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    # and the join result is correct: only 'purchase' rows survive
+    rows = {r["event_type"]: r["count"] for r in j.collect()}
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert rows == {"purchase": n_purchase}
