@@ -114,6 +114,7 @@ HEADLINE = [
     "source_mixture",
     "asof_forward_next_purchase",
     "rrf_hybrid",
+    "user_segments_setops",
 ]
 
 

@@ -4826,3 +4826,42 @@ def rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit set operations through the SQL surface (§2.G): INTERSECT /
+# EXCEPT compile to aggregate-backed semi/anti joins in Catalyst — the
+# same plan the hand-written forms above produce, here exercised as the
+# literal operators.
+# --------------------------------------------------------------------------
+
+@query(
+    "user_segments_setops",
+    """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_u AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(coalesce(sum(user_id), 0) AS BIGINT) AS id_checksum FROM both_u
+UNION ALL
+SELECT 'click_only', CAST(count(*) AS BIGINT), CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM click_only
+""",
+)
+def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G literal INTERSECT / EXCEPT via the engine's SQL surface:
+    clickers ∩ purchasers and clickers ∖ purchasers. Catalyst rewrites
+    both to (distinct) semi/anti joins — one shuffle each on user_id;
+    the id checksum proves the exact membership, not just the counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_setops_v")
+    return spark.sql("""
+        WITH c AS (SELECT DISTINCT user_id FROM events_setops_v WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events_setops_v WHERE event_type = 'purchase'),
+        both_u AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+        click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) AS id_checksum FROM both_u
+        UNION ALL
+        SELECT 'click_only', CAST(count(*) AS BIGINT), CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM click_only
+    """)
