@@ -130,6 +130,14 @@ COMMENT = {
         "projection; no new shuffle keys beyond (doc), (token), "
         "(query, doc)."
     ),
+    "rrf_hybrid": (
+        "Hybrid fusion: both retrievers share the documents scan; the "
+        "dense leg crosses Python once (ArrowEvalPython hash embed) then "
+        "broadcasts the 3-query side; the BM25 leg is pure posting-list "
+        "algebra; the FULL OUTER fusion join touches (queries x <=40) "
+        "rows and the final top-10 is one window. No score normalization "
+        "stage exists anywhere - RRF fuses ranks, which is the point."
+    ),
     "dataprep_pipeline": (
         "The composed quality→dedup→near-dup→split→audit DAG: the "
         "persisted dedup output feeds the posting self-join's both sides "
