@@ -394,3 +394,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     rows = {r["event_type"]: r["count"] for r in j.collect()}
     n_purchase = ev.filter(F.col("event_type") == "purchase").count()
     assert rows == {"purchase": n_purchase}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a hot key (80% of rows) lands in one shuffle
+    partition; at runtime AQE splits it into advisory-sized slices and
+    duplicates the matching build-side partition — the engine-level
+    complement to operators/skew.py's app-level salting. Verified on the
+    FINAL adaptive plan: SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed. Local sizes are lowered to trip the detector at test scale;
+    at 100 TB the defaults (256 MB) fire exactly when it matters."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(2_000_000).select(
+            (F.when(F.col("id") < 1_600_000, 0).otherwise((F.col("id") % 99) + 1)).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right.hint("merge"), "k").select("k", "pad", "w")
+        n = len(j.collect())  # finalizes THIS DataFrame's adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+        assert n == 2_000_000  # the split join loses/duplicates nothing
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
