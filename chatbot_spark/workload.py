@@ -3876,7 +3876,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_distinct_hll",
     """
-SELECT CAST(30 AS BIGINT) AS n_days,
+SELECT (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events) AS n_days,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        1 AS merged_within_5pct, 1 AS global_within_5pct
 FROM events
