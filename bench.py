@@ -115,6 +115,7 @@ HEADLINE = [
     "asof_forward_next_purchase",
     "rrf_hybrid",
     "user_segments_setops",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -4865,3 +4865,52 @@ def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'click_only', CAST(count(*) AS BIGINT), CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM click_only
     """)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching (§2.H extension — the entity-resolution primitive
+# of data cleaning): edit-distance self-join under a length-difference
+# prefilter. At 100 TB the prefilter is the point: levenshtein(a, b) ≥
+# abs(len(a) − len(b)), so bucketing by length bands prunes the
+# quadratic candidate space before any distance is computed.
+# --------------------------------------------------------------------------
+
+@query(
+    "fuzzy_name_pairs",
+    """
+WITH s AS (SELECT s_suppkey, s_name, length(s_name) AS ln FROM supplier),
+cand AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+         levenshtein(a.s_name, b.s_name) AS dist
+  FROM s a JOIN s b
+    ON a.s_suppkey < b.s_suppkey AND abs(a.ln - b.ln) <= 2)
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM cand WHERE dist <= 2
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: supplier names within edit
+    distance 2, the length-difference bound applied BEFORE levenshtein
+    (|len(a)−len(b)| ≤ d is implied by dist ≤ d — a free triangle-
+    inequality prefilter that turns all-pairs into near-band-pairs).
+    levenshtein is a JVM builtin in both engines — exact integer
+    parity."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.length("s_name").alias("ln")
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("na"), F.col("ln").alias("la")
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("nb"), F.col("ln").alias("lb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
