@@ -4853,11 +4853,16 @@ def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers ∩ purchasers and clickers ∖ purchasers. Catalyst rewrites
     both to (distinct) semi/anti joins — one shuffle each on user_id;
     the id checksum proves the exact membership, not just the counts."""
+    import uuid
+
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_setops_v")
-    return spark.sql("""
-        WITH c AS (SELECT DISTINCT user_id FROM events_setops_v WHERE event_type = 'click'),
-        p AS (SELECT DISTINCT user_id FROM events_setops_v WHERE event_type = 'purchase'),
+    # unique view name: a fixed one would collide across concurrent
+    # queries sharing this session
+    view = f"events_setops_{uuid.uuid4().hex[:10]}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH c AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'purchase'),
         both_u AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
         click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
         SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,

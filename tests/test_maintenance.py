@@ -88,3 +88,29 @@ def test_weighted_mixture_copy_indices_are_dense(spark):
         F.count("*").alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
     ).collect()
     assert all(r["n"] == 3 and r["mn"] == 0 and r["mx"] == 2 for r in rows)
+
+
+def test_weighted_mixture_unknown_strata_dropped_and_zero_weight(spark):
+    from chatbot_spark.operators.sampling import weighted_mixture
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "zero"), (3, "absent")], "doc_id LONG, source STRING"
+    )
+    out = weighted_mixture(df, "source", {"keep": 1.0, "zero": 0.0}, key="doc_id")
+    rows = [(r["doc_id"], r["source"]) for r in out.collect()]
+    assert rows == [(1, "keep")]
+
+
+def test_scd2_empty_feed(spark):
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    feed = spark.createDataFrame([], "user_id LONG, event_type STRING, ts LONG, event_id LONG")
+    assert scd2_intervals(feed, ts_col="ts", tiebreak_col="event_id").count() == 0
+
+
+def test_bm25_query_with_no_matching_terms_returns_nothing(spark):
+    from chatbot_spark.operators.lexical import bm25_topk
+
+    corpus = spark.createDataFrame([(0, "alpha beta"), (1, "gamma")], "doc_id LONG, text STRING")
+    q = spark.createDataFrame([(9, "zzz qqq")], "query_id LONG, query_text STRING")
+    assert bm25_topk(q, corpus, k=5).count() == 0
