@@ -134,7 +134,7 @@ class IVFPQIndex:
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)],
             "centroid_id INT, centroid ARRAY<DOUBLE>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         mm, ksub, _ = self.books.shape
         spark.createDataFrame(
             [
@@ -143,7 +143,7 @@ class IVFPQIndex:
                 for c in range(ksub)
             ],
             "subspace INT, code INT, center ARRAY<DOUBLE>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+        ).write.mode("overwrite").parquet(f"{path}/books")
 
     @classmethod
     def load(

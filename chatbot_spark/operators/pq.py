@@ -130,8 +130,11 @@ class PQIndex:
         return cls(books, encoded, vec_col, id_col)
 
     def write(self, path: str) -> None:
-        """Persist code table + codebooks (codebooks as one tiny parquet
-        of (subspace, code, center) rows — engine-portable, no pickle)."""
+        """Persist code table + codebooks (codebooks as a tiny parquet
+        of (subspace, code, center) rows — engine-portable, no pickle).
+        No coalesce(1) on the metadata: collapsing a parallelized python
+        lineage into one task costs ~7 s of serial deserialization for a
+        512-row table; a handful of small files is free by comparison."""
         self.encoded.write.mode("overwrite").parquet(f"{path}/codes")
         m, ksub, dsub = self.books.shape
         rows = [
@@ -141,7 +144,7 @@ class PQIndex:
         ]
         self.encoded.sparkSession.createDataFrame(
             rows, "subspace INT, code INT, center ARRAY<DOUBLE>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+        ).write.mode("overwrite").parquet(f"{path}/books")
 
     @classmethod
     def load(cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id") -> "PQIndex":
