@@ -175,7 +175,13 @@ class IVFPQIndex:
     ) -> DataFrame:
         """ADC top-k over nprobe cells. LUTs are per (query, probed cell)
         — built from the query's residual against that cell, so the ADC
-        distance is exactly ||q − x||² up to quantization of x alone."""
+        distance is exactly ||q − x||² up to quantization of x alone.
+
+        Sizing contract (same driver-side query collect as PQIndex.search):
+        the LUT tensor is Q·nprobe·m·ksub doubles shipped in the kernel
+        closure — ~33 MB at Q=1000, nprobe=8, m=16, ksub=32. Batch larger
+        query sets into chunks of a few thousand; the corpus side never
+        moves regardless."""
         import numpy as np
 
         qrows = queries.select(query_id, query_vec).collect()
