@@ -116,6 +116,10 @@ HEADLINE = [
     "rrf_hybrid",
     "user_segments_setops",
     "fuzzy_name_pairs",
+    "decontaminate",
+    "repetition_stats",
+    "pii_redact",
+    "cms_heavy_hitters",
 ]
 
 

@@ -88,3 +88,34 @@ def snippet_join(df: DataFrame, content_col: str, order_col: str, group_cols: li
             ),
         ).alias("document_snippets")
     )
+
+
+# PII redaction (beyond-reference §2.J scope): the scrub every shareable
+# training corpus runs before release. Patterns are deliberately restricted
+# to syntax with IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB/
+# Go scrubbers): character classes, bounded repetition, \b anchors — no
+# lookarounds, no backrefs — so one rule table serves engine and oracle.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3,4}-\d{4}\b", "<PHONE>"),
+]
+
+
+def count_pii(col: Column, pattern: str) -> Column:
+    """Occurrences of one PII pattern (JVM regexp_count — codegen'd)."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def redact_pii(col: Column, rules: list[tuple[str, str]] | None = None) -> Column:
+    """Replace every PII match with its placeholder, rules applied in
+    order. Pure regexp_replace chain: a narrow map with zero shuffle —
+    the 100 TB scrub is exactly one scan. Rule ORDER matters (email
+    before IP: an address like u.1.2.3.4@x.yz must redact as one email,
+    not leave an <IP> island), mirroring the first-match discipline of
+    `rewrite_doc_url`.
+    """
+    out = col
+    for pat, repl in rules or PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chatbot_spark.functions.vector import cosine_similarity, l2_norm
-from chatbot_spark.io.tables import load_table
+from chatbot_spark.io.tables import load_table, spread
 from chatbot_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
 from chatbot_spark.operators.similarity import cosine_topk_join, embedding_neardup_pairs
 from chatbot_spark.operators.textstats import with_text_stats
@@ -280,7 +280,7 @@ FROM s
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: token counting, punctuation/stopword ratios, n-gram-heuristic
     language ID, md5 fingerprint — all JVM-side expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     res = with_text_stats(docs, "text")
     return res.select(
         "doc_id",
@@ -4918,4 +4918,214 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("na", "nb"))
         .filter(F.col("dist") <= 2)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (§2.J beyond-reference — the GPT-3/PaLM
+# "13-gram overlap" rule, parameterized at n=8 for the synthetic corpus)
+# --------------------------------------------------------------------------
+
+@query(
+    "decontaminate",
+    f"""
+WITH bench AS (
+  SELECT substr(text, 50, 200) AS btext FROM documents WHERE doc_id % 10 = 0),
+bt AS (SELECT {_DUCK_TOKENS.format(c='btext')} AS toks FROM bench),
+bg AS (SELECT DISTINCT unnest({_duck_ngrams('toks', 8)}) AS gram FROM bt),
+ct AS (SELECT doc_id, {_DUCK_TOKENS.format(c='text')} AS toks FROM documents),
+cg AS (SELECT doc_id, unnest({_duck_ngrams('toks', 8)}) AS gram FROM ct)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM cg JOIN bg USING (gram)
+GROUP BY doc_id
+""",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word 8-gram
+    with a "leaked benchmark" (here: substrings of every 10th doc, so the
+    leak is guaranteed and the flag set is non-trivial). Benchmark n-grams
+    are broadcast — the 100 TB corpus side never shuffles until the tiny
+    hit aggregation."""
+    from chatbot_spark.operators.decontam import ngram_overlap_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.substring("text", 50, 200).alias("text")
+    )
+    # the corpus-side n-gram explode is the CPU; spread it across cores
+    flags = ngram_overlap_flags(spread(docs), bench, text_col="text", id_col="doc_id", n=8)
+    return flags.select("doc_id", F.col("n_hit_grams").cast("long").alias("n_hit_grams"))
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signals (§2.J J4 extension — Gopher/C4 filters)
+# --------------------------------------------------------------------------
+
+_DUCK_REP_TOKS = _DUCK_TOKENS.format(c="text")
+
+@query(
+    "repetition_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_REP_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i+1])) AS grams
+  FROM t)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS distinct_token_ratio,
+       CAST(list_max(list_transform(list_distinct(toks),
+                                    s -> len(list_filter(toks, x -> x = s)))) AS BIGINT)
+         AS top_token_count,
+       round(CAST(list_max(list_transform(list_distinct(toks),
+                                          s -> len(list_filter(toks, x -> x = s)))) AS DOUBLE)
+             / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS top_token_frac,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(greatest(len(grams), 1) AS DOUBLE), 6) AS dup_ngram_frac
+FROM g
+""",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per doc (duplicate-phrase and dominant-token
+    ratios) — one narrow JVM-side map, no shuffle, no UDF."""
+    from chatbot_spark.operators.textstats import with_repetition_stats
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = with_repetition_stats(docs, text_col="text", ngram_n=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+        "top_token_count",
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (§2.J beyond-reference — the pre-release corpus scrub)
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}-\\d{3,4}-\\d{4}\\b"
+
+@query(
+    "pii_redact",
+    f"""
+WITH synth AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+                '.3.7 call 555-010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM synth
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc match counts + md5 of the redacted text. The PII
+    is synthesized deterministically from doc_id (the corpus is word soup),
+    so both engines construct — and must redact — the identical input.
+    Rule order (email before IP) is part of the contract; patterns are
+    restricted to Java-regex/RE2-common syntax (functions/text.py:PII_RULES).
+    Pure regexp chain: the 100 TB scrub is one scan, zero shuffle."""
+    from chatbot_spark.functions.text import count_pii, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.7 call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("s"),
+    )
+    return synth.select(
+        "doc_id",
+        count_pii(F.col("s"), _PII_EMAIL).cast("long").alias("n_emails"),
+        count_pii(F.col("s"), _PII_IP).cast("long").alias("n_ips"),
+        count_pii(F.col("s"), _PII_PHONE).cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("s"))).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count–min sketch heavy hitters (§2.J beyond-reference — mergeable
+# counter state; the CMS counterpart of incremental_distinct_hll)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+# one cell coordinate: CAST(hexword(md5('j:key')) AS BIGINT) % width
+_DUCK_CMS_BUCKET = (
+    "CAST(CAST("
+    + _DUCK_HEXWORD.format(t="concat(CAST({j} AS VARCHAR), ':', CAST({k} AS VARCHAR))", off=1)
+    + " AS BIGINT) % {w} AS INT)"
+)
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+WITH j AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS row_idx),
+cells AS (
+  SELECT row_idx,
+         {_DUCK_CMS_BUCKET.format(j='row_idx', k='user_id', w=_CMS_WIDTH)} AS bucket,
+         count(*) AS cnt
+  FROM events CROSS JOIN j
+  GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+coords AS (
+  SELECT user_id, row_idx,
+         {_DUCK_CMS_BUCKET.format(j='row_idx', k='user_id', w=_CMS_WIDTH)} AS bucket
+  FROM exact CROSS JOIN j),
+est AS (
+  SELECT c.user_id, min(cells.cnt) AS est
+  FROM coords c JOIN cells USING (row_idx, bucket)
+  GROUP BY 1)
+SELECT e.user_id, CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.est AS BIGINT) AS est,
+       CAST(e.est - x.exact_cnt AS BIGINT) AS overcount
+FROM est e JOIN exact x USING (user_id)
+ORDER BY exact_cnt DESC, user_id ASC
+LIMIT 20
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy hitters with CMS estimates beside exact counts. The
+    md5-derived hash family makes every counter bit-reproducible by the
+    oracle, so the CMS contract (est ≥ exact, bounded overcount) is
+    verified per row rather than asserted. The sketch itself is ≤
+    depth·width rows — the mergeable, broadcastable state a 100 TB
+    heavy-hitter pass ships between stages instead of per-key counts."""
+    from chatbot_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id",
+                       depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
     )

@@ -144,3 +144,97 @@ def test_colbert_maxsim_identity_ranks_self_first(spark):
     }
     assert rows[0] == pytest.approx(1.0)
     assert rows[1] < rows[0]
+
+
+# ---------------------------------------------------------------- round-2 tail
+
+
+def test_repetition_stats_hand_computed(spark):
+    from chatbot_spark.operators.textstats import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x y x y x y")],
+        "doc_id INT, text STRING",
+    )
+    rows = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 1 distinct, top count 4, 2-grams ['a a']*3 all dup
+    assert rows[1].n_tokens == 4
+    assert rows[1].top_token_count == 4
+    assert rows[1].distinct_token_ratio == 0.25
+    assert abs(rows[1].dup_ngram_frac - (1 - 1 / 3)) < 1e-12
+    # doc 2: all distinct
+    assert rows[2].distinct_token_ratio == 1.0
+    assert rows[2].top_token_count == 1
+    assert rows[2].dup_ngram_frac == 0.0
+    # doc 3: 'x y' x3 + 'y x' x2 → 2 distinct of 5 grams
+    assert rows[3].top_token_count == 3
+    assert abs(rows[3].dup_ngram_frac - (1 - 2 / 5)) < 1e-12
+
+
+def test_decontaminate_flags_and_filters(spark):
+    from chatbot_spark.operators.decontam import decontaminate, ngram_overlap_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+            (3, "unrelated words entirely separate content here now"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [("beta gamma delta epsilon",), ("nothing matching at all",)], "text STRING"
+    )
+    flags = ngram_overlap_flags(corpus, bench, n=4).collect()
+    assert [(r.doc_id, r.n_hit_grams) for r in flags] == [(1, 1)]
+    clean = decontaminate(corpus, bench, n=4)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 3]
+
+
+def test_redact_pii_rules_and_order(spark):
+    from chatbot_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@ex.org then ip 192.168.0.1 then 555-010-1234 done"),
+            # an @ address containing a dotted quad must redact as ONE email
+            (2, "edge u.1.2.3.4@x.yz stays whole"),
+            (3, "no pii here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r.red for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> then ip <IP> then <PHONE> done"
+    assert out[2] == "edge <EMAIL> stays whole"
+    assert out[3] == "no pii here"
+
+
+def test_cms_estimate_bounds_and_merge(spark):
+    from chatbot_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(300)] + [(99,)] * 50, "k INT"
+    )
+    depth, width = 4, 32
+    sketch = cms_build(df, "k", depth=depth, width=width)
+    # sketch is bounded and every row sums to the input size
+    per_row = sketch.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+    assert len(per_row) == depth and all(r.s == 350 for r in per_row)
+    probes = df.select("k").distinct()
+    est = {r.k: r.est for r in cms_estimate(sketch, probes, "k", depth=depth, width=width).collect()}
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    for k, e in exact.items():
+        assert est[k] >= e  # CMS never undercounts
+        assert est[k] <= e + 350  # trivial upper bound
+    # merging two half-sketches equals building over the union
+    h1 = spark.createDataFrame([(i % 7,) for i in range(150)], "k INT")
+    h2 = spark.createDataFrame(
+        [(i % 7,) for i in range(150, 300)] + [(99,)] * 50, "k INT"
+    )
+    m = cms_merge(
+        cms_build(h1, "k", depth=depth, width=width),
+        cms_build(h2, "k", depth=depth, width=width),
+    )
+    full = {(r.row_idx, r.bucket): r.cnt for r in sketch.collect()}
+    merged = {(r.row_idx, r.bucket): r.cnt for r in m.collect()}
+    assert merged == full
