@@ -119,3 +119,42 @@ def redact_pii(col: Column, rules: list[tuple[str, str]] | None = None) -> Colum
     for pat, repl in rules or PII_RULES:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# URL canonicalization (beyond-reference §2.J scope): the dedup key for
+# web-crawl corpora. Tracking params dropped, params sorted, scheme/host
+# lowercased, default port stripped, fragment removed — path case is
+# PRESERVED (paths are case-sensitive; hosts are not).
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an http(s) URL — pure regex/array builtins, one
+    narrow map. Unparseable inputs (no scheme) pass through unchanged."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).otherwise(hostport)
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.concat_ws("&", params)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", col).otherwise(rebuilt)

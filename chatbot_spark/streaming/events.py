@@ -184,3 +184,41 @@ def enrich_join_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -
     state, no watermark needed (the static side is re-read per trigger if
     its source changes)."""
     return events.join(F.broadcast(dim), on)
+
+
+def idempotent_batch_writer(out_path: str):
+    """foreachBatch writer with exactly-once-on-replay semantics.
+
+    Structured Streaming guarantees at-least-once foreachBatch invocation:
+    after a crash between sink-write and checkpoint-commit, the SAME
+    (batch_id, data) is replayed. Writing each micro-batch into its own
+    ``batch_id=N`` partition with DYNAMIC partition overwrite makes the
+    replay overwrite its previous attempt instead of appending a
+    duplicate — idempotence without a transactional table format. (With a
+    real lakehouse sink, swap the body for MERGE keyed on a batch column;
+    the batch_id contract is identical.)
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch
+
+
+def drain_to_idempotent_sink(
+    stream_df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """AvailableNow drain through the idempotent foreachBatch sink."""
+    q = (
+        stream_df.writeStream.foreachBatch(idempotent_batch_writer(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

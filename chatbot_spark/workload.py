@@ -5129,3 +5129,164 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis (events family — ordered-stage attribution over chained
+# per-user windows; all three stages share ONE exchange)
+# --------------------------------------------------------------------------
+
+@query(
+    "funnel_analysis",
+    """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_view
+  FROM events),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                OVER (PARTITION BY user_id) AS t_click
+  FROM s1),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2),
+pu AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_view_click,
+       CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
+       round(CAST(count(t_click) AS DOUBLE) / CAST(count(t_view) AS DOUBLE), 6)
+         AS view_to_click,
+       round(CAST(count(t_purchase) AS DOUBLE) / CAST(count(t_click) AS DOUBLE), 6)
+         AS click_to_purchase
+FROM pu
+""",
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each stage's timestamp is the
+    min event AFTER the previous stage's timestamp, computed by three
+    chained whole-partition windows that share one partitioning — Catalyst
+    plans a single exchange on user_id, then one tiny global rollup. The
+    strictly-ordered semantics ('click counts only after the first view')
+    is what a naive per-type min/EXISTS gets wrong."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    pu = s.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return pu.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+        F.round(
+            F.count("t_click").cast("double") / F.count("t_view").cast("double"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t_purchase").cast("double") / F.count("t_click").cast("double"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (§2.J beyond-reference — the web-crawl dedup key)
+# --------------------------------------------------------------------------
+
+@query(
+    "url_canonicalize",
+    """
+WITH raw AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example' ELSE 'http://example' END,
+                CAST(doc_id % 5 AS VARCHAR),
+                CASE WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.com:80' END,
+                '/Docs/Page', CAST(doc_id % 7 AS VARCHAR),
+                '?utm_source=feed&b=', CAST(doc_id % 3 AS VARCHAR),
+                '&a=1&gclid=xyz#sec', CAST(doc_id % 4 AS VARCHAR)) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+         concat(scheme, '://',
+                CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                       THEN regexp_replace(hostport, ':443$', '')
+                     WHEN scheme = 'http' AND hostport LIKE '%:80'
+                       THEN regexp_replace(hostport, ':80$', '')
+                     ELSE hostport END,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                CASE WHEN array_to_string(list_sort(list_filter(str_split(q, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') = ''
+                     THEN ''
+                     ELSE concat('?', array_to_string(list_sort(list_filter(str_split(q, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'))
+                END) AS canonical_url
+  FROM parts)
+SELECT doc_id, canonical_url FROM canon
+""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL canonicalization: scheme/host lowercased, default
+    port stripped, tracking params dropped, surviving params sorted,
+    fragment removed, path case preserved. URLs are synthesized
+    deterministically from doc_id (mixed-case hosts, both default-port
+    forms, tracking params, fragments) so both engines canonicalize the
+    identical input. One narrow regex/array map — zero shuffle."""
+    from chatbot_spark.functions.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example")).otherwise(
+                F.lit("http://example")
+            ),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".COM:443")).otherwise(
+                F.lit(".com:80")
+            ),
+            F.lit("/Docs/Page"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1&gclid=xyz#sec"),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("url"),
+    )
+    return raw.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))

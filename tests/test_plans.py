@@ -432,3 +432,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine surface exposes all three join strategies via hints —
+    the escape hatch when Catalyst's size estimates mislead at scale."""
+    from chatbot_spark.io.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cases = [
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ]
+    for hint, node in cases:
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"hint {hint} did not produce {node}"
+
+
+def test_funnel_single_exchange_plan(spark, sf_dir):
+    """All three funnel stages share one user_id partitioning: exactly one
+    Exchange before the final single-row rollup."""
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    df = SPARK_QUERIES["funnel_analysis"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_canonicalize_url_edges(spark):
+    from chatbot_spark.functions.text import canonicalize_url
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM:443/A/B?utm_source=x&z=2&a=1#frag"),
+        (2, "http://ex.com:8080/p?ref=abc"),   # non-default port survives
+        (3, "https://ex.com"),                  # empty path → '/'
+        (4, "not a url at all"),                # passthrough
+        (5, "http://EX.com:80/p/?fbclid=1&b=2&b=1"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, url STRING")
+    out = {r.id: r.c for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert out[1] == "https://www.ex.com/A/B?a=1&z=2"
+    assert out[2] == "http://ex.com:8080/p"
+    assert out[3] == "https://ex.com/"
+    assert out[4] == "not a url at all"
+    assert out[5] == "http://ex.com/p/?b=1&b=2"

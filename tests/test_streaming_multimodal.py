@@ -235,3 +235,44 @@ def test_stream_dedup_watermark(spark, tmp_path):
         str(tmp_path / "ckpt"),
     )
     assert sorted(r["event_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_foreach_batch_sink_is_idempotent_on_replay(spark, tmp_path):
+    """Exactly-once-on-replay: re-invoking the foreachBatch writer with the
+    same batch_id (the at-least-once crash-replay contract) must leave the
+    sink unchanged, not append duplicates."""
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.streaming.events import (
+        EVENT_SCHEMA,
+        drain_to_idempotent_sink,
+        idempotent_batch_writer,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_total = ev.count()
+    inpath = str(tmp_path / "in")
+    # three file drops → three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+    out = str(tmp_path / "out")
+    drain_to_idempotent_sink(
+        read_event_stream(spark, inpath, max_files_per_trigger=1),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == n_total
+    batch_ids = sorted(r.batch_id for r in sunk.select("batch_id").distinct().collect())
+    assert len(batch_ids) >= 2  # the drain really was incremental
+    # crash-replay batch 0: same data, same batch_id → sink unchanged
+    replay = sunk.filter(F.col("batch_id") == batch_ids[0]).drop("batch_id")
+    before = sunk.groupBy("batch_id").count().collect()
+    idempotent_batch_writer(out)(replay, batch_ids[0])
+    after_df = spark.read.parquet(out)
+    assert after_df.count() == n_total
+    assert sorted(map(tuple, after_df.groupBy("batch_id").count().collect())) == sorted(
+        map(tuple, before)
+    )
