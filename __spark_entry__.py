@@ -54,13 +54,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return knn_join(queries_df, corpus, k=10, metric="l2")
 
 
+# The driver's correctness gate checks the FIRST 50 entries of queries() in
+# dict order, so with 115 registered queries the window must rotate across
+# rounds for every query to get a hard driver-oracle check. Rotation is
+# automatic: count how many past CORRECTNESS_r*.json rounds each query
+# appeared in, and order never/least-checked queries first (stable by
+# registration order within a tier). _PRIORITY front-loads the families the
+# round-2 judge explicitly asked to see checked next.
+_PRIORITY = frozenset({
+    "fuzzy_name_pairs", "rrf_hybrid", "bm25_topk", "pq_knn", "ivfpq_knn",
+    "scd2_user_state", "decontaminate", "pii_redact", "cms_heavy_hitters",
+    "catalog_roundtrip", "markdown_scan", "tfidf_topk",
+    "stream_dedup", "stream_static_join", "stream_interval_join",
+    "stream_left_outer_join", "stream_boundary_sessionize",
+    "dataprep_pipeline", "range_layout_pruning",
+})
+
+
+def _rotated(names: list[str]) -> list[str]:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    times_checked: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                for n in json.load(f):
+                    times_checked[n] = times_checked.get(n, 0) + 1
+        except (OSError, ValueError):
+            continue
+    reg_index = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            times_checked.get(n, 0),
+            0 if n in _PRIORITY else 1,
+            reg_index[n],
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chatbot_spark.workload import SPARK_QUERIES
 
-    return dict(SPARK_QUERIES)
+    return {n: SPARK_QUERIES[n] for n in _rotated(list(SPARK_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    from chatbot_spark.workload import ORACLE_SQL
+    from chatbot_spark.workload import ORACLE_SQL, SPARK_QUERIES
 
-    return dict(ORACLE_SQL)
+    order = _rotated(list(SPARK_QUERIES))
+    return {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
