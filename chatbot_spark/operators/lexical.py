@@ -60,7 +60,9 @@ def tfidf_topk(
     """
     postings = term_frequencies(corpus_df, corpus_id, corpus_text)
     dfreq = document_frequencies(postings)
-    n_docs = corpus_df.select(F.col(corpus_id)).distinct().count()
+    # corpus cardinality folded in as a broadcast 1-row side input — the
+    # whole operator is ONE lazy DAG; nothing runs at plan-build time
+    stats = corpus_df.agg(F.count_distinct(F.col(corpus_id)).alias("__n_docs"))
 
     qterms = (
         queries_df.select(
@@ -72,11 +74,12 @@ def tfidf_topk(
     contrib = (
         qterms.join(dfreq, "token")
         .join(postings, "token")
+        .crossJoin(F.broadcast(stats))
         .select(
             "__qid",
             F.col("id").alias("neighbor_id"),
             "token",
-            (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("w"),
+            (F.col("tf").cast("double") * F.col("__n_docs") / F.col("df")).alias("w"),
         )
     )
     # deterministic fold: sort contributions by token, then left-fold from 0.0
@@ -132,25 +135,31 @@ def bm25_topk(
     postings = term_frequencies(corpus_df, corpus_id, corpus_text)
     dfreq = document_frequencies(postings)
     doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
-    n_docs = corpus_df.select(F.col(corpus_id)).distinct().count()
-    # avgdl: one double division of two exact ints — identical in any engine
-    total_tokens = doclen.agg(F.sum("dl")).collect()[0][0]
-    avgdl = float(total_tokens) / float(n_docs)
+    # corpus stats folded in as a broadcast 1-row side input (crossJoin
+    # below) — the whole operator is ONE lazy DAG; nothing runs at
+    # plan-build time. avgdl = one double division of two exact ints —
+    # bit-identical whether computed here or driver-side.
+    stats = corpus_df.agg(F.count_distinct(F.col(corpus_id)).alias("__n_docs")).crossJoin(
+        doclen.agg(F.sum("dl").alias("__total_dl"))
+    )
 
     qterms = queries_df.select(
         F.col(query_id).alias("__qid"),
         F.explode(F.array_distinct(tokens(F.col(query_text)))).alias("token"),
     )
-    idf_rational = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    n_docs_d = F.col("__n_docs").cast("double")
+    avgdl = F.col("__total_dl").cast("double") / n_docs_d
+    idf_rational = (n_docs_d - F.col("df") + 0.5) / (F.col("df") + 0.5)
     idf = F.log1p(idf_rational) if idf_mode == "lucene" else idf_rational
     tfd = F.col("tf").cast("double")
     sat = (tfd * F.lit(k1 + 1.0)) / (
-        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
     contrib = (
         qterms.join(dfreq, "token")
         .join(postings, "token")
         .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "__qid",
             F.col("id").alias("neighbor_id"),

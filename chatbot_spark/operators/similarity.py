@@ -92,31 +92,39 @@ def embedding_neardup_pairs_blocked(
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     tile_rows: int = 1_000_000,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Blocked-matmul variant of embedding_neardup_pairs — identical pair
-    set, ~50× faster: the corpus is cut into broadcast-sized TILES; each
-    tile is materialized as a dense numpy matrix and broadcast, and the
-    full corpus streams through mapInPandas doing one BLAS matmul per
-    (Arrow batch × tile), emitting only pairs above threshold. The union
-    over tiles is the full upper triangle: a pair (a < b) is emitted
+    set, ~50× faster: the corpus is cut into executor-memory-sized TILES,
+    written ONCE as a ``partitionBy(__tile)`` parquet dataset, and the full
+    corpus streams through mapInPandas doing one BLAS matmul per
+    (Arrow batch × tile), each task loading its tile straight from storage
+    (process-cached, so a reused Python worker reads a tile once). The
+    union over tiles is the full upper triangle: a pair (a < b) is emitted
     exactly once, by the single tile that owns ``b``.
 
-    Scale contract: driver/executor memory holds ONE tile at a time
-    (``tile_rows`` ≈ 1 M × 64-d float64 = 512 MB; size it to the executor),
-    never the corpus — corpus × corpus at 100 TB runs as a metadata-only
-    driver loop over ~corpus/tile_rows tiles, each a full-parallel scan.
-    Compute is the same N² flops regardless of tiling; scan cost is
-    n_tiles × corpus, the classic blocked outer product. For sub-N² work
-    feed ann.BRPIndex bucket-mates instead of tiling.
+    Scale contract: the DRIVER never touches vector data — the tile write
+    is one distributed job, the loop below iterates over tile *numbers*
+    (metadata), and executors fetch tiles directly from shared storage.
+    Each Python worker holds ONE tile at a time (``tile_rows`` ≈ 1 M ×
+    64-d float64 = 512 MB; size it to the executor). Compute is the same
+    N² flops regardless of tiling; scan cost is n_tiles × corpus, the
+    classic blocked outer product. For sub-N² work feed ann.BRPIndex
+    bucket-mates instead of tiling.
+
+    ``work_dir`` (default: a fresh temp dir) must outlive the returned
+    DataFrame — it is lazily re-read on every execution. Pass a managed
+    path and clean it up after the result is consumed.
 
     Cosine math matching the expression form bit-for-bit is NOT guaranteed
     (BLAS reassociates) — so the exact-expression variant stays the oracle;
     this one is for throughput. Differences are ≤1e-6 in practice; the
     threshold compare uses a tiny epsilon so the pair SET is stable.
     """
+    import os
+    import tempfile
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -136,21 +144,28 @@ def embedding_neardup_pairs_blocked(
     tile_of = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n_tiles))
 
     spark = df.sparkSession
+    tiles_path = os.path.join(
+        work_dir or tempfile.mkdtemp(prefix="cbs_neardup_tiles_"), "tiles"
+    )
+    side.withColumn("__tile", tile_of).write.partitionBy("__tile").mode(
+        "overwrite"
+    ).parquet(tiles_path)
+    # partition discovery only (directory listing — no row data to driver)
+    present = sorted(
+        r["__tile"]
+        for r in spark.read.parquet(tiles_path).select("__tile").distinct().collect()
+    )
+
     outs = []
-    for t in range(n_tiles):
-        rows = side.filter(tile_of == t).collect()  # ONE bounded tile
-        if not rows:
-            continue
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        b_ids = spark.sparkContext.broadcast(ids)
-        b_mat = spark.sparkContext.broadcast(mat)
+    for t in present:
+        tile_dir = os.path.join(tiles_path, f"__tile={t}")
 
         def kernel(
-            batches: Iterator[pd.DataFrame], _b_mat=b_mat, _b_ids=b_ids
+            batches: Iterator[pd.DataFrame], _tile_dir=tile_dir
         ) -> Iterator[pd.DataFrame]:
-            M, I = _b_mat.value, _b_ids.value
+            import numpy as np
+
+            I, M = _load_tile_matrix(_tile_dir, id_col, vec_col)
             for pdf in batches:
                 if pdf.empty:  # empty partitions yield empty Arrow batches
                     continue
@@ -171,3 +186,25 @@ def embedding_neardup_pairs_blocked(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# per-Python-worker tile cache: workers are reused across tasks, so each
+# process reads a given tile from storage once; bounded to the last tile
+# (one ~tile_rows matrix per worker, per the operator's memory contract)
+_TILE_CACHE: dict = {}
+
+
+def _load_tile_matrix(tile_dir: str, id_col: str, vec_col: str):
+    cached = _TILE_CACHE.get(tile_dir)
+    if cached is not None:
+        return cached
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(tile_dir, columns=[id_col, vec_col])
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    _TILE_CACHE.clear()
+    _TILE_CACHE[tile_dir] = (ids, mat)
+    return ids, mat

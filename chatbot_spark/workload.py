@@ -4894,31 +4894,18 @@ FROM cand WHERE dist <= 2
 """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution candidate pairs: supplier names within edit
-    distance 2, the length-difference bound applied BEFORE levenshtein
-    (|len(a)−len(b)| ≤ d is implied by dist ≤ d — a free triangle-
-    inequality prefilter that turns all-pairs into near-band-pairs).
-    levenshtein is a JVM builtin in both engines — exact integer
-    parity."""
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.length("s_name").alias("ln")
-    )
-    a = s.select(
-        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("na"), F.col("ln").alias("la")
-    )
-    b = s.select(
-        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("nb"), F.col("ln").alias("lb")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= 2),
-        )
-        .withColumn("dist", F.levenshtein("na", "nb"))
-        .filter(F.col("dist") <= 2)
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
-    )
+    """Entity-resolution pairs: supplier names within edit distance 2, via
+    SymSpell deletion-neighborhood blocking (operators/fuzzy.py) — an
+    equi-join on shared <=2-deletion variants, complete for dist <= 2,
+    then levenshtein-verified. The oracle keeps the declarative all-pairs
+    form (with the free length-band prefilter); results are identical
+    because blocking is exact. levenshtein is a JVM builtin in both
+    engines — exact integer parity."""
+    from chatbot_spark.operators.fuzzy import fuzzy_pairs
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = fuzzy_pairs(s, id_col="s_suppkey", text_col="s_name", max_dist=2)
+    return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
 # --------------------------------------------------------------------------
