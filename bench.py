@@ -136,8 +136,15 @@ def main() -> None:
     # headline unparseable (BENCH_r02 "parsed": null)
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     # warm the JVM + file listing + Arrow python workers so per-query times
-    # measure the queries, not one-time process startup
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # measure the queries, not one-time process startup. EVERY table is
+    # touched: r2's range_join_price_bands "3.1× regression" was just the
+    # first `part`-table query of the run paying cold file-listing + footer
+    # reads (~3.5 s) that r1's suite order happened to charge elsewhere.
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
     import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 

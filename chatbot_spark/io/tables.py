@@ -120,6 +120,14 @@ def compact_parquet(
     ``src_path`` are unaffected until the swap, and a failed compaction
     leaves the source intact (the swap is the caller's atomic step).
     Returns the compacted DataFrame (reader of ``dst_path``)."""
+    import os
+
+    if os.path.abspath(dst_path) == os.path.abspath(src_path):
+        raise ValueError(
+            f"compact_parquet: dst_path == src_path ({src_path!r}) — in-place "
+            "compaction would overwrite the source while lazily reading it; "
+            "write to a sibling path and swap atomically instead"
+        )
     df = spark.read.parquet(src_path)
     if n_files:
         df = df.repartition(n_files)

@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 
 DEFAULT_RERANK_LIMIT = 10  # reference ob.py:31
 W_DENSE, W_SPARSE, W_COLBERT = 0.3, 0.2, 0.5  # reference bge.py:29-32
+# reference bge.py:256-258: rerank inputs are capped at 512 query /
+# 8192 passage tokens before scoring
+MAX_QUERY_TOKENS, MAX_PASSAGE_TOKENS = 512, 8192
+
+
+def truncate_tokens(text: Column, max_tokens: int) -> Column:
+    """Cap `text` at `max_tokens` whitespace tokens (the engine-portable
+    approximation of the reference's model-tokenizer cap, bge.py:256-258).
+    Identity — byte-for-byte, whitespace included — for text under the
+    cap, so scores of in-cap inputs are unchanged."""
+    toks = F.split(text, r"\s+")
+    return F.when(F.size(toks) <= max_tokens, text).otherwise(
+        F.array_join(F.slice(toks, 1, max_tokens), " ")
+    )
 
 
 def fuse_scores(
@@ -31,8 +45,12 @@ def fuse_scores(
 
 def hash_cross_score(query_text: Column, doc_text: Column) -> Column:
     """Deterministic stand-in cross-encoder: md5-derived uniform [0,1)
-    from the (query, doc) pair — portable, reproducible, engine-agnostic."""
-    h = F.conv(F.substring(F.md5(F.concat_ws("", query_text, doc_text)), 1, 8), 16, 10)
+    from the (query, doc) pair — portable, reproducible, engine-agnostic.
+    Inputs are capped like the reference's reranker (512 query / 8192
+    passage tokens, bge.py:256-258)."""
+    q = truncate_tokens(query_text, MAX_QUERY_TOKENS)
+    d = truncate_tokens(doc_text, MAX_PASSAGE_TOKENS)
+    h = F.conv(F.substring(F.md5(F.concat_ws("", q, d)), 1, 8), 16, 10)
     return h.cast("double") / F.lit(4294967296.0)
 
 

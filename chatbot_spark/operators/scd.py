@@ -40,10 +40,17 @@ def scd2_intervals(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(key_col).orderBy(*order)
+    # null-safe change detection: `attr != prev` is NULL (dropped) for a
+    # non-null→NULL transition and `prev IS NULL` can't tell "first row"
+    # from "previous attr was NULL" — row_number marks the true first row
+    # and eqNullSafe compares NULL-valued attributes symmetrically. All
+    # three window functions share one (key, order) partitioning → still
+    # a single exchange.
     changes = (
-        feed.withColumn("__prev", F.lag(attr_col).over(w))
-        .filter(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
-        .drop("__prev")
+        feed.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .filter((F.col("__rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("__prev")))
+        .drop("__rn", "__prev")
     )
     # same partitioning + order → reuses the exchange/sort of the first pass
     return changes.withColumn("valid_to", F.lead(ts_col).over(w)).select(

@@ -52,20 +52,74 @@ def _cell_coords(key, depth: int, width: int):
 def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:
-    """Build the sketch: (row_idx, bucket, cnt), ≤ depth·width rows."""
+    """Build the sketch: (row_idx, bucket, cnt, depth, width) — ≤
+    depth·width counter rows, with the grid dimensions CARRIED IN-BAND so
+    merge/estimate can verify they were built compatibly (probing a d×w
+    sketch with d'×w' coordinates hashes to wrong buckets and silently
+    breaks the est ≥ exact guarantee — a validated error, not an
+    accuracy loss)."""
     return (
         df.select(F.explode(_cell_coords(F.col(key_col), depth, width)).alias("h"))
         .groupBy(F.col("h.row_idx").alias("row_idx"), F.col("h.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
+        .withColumns({"depth": F.lit(depth), "width": F.lit(width)})
+    )
+
+
+def _dims_guard(df: DataFrame, sketch: DataFrame, depth: int, width: int) -> DataFrame:
+    """Lazily verify `sketch` was built with (depth, width): a broadcast
+    1-row dims aggregate crossJoins in, and an assert_true expression
+    raises AT EXECUTION on any mismatch — plan construction stays lazy and
+    the check costs one tiny aggregate of an already-bounded frame."""
+    meta = sketch.agg(
+        F.count_distinct("depth", "width").alias("__ndims"),
+        F.max("depth").alias("__d"),
+        F.max("width").alias("__w"),
+    )
+    ok = (
+        (F.col("__ndims") <= 1)
+        & F.coalesce(F.col("__d") == depth, F.lit(True))
+        & F.coalesce(F.col("__w") == width, F.lit(True))
+    )
+    guard = F.assert_true(
+        ok,
+        F.concat_ws(
+            " ",
+            F.lit("CMS dimension mismatch: sketch built with"),
+            F.col("__d").cast("string"),
+            F.lit("x"),
+            F.col("__w").cast("string"),
+            F.lit(f"probed/merged with {depth}x{width}"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(meta))
+        .withColumn("__dims_ok", guard)
+        .filter(F.col("__dims_ok").isNull())
+        .drop("__ndims", "__d", "__w", "__dims_ok")
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Union partial sketches (per-batch / per-day) into one: sum cells."""
+    """Union partial sketches (per-batch / per-day) into one: sum cells.
+    Raises at execution if the sketches' (depth, width) disagree."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = out.groupBy("row_idx", "bucket", "depth", "width").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    # a dims mismatch survives the groupBy as >1 distinct (depth, width)
+    meta = out.agg(F.count_distinct("depth", "width").alias("__ndims"))
+    guard = F.assert_true(
+        F.col("__ndims") <= 1, F.lit("CMS merge of differently-sized sketches")
+    )
+    return (
+        merged.crossJoin(F.broadcast(meta))
+        .withColumn("__dims_ok", guard)
+        .filter(F.col("__dims_ok").isNull())
+        .drop("__ndims", "__dims_ok")
+    )
 
 
 def cms_estimate(
@@ -79,11 +133,15 @@ def cms_estimate(
 
     The sketch side is broadcast (bounded at depth·width cells); the probe
     explode is transient in-stage; one small groupBy(key) finishes.
+    Raises at execution if the sketch carries different (depth, width)
+    than the probe coordinates are computed with.
     """
     coords = probes.select(
         F.col(key_col), F.explode(_cell_coords(F.col(key_col), depth, width)).alias("h")
     ).select(key_col, "h.row_idx", "h.bucket")
-    joined = coords.join(F.broadcast(sketch), ["row_idx", "bucket"], "left").select(
+    cells = sketch.select("row_idx", "bucket", "cnt")
+    joined = coords.join(F.broadcast(cells), ["row_idx", "bucket"], "left").select(
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cell_cnt")
     )
-    return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))
+    est = joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))
+    return _dims_guard(est, sketch, depth, width)

@@ -4856,20 +4856,24 @@ def user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
-    # unique view name: a fixed one would collide across concurrent
-    # queries sharing this session
+    # unique view name (a fixed one would collide across concurrent queries
+    # sharing this session), dropped right after spark.sql resolves the
+    # plan eagerly — no catalog entry leaks in a long-lived session
     view = f"events_setops_{uuid.uuid4().hex[:10]}"
     ev.createOrReplaceTempView(view)
-    return spark.sql(f"""
-        WITH c AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'click'),
-        p AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'purchase'),
-        both_u AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
-        click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
-        SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,
-               CAST(coalesce(sum(user_id), 0) AS BIGINT) AS id_checksum FROM both_u
-        UNION ALL
-        SELECT 'click_only', CAST(count(*) AS BIGINT), CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM click_only
-    """)
+    try:
+        return spark.sql(f"""
+            WITH c AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'click'),
+            p AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'purchase'),
+            both_u AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+            click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+            SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(coalesce(sum(user_id), 0) AS BIGINT) AS id_checksum FROM both_u
+            UNION ALL
+            SELECT 'click_only', CAST(count(*) AS BIGINT), CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM click_only
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------------------

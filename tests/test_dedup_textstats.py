@@ -238,3 +238,22 @@ def test_cms_estimate_bounds_and_merge(spark):
     full = {(r.row_idx, r.bucket): r.cnt for r in sketch.collect()}
     merged = {(r.row_idx, r.bucket): r.cnt for r in m.collect()}
     assert merged == full
+
+
+def test_cms_dims_mismatch_raises(spark):
+    """Probing a d×w sketch with different dimensions must raise at
+    execution (wrong-bucket probes silently break est ≥ exact otherwise),
+    and so must merging differently-sized sketches."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from chatbot_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "k INT")
+    probes = df.select("k").distinct()
+    sketch = cms_build(df, "k", depth=4, width=32)
+    with pytest.raises(Exception) as ei:
+        cms_estimate(sketch, probes, "k", depth=4, width=64).collect()
+    assert "dimension mismatch" in str(ei.value)
+    with pytest.raises(Exception) as ei2:
+        cms_merge(sketch, cms_build(df, "k", depth=2, width=32)).collect()
+    assert "differently-sized" in str(ei2.value)

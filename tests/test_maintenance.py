@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -114,3 +115,63 @@ def test_bm25_query_with_no_matching_terms_returns_nothing(spark):
     corpus = spark.createDataFrame([(0, "alpha beta"), (1, "gamma")], "doc_id LONG, text STRING")
     q = spark.createDataFrame([(9, "zzz qqq")], "query_id LONG, query_text STRING")
     assert bm25_topk(q, corpus, k=5).count() == 0
+
+
+def test_compact_parquet_refuses_in_place(spark, sf_dir, tmp_path):
+    from chatbot_spark.io.tables import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="dst_path == src_path"):
+        compact_parquet(spark, src, str(tmp_path / "x" / ".." / "t"), n_files=1)
+
+
+def test_scd2_null_attribute_transitions(spark):
+    """NULL-valued attributes are first-class: non-null→NULL opens a new
+    interval (not silently dropped), NULL→NULL collapses as a no-op, and
+    NULL→non-null closes the NULL interval — null-safe change detection."""
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    feed = spark.createDataFrame(
+        [(1, "a", 100), (1, None, 200), (1, None, 300), (1, "b", 400),
+         (2, None, 10)],
+        "user_id LONG, attr STRING, ts LONG",
+    )
+    got = [
+        (r.user_id, r.attr, r.valid_from, r.valid_to)
+        for r in scd2_intervals(feed, key_col="user_id", attr_col="attr", ts_col="ts")
+        .orderBy("user_id", "valid_from").collect()
+    ]
+    assert got == [
+        (1, "a", 100, 200),
+        (1, None, 200, 400),
+        (1, "b", 400, None),
+        (2, None, 10, None),
+    ]
+
+
+def test_rerank_input_caps_match_reference(spark):
+    """Reference bge.py:256-258: 512-query/8192-passage token caps. The
+    cap is identity for in-cap text and the scorer ignores tokens past it."""
+    from chatbot_spark.operators.rerank import (
+        MAX_PASSAGE_TOKENS,
+        MAX_QUERY_TOKENS,
+        hash_cross_score,
+        truncate_tokens,
+    )
+
+    assert (MAX_QUERY_TOKENS, MAX_PASSAGE_TOKENS) == (512, 8192)
+    short = "hello   world  spaced"
+    long_q = " ".join(f"t{i}" for i in range(600))
+    df = spark.createDataFrame([(short, long_q)], "s STRING, lq STRING")
+    row = df.select(
+        truncate_tokens(F.col("s"), 512).alias("s_cap"),
+        F.size(F.split(truncate_tokens(F.col("lq"), 512), r"\s+")).alias("lq_n"),
+        hash_cross_score(F.col("lq"), F.col("s")).alias("sc_long"),
+        hash_cross_score(
+            F.lit(" ".join(f"t{i}" for i in range(512))), F.col("s")
+        ).alias("sc_cap"),
+    ).collect()[0]
+    assert row.s_cap == short          # identity under the cap, spacing intact
+    assert row.lq_n == 512             # hard-capped
+    assert row.sc_long == row.sc_cap   # tokens past the cap don't affect score
