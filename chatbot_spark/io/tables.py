@@ -34,6 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # without chatbot_spark.session.get_spark — so set it here, at the
         # point of use, not only at session-build time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The testdata timestamps are naive parquet TIMESTAMP(MICROS)
+    # (isAdjustedToUTC=false); Spark 4 infers those as TIMESTAMP_NTZ by
+    # default, which unix_micros/to_utc_timestamp-free arithmetic rejects.
+    # The whole workload (and the DuckDB oracle, in a UTC session) treats
+    # stored micros as epoch micros, so read them as TIMESTAMP_LTZ — the
+    # raw stored value is preserved bit-for-bit either way.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div, NOT floor(x/1000): epoch-nanos (~1.7e18) overflow

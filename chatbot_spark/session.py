@@ -48,6 +48,9 @@ def get_spark(
         # testdata events.parquet uses TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in io.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are naive TIMESTAMP(MICROS); treat stored
+        # micros as epoch micros (TIMESTAMP_LTZ) like the UTC DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
