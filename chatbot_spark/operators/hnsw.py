@@ -1,0 +1,306 @@
+"""Sharded NSW graph ANN — the HNSW-equivalent batch index (SURVEY §2.I I6).
+
+The reference serves ANN from an HNSW index (``VECTOR KEY ... TYPE=HNSW,
+DISTANCE=L2, M=16, EF_CONSTRUCTION=256, EF_SEARCH=64`` —
+/root/reference/src/tools/load.py:26). A single monolithic beam-search
+graph is the wrong shape for a shared-nothing engine, but the graph idea
+itself ports: partition the corpus into SPATIALLY COHERENT shards (coarse
+k-means cells — the same quantizer IVF uses), build one navigable-small-
+world graph PER SHARD executor-side, and serve a query by beam-searching
+only the graphs of its nprobe nearest shards. This is the SPANN/DiskANN
+sharding recipe re-expressed set-at-a-time:
+
+ * build: k-means centers on a bounded driver sample (ann._numpy_kmeans),
+   distributed cell assignment (ann._assign_cells — one Arrow-batched BLAS
+   argmin), then ONE ``groupBy(shard).applyInPandas`` pass in which each
+   task builds its shard's NSW graph in numpy: nodes inserted in id order,
+   each new node beam-searches the partial graph (ef_construction) and
+   links bidirectionally to its M nearest, neighbor lists pruned to 2M by
+   distance. The graph is stored as plain rows (shard, pos, id, vec,
+   neighbors[int]) — no serving process, rebuildable per batch.
+ * search: queries stream driver-side in bounded chunks (same contract as
+   operators/pq.py); each chunk routes queries to their nprobe nearest
+   shard centers (C×nlist numpy on the driver), statically prunes the
+   graph scan to the probed shards (parquet PartitionFilters on a written
+   index), and one ``applyInPandas`` per chunk beam-searches each probed
+   shard's graph for its routed queries (ef_search). Per-(query, shard)
+   top-k candidates union across chunks; a global window takes final
+   top-k with the (dist, neighbor_id) tie-break every ANN operator here
+   shares.
+
+At 100 TB: nlist is sized so one shard's (vec + adjacency) fits an
+executor task (~1-4 GB ⇒ tens of thousands of shards); build is
+embarrassingly parallel across shards; a search batch scans
+nprobe/nlist of the data and the graph walk inside each shard touches
+only ef·degree rows of it. Recall at high targets (>0.99) comes from
+raising ef_search — the HNSW property the flat IVF scan lacks — while
+shard routing keeps the scan pruned.
+
+Determinism: seeded k-means, id-sorted insertion, beam heaps tie-break on
+(dist, pos), windows tie-break on neighbor id — same discipline as
+operators/ann.py; with nprobe=nlist and ef_search ≥ shard size the NSW
+graph is connected by construction (every node links into the reachable
+component at insertion), so search degrades to the exact scan.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.ann import _assign_cells, _numpy_kmeans
+
+
+def _beam_search(X, adj, q, ef: int, entry: int = 0):
+    """Layer-0 HNSW beam search over one shard graph. Returns the ef
+    nearest (sq_dist, pos) found, ascending, deterministic: heap entries
+    carry pos so equal distances break ties on insertion position."""
+    import numpy as np
+
+    n = len(X)
+    if n == 0:
+        return []
+    d0 = float(((X[entry] - q) ** 2).sum())
+    visited = np.zeros(n, dtype=bool)
+    visited[entry] = True
+    cand = [(d0, entry)]  # min-heap of frontier
+    res = [(-d0, entry)]  # max-heap of current ef best
+    while cand:
+        d, u = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        nbrs = [v for v in adj[u] if not visited[v]]
+        if not nbrs:
+            continue
+        visited[nbrs] = True
+        D = ((X[nbrs] - q) ** 2).sum(axis=1)
+        for v, dv in zip(nbrs, D):
+            dv = float(dv)
+            if len(res) < ef or dv < -res[0][0]:
+                heapq.heappush(cand, (dv, v))
+                heapq.heappush(res, (-dv, v))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted((-d, v) for d, v in res)
+
+
+def _build_nsw(X, m: int, ef_construction: int):
+    """Incremental NSW construction: insert nodes in index order; each new
+    node links bidirectionally to its m nearest among the ef_construction
+    beam results over the existing graph; neighbor lists prune to 2m by
+    distance (stable sort — ties keep insertion order). Returns a list of
+    int lists (positions)."""
+    import numpy as np
+
+    n = len(X)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    m_max = 2 * m
+    for i in range(1, n):
+        found = _beam_search(X[:i], adj, X[i], ef=max(ef_construction, m), entry=0)
+        sel = [pos for _, pos in found[:m]]
+        adj[i] = list(sel)
+        for j in sel:
+            adj[j].append(i)
+            if len(adj[j]) > m_max:
+                d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
+                order = np.argsort(d, kind="stable")[:m_max]
+                adj[j] = [adj[j][t] for t in order]
+    return adj
+
+
+class NSWGraphIndex:
+    """Sharded navigable-small-world ANN index.
+
+    build():  corpus -> (shard centers, per-shard NSW graph table)
+    search(): queries -> top-k per query beam-searching nprobe shards
+    """
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        graph: DataFrame,
+        centers_np,
+        vec_col: str,
+        id_col: str,
+    ):
+        self.centroids = centroids  # (shard INT, centroid ARRAY<DOUBLE>)
+        self.graph = graph  # (shard, pos, id, vec, neighbors ARRAY<INT>)
+        self.centers = centers_np  # (nlist, d) float64 on the driver
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        nlist: int = 8,
+        m: int = 16,
+        ef_construction: int = 256,
+        seed: int = 42,
+        max_iter: int = 25,
+        fit_sample_size: int = 200_000,
+    ) -> "NSWGraphIndex":
+        """m/ef_construction defaults match the reference's HNSW DDL
+        (M=16, EF_CONSTRUCTION=256, load.py:26). nlist sizes the shards:
+        pick it so one shard's vectors + adjacency fit an executor task."""
+        import numpy as np
+
+        sample = corpus.select(vec_col)
+        X = np.array(
+            [r[0] for r in sample.limit(fit_sample_size).collect()], dtype=np.float64
+        )
+        centers = _numpy_kmeans(X, min(nlist, len(X)), seed, max_iter)
+        sharded = corpus.select(
+            F.col(id_col), F.col(vec_col),
+        ).withColumn("shard", _assign_cells(F.col(vec_col), centers))
+
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"shard INT, pos INT, {id_col} {id_type}, "
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+        )
+
+        def build_kernel(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            adj = _build_nsw(Xs, m, ef_construction)
+            return pd.DataFrame(
+                {
+                    "shard": pdf["shard"],
+                    "pos": np.arange(len(pdf), dtype=np.int32),
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "neighbors": [
+                        np.asarray(a, dtype=np.int32) for a in adj
+                    ],
+                }
+            )
+
+        graph = sharded.groupBy("shard").applyInPandas(build_kernel, out_schema)
+        centroids = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "shard INT, centroid ARRAY<DOUBLE>",
+        )
+        return cls(centroids, graph, centers, vec_col, id_col)
+
+    def write(self, path: str) -> None:
+        """Persist shard-partitioned: a search reads only its probed
+        shards' files (parquet PartitionFilters on shard)."""
+        self.graph.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{path}/graph"
+        )
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id"
+    ) -> "NSWGraphIndex":
+        import numpy as np
+
+        centroids = spark.read.parquet(f"{path}/centroids")
+        crows = sorted(centroids.collect(), key=lambda r: r["shard"])
+        centers = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        return cls(
+            centroids, spark.read.parquet(f"{path}/graph"), centers, vec_col, id_col
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        ef_search: int = 64,
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+        query_chunk: int = 4096,
+    ) -> DataFrame:
+        """Top-k per query over the nprobe nearest shards' graphs.
+
+        ef_search is the beam width (reference default EF_SEARCH=64) —
+        recall rises monotonically with it; ef_search ≥ shard size walks
+        the whole (connected) shard graph, i.e. exact within the probed
+        shards. Query side streams in ``query_chunk`` chunks with one
+        applyInPandas branch each — driver memory bounded by the chunk."""
+        import numpy as np
+
+        c = self.centers
+        nprobe = min(nprobe, len(c))
+        ef = max(ef_search, k)
+        id_col = self.id_col
+        vec_col = self.vec_col
+        qid_field = queries.schema[query_id]
+        id_field = self.graph.schema[id_col]
+        out_schema = (
+            f"{query_id} {qid_field.dataType.simpleString()}, "
+            f"neighbor_id {id_field.dataType.simpleString()}, __rdist DOUBLE"
+        )
+
+        def chunk_cands(qids: list, Q) -> DataFrame:
+            cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
+            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (C, nprobe)
+            routed: dict[int, list[int]] = {}
+            for qi in range(len(qids)):
+                for cell in probe[qi]:
+                    routed.setdefault(int(cell), []).append(qi)
+            probed = sorted(routed)
+            src = self.graph.filter(F.col("shard").isin(probed))
+
+            def search_kernel(pdf):
+                import pandas as pd
+
+                shard = int(pdf["shard"].iloc[0])
+                qis = routed.get(shard)
+                if not qis or pdf.empty:
+                    return pd.DataFrame(
+                        {query_id: [], "neighbor_id": [], "__rdist": []}
+                    )
+                pdf = pdf.sort_values("pos", kind="mergesort").reset_index(drop=True)
+                Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
+                adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
+                ids = pdf[id_col].to_numpy()
+                out_q, out_n, out_d = [], [], []
+                for qi in qis:
+                    found = _beam_search(Xs, adj, Q[qi], ef=ef, entry=0)
+                    for d, pos in found[: min(k, len(found))]:
+                        out_q.append(qids[qi])
+                        out_n.append(ids[pos])
+                        out_d.append(max(d, 0.0))
+                return pd.DataFrame(
+                    {query_id: out_q, "neighbor_id": out_n, "__rdist": out_d}
+                )
+
+            return src.groupBy("shard").applyInPandas(search_kernel, out_schema)
+
+        cands = None
+        buf_ids: list = []
+        buf_vecs: list = []
+        for r in queries.select(query_id, query_vec).toLocalIterator(
+            prefetchPartitions=True
+        ):
+            buf_ids.append(r[0])
+            buf_vecs.append(r[1])
+            if len(buf_ids) >= query_chunk:
+                cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+                cands = cdf if cands is None else cands.unionByName(cdf)
+                buf_ids, buf_vecs = [], []
+        if buf_ids:
+            cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+            cands = cdf if cands is None else cands.unionByName(cdf)
+        if cands is None:
+            raise ValueError("empty query set")
+
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("__rdist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist", F.sqrt("__rdist"))
+            .drop("__rdist")
+        )

@@ -172,44 +172,25 @@ class IVFPQIndex:
         corpus: DataFrame | None = None,
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
+        query_chunk: int = 2048,
     ) -> DataFrame:
         """ADC top-k over nprobe cells. LUTs are per (query, probed cell)
         — built from the query's residual against that cell, so the ADC
         distance is exactly ||q − x||² up to quantization of x alone.
 
-        Sizing contract (same driver-side query collect as PQIndex.search):
-        the LUT tensor is Q·nprobe·m·ksub doubles shipped in the kernel
-        closure — ~33 MB at Q=1000, nprobe=8, m=16, ksub=32. Batch larger
-        query sets into chunks of a few thousand; the corpus side never
-        moves regardless."""
+        Sizing contract: the query side streams to the driver in chunks of
+        ``query_chunk`` (``toLocalIterator``), each chunk shipping its own
+        C·nprobe·(m, ksub) LUT dict in its kernel closure (~67 MB at
+        C=2048, nprobe=8, m=16, ksub=32) and pruning its own probed-cell
+        set (PartitionFilters per chunk); chunk branches union before the
+        global top-k window. Driver memory is bounded by the chunk, never
+        the query count; the corpus side never moves regardless."""
         import numpy as np
 
-        qrows = queries.select(query_id, query_vec).collect()
-        if not qrows:
-            raise ValueError("empty query set")
-        qids = [r[0] for r in qrows]
-        Q = np.array([r[1] for r in qrows], dtype=np.float64)
         c = self.centers
         b = self.books
         m, ksub, dsub = b.shape
         nprobe = min(nprobe, len(c))
-        # per-query probed cells (tiny: Q × nlist on the driver)
-        cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
-        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
-        # LUT tensor keyed (qi, probed cell) — residual q−c vs codebooks
-        luts: dict[int, list[tuple[int, "np.ndarray"]]] = {}
-        for qi in range(len(qids)):
-            for cell in probe[qi]:
-                rq = Q[qi] - c[cell]
-                lut = np.empty((m, ksub), dtype=np.float64)
-                for j in range(m):
-                    rj = rq[j * dsub : (j + 1) * dsub]
-                    lut[j] = (rj**2).sum() - 2 * b[j] @ rj + (b[j] ** 2).sum(axis=1)
-                luts.setdefault(int(cell), []).append((qi, lut))
-
-        probed_cells = sorted(luts)
-        # static cell pruning — PartitionFilters on a written index
-        cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
         id_field = self.encoded.schema[self.id_col]
         qid_field = queries.schema[query_id]
         out_schema = (
@@ -219,43 +200,80 @@ class IVFPQIndex:
         id_col = self.id_col
         kk = max(k, rerank)
 
-        def adc_partition(batches):
-            import pandas as pd
+        def chunk_cands(qids: list, Q) -> DataFrame:
+            # per-query probed cells (tiny: C × nlist on the driver)
+            cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
+            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (C, nprobe)
+            # LUT tensor keyed (qi, probed cell) — residual q−c vs codebooks
+            luts: dict[int, list[tuple[int, "np.ndarray"]]] = {}
+            for qi in range(len(qids)):
+                for cell in probe[qi]:
+                    rq = Q[qi] - c[cell]
+                    lut = np.empty((m, ksub), dtype=np.float64)
+                    for j in range(m):
+                        rj = rq[j * dsub : (j + 1) * dsub]
+                        lut[j] = (rj**2).sum() - 2 * b[j] @ rj + (b[j] ** 2).sum(axis=1)
+                    luts.setdefault(int(cell), []).append((qi, lut))
 
-            best: list[pd.DataFrame] = []
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                for cell, grp in pdf.groupby("centroid_id", sort=False):
-                    pairs = luts.get(int(cell))
-                    if not pairs:
+            probed_cells = sorted(luts)
+            # static cell pruning — PartitionFilters on a written index
+            cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
+
+            def adc_partition(batches):
+                import pandas as pd
+
+                best: list[pd.DataFrame] = []
+                for pdf in batches:
+                    if pdf.empty:
                         continue
-                    codes = np.frombuffer(
-                        b"".join(grp["pq_code"].tolist()), dtype=np.uint8
-                    ).reshape(len(grp), m)
-                    ids = grp[id_col].to_numpy()
-                    for qi, lut in pairs:
-                        dist = np.maximum(
-                            lut[np.arange(m)[None, :], codes].sum(axis=1), 0.0
-                        )
-                        take = min(kk, len(dist))
-                        part = np.argpartition(dist, take - 1)[:take]
-                        best.append(
-                            pd.DataFrame(
-                                {
-                                    query_id: qids[qi],
-                                    "neighbor_id": ids[part],
-                                    "adist": dist[part],
-                                }
+                    for cell, grp in pdf.groupby("centroid_id", sort=False):
+                        pairs = luts.get(int(cell))
+                        if not pairs:
+                            continue
+                        codes = np.frombuffer(
+                            b"".join(grp["pq_code"].tolist()), dtype=np.uint8
+                        ).reshape(len(grp), m)
+                        ids = grp[id_col].to_numpy()
+                        for qi, lut in pairs:
+                            dist = np.maximum(
+                                lut[np.arange(m)[None, :], codes].sum(axis=1), 0.0
                             )
-                        )
-            if not best:
-                return
-            allc = pd.concat(best, ignore_index=True)
-            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
-            yield allc.groupby(query_id, sort=False).head(kk)
+                            take = min(kk, len(dist))
+                            part = np.argpartition(dist, take - 1)[:take]
+                            best.append(
+                                pd.DataFrame(
+                                    {
+                                        query_id: qids[qi],
+                                        "neighbor_id": ids[part],
+                                        "adist": dist[part],
+                                    }
+                                )
+                            )
+                if not best:
+                    return
+                allc = pd.concat(best, ignore_index=True)
+                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+                yield allc.groupby(query_id, sort=False).head(kk)
 
-        cands = cands_src.mapInPandas(adc_partition, schema=out_schema)
+            return cands_src.mapInPandas(adc_partition, schema=out_schema)
+
+        cands = None
+        buf_ids: list = []
+        buf_vecs: list = []
+        for r in queries.select(query_id, query_vec).toLocalIterator(
+            prefetchPartitions=True
+        ):
+            buf_ids.append(r[0])
+            buf_vecs.append(r[1])
+            if len(buf_ids) >= query_chunk:
+                cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+                cands = cdf if cands is None else cands.unionByName(cdf)
+                buf_ids, buf_vecs = [], []
+        if buf_ids:
+            cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+            cands = cdf if cands is None else cands.unionByName(cdf)
+        if cands is None:
+            raise ValueError("empty query set")
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

@@ -17,12 +17,14 @@ Search", TPAMI 2011; FAISS `IVFx,PQy`), re-expressed set-at-a-time:
    (m, ksub, dsub) codebook tensor shipped in the closure — BLAS per
    batch, emitted as a BINARY column (m bytes/row).
  * search (ADC — asymmetric distance computation): per query build an
-   (m, ksub) lookup table of sub-distances, broadcast ALL query LUTs
-   (Q·m·ksub doubles — a few MB for thousands of queries), then one
-   mapInPandas over the code table: distance = sum of m table gathers,
-   partial top-k INSIDE the kernel (each partition emits ≤ Q·k rows),
-   global window top-k after. No shuffle touches anything row-count
-   sized; the wide data never moves.
+   (m, ksub) lookup table of sub-distances; the query side streams to
+   the driver in bounded chunks (``toLocalIterator``), each chunk
+   shipping its own LUT tensor (C·m·ksub doubles) into one mapInPandas
+   over the code table: distance = sum of m table gathers, partial
+   top-k INSIDE the kernel (each partition emits ≤ C·k rows), chunk
+   branches unioned, global window top-k after. No shuffle touches
+   anything row-count sized; the wide data never moves, and driver
+   memory is bounded by the chunk rather than the query count.
  * optional exact re-rank: top-R ADC candidates equi-join back to the
    raw vectors by id (R·Q rows — tiny), exact L2, final top-k. This is
    what restores recall lost to quantization.
@@ -167,27 +169,27 @@ class PQIndex:
         corpus: DataFrame | None = None,
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
+        query_chunk: int = 8192,
     ) -> DataFrame:
         """ADC top-k. With ``rerank=R > 0`` (requires ``corpus``), the top
         R ADC candidates per query are re-scored with exact L2 against the
         raw vectors and the final top-k comes from those exact distances —
         output then matches the exact operator's (rank, dist) contract on
-        every candidate quantization ranked correctly."""
+        every candidate quantization ranked correctly.
+
+        The query side is streamed to the driver in chunks of
+        ``query_chunk`` (``toLocalIterator``, never one big ``collect``):
+        each chunk builds its own (C, m, ksub) LUT tensor shipped in its
+        kernel closure (~33 MB at C=8192, m=16, ksub=32) and contributes
+        one mapInPandas branch over the code table; branches union before
+        the global top-k window. Driver memory is bounded by the chunk, not
+        the query count — a million-query batch is ~128 scans of the code
+        table, which is the ADC trade (LUTs can't be joined, only shipped).
+        """
         import numpy as np
 
-        qrows = queries.select(query_id, query_vec).collect()
-        if not qrows:
-            raise ValueError("empty query set")
-        qids = [r[0] for r in qrows]
-        Q = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
         b = self.books
         m, ksub, dsub = b.shape
-        # (Q, m, ksub) LUT of exact sub-distances query↔codebook center
-        luts = np.empty((len(qids), m, ksub), dtype=np.float64)
-        for j in range(m):
-            Qj = Q[:, j * dsub : (j + 1) * dsub]  # (Q, dsub)
-            d2 = (Qj**2).sum(axis=1)[:, None] - 2 * Qj @ b[j].T + (b[j] ** 2).sum(axis=1)[None, :]
-            luts[:, j, :] = d2
         id_field = self.encoded.schema[self.id_col]
         qid_field = queries.schema[query_id]
         out_schema = (
@@ -197,47 +199,77 @@ class PQIndex:
         id_col = self.id_col
         kk = max(k, rerank)
 
-        def adc_partition(batches):
-            import pandas as pd
+        def chunk_cands(qids: list, Q) -> DataFrame:
+            # (C, m, ksub) LUT of exact sub-distances query↔codebook center
+            luts = np.empty((len(qids), m, ksub), dtype=np.float64)
+            for j in range(m):
+                Qj = Q[:, j * dsub : (j + 1) * dsub]  # (C, dsub)
+                d2 = (
+                    (Qj**2).sum(axis=1)[:, None]
+                    - 2 * Qj @ b[j].T
+                    + (b[j] ** 2).sum(axis=1)[None, :]
+                )
+                luts[:, j, :] = d2
 
-            # accumulate per-partition candidates, emit one partial top-k
-            best: list[pd.DataFrame] = []
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                codes = np.frombuffer(
-                    b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
-                ).reshape(len(pdf), m)
-                ids = pdf[id_col].to_numpy()
-                frames = []
-                for qi in range(len(qids)):
-                    # gather: distance = Σ_j LUT[qi, j, code_j]; the
-                    # expanded form can dip to −ε for (near-)self matches —
-                    # clamp so sqrt never sees a negative
-                    dist = np.maximum(
-                        luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 0.0
-                    )
-                    take = min(kk, len(dist))
-                    part = np.argpartition(dist, take - 1)[:take]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                query_id: qids[qi],
-                                "neighbor_id": ids[part],
-                                "adist": dist[part],
-                            }
+            def adc_partition(batches):
+                import pandas as pd
+
+                # accumulate per-partition candidates, emit one partial top-k
+                best: list[pd.DataFrame] = []
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    codes = np.frombuffer(
+                        b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
+                    ).reshape(len(pdf), m)
+                    ids = pdf[id_col].to_numpy()
+                    frames = []
+                    for qi in range(len(qids)):
+                        # gather: distance = Σ_j LUT[qi, j, code_j]; the
+                        # expanded form can dip to −ε for (near-)self matches —
+                        # clamp so sqrt never sees a negative
+                        dist = np.maximum(
+                            luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 0.0
                         )
-                    )
-                best.append(pd.concat(frames, ignore_index=True))
-            if not best:
-                return
-            allc = pd.concat(best, ignore_index=True)
-            # partial top-k per query within this partition (stable order:
-            # adist then id — the global window re-ranks identically)
-            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
-            yield allc.groupby(query_id, sort=False).head(kk)
+                        take = min(kk, len(dist))
+                        part = np.argpartition(dist, take - 1)[:take]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    query_id: qids[qi],
+                                    "neighbor_id": ids[part],
+                                    "adist": dist[part],
+                                }
+                            )
+                        )
+                    best.append(pd.concat(frames, ignore_index=True))
+                if not best:
+                    return
+                allc = pd.concat(best, ignore_index=True)
+                # partial top-k per query within this partition (stable order:
+                # adist then id — the global window re-ranks identically)
+                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+                yield allc.groupby(query_id, sort=False).head(kk)
 
-        cands = self.encoded.mapInPandas(adc_partition, schema=out_schema)
+            return self.encoded.mapInPandas(adc_partition, schema=out_schema)
+
+        cands = None
+        buf_ids: list = []
+        buf_vecs: list = []
+        for r in queries.select(query_id, query_vec).toLocalIterator(
+            prefetchPartitions=True
+        ):
+            buf_ids.append(r[0])
+            buf_vecs.append(r[1])
+            if len(buf_ids) >= query_chunk:
+                c = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+                cands = c if cands is None else cands.unionByName(c)
+                buf_ids, buf_vecs = [], []
+        if buf_ids:
+            c = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
+            cands = c if cands is None else cands.unionByName(c)
+        if cands is None:
+            raise ValueError("empty query set")
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

@@ -893,6 +893,73 @@ def ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_knn",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: sharded NSW graph ANN — the direct batch analog of the
+    reference's HNSW index (M=16/EF_CONSTRUCTION=256/EF_SEARCH=64,
+    load.py:26): coarse k-means shards + one navigable-small-world graph
+    per shard, beam-searched executor-side for the nprobe routed shards.
+    Seed-dependent like ivf_knn, so the driver oracle asserts the recall
+    SLO (≥ 0.95 @ k=10 vs the exact scan, recomputed in-plan); the
+    fullprobe variant below pins the machinery bit-for-bit."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = NSWGraphIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=8, m=16,
+        ef_construction=256,
+    )
+    approx = index.search(q, k=10, nprobe=7, ef_search=64)
+    exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
+    return _ann_recall_summary(approx, exact)
+
+
+@query(
+    "graph_knn_fullprobe",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def graph_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 correctness envelope for the graph index, oracle-checked:
+    probing EVERY shard with an unbounded beam must equal the exact scan
+    — the NSW graph is connected by construction (each node links into
+    the reachable component at insertion), so ef_search ≥ shard size
+    walks every node and the index only prunes, never perturbs."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = NSWGraphIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    res = index.search(q, k=10, nprobe=4, ef_search=1_000_000)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 _DUCK_MINHASH_K = 6
 
 
@@ -1194,14 +1261,18 @@ GROUP BY b.band
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: facts × broadcast interval dimension, non-equi
     predicate evaluated map-side — the fact table never shuffles for the
-    join; only the 4-group aggregation does."""
+    join; only the 4-group aggregation does.
+
+    The interval dim is built with SQL VALUES (a JVM LocalTableScan), not
+    ``spark.createDataFrame`` — the latter plans as ``Scan ExistingRDD``
+    via ``applySchemaToPythonRDD``, paying a Python-worker round trip on
+    every execution (the r2 bench regression on this entry)."""
     from chatbot_spark.operators.joins import range_join
 
     part = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
-         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
-        "band STRING, lo DOUBLE, hi DOUBLE",
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('b900', 900.0D, 925.0D), ('b925', 925.0D, 950.0D), "
+        "('b950', 950.0D, 975.0D), ('b975', 975.0D, 1000.0D) AS t(band, lo, hi)"
     )
     res = range_join(part, bands, value_col="p_retailprice", how="inner")
     return res.groupBy("band").agg(

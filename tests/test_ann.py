@@ -238,3 +238,150 @@ def test_ivfpq_codes_are_m_bytes(corpus):
     )
     lens = index.encoded.select(F.length("pq_code").alias("n")).distinct().collect()
     assert [r["n"] for r in lens] == [8]
+
+
+def test_pq_chunked_queries_equal_unchunked(corpus, queries):
+    """Streaming the query side in chunks (bounded-driver contract) is a
+    pure repartitioning of the same work: query_chunk=3 over 10 queries
+    (4 kernel branches) must reproduce the single-chunk result exactly,
+    on both the ADC path and the exact-rerank path."""
+    from chatbot_spark.operators.pq import PQIndex
+
+    index = PQIndex.build(corpus, vec_col="embedding", id_col="vec_id", m=8, ksub=16)
+    # (C, dsub) @ (dsub, ksub) BLAS blocking differs by chunk shape, so
+    # ADC distances may differ in the last ulp between chunkings — the
+    # neighbor SETS must agree and distances to 1e-9
+    whole = index.search(queries, k=10).collect()
+    chunked = index.search(queries, k=10, query_chunk=3).collect()
+    assert {(r.query_id, r.neighbor_id) for r in whole} == {
+        (r.query_id, r.neighbor_id) for r in chunked
+    }
+    wd = {(r.query_id, r.neighbor_id): r.dist for r in whole}
+    assert all(abs(r.dist - wd[(r.query_id, r.neighbor_id)]) < 1e-9 for r in chunked)
+    # the exact-rerank path re-scores against raw vectors with one fixed
+    # expression — it must be bit-identical across chunkings
+    whole_rr = sorted(
+        map(tuple, index.search(queries, k=5, rerank=50, corpus=corpus).collect())
+    )
+    chunked_rr = sorted(
+        map(
+            tuple,
+            index.search(
+                queries, k=5, rerank=50, corpus=corpus, query_chunk=3
+            ).collect(),
+        )
+    )
+    assert whole_rr == chunked_rr
+
+
+def test_ivfpq_chunked_queries_equal_unchunked(corpus, queries):
+    """Same chunk-invariance contract for IVF-PQ: per-chunk probed-cell
+    pruning and per-chunk residual LUTs must compose to the identical
+    global top-k."""
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    index = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ksub=32
+    )
+    whole = sorted(map(tuple, index.search(queries, k=10, nprobe=4).collect()))
+    chunked = sorted(
+        map(tuple, index.search(queries, k=10, nprobe=4, query_chunk=3).collect())
+    )
+    assert whole == chunked
+
+
+def test_nsw_recall_slo(corpus, queries, exact):
+    """Sharded NSW graph (the HNSW-equivalent batch index) meets the same
+    recall SLO as IVF at the same shard tuning: nprobe=7/8 on the uniform
+    worst case. Beam width ef=64 is the reference's EF_SEARCH default —
+    within probed shards the walk is near-exact; routing dominates."""
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16,
+        ef_construction=256,
+    )
+    approx = index.search(queries, k=10, nprobe=7, ef_search=64)
+    assert recall_at_k(approx, exact) >= 0.95
+
+
+def test_nsw_fullprobe_wide_beam_equals_exact(corpus, queries, exact):
+    """nprobe=nlist + ef_search ≥ shard size degrades gracefully to the
+    exact scan: the NSW graph is connected by construction (every node
+    links into the reachable component at insertion), so an unbounded
+    beam visits every node. Distances to 1e-9 (numpy vs expr fold order)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    got = index.search(queries, k=10, nprobe=4, ef_search=1000).collect()
+    want = exact.collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+    wd = {(r.query_id, r.neighbor_id): r.dist for r in want}
+    assert all(abs(r.dist - wd[(r.query_id, r.neighbor_id)]) < 1e-9 for r in got)
+
+
+def test_nsw_self_hit_and_degree_bound(corpus, queries):
+    """Every query vector is in the corpus — its own shard is always
+    probed at nprobe≥1 and the beam must find it at rank 1. Neighbor
+    lists respect the 2M prune bound everywhere."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=8,
+        ef_construction=64,
+    )
+    top1 = index.search(queries, k=1, nprobe=1, ef_search=32).collect()
+    assert len(top1) == 10
+    assert all(r.query_id == r.neighbor_id and r.dist < 1e-6 for r in top1)
+    max_deg = index.graph.select(
+        F.max(F.size("neighbors")).alias("d")
+    ).collect()[0]["d"]
+    assert max_deg <= 16  # 2M
+
+
+def test_nsw_write_load_prunes_partitions(spark, corpus, queries, tmp_path):
+    """The written graph searches from disk with file-level partition
+    pruning on shard, returning exactly the in-memory results."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16,
+        ef_construction=128,
+    )
+    path = str(tmp_path / "nsw")
+    index.write(path)
+    loaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+
+    res_disk = loaded.search(queries, k=10, nprobe=3, ef_search=64)
+    res_mem = index.search(queries, k=10, nprobe=3, ef_search=64)
+    assert sorted(map(tuple, res_disk.collect())) == sorted(
+        map(tuple, res_mem.collect())
+    )
+    plan = res_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_nsw_chunked_queries_equal_unchunked(corpus, queries):
+    """Chunk-invariance: per-chunk routing + per-chunk beam branches must
+    compose to the identical global top-k (beam distances are per-query
+    numpy folds — chunk-shape independent, so bit-equality holds)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16,
+        ef_construction=128,
+    )
+    whole = sorted(map(tuple, index.search(queries, k=10, nprobe=4).collect()))
+    chunked = sorted(
+        map(tuple, index.search(queries, k=10, nprobe=4, query_chunk=3).collect())
+    )
+    assert whole == chunked
