@@ -120,6 +120,10 @@ HEADLINE = [
     "repetition_stats",
     "pii_redact",
     "cms_heavy_hitters",
+    "semantic_dedup",
+    "paragraph_dedup",
+    # graph_knn / graph_knn_fullprobe: correctness queries bundle build +
+    # recall/exact checks — measured by nsw_build/nsw_search below
 ]
 
 
@@ -158,6 +162,22 @@ def main() -> None:
     spark.range(32).repartition(32).select(_warm(col("id"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # JIT-warm the common physical-operator paths (hash join, window,
+    # hash agg, broadcast) on tiny synthetic data: otherwise whichever
+    # heavy DAG the rotation puts first eats ~5-7 s of one-time C2
+    # compilation that reads as a per-query regression across rounds
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _a = spark.range(10_000).withColumn("k", col("id") % 100)
+    _b = spark.range(100).withColumnRenamed("id", "k")
+    (
+        _a.join(_F.broadcast(_b), "k")
+        .withColumn("r", _F.row_number().over(_W.partitionBy("k").orderBy("id")))
+        .groupBy("k")
+        .agg(_F.sum("r").alias("s"), _F.countDistinct("id").alias("d"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -167,6 +187,11 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # drop DataFrames the query persisted and never released (e.g.
+        # pipeline subtree shares): across ~100 entries leaked cache
+        # squeezes the unified memory pool and inflates LATE entries by
+        # 3-6× (cms_heavy_hitters measured 10 s late-run vs 1.7 s solo)
+        spark.catalog.clearCache()
 
     # ANN measured as the production shape: build+persist ONCE (amortized
     # over every later search batch — BASELINE.md §C), then search the
@@ -227,6 +252,26 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
     times["ivfpq_search"] = round((time.time() - t0) / n_search, 3)
+
+    # Sharded NSW graph (the HNSW-equivalent): per-shard build is the
+    # expensive leg (sequential beam insertions inside each shard task);
+    # search beam-walks only the nprobe routed shards of the written,
+    # partition-pruned graph.
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    nsw_path = os.path.join(tempfile.mkdtemp(prefix="cbs_bench_nsw_"), "nsw")
+    t0 = time.time()
+    NSWGraphIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ef_construction=256
+    ).write(nsw_path)
+    times["nsw_build"] = round(time.time() - t0, 3)
+    nsw_loaded = NSWGraphIndex.load(spark, nsw_path, vec_col="embedding", id_col="vec_id")
+    t0 = time.time()
+    for _ in range(n_search):
+        nsw_loaded.search(q, k=10, nprobe=7, ef_search=64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    times["nsw_search"] = round((time.time() - t0) / n_search, 3)
 
     total = round(sum(times.values()), 3)
     payload = {

@@ -375,13 +375,18 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFram
     canonical = min id in the component (keep-min-id dedup policy; SURVEY
     §2.J J2 "connected components → keep min id").
 
-    Iterative label propagation: every node starts as its own label; each
-    round takes the min of its own and its neighbors' labels. Converges in
-    O(log(diameter)) rounds — near-dup clusters are shallow, so this is
-    2-4 shuffles in practice. Lineage is cut per round (localCheckpoint on
-    the small label table) so plans don't grow; the edge table is persisted
-    once. Only ids that appear in ``pairs`` are returned (singletons are
-    trivially their own canonical).
+    Iterative label propagation with pointer jumping: every node starts
+    as its own label; each round (1) relaxes over edges (min of own and
+    neighbors' labels) and (2) jumps through the label table
+    (label ← label's label), so label values propagate 2^r hops after r
+    rounds — O(log diameter) rounds even for chain-shaped components
+    (embedding ε-ball graphs form long chains; edge relaxation alone
+    needs diameter rounds there). Invariant: label(i) is always the id
+    of a node in i's component and monotone non-increasing, so the
+    fixpoint is the component min. Lineage is cut per round
+    (localCheckpoint on the small label table) so plans don't grow; the
+    edge table is persisted once. Only ids that appear in ``pairs`` are
+    returned (singletons are trivially their own canonical).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -400,12 +405,27 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFram
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # checkpoint before the pointer-jump self-join: without it the
+        # whole relaxation subtree (edge join + agg) evaluates twice per
+        # round (once per join side) and once more in the changed-check
+        relaxed = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint()
+        # pointer jump: label ← label's label (label values are node ids,
+        # so they key back into the same table) — doubles propagation
+        # distance per round
+        ptr = relaxed.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            relaxed.join(ptr, relaxed.label == ptr.__pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("__plabel"), F.col("label"))
                 ).alias("label"),
             )
         ).localCheckpoint()

@@ -224,6 +224,64 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
+
+@query(
+    "semantic_dedup",
+    f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_DUCK_NORM.format(a='a.embedding')}) * sqrt({_DUCK_NORM.format(a='b.embedding')})) >= 0.35),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id),
+canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+SELECT e.vec_id,
+       CAST(coalesce(c.canonical, e.vec_id) AS BIGINT) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.canonical, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS INT) AS kept
+FROM embeddings e LEFT JOIN canon c ON c.id = e.vec_id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — embedding-space semantic dedup as
+    one composed plan: exact blocked-cosine ε-ball self-join (J3) →
+    connected components (J2's label propagation) → keep-min-id policy,
+    emitted as a full (vec_id, canonical_id, kept) verdict table for
+    every corpus row (singletons keep themselves).
+
+    Scale shape: the pair generator here is the tiled exact operator so
+    the DuckDB oracle can replicate it bit-for-bit; at 100 TB swap in the
+    LSH/IVF-bucketed candidate generator (same downstream) — the
+    component resolution and verdict join are unchanged. Reference has no
+    semantic dedup; this is a §2.J beyond-reference training-data op."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+    from chatbot_spark.operators.similarity import embedding_neardup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_blocked(
+        emb, id_col="vec_id", vec_col="embedding", min_cosine=0.35
+    )
+    clusters = resolve_duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        emb.select("vec_id")
+        .join(
+            clusters.select(F.col("doc_id").alias("vec_id"), "canonical_id"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("canonical_id", F.col("vec_id")).cast("long").alias("canonical_id"),
+        )
+        .withColumn("kept", (F.col("canonical_id") == F.col("vec_id")).cast("int"))
+    )
+
 # --------------------------------------------------------------------------
 # Text analysis + dedup (SURVEY §2.J J1/J2/J4, §2.H)
 # --------------------------------------------------------------------------
@@ -325,6 +383,65 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keep_id"),
             F.count("*").cast("long").alias("n_copies"),
         )
+    )
+
+
+@query(
+    "paragraph_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ps)),
+                               i -> struct_pack(pos := i, para := ps[i]))) AS s
+  FROM d),
+pp AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM p),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM pp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos ASC)) AS kept_hash
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at paragraph granularity (the RefinedWeb/CCNet recipe): split
+    every document on blank lines, keep only the globally FIRST occurrence
+    of each exact paragraph (first = lowest (doc_id, position)), and
+    reassemble what survives per document. Corpus-wide paragraph dedup is
+    one groupBy-free window over the exploded paragraphs: rank occurrences
+    per paragraph hash, keep rank 1 — the shuffle moves (hash, ids),
+    never rebuilt documents. Emits a compact verdict (kept-paragraph count
+    + md5 of the rebuilt text) per surviving doc."""
+    paras = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n\n")).alias("pos", "para"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s.para,
+                ),
+            )
+        ).alias("kept_hash"),
     )
 
 

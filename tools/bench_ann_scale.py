@@ -98,6 +98,24 @@ def main() -> int:
     )
     rec_pq = recall_at_k(spark.createDataFrame(ivfpq_rows), exact_df)
 
+    # Sharded NSW graph: shard count scaled so one shard holds ~2k rows
+    # (beam insertion is sequential per shard but shards build in
+    # parallel); search walks only the routed shards' graphs
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    nsw_nlist = max(nlist, n // 2000)
+    t0 = time.time()
+    nsw = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=nsw_nlist, m=16,
+        ef_construction=64,
+    )
+    nsw.graph.persist().count()
+    t_nsw_build = time.time() - t0
+    nsw_rows, t_nsw_search = timed(
+        lambda: nsw.search(queries, k=k, nprobe=nprobe, ef_search=64)
+    )
+    rec_nsw = recall_at_k(spark.createDataFrame(nsw_rows), exact_df)
+
     print(json.dumps({
         "n": n, "dim": dim, "nlist": nlist, "nprobe": nprobe, "k": k,
         "exact_search_sec": round(t_exact, 3),
@@ -109,6 +127,11 @@ def main() -> int:
         "ivfpq_search_sec": round(t_pq_search, 3),
         "ivfpq_speedup_search": round(t_exact / t_pq_search, 2),
         "ivfpq_recall_at_10": round(rec_pq, 4),
+        "nsw_nlist": nsw_nlist,
+        "nsw_build_sec": round(t_nsw_build, 3),
+        "nsw_search_sec": round(t_nsw_search, 3),
+        "nsw_speedup_search": round(t_exact / t_nsw_search, 2),
+        "nsw_recall_at_10": round(rec_nsw, 4),
     }))
     return 0
 
