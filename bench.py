@@ -122,6 +122,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "semantic_dedup",
     "paragraph_dedup",
+    "hashed_quality_score",
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +
     # recall/exact checks — measured by nsw_build/nsw_search below
 ]

@@ -181,6 +181,38 @@ class IVFIndex:
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
+    def append(self, new_rows: DataFrame, path: str | None = None) -> "IVFIndex":
+        """Index maintenance: ingest new corpus rows WITHOUT refitting —
+        assign them to the existing centroids (one Arrow/BLAS map, the
+        same kernel as build) and union them into the cell table. With
+        ``path``, also parquet-append the assigned rows under the written
+        index's cell partitioning, so file-level pruning keeps working and
+        a ``load()`` sees the grown index.
+
+        This is the standard IVF maintenance contract (FAISS ``add`` after
+        ``train``): cell quality degrades only when the data DENSITY
+        shifts, not with volume — rebuild (refit centroids) on drift, not
+        on every ingest batch. Returns the grown in-memory index; the
+        centroid table is shared (centroids are immutable under append).
+        """
+        import numpy as np
+
+        crows = sorted(self.centroids.collect(), key=lambda r: r["centroid_id"])
+        centers = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        assigned = new_rows.withColumn(
+            "centroid_id", _assign_cells(F.col(self.vec_col), centers)
+        )
+        if path is not None:
+            assigned.write.mode("append").partitionBy("centroid_id").parquet(
+                f"{path}/cells"
+            )
+        return IVFIndex(
+            self.centroids,
+            self.indexed.unionByName(assigned),
+            self.vec_col,
+            self.id_col,
+        )
+
     @classmethod
     def load(
         cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id"

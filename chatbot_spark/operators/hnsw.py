@@ -210,6 +210,111 @@ class NSWGraphIndex:
             centroids, spark.read.parquet(f"{path}/graph"), centers, vec_col, id_col
         )
 
+    def append(
+        self,
+        new_rows: DataFrame,
+        m: int = 16,
+        ef_construction: int = 256,
+        path: str | None = None,
+    ) -> "NSWGraphIndex":
+        """Index maintenance: insert new vectors into the existing shard
+        graphs WITHOUT a global rebuild — incremental insertion is how NSW
+        builds in the first place, so append IS the build kernel resumed:
+        route each new row to its shard (frozen centroids, same BLAS
+        argmin as build), then one ``applyInPandas`` per TOUCHED shard
+        reconstructs that shard's adjacency and runs the insertion loop
+        for just the new nodes (id order — deterministic given the same
+        batch). Untouched shards pass through unchanged.
+
+        With ``path``, only the touched shards' partitions are rewritten
+        (dynamic partition overwrite) — appended edges mutate existing
+        nodes' neighbor lists, so a blind parquet append would be wrong;
+        rewriting nothing but the affected cells is the scale contract.
+        """
+        import numpy as np
+
+        spark = new_rows.sparkSession
+        assigned = new_rows.select(
+            F.col(self.id_col), F.col(self.vec_col)
+        ).withColumn("shard", _assign_cells(F.col(self.vec_col), self.centers))
+        touched = [r[0] for r in assigned.select("shard").distinct().collect()]
+
+        id_col, vec_col = self.id_col, self.vec_col
+        out_schema = (
+            f"shard INT, pos INT, {id_col} "
+            f"{self.graph.schema[id_col].dataType.simpleString()}, "
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+        )
+        old_touched = self.graph.filter(F.col("shard").isin(touched)).select(
+            "shard", "pos", id_col, vec_col, "neighbors"
+        )
+        incoming = assigned.select(
+            "shard",
+            F.lit(None).cast("int").alias("pos"),
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            F.lit(None).cast("array<int>").alias("neighbors"),
+        )
+
+        def insert_kernel(pdf):
+            import pandas as pd
+
+            old = pdf[pdf["pos"].notna()].sort_values("pos", kind="mergesort")
+            new = pdf[pdf["pos"].isna()].sort_values(id_col, kind="mergesort")
+            n_old = len(old)
+            X_parts = []
+            if n_old:
+                X_parts.append(np.array(list(old[vec_col]), dtype=np.float64))
+            if len(new):
+                X_parts.append(np.array(list(new[vec_col]), dtype=np.float64))
+            X = np.concatenate(X_parts) if X_parts else np.empty((0, 0))
+            adj = [list(np.asarray(a, dtype=np.int64)) for a in old["neighbors"]]
+            m_max = 2 * m
+            for i in range(n_old, n_old + len(new)):
+                adj.append([])
+                if i == 0:
+                    continue
+                found = _beam_search(
+                    X[:i], adj[:i], X[i], ef=max(ef_construction, m), entry=0
+                )
+                sel = [pos for _, pos in found[:m]]
+                adj[i] = list(sel)
+                for j in sel:
+                    adj[j].append(i)
+                    if len(adj[j]) > m_max:
+                        d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
+                        order = np.argsort(d, kind="stable")[:m_max]
+                        adj[j] = [adj[j][t] for t in order]
+            ids = list(old[id_col]) + list(new[id_col])
+            vecs = list(old[vec_col]) + list(new[vec_col])
+            shard = pdf["shard"].iloc[0]
+            return pd.DataFrame(
+                {
+                    "shard": shard,
+                    "pos": np.arange(len(ids), dtype=np.int32),
+                    id_col: ids,
+                    vec_col: vecs,
+                    "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+                }
+            )
+
+        rebuilt = (
+            old_touched.unionByName(incoming)
+            .groupBy("shard")
+            .applyInPandas(insert_kernel, out_schema)
+        )
+        if path is not None:
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                rebuilt.write.mode("overwrite").partitionBy("shard").parquet(
+                    f"{path}/graph"
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
+        return NSWGraphIndex(self.centroids, grown, self.centers, vec_col, id_col)
+
     def search(
         self,
         queries: DataFrame,

@@ -1077,6 +1077,47 @@ def graph_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_append_fullprobe",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def ivf_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 index MAINTENANCE, oracle-checked: build IVF on half the corpus,
+    ``append`` the other half against the frozen centroids (no refit — the
+    FAISS add-after-train contract), then full-probe search the grown
+    index. Must equal the exact scan over the whole corpus: append only
+    adds rows to cells, never perturbs rankings."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = IVFIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        vec_col="embedding", id_col="vec_id", nlist=8,
+    )
+    grown = index.append(emb.filter(F.col("vec_id") % 2 == 1))
+    res = grown.search(q, k=10, nprobe=8)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 _DUCK_MINHASH_K = 6
 
 
@@ -2845,6 +2886,79 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train/val/test split, vocabulary building, sequence packing — the three
 # steps between "deduped corpus" and "token batches" in an LLM data pipeline
 # --------------------------------------------------------------------------
+
+@query(
+    "hashed_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS grams
+  FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CASE WHEN len(grams) > 0 THEN
+         round(list_reduce(
+                 list_transform(grams,
+                   gr -> ({_DUCK_HEXWORD.format(t='gr', off=1)} - 2147483648.0)
+                         / 2147483648.0),
+                 (a, x) -> a + x) / len(grams), 6)
+       END AS margin
+FROM g
+""",
+)
+def hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, fastText-shaped: hashed word-bigram
+    features × a weight table, mean margin per document. The weight of a
+    bigram is a deterministic stand-in — md5-derived uniform [-1, 1) — so
+    the whole scorer is portable expressions; swapping in REAL fastText
+    weights is a broadcast map lookup in the same plan shape (feature
+    hash → weight join or closure dict), nothing else moves.
+
+    Float-parity discipline (see module header): weights are exact
+    (integer hex word scaled by a power of two), the sum is a LEFT FOLD
+    in document order in both engines (Spark ``aggregate`` with 0.0 init;
+    DuckDB ``list_reduce`` whose first-element init differs from 0.0+x by
+    nothing, exactly), so the oracle matches bit-for-bit before the final
+    round(6). No sigmoid: exp() differs across libms — the linear margin
+    carries the same ranking information. One narrow scan, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chatbot_spark.operators.textstats import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = toks.withColumn(
+        "grams",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i - 1], ' ', toks[i]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    weight = (
+        "(cast(conv(substring(md5(gr), 1, 8), 16, 10) as double) - 2147483648.0d)"
+        " / 2147483648.0d"
+    )
+    return grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.when(
+            F.size("grams") > 0,
+            F.round(
+                F.expr(
+                    f"aggregate(grams, cast(0.0 as double), (a, gr) -> a + {weight})"
+                )
+                / F.size("grams"),
+                6,
+            ),
+        ).alias("margin"),
+    )
+
 
 @query(
     "train_test_split",

@@ -385,3 +385,67 @@ def test_nsw_chunked_queries_equal_unchunked(corpus, queries):
         map(tuple, index.search(queries, k=10, nprobe=4, query_chunk=3).collect())
     )
     assert whole == chunked
+
+
+def test_ivf_append_fullprobe_equals_exact_over_union(spark, corpus, queries, tmp_path):
+    """Index maintenance: build on half the corpus, append the other half
+    (no centroid refit), full-probe search over the grown index must equal
+    the exact scan over the WHOLE corpus — append only adds rows to cells,
+    never perturbs. The written-append path must agree with the in-memory
+    union and keep partition pruning."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    index = IVFIndex.build(half_a, vec_col="embedding", id_col="vec_id", nlist=4)
+    path = str(tmp_path / "ivf_grow")
+    index.write(path)
+
+    grown = index.append(half_b, path=path)
+    got = grown.search(queries, k=10, nprobe=4).collect()
+    want = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+
+    reloaded = IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    res_disk = reloaded.search(queries, k=10, nprobe=4)
+    assert sorted(map(tuple, res_disk.collect())) == sorted(map(tuple, got))
+    plan = res_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_nsw_append_fullprobe_equals_exact_over_union(spark, corpus, queries, tmp_path):
+    """Graph maintenance: build NSW on half the corpus, append the other
+    half (incremental insertion into the existing shard graphs — no
+    refit, no global rebuild), full-probe unbounded-beam search over the
+    grown index must equal the exact scan over the WHOLE corpus (appended
+    nodes link into the connected component at insertion, so connectivity
+    — and therefore the exactness envelope — is preserved). The written
+    path rewrites only touched shards (dynamic partition overwrite) and
+    must agree with the in-memory union."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    index = NSWGraphIndex.build(
+        half_a, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    path = str(tmp_path / "nsw_grow")
+    index.write(path)
+
+    grown = index.append(half_b, m=8, ef_construction=64, path=path)
+    got = grown.search(queries, k=10, nprobe=4, ef_search=1000).collect()
+    want = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+    wd = {(r.query_id, r.neighbor_id): r.dist for r in want}
+    assert all(abs(r.dist - wd[(r.query_id, r.neighbor_id)]) < 1e-9 for r in got)
+
+    reloaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    res_disk = reloaded.search(queries, k=10, nprobe=4, ef_search=1000)
+    assert sorted(map(tuple, res_disk.collect())) == sorted(map(tuple, got))
