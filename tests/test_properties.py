@@ -181,3 +181,60 @@ def test_scd2_matches_python_reference_model(spark):
             vt = changes[i + 1][1] if i + 1 < len(changes) else None
             want.append((uid, attr, t, vt))
     assert got == sorted(want)
+
+
+def test_connected_components_converge_on_long_chain(spark):
+    """Worst case for label propagation: one 300-node chain (diameter 299).
+    Plain edge relaxation needs ~300 rounds; the pointer-jumping step makes
+    label values travel 2^r hops, so the default max_iter=20 must suffice
+    and every node must resolve to the chain minimum."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    got = resolve_duplicate_clusters(pairs).collect()
+    assert len(got) == n
+    assert all(r["canonical_id"] == 0 for r in got)
+
+
+def test_paragraph_dedup_lossless_when_paragraphs_unique(spark):
+    """With globally unique paragraphs, paragraph dedup must be the
+    identity: every doc keeps all its paragraphs and the rebuilt text
+    hashes equal to the original (split-on-blank-line + first-occurrence
+    window + ordered reassembly round-trips)."""
+    from pyspark.sql import functions as F
+
+    texts = {
+        i: "\n\n".join(f"doc{i} unique paragraph {j}" for j in range(1 + i % 4))
+        for i in range(20)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    docs.createOrReplaceTempView("__pd_docs")
+
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n\n")).alias("pos", "para")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s.para,
+            ),
+        ).alias("text2"),
+    )
+    out = {r["doc_id"]: (r["n_kept"], r["text2"]) for r in rebuilt.collect()}
+    assert set(out) == set(texts)
+    for i, text in texts.items():
+        n_kept, text2 = out[i]
+        assert text2 == text
+        assert n_kept == 1 + i % 4
