@@ -123,6 +123,9 @@ HEADLINE = [
     "semantic_dedup",
     "paragraph_dedup",
     "hashed_quality_score",
+    "containment_decontam",
+    # *_fullprobe / *_append correctness queries bundle index builds —
+    # the per-index build/search legs below measure those paths
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +
     # recall/exact checks — measured by nsw_build/nsw_search below
 ]

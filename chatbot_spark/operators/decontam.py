@@ -73,3 +73,52 @@ def decontaminate(
         corpus, benchmark, text_col=text_col, id_col=id_col, n=n
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def containment_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-(corpus doc, benchmark item) CONTAINMENT — |S(b) ∩ S(d)| / |S(b)|
+    over word n-gram sets — reduced to each doc's strongest match.
+
+    The n-gram-overlap rule above flags on ANY shared gram; containment is
+    the graded form real data cards use (e.g. Dolma's paragraph/QA
+    containment thresholds): how much of the benchmark ITEM is inside the
+    doc. Same scale shape — the benchmark side (grams + per-item sizes) is
+    broadcast, the corpus explodes transiently, only hit pairs reach the
+    aggregation; ties on the max break to the lowest benchmark id so the
+    verdict row is deterministic.
+
+    Returns (id_col, bench_id_col, containment, n_common) — one row per
+    corpus doc that shares at least one gram, carrying its best-matching
+    benchmark item.
+    """
+    from pyspark.sql import Window
+
+    bg = benchmark.select(
+        F.col(bench_id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    sizes = bg.groupBy(bench_id_col).agg(F.count("*").alias("__nb"))
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    pair_hits = (
+        corpus_grams.join(F.broadcast(bg), "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(sizes), bench_id_col)
+        .withColumn("containment", F.col("n_common") / F.col("__nb"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("containment").desc(), F.col(bench_id_col).asc()
+    )
+    return (
+        pair_hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, bench_id_col, "containment", "n_common")
+    )

@@ -5250,6 +5250,58 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select("doc_id", F.col("n_hit_grams").cast("long").alias("n_hit_grams"))
 
 
+@query(
+    "containment_decontam",
+    f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, 50, 200) AS btext
+  FROM documents WHERE doc_id % 10 = 0),
+bt AS (SELECT bench_id, {_DUCK_TOKENS.format(c='btext')} AS toks FROM bench),
+bg AS (SELECT DISTINCT bench_id, unnest({_duck_ngrams('toks', 8)}) AS gram FROM bt),
+sizes AS (SELECT bench_id, count(*) AS nb FROM bg GROUP BY bench_id),
+ct AS (SELECT doc_id, {_DUCK_TOKENS.format(c='text')} AS toks FROM documents),
+cg AS (SELECT DISTINCT doc_id, unnest({_duck_ngrams('toks', 8)}) AS gram FROM ct),
+pair AS (
+  SELECT doc_id, bench_id, count(*) AS n_common
+  FROM cg JOIN bg USING (gram) GROUP BY doc_id, bench_id),
+scored AS (
+  SELECT p.doc_id, p.bench_id, p.n_common,
+         CAST(p.n_common AS DOUBLE) / s.nb AS containment,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY CAST(p.n_common AS DOUBLE) / s.nb DESC,
+                                     p.bench_id ASC) AS rn
+  FROM pair p JOIN sizes s USING (bench_id))
+SELECT doc_id, bench_id, round(containment, 6) AS containment,
+       CAST(n_common AS BIGINT) AS n_common
+FROM scored WHERE rn = 1
+""",
+)
+def containment_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (the Dolma-style containment rule): for each
+    corpus doc, the fraction of its best-matching benchmark ITEM's 8-gram
+    set that the doc contains — 1.0 means the benchmark item is fully
+    inside the doc (as with the planted every-10th-doc substrings here),
+    fractional values grade partial leaks that the binary any-gram rule
+    can't rank. Benchmark grams + sizes broadcast; ties break to the
+    lowest bench_id."""
+    from chatbot_spark.operators.decontam import containment_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 50, 200).alias("text"),
+    )
+    res = containment_scores(
+        spread(docs), bench, text_col="text", id_col="doc_id", n=8
+    )
+    return res.select(
+        "doc_id",
+        "bench_id",
+        F.round("containment", 6).alias("containment"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Repetition quality signals (§2.J J4 extension — Gopher/C4 filters)
 # --------------------------------------------------------------------------
