@@ -370,27 +370,70 @@ def simhash_pairs(
 
 # --------------------------------------- duplicate-cluster resolution (J2)
 
-def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def resolve_duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical_id),
     canonical = min id in the component (keep-min-id dedup policy; SURVEY
     §2.J J2 "connected components → keep min id").
 
-    Iterative label propagation with pointer jumping: every node starts
-    as its own label; each round (1) relaxes over edges (min of own and
-    neighbors' labels) and (2) jumps through the label table
-    (label ← label's label), so label values propagate 2^r hops after r
-    rounds — O(log diameter) rounds even for chain-shaped components
-    (embedding ε-ball graphs form long chains; edge relaxation alone
-    needs diameter rounds there). Invariant: label(i) is always the id
-    of a node in i's component and monotone non-increasing, so the
-    fixpoint is the component min. Lineage is cut per round
-    (localCheckpoint on the small label table) so plans don't grow; the
-    edge table is persisted once. Only ids that appear in ``pairs`` are
-    returned (singletons are trivially their own canonical).
+    Hybrid execution, the standard CC recipe:
+
+    * **small edge sets** (≤ ``driver_threshold`` pairs — the common case:
+      near-dup PAIRS are a tiny fraction of any deduped corpus) collect
+      once and resolve with driver-side union-find: one job, O(E α(E)),
+      no iteration. 2M edges ≈ 32 MB on the driver — far below the
+      budget of the broadcast joins used everywhere else.
+    * **large edge sets** run iterative label propagation with pointer
+      jumping: each round (1) relaxes over edges (min of own and
+      neighbors' labels) and (2) jumps through the label table
+      (label ← label's label), so label values propagate 2^r hops after
+      r rounds — O(log diameter) rounds even for chain-shaped components
+      (embedding ε-ball graphs form long chains; edge relaxation alone
+      needs diameter rounds there). Invariant: label(i) is always the id
+      of a node in i's component and monotone non-increasing, so the
+      fixpoint is the component min. Lineage is cut per round
+      (localCheckpoint) so plans don't grow.
+
+    Both paths return identical results (the fixpoint is unique). Only
+    ids that appear in ``pairs`` are returned (singletons are trivially
+    their own canonical).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    n_edges = edges.persist().count()
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the
+                # component min without a second pass
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        id_type = pairs.schema["id_a"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"doc_id {id_type}, canonical_id {id_type}"
+        )
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -440,4 +483,5 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFram
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))

@@ -187,16 +187,20 @@ def test_connected_components_converge_on_long_chain(spark):
     """Worst case for label propagation: one 300-node chain (diameter 299).
     Plain edge relaxation needs ~300 rounds; the pointer-jumping step makes
     label values travel 2^r hops, so the default max_iter=20 must suffice
-    and every node must resolve to the chain minimum."""
+    and every node must resolve to the chain minimum. driver_threshold=0
+    forces the DISTRIBUTED path (the default would union-find this tiny
+    edge set on the driver); both paths must agree."""
     from chatbot_spark.operators.dedup import resolve_duplicate_clusters
 
     n = 300
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
     )
-    got = resolve_duplicate_clusters(pairs).collect()
+    got = resolve_duplicate_clusters(pairs, driver_threshold=0).collect()
     assert len(got) == n
     assert all(r["canonical_id"] == 0 for r in got)
+    via_driver = resolve_duplicate_clusters(pairs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, via_driver))
 
 
 def test_paragraph_dedup_lossless_when_paragraphs_unique(spark):
