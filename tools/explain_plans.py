@@ -149,6 +149,53 @@ COMMENT = {
 }
 
 
+def nsw_from_disk_search(spark, sf_dir):
+    """The graph index's interesting plan is the FROM-DISK search (file-level
+    shard pruning), which no registered query exposes directly — build to a
+    temp dir and explain the loaded search."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    idx = NSWGraphIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=8, m=16, ef_construction=128
+    )
+    import os
+
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_plans_nsw_"), "nsw")
+    idx.write(path)
+    loaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    return loaded.search(q, k=10, nprobe=3, ef_search=64)
+
+
+SPECIAL = {
+    "graph_knn (NSWGraphIndex.search, from a written index)": (
+        nsw_from_disk_search,
+        "Sharded NSW graph ANN — the HNSW-equivalent. What to notice: "
+        "file-level pruning BEFORE any compute (the probed-shard set is an "
+        "explicit isin filter, so the graph scan shows "
+        "PartitionFilters: shard IN (...) and reads only the routed shards' "
+        "parquet directories — at production shard counts a query batch "
+        "touches nprobe/nlist of the files); ONE shuffle of only the probed "
+        "shards feeding FlatMapGroupsInPandas (the beam search runs where "
+        "the shard's rows land, walking ef*degree rows rather than scanning "
+        "the shard); a PARTIAL WindowGroupLimit before the ranking exchange "
+        "(each kernel task already emits <= k rows per (query, shard), so "
+        "the final per-query window moves <= Q*nprobe*k tiny rows). Build "
+        "is the mirror image: one groupBy(shard).applyInPandas pass, "
+        "embarrassingly parallel, no cross-shard edges by design."
+    ),
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -172,10 +219,16 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         out += [f"## {name}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
+    for title, (builder, note) in SPECIAL.items():
+        df = builder(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {title}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
 
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(COMMENT)} plans)")
+    print(f"wrote PLANS.md ({len(COMMENT) + len(SPECIAL)} plans)")
     return 0
 
 
