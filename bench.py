@@ -124,6 +124,7 @@ HEADLINE = [
     "paragraph_dedup",
     "hashed_quality_score",
     "containment_decontam",
+    "weighted_sample",
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +

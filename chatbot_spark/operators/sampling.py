@@ -103,3 +103,98 @@ def weighted_mixture(
         .select("*", F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(copy_col, "__one"))
         .drop("__base", "__extra_below", "__one")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` in ``order_col``
+    order — the two-phase scan, never a single-task global window:
+
+      1. range-bucket rows on ``order_col`` (boundaries from one
+         approx-quantile pass; the boundaries only shape the parallelism,
+         the RESULT is boundary-independent);
+      2. cumsum within each bucket (window partitioned by bucket — runs
+         parallel across buckets);
+      3. per-bucket subtotals → cumulative bucket offsets (a ≤ n_buckets
+         row aggregate, broadcast back) added to the within-bucket sums.
+
+    A naive ``Window.orderBy(order_col)`` with no partition key collapses
+    the whole table into ONE task — the classic scale trap this operator
+    exists to avoid. Requires ``order_col`` values to be unique (they key
+    the deterministic order)."""
+    from pyspark.sql import Window
+
+    if n_buckets <= 1:
+        src = df.withColumn("__bkt", F.lit(0))
+    else:
+        bounds = df.select(
+            F.percentile_approx(
+                order_col, [i / n_buckets for i in range(1, n_buckets)]
+            ).alias("bs")
+        )
+        src = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "__bkt",
+            F.aggregate(
+                "bs",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
+            ),
+        ).drop("bs")
+    w_in = Window.partitionBy("__bkt").orderBy(F.col(order_col).asc())
+    within = src.withColumn("__cum_in", F.sum(value_col).over(w_in))
+    w_off = Window.orderBy(F.col("__bkt").asc())
+    offsets = (
+        within.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("__sub"))
+        # ≤ n_buckets rows: the tiny global window here is fine
+        .withColumn("__off", F.coalesce(F.sum("__sub").over(w_off) - F.col("__sub"), F.lit(0)))
+        .select("__bkt", "__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, (F.col("__cum_in") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__cum_in", "__off")
+    )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, integer-exact:
+    systematic (grid) sampling over the cumulative weight line. Row i with
+    cumulative weight range (cum_i − w_i, cum_i] is selected iff the range
+    contains a grid point j·total/k, i.e.
+
+        floor(k·cum_i / total)  >  floor(k·(cum_i − w_i) / total)
+
+    — pure BIGINT arithmetic, so any engine reproduces the same subset
+    bit-for-bit (no RNG, no floats, no libm). Inclusion probability is
+    proportional to weight; rows with w ≥ total/k are guaranteed in. The
+    prefix sum is the distributed two-phase scan above; everything else
+    rides the row.
+
+    Returns the selected rows plus ``cum`` (the inclusive cumulative
+    weight — the audit trail for the grid positions)."""
+    cum = prefix_sum(df, order_col=order_col, value_col=weight_col)
+    total = cum.agg(F.sum(weight_col).cast("long").alias("__total"))
+    # integer division (`div`), NOT `/`: long/long is DOUBLE division in
+    # both Spark and DuckDB, and float floor at a grid boundary is exactly
+    # the bit-inexactness this operator exists to avoid. k·total must fit
+    # BIGINT: fine to ~1e14 total weight at k≤10⁴.
+    kc = f"CAST({k} AS BIGINT)"
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr(f"({kc} * cum) div __total")
+            > F.expr(f"({kc} * (cum - {weight_col})) div __total")
+        )
+        .drop("__total")
+    )

@@ -2961,6 +2961,43 @@ def hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample",
+    """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents),
+t AS (SELECT sum(n_chars) AS total FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum
+FROM c, t
+WHERE (50 * cum) // total > (50 * (cum - n_chars)) // total
+""",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (k=50, weight =
+    n_chars): systematic grid sampling over the cumulative-weight line —
+    row selected iff its weight interval contains a grid point, tested
+    with pure BIGINT arithmetic (no RNG, no floats), so re-runs and other
+    engines reproduce the subset bit-for-bit. The cumulative sum is the
+    distributed two-phase prefix scan (range-bucket → within-bucket
+    window → broadcast bucket offsets), never a one-task global window —
+    the oracle's single ORDER BY window is the semantic spec, not the
+    plan."""
+    from chatbot_spark.operators.sampling import systematic_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    picked = systematic_weighted_sample(
+        docs, order_col="doc_id", weight_col="n_chars", k=50
+    )
+    return picked.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.col("cum").cast("long").alias("cum"),
+    )
+
+
+@query(
     "train_test_split",
     f"""
 WITH b AS (

@@ -242,3 +242,55 @@ def test_paragraph_dedup_lossless_when_paragraphs_unique(spark):
         n_kept, text2 = out[i]
         assert text2 == text
         assert n_kept == 1 + i % 4
+
+
+def test_prefix_sum_matches_serial_and_stays_parallel(spark):
+    """Two-phase distributed prefix sum == serial cumsum, independent of
+    bucket count; the plan's only partition-less Window runs over the
+    tiny per-bucket offsets aggregate, never the row stream (the
+    single-task global-window trap)."""
+    import numpy as np
+
+    from chatbot_spark.operators.sampling import prefix_sum
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(1, 1000, size=500)
+    df = spark.createDataFrame(
+        [(i, int(vals[i])) for i in range(500)], "k LONG, v LONG"
+    )
+    for nb in (1, 7, 64):
+        got = {
+            r["k"]: r["cum"]
+            for r in prefix_sum(df, "k", "v", n_buckets=nb).collect()
+        }
+        exp = np.cumsum(vals)
+        assert got == {i: int(exp[i]) for i in range(500)}
+
+    plan = (
+        prefix_sum(df, "k", "v", n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every windowspec over row-stream data must carry the bucket key
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        if "__bkt" not in frag[:120]:
+            # the offsets window: partition-less but over the grouped
+            # per-bucket subtotals — its child must be an Aggregate
+            assert "__sub" in frag[:200]
+
+
+def test_systematic_weighted_sample_probability_and_determinism(spark):
+    """Grid sampling invariants: exactly k rows selected when no weight
+    exceeds total/k (each grid point lands in one interval); any row with
+    w >= total/k is ALWAYS selected; repeated runs are identical."""
+    from chatbot_spark.operators.sampling import systematic_weighted_sample
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    a = sorted(r["k"] for r in systematic_weighted_sample(df, "k", "w", k=20).collect())
+    b = sorted(r["k"] for r in systematic_weighted_sample(df, "k", "w", k=20).collect())
+    assert a == b
+    assert len(a) == 20
+
+    heavy = df.union(spark.createDataFrame([(999, 100000)], "k LONG, w LONG"))
+    sel = {r["k"] for r in systematic_weighted_sample(heavy, "k", "w", k=10).collect()}
+    assert 999 in sel
