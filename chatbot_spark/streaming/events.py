@@ -222,3 +222,60 @@ def drain_to_idempotent_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_state_writer(
+    state_dir: str,
+    id_col: str,
+    version_col: str,
+):
+    """foreachBatch MERGE-maintenance: each micro-batch upserts into a
+    keep-latest table, versioned with a commit pointer — the lakehouse
+    commit protocol in miniature (Delta/Iceberg would replace the body
+    with MERGE INTO; the batch contract is identical).
+
+    Per batch: read the table at the current commit (the ``CURRENT``
+    pointer file), union the batch, keep the latest version per id
+    (io.tables.upsert_latest — ties toward the batch), write the merged
+    state to a NEW versioned directory ``v<batch_id>``, then atomically
+    repoint ``CURRENT``. Crash-replay of a batch rewrites its own
+    version directory and repoints to the same place — idempotent. The
+    pointer write is the only non-parallel step and is O(bytes of one
+    small file).
+    """
+    import os
+
+    from chatbot_spark.io.tables import upsert_latest
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(state_dir, "CURRENT")
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                cur = f.read().strip()
+            prev = spark.read.parquet(os.path.join(state_dir, cur))
+        merged = (
+            upsert_latest(prev, batch_df, id_col=id_col, version_col=version_col)
+            if prev is not None
+            else upsert_latest(
+                batch_df.limit(0), batch_df, id_col=id_col, version_col=version_col
+            )
+        )
+        out = os.path.join(state_dir, f"v{int(batch_id)}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v{int(batch_id)}")
+        os.replace(tmp, marker)
+
+    return write_batch
+
+
+def read_upsert_state(spark, state_dir: str) -> DataFrame:
+    """The table at the current commit pointer."""
+    import os
+
+    with open(os.path.join(state_dir, "CURRENT")) as f:
+        cur = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, cur))

@@ -2845,6 +2845,66 @@ def supplier_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_upsert",
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE user_id < 50)
+SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_type
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-maintenance (A9's streaming twin): events arrive in
+    three micro-batches; each batch upserts into a keep-latest-per-user
+    table through the versioned-commit foreachBatch writer (a lakehouse
+    MERGE in miniature: merge → write v<batch_id> → atomically repoint
+    CURRENT; crash-replay rewrites its own version, idempotent). The
+    drained table must equal the batch keep-latest window over all
+    events — version = event_id, the monotone ingest sequence."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        read_upsert_state,
+        upsert_state_writer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    base = tempfile.mkdtemp(prefix="cbs_supsert_q_")
+    inpath = os.path.join(base, "in")
+    # three ingest chunks -> three micro-batches (maxFilesPerTrigger=1)
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(inpath)
+    state_dir = os.path.join(base, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    stream = read_event_stream(spark, inpath, max_files_per_trigger=1).select(
+        "user_id", "event_id", "event_type"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_state_writer(state_dir, id_col="user_id", version_col="event_id")
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = read_upsert_state(spark, state_dir)
+    return state.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@query(
     "stream_dedup",
     """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
