@@ -903,16 +903,31 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    None,  # HLL sketches differ across engines — driver records rows-only
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       1 AS within_slo
+FROM events GROUP BY event_type
+""",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: approx_count_distinct (HyperLogLog++). No oracle: sketch values
-    are engine-specific by construction; correctness is covered by the
-    exact n_users in events_hourly."""
+    """J6: approx_count_distinct (HyperLogLog++). Raw sketch estimates are
+    engine-specific by construction, so — like the seed-dependent ANN
+    queries — the driver oracle asserts the INVARIANT instead: the exact
+    distinct count (portable) plus a thresholded relative-error flag
+    (HLL++ at default rsd=0.05 must land within 5%), computed in-plan."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id").cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            / F.countDistinct("user_id")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("within_slo"),
     )
 
 # --------------------------------------------------------------------------
