@@ -125,6 +125,7 @@ HEADLINE = [
     "hashed_quality_score",
     "containment_decontam",
     "weighted_sample",
+    "encode_tokens",
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +

@@ -3135,6 +3135,81 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_tokens_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chatbot_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        # global window over ~vocab-size rows (tiny) — fine; the row
+        # stream below never sees a partition-less window
+        .withColumn("tok_id", F.row_number().over(wv))
+        .filter(F.col("tok_id") <= 1000)
+        .select("tok", "tok_id")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tok_id") == 0).cast("long")).alias("n_unk"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok_id")))
+                    ),
+                    lambda s: s.tok_id.cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
+@query(
+    "encode_tokens",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(c='text')} AS ts FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts)),
+                               i -> struct_pack(pos := i, tok := ts[i]))) AS s
+  FROM toks),
+pp AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM p),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS tok_id
+  FROM pp GROUP BY tok
+  QUALIFY tok_id <= 1000),
+enc AS (
+  SELECT pp.doc_id, pp.pos, coalesce(v.tok_id, 0) AS tok_id
+  FROM pp LEFT JOIN vocab v USING (tok))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos ASC)) AS ids_md5
+FROM enc GROUP BY doc_id
+""",
+)
+def encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text → token-ids encode step (what every training pipeline runs
+    between vocab building and sequence packing): corpus-derived top-1000
+    vocabulary (deterministic rank: count desc, token asc; id 0 = UNK)
+    broadcast onto the exploded token stream, re-assembled per doc in
+    position order. Emits a compact verdict (token/UNK counts + md5 of
+    the comma-joined id sequence) so the full id arrays never leave the
+    executors. One shuffle for the vocab agg, one for the per-doc
+    reassembly; the vocab join is map-side."""
+    return _encode_tokens_impl(spark, sf_dir)
+
+
+
 @query(
     "pack_sequences",
     f"""
