@@ -57,17 +57,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
 # dict order, so with 125 registered queries the window must rotate across
 # rounds for every query to get a hard driver-oracle check. Rotation is
-# automatic: count how many past CORRECTNESS_r*.json rounds each query
-# appeared in, and order never/least-checked queries first (stable by
-# registration order within a tier). _PRIORITY front-loads the families the
-# round-2 judge explicitly asked to see checked next.
+# automatic: count how many past CORRECTNESS_r*.json rounds each query was
+# fully GREEN in (rows+schema+hash all matched, no err — an errored or
+# mismatched row does not count as checked), and order never/least-green
+# queries first (stable by registration order within a tier). _PRIORITY
+# front-loads the queries the round-3 judge flagged as never driver-verified.
 _PRIORITY = frozenset({
-    "fuzzy_name_pairs", "rrf_hybrid", "bm25_topk", "pq_knn", "ivfpq_knn",
-    "scd2_user_state", "decontaminate", "pii_redact", "cms_heavy_hitters",
-    "catalog_roundtrip", "markdown_scan", "tfidf_topk",
-    "stream_dedup", "stream_static_join", "stream_interval_join",
-    "stream_left_outer_join", "stream_boundary_sessionize",
-    "dataprep_pipeline", "range_layout_pruning",
+    "approx_distinct_users", "stream_sessionize", "stream_hourly_rollup",
+    "top_supplier_revenue", "nation_revenue_share", "bulk_part_suppliers",
+    "market_share", "big_orders", "compact_small_files", "stratified_sample",
+    "incremental_rollup", "incremental_distinct_hll", "forecast_revenue",
+    "min_cost_supplier", "nation_year_profit", "returned_item_revenue",
+    "brand_supplier_count", "rollup_hierarchy", "source_mixture",
+    "asof_forward_next_purchase", "user_segments_setops",
+    "containment_decontam", "repetition_stats", "funnel_analysis",
+    "url_canonicalize", "range_join_price_bands",
 })
 
 
@@ -76,19 +80,27 @@ def _rotated(names: list[str]) -> list[str]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    times_checked: dict[str, int] = {}
+    times_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                for n in json.load(f):
-                    times_checked[n] = times_checked.get(n, 0) + 1
+                for n, row in json.load(f).items():
+                    green = (
+                        isinstance(row, dict)
+                        and bool(row.get("rows_match"))
+                        and bool(row.get("schema_match"))
+                        and bool(row.get("hash_match"))
+                        and not row.get("err")
+                    )
+                    if green:
+                        times_green[n] = times_green.get(n, 0) + 1
         except (OSError, ValueError):
             continue
     reg_index = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
-            times_checked.get(n, 0),
+            times_green.get(n, 0),
             0 if n in _PRIORITY else 1,
             reg_index[n],
         ),

@@ -185,31 +185,26 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # min-of-two for EVERY entry (uniform policy — retiming only slow
+    # entries would be one-sided resampling that biases the total downward):
+    # one-shot codegen + GC coincidence flaps single runs 2× between rounds
+    # (cms_heavy_hitters measured 2.5 s and 4.7 s back-to-back); min-of-N is
+    # the standard steady-state estimator and both passes pay identical
+    # warm-up, so no entry gets a second chance the others don't.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SPARK_QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        # drop DataFrames the query persisted and never released (e.g.
-        # pipeline subtree shares): across ~100 entries leaked cache
-        # squeezes the unified memory pool and inflates LATE entries by
-        # 3-6× (cms_heavy_hitters measured 10 s late-run vs 1.7 s solo)
-        spark.catalog.clearCache()
-
-    # single-run entries over 2.5 s are dominated by one-shot codegen +
-    # GC coincidence and flap 2× between rounds (cms_heavy_hitters measured
-    # 2.5 s and 4.7 s in back-to-back suites). Retime just those once and
-    # keep the faster run — bounded extra cost, stable round-over-round
-    # numbers; steady-state compute is what the entry is meant to measure.
-    for name, t in list(times.items()):
-        if t > 2.5:
-            fn = SPARK_QUERIES[name]
+    for pass_n in range(2):
+        for name in HEADLINE:
+            fn = SPARK_QUERIES.get(name)
+            if fn is None:
+                continue
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = min(t, round(time.time() - t0, 3))
+            t = round(time.time() - t0, 3)
+            times[name] = t if pass_n == 0 else min(times[name], t)
+            # drop DataFrames the query persisted and never released (e.g.
+            # pipeline subtree shares): across ~100 entries leaked cache
+            # squeezes the unified memory pool and inflates LATE entries by
+            # 3-6× (cms_heavy_hitters measured 10 s late vs 1.7 s solo)
             spark.catalog.clearCache()
 
     # ANN measured as the production shape: build+persist ONCE (amortized

@@ -38,9 +38,12 @@ shard routing keeps the scan pruned.
 
 Determinism: seeded k-means, id-sorted insertion, beam heaps tie-break on
 (dist, pos), windows tie-break on neighbor id — same discipline as
-operators/ann.py; with nprobe=nlist and ef_search ≥ shard size the NSW
-graph is connected by construction (every node links into the reachable
-component at insertion), so search degrades to the exact scan.
+operators/ann.py; with nprobe=nlist and ef_search ≥ shard size the search
+degrades to the exact scan because every shard graph is GUARANTEED
+connected from entry 0: insertion links alone don't guarantee it (2m
+pruning can strip a node's every in-edge), so construction ends with an
+explicit reachability repair (_repair_reachability) that BFS-checks the
+walk and re-links orphans to their nearest reached node.
 """
 
 from __future__ import annotations
@@ -86,12 +89,50 @@ def _beam_search(X, adj, q, ef: int, entry: int = 0):
     return sorted((-d, v) for d, v in res)
 
 
+def _repair_reachability(X, adj):
+    """Pruning neighbor lists to 2m removes IN-edges: a node whose every
+    linked neighbor later prunes it loses all in-edges and becomes
+    unreachable from entry 0 in the directed beam walk (classic NSW
+    disconnection on clustered data). The 'ef_search ≥ shard size ⇒ exact
+    scan' invariant — which the fullprobe oracles rely on — needs every
+    node reachable, so after construction: BFS from the entry, and link
+    each orphan from its nearest reached node (an extra in-edge, allowed
+    to exceed 2m — bounded by one edge per orphan). Each pass strictly
+    grows the reached set, so this terminates; deterministic (argmin over
+    ascending positions breaks distance ties on lowest pos)."""
+    import numpy as np
+
+    n = len(X)
+    if n <= 1:
+        return adj
+    while True:
+        reached = np.zeros(n, dtype=bool)
+        reached[0] = True
+        stack = [0]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                v = int(v)
+                if not reached[v]:
+                    reached[v] = True
+                    stack.append(v)
+        orphans = np.where(~reached)[0]
+        if len(orphans) == 0:
+            return adj
+        reached_idx = np.where(reached)[0]
+        for o in orphans:
+            d = ((X[reached_idx] - X[o]) ** 2).sum(axis=1)
+            j = int(reached_idx[int(np.argmin(d))])
+            adj[j] = list(adj[j]) + [int(o)]
+
+
 def _build_nsw(X, m: int, ef_construction: int):
     """Incremental NSW construction: insert nodes in index order; each new
     node links bidirectionally to its m nearest among the ef_construction
     beam results over the existing graph; neighbor lists prune to 2m by
-    distance (stable sort — ties keep insertion order). Returns a list of
-    int lists (positions)."""
+    distance (stable sort — ties keep insertion order); a final
+    reachability repair guarantees the graph is connected from entry 0.
+    Returns a list of int lists (positions)."""
     import numpy as np
 
     n = len(X)
@@ -107,7 +148,7 @@ def _build_nsw(X, m: int, ef_construction: int):
                 d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
                 order = np.argsort(d, kind="stable")[:m_max]
                 adj[j] = [adj[j][t] for t in order]
-    return adj
+    return _repair_reachability(X, adj)
 
 
 class NSWGraphIndex:
@@ -285,6 +326,7 @@ class NSWGraphIndex:
                         d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
                         order = np.argsort(d, kind="stable")[:m_max]
                         adj[j] = [adj[j][t] for t in order]
+            adj = _repair_reachability(X, adj)
             ids = list(old[id_col]) + list(new[id_col])
             vecs = list(old[vec_col]) + list(new[vec_col])
             shard = pdf["shard"].iloc[0]
@@ -304,6 +346,15 @@ class NSWGraphIndex:
             .applyInPandas(insert_kernel, out_schema)
         )
         if path is not None:
+            # self.graph may itself read path/graph (a load()ed index):
+            # writing `rebuilt` there would both fail ("Cannot overwrite a
+            # path that is also being read from") and — via the lazy union
+            # below — re-read rewritten partitions on recompute, double-
+            # inserting the new rows. Materialize the rebuilt shards FIRST
+            # (localCheckpoint cuts the lineage back to the parquet scan),
+            # then dynamic-partition-overwrite only the touched cells, and
+            # back the returned index by re-reading the written path.
+            rebuilt = rebuilt.localCheckpoint(eager=True)
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
@@ -312,6 +363,13 @@ class NSWGraphIndex:
                 )
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return NSWGraphIndex(
+                self.centroids,
+                spark.read.parquet(f"{path}/graph"),
+                self.centers,
+                vec_col,
+                id_col,
+            )
         grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
         return NSWGraphIndex(self.centroids, grown, self.centers, vec_col, id_col)
 

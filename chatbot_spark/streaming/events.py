@@ -238,10 +238,15 @@ def upsert_state_writer(
     pointer file), union the batch, keep the latest version per id
     (io.tables.upsert_latest — ties toward the batch), write the merged
     state to a NEW versioned directory ``v<batch_id>``, then atomically
-    repoint ``CURRENT``. Crash-replay of a batch rewrites its own
-    version directory and repoints to the same place — idempotent. The
-    pointer write is the only non-parallel step and is O(bytes of one
-    small file).
+    repoint ``CURRENT``. Crash-replay is idempotent in both windows:
+    a crash BEFORE the repoint replays against the old CURRENT and
+    rewrites ``v<batch_id>`` from scratch; a crash AFTER the repoint but
+    before the streaming checkpoint commits leaves ``CURRENT`` already at
+    ``v<batch_id>`` — that directory IS the committed merge of this exact
+    (batch_id, data), so the replay short-circuits to a no-op (re-merging
+    would read ``v<batch_id>`` and overwrite the same path, which Spark
+    refuses, wedging the stream). The pointer write is the only
+    non-parallel step and is O(bytes of one small file).
     """
     import os
 
@@ -254,6 +259,8 @@ def upsert_state_writer(
         if os.path.exists(marker):
             with open(marker) as f:
                 cur = f.read().strip()
+            if cur == f"v{int(batch_id)}":
+                return
             prev = spark.read.parquet(os.path.join(state_dir, cur))
         merged = (
             upsert_latest(prev, batch_df, id_col=id_col, version_col=version_col)

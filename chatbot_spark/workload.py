@@ -913,8 +913,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: approx_count_distinct (HyperLogLog++). Raw sketch estimates are
     engine-specific by construction, so — like the seed-dependent ANN
     queries — the driver oracle asserts the INVARIANT instead: the exact
-    distinct count (portable) plus a thresholded relative-error flag
-    (HLL++ at default rsd=0.05 must land within 5%), computed in-plan."""
+    distinct count (portable) plus a thresholded relative-error flag.
+    rsd=0.05 is a relative STANDARD DEVIATION, not a bound, so the
+    threshold is 3×rsd (15%) — ~3σ, safe across scale factors — rather
+    than baking the 1σ value into a hard oracle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -924,7 +926,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.countDistinct("user_id").cast("double")
             )
             / F.countDistinct("user_id")
-            <= 0.05
+            <= 0.15
         )
         .cast("int")
         .alias("within_slo"),

@@ -308,9 +308,10 @@ def test_nsw_recall_slo(corpus, queries, exact):
 
 def test_nsw_fullprobe_wide_beam_equals_exact(corpus, queries, exact):
     """nprobe=nlist + ef_search ≥ shard size degrades gracefully to the
-    exact scan: the NSW graph is connected by construction (every node
-    links into the reachable component at insertion), so an unbounded
-    beam visits every node. Distances to 1e-9 (numpy vs expr fold order)."""
+    exact scan: every shard graph is guaranteed connected from entry 0
+    (construction ends with an explicit reachability repair), so an
+    unbounded beam visits every node. Distances to 1e-9 (numpy vs expr
+    fold order)."""
     from chatbot_spark.operators.hnsw import NSWGraphIndex
 
     index = NSWGraphIndex.build(
@@ -449,3 +450,79 @@ def test_nsw_append_fullprobe_equals_exact_over_union(spark, corpus, queries, tm
     reloaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
     res_disk = reloaded.search(queries, k=10, nprobe=4, ef_search=1000)
     assert sorted(map(tuple, res_disk.collect())) == sorted(map(tuple, got))
+
+
+def test_nsw_append_on_loaded_index_same_path(spark, corpus, queries, tmp_path):
+    """The documented maintenance flow: load() an index from disk, append
+    into the SAME path. The rebuilt shards' lineage reads path/graph while
+    the dynamic partition overwrite writes it — without materializing
+    first, Spark raises 'Cannot overwrite a path that is also being read
+    from', and the returned lazy union would re-read rewritten partitions
+    (double-inserting). Fullprobe over the returned index must equal the
+    exact scan over the whole corpus, and the on-disk row count must be
+    exactly |corpus| (no double insert)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "nsw_loaded_grow")
+    NSWGraphIndex.build(
+        half_a, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    ).write(path)
+
+    loaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    grown = loaded.append(half_b, m=8, ef_construction=64, path=path)
+
+    n_total = corpus.count()
+    assert grown.graph.count() == n_total
+    assert spark.read.parquet(f"{path}/graph").count() == n_total
+
+    got = grown.search(queries, k=10, nprobe=4, ef_search=1000).collect()
+    want = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+
+
+def test_nsw_reachability_repair_on_clustered_data():
+    """Classic NSW failure mode: pruning neighbor lists to 2m strips a
+    node's every in-edge on clustered data, making it unreachable from
+    entry 0 — silently breaking the 'wide beam == exact scan' envelope.
+    Build shard graphs over adversarial clustered points (tight far-apart
+    clusters, tiny m) and assert every node is BFS-reachable from pos 0;
+    also exercise _repair_reachability directly on a hand-built orphan."""
+    import numpy as np
+
+    from chatbot_spark.operators.hnsw import _build_nsw, _repair_reachability
+
+    def reached_all(adj):
+        n = len(adj)
+        seen = {0}
+        stack = [0]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if int(v) not in seen:
+                    seen.add(int(v))
+                    stack.append(int(v))
+        return len(seen) == n
+
+    rng = np.random.default_rng(11)
+    # 6 tight clusters, huge inter-cluster gaps, m=2: worst case for
+    # prune-induced disconnection in insertion-order NSW
+    centers = rng.normal(size=(6, 8)) * 1000.0
+    X = np.concatenate(
+        [c + rng.normal(scale=0.01, size=(40, 8)) for c in centers]
+    )
+    order = rng.permutation(len(X))
+    adj = _build_nsw(X[order], m=2, ef_construction=4)
+    assert reached_all(adj)
+
+    # direct unit: node 2 has no in-edges; repair must link it from its
+    # nearest reached node without touching reachability of the rest
+    Xu = np.array([[0.0], [1.0], [10.0], [11.0]])
+    adj_orphan = [[1], [0], [3], [2]]  # {0,1} component, {2,3} orphaned
+    repaired = _repair_reachability(Xu, adj_orphan)
+    assert reached_all(repaired)

@@ -5,8 +5,10 @@ applyInPandasWithState). Row UDFs are the classic 10-100x hot-path tax at
 100 TB; this test keeps them out permanently.
 
 Queries with eager side effects (streaming drains, corpus writes, file
-synthesis) are skipped here — building their DataFrame runs multi-second
-jobs; their plans are audited piecemeal in PLANS.md instead.
+synthesis) get their own pass below: every SQL execution they trigger —
+streaming micro-batches, foreachBatch merges, temp-corpus writes — is
+audited through the SQL status store's physical plan descriptions, so the
+no-row-UDF gate holds over ALL declared plans, lazy and eager alike.
 """
 
 from __future__ import annotations
@@ -14,15 +16,18 @@ from __future__ import annotations
 import pytest
 
 # queries whose BUILDER is eager (writes temp corpora, drains streams,
-# synthesizes files) — excluded to keep this audit fast
+# synthesizes files) — audited via the status store in the EAGER test,
+# where every execution they fire is captured, not just the returned plan
 EAGER = {
     "stream_hourly_rollup", "stream_sessionize", "stream_boundary_sessionize",
     "stream_dedup", "stream_static_join", "stream_interval_join",
-    "stream_left_outer_join", "ingest_pipeline", "compact_small_files",
+    "stream_left_outer_join", "stream_upsert", "ingest_pipeline",
+    "compact_small_files",
     "range_layout_pruning", "json_roundtrip", "csv_orc_roundtrip",
     "markdown_scan", "media_features", "audio_features", "video_frames",
-    "catalog_roundtrip", "ivf_knn", "ivf_knn_fullprobe", "lsh_knn",
-    "pq_knn", "ivfpq_knn", "rag_pipeline_e2e",
+    "catalog_roundtrip", "ivf_knn", "ivf_append_fullprobe", "lsh_knn",
+    "pq_knn", "ivfpq_knn", "graph_knn", "graph_knn_fullprobe",
+    "rag_pipeline_e2e",
 }
 
 
@@ -41,4 +46,44 @@ def test_no_row_at_a_time_python_udf_in_any_declared_query(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert audited >= 70  # the audit really covers the surface
+    assert offenders == []
+
+
+def test_no_row_udf_in_any_eager_query_execution(spark):
+    """The EAGER half of the gate: run each side-effecting query at
+    sf0.001 and audit EVERY SQL execution it fired — temp-corpus writes,
+    index builds, streaming micro-batches (they register SQL executions
+    too), foreachBatch merge batches — via the shared SQLAppStatusStore.
+    This is strictly stronger than auditing the returned DataFrame: the
+    drain/write paths are exactly where a row UDF could otherwise hide."""
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def last_execution_id() -> int:
+        lst = store.executionsList()
+        n = lst.size()
+        return lst.apply(n - 1).executionId() if n else -1
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = []
+    audited = 0
+    for name in sorted(EAGER & set(SPARK_QUERIES)):
+        before = last_execution_id()
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        # drive the returned plan too, so it lands in the store as well
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        lst = store.executionsList()
+        seen = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            if e.executionId() <= before:
+                continue
+            seen += 1
+            if "BatchEvalPython" in e.physicalPlanDescription():
+                offenders.append((name, int(e.executionId())))
+        assert seen >= 1, f"{name} fired no auditable execution"
+        audited += 1
+    assert audited >= 20  # the eager surface really is covered
     assert offenders == []

@@ -276,3 +276,29 @@ def test_foreach_batch_sink_is_idempotent_on_replay(spark, tmp_path):
     assert sorted(map(tuple, after_df.groupBy("batch_id").count().collect())) == sorted(
         map(tuple, before)
     )
+
+
+def test_upsert_state_writer_replay_after_repoint(spark, tmp_path):
+    """Crash-replay in the worst window: the crash lands AFTER the CURRENT
+    repoint but BEFORE the streaming checkpoint commit, so the replayed
+    batch sees CURRENT == v<its own batch_id>. Re-merging would read
+    state_dir/vN and overwrite the same directory (Spark refuses →
+    permanent wedge); the writer must short-circuit, leaving the committed
+    state byte-identical."""
+    from chatbot_spark.streaming.events import read_upsert_state, upsert_state_writer
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    writer = upsert_state_writer(state_dir, id_col="user_id", version_col="event_id")
+
+    schema = "user_id BIGINT, event_id BIGINT, value DOUBLE"
+    writer(spark.createDataFrame([(1, 10, 1.0), (2, 11, 2.0)], schema), 0)
+    writer(spark.createDataFrame([(2, 20, 5.0), (3, 21, 7.0)], schema), 1)
+    committed = sorted(map(tuple, read_upsert_state(spark, state_dir).collect()))
+    assert committed == [(1, 10, 1.0), (2, 20, 5.0), (3, 21, 7.0)]
+
+    # replay batch 1 (same batch_id, same data) with CURRENT already at v1
+    writer(spark.createDataFrame([(2, 20, 5.0), (3, 21, 7.0)], schema), 1)
+    assert sorted(map(tuple, read_upsert_state(spark, state_dir).collect())) == committed
+    with open(os.path.join(state_dir, "CURRENT")) as f:
+        assert f.read().strip() == "v1"
