@@ -295,6 +295,23 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    # attach the recorded sf1 point (tools/bench_sf1.py: the 20 slowest
+    # entries re-run at a 10x key-shifted replication of sf0.1 — sf0.1
+    # sits at the scheduling floor, which hides plan differences)
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
+    )
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                sf1 = json.load(f)
+            payload["sf1"] = {
+                "value": sf1["value"],
+                "n_queries": len(sf1.get("queries", {})),
+                "derivation": sf1.get("derivation"),
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     full_line = json.dumps(payload, separators=(",", ":"))
     # full per-query detail goes to a file (the driver's capture window is
     # ~2 KB of tail; a ~100-entry queries map does not reliably fit)
@@ -307,20 +324,18 @@ def main() -> None:
     slowest = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:20]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in slowest.items()},
-                "n_queries": len(times),
-                "full": "BENCH_FULL.json",
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    tail_payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "n_queries": len(times),
+        "full": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    if "sf1" in payload:
+        tail_payload["sf1"] = payload["sf1"]
+    print(json.dumps(tail_payload, separators=(",", ":")))
     spark.stop()
 
 

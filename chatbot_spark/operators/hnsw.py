@@ -18,14 +18,14 @@ sharding recipe re-expressed set-at-a-time:
    links bidirectionally to its M nearest, neighbor lists pruned to 2M by
    distance. The graph is stored as plain rows (shard, pos, id, vec,
    neighbors[int]) — no serving process, rebuildable per batch.
- * search: queries stream driver-side in bounded chunks (same contract as
-   operators/pq.py); each chunk routes queries to their nprobe nearest
-   shard centers (C×nlist numpy on the driver), statically prunes the
-   graph scan to the probed shards (parquet PartitionFilters on a written
-   index), and one ``applyInPandas`` per chunk beam-searches each probed
-   shard's graph for its routed queries (ef_search). Per-(query, shard)
-   top-k candidates union across chunks; a global window takes final
-   top-k with the (dist, neighbor_id) tie-break every ANN operator here
+ * search: the query batch is collected once, routed to its nprobe
+   nearest shard centers driver-side (Q×nlist numpy), and broadcast to
+   the executors (same contract as operators/pq.py); the graph scan is
+   statically pruned to the probed shards (parquet PartitionFilters on a
+   written index) and ONE ``applyInPandas`` beam-searches each probed
+   shard's graph for its routed queries (ef_search) — one Spark job per
+   search regardless of query count. A global window takes final top-k
+   with the (dist, neighbor_id) tie-break every ANN operator here
    shares.
 
 At 100 TB: nlist is sized so one shard's (vec + adjacency) fits an
@@ -388,8 +388,18 @@ class NSWGraphIndex:
         ef_search is the beam width (reference default EF_SEARCH=64) —
         recall rises monotonically with it; ef_search ≥ shard size walks
         the whole (connected) shard graph, i.e. exact within the probed
-        shards. Query side streams in ``query_chunk`` chunks with one
-        applyInPandas branch each — driver memory bounded by the chunk."""
+        shards.
+
+        Distribution contract: the query batch is collected ONCE (one
+        bounded job), routed to its nprobe nearest shard centers
+        driver-side (Q × nlist BLAS — tiny), and broadcast together with
+        the shard→queries routing map; ONE applyInPandas over the probed
+        shards (parquet PartitionFilters on a written index) beam-walks
+        each shard's graph for its routed queries. No driver chunk loop —
+        one Spark job per search regardless of query count.
+        ``query_chunk`` is kept for API stability; the beam walk is
+        per-query, so executor memory is bounded by the shard graph plus
+        the broadcast batch regardless of its value."""
         import numpy as np
 
         c = self.centers
@@ -404,59 +414,51 @@ class NSWGraphIndex:
             f"neighbor_id {id_field.dataType.simpleString()}, __rdist DOUBLE"
         )
 
-        def chunk_cands(qids: list, Q) -> DataFrame:
-            cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
-            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (C, nprobe)
-            routed: dict[int, list[int]] = {}
-            for qi in range(len(qids)):
-                for cell in probe[qi]:
-                    routed.setdefault(int(cell), []).append(qi)
-            probed = sorted(routed)
-            src = self.graph.filter(F.col("shard").isin(probed))
-
-            def search_kernel(pdf):
-                import pandas as pd
-
-                shard = int(pdf["shard"].iloc[0])
-                qis = routed.get(shard)
-                if not qis or pdf.empty:
-                    return pd.DataFrame(
-                        {query_id: [], "neighbor_id": [], "__rdist": []}
-                    )
-                pdf = pdf.sort_values("pos", kind="mergesort").reset_index(drop=True)
-                Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
-                adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
-                ids = pdf[id_col].to_numpy()
-                out_q, out_n, out_d = [], [], []
-                for qi in qis:
-                    found = _beam_search(Xs, adj, Q[qi], ef=ef, entry=0)
-                    for d, pos in found[: min(k, len(found))]:
-                        out_q.append(qids[qi])
-                        out_n.append(ids[pos])
-                        out_d.append(max(d, 0.0))
-                return pd.DataFrame(
-                    {query_id: out_q, "neighbor_id": out_n, "__rdist": out_d}
-                )
-
-            return src.groupBy("shard").applyInPandas(search_kernel, out_schema)
-
-        cands = None
-        buf_ids: list = []
-        buf_vecs: list = []
-        for r in queries.select(query_id, query_vec).toLocalIterator(
-            prefetchPartitions=True
-        ):
-            buf_ids.append(r[0])
-            buf_vecs.append(r[1])
-            if len(buf_ids) >= query_chunk:
-                cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-                cands = cdf if cands is None else cands.unionByName(cdf)
-                buf_ids, buf_vecs = [], []
-        if buf_ids:
-            cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-            cands = cdf if cands is None else cands.unionByName(cdf)
-        if cands is None:
+        rows = queries.select(query_id, query_vec).collect()
+        if not rows:
             raise ValueError("empty query set")
+        qids_all = [r[0] for r in rows]
+        Q_all = np.array([r[1] for r in rows], dtype=np.float64)
+        cd = (
+            (Q_all**2).sum(axis=1)[:, None]
+            - 2 * Q_all @ c.T
+            + (c**2).sum(axis=1)[None, :]
+        )
+        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+        routed: dict[int, list[int]] = {}
+        for qi in range(len(qids_all)):
+            for cell in probe[qi]:
+                routed.setdefault(int(cell), []).append(qi)
+        bc = queries.sparkSession.sparkContext.broadcast((qids_all, Q_all, routed))
+
+        src = self.graph.filter(F.col("shard").isin(sorted(routed)))
+
+        def search_kernel(pdf):
+            import pandas as pd
+
+            qids, Q, routing = bc.value
+            shard = int(pdf["shard"].iloc[0])
+            qis = routing.get(shard)
+            if not qis or pdf.empty:
+                return pd.DataFrame(
+                    {query_id: [], "neighbor_id": [], "__rdist": []}
+                )
+            pdf = pdf.sort_values("pos", kind="mergesort").reset_index(drop=True)
+            Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi in qis:
+                found = _beam_search(Xs, adj, Q[qi], ef=ef, entry=0)
+                for d, pos in found[: min(k, len(found))]:
+                    out_q.append(qids[qi])
+                    out_n.append(ids[pos])
+                    out_d.append(max(d, 0.0))
+            return pd.DataFrame(
+                {query_id: out_q, "neighbor_id": out_n, "__rdist": out_d}
+            )
+
+        cands = src.groupBy("shard").applyInPandas(search_kernel, out_schema)
 
         w = Window.partitionBy(query_id).orderBy(
             F.col("__rdist").asc(), F.col("neighbor_id").asc()

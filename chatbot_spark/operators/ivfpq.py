@@ -14,13 +14,14 @@ set-at-a-time:
  * encode: ONE Arrow-batched pass per corpus row — assign cell (BLAS
    argmin vs the broadcast centroid matrix), subtract its center, PQ-code
    the residual. Stored row: (id, centroid_id, m-byte code).
- * search: per query, shortlist nprobe cells (broadcast centroid
-   cross-join — same as IVF); per (query, probed cell) build an
-   (m, ksub) ADC lookup table from the query's OWN residual against that
-   cell (q − c), exact because ||q − x||² = ||(q−c) − (x−c)||²; one
-   mapInPandas over the code table filtered to probed cells — partition
-   pruning on a written index — with partial top-k inside the kernel.
-   Nothing row-count-sized ever shuffles.
+ * search: the query batch is collected once, routed to its nprobe
+   cells driver-side, and broadcast; per (query, probed cell) an
+   (m, ksub) ADC lookup table is built IN the kernel from the query's
+   OWN residual against that cell (q − c), exact because
+   ||q − x||² = ||(q−c) − (x−c)||²; ONE mapInPandas over the code table
+   filtered to probed cells — partition pruning on a written index —
+   with partial top-k inside the kernel. Nothing row-count-sized ever
+   shuffles; one Spark job per search regardless of query count.
  * optional exact re-rank of the top-R shortlist against the raw vectors
    (equi-join by id, R·Q rows) — restores recall lost to quantization.
 
@@ -178,13 +179,17 @@ class IVFPQIndex:
         — built from the query's residual against that cell, so the ADC
         distance is exactly ||q − x||² up to quantization of x alone.
 
-        Sizing contract: the query side streams to the driver in chunks of
-        ``query_chunk`` (``toLocalIterator``), each chunk shipping its own
-        C·nprobe·(m, ksub) LUT dict in its kernel closure (~67 MB at
-        C=2048, nprobe=8, m=16, ksub=32) and pruning its own probed-cell
-        set (PartitionFilters per chunk); chunk branches union before the
-        global top-k window. Driver memory is bounded by the chunk, never
-        the query count; the corpus side never moves regardless."""
+        Distribution contract: the query batch is collected ONCE (one
+        bounded job), routed to its nprobe cells driver-side (Q × nlist
+        BLAS — tiny), and broadcast to the executors together with the
+        cell→queries routing map; ONE mapInPandas over the code table —
+        statically pruned to the union of probed cells, PartitionFilters
+        on a written index — serves the whole batch. ``query_chunk``
+        bounds EXECUTOR memory: inside the kernel each probed cell
+        processes its routed queries in chunks, holding one (C, m, ksub)
+        residual-LUT tensor at a time with the gather vectorized across
+        the chunk. LUTs are recomputed per partition rather than shipped
+        — keeps task closures O(books), not O(queries × books)."""
         import numpy as np
 
         c = self.centers
@@ -199,81 +204,86 @@ class IVFPQIndex:
         )
         id_col = self.id_col
         kk = max(k, rerank)
+        chunk = max(1, int(query_chunk))
 
-        def chunk_cands(qids: list, Q) -> DataFrame:
-            # per-query probed cells (tiny: C × nlist on the driver)
-            cd = (Q**2).sum(axis=1)[:, None] - 2 * Q @ c.T + (c**2).sum(axis=1)[None, :]
-            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (C, nprobe)
-            # LUT tensor keyed (qi, probed cell) — residual q−c vs codebooks
-            luts: dict[int, list[tuple[int, "np.ndarray"]]] = {}
-            for qi in range(len(qids)):
-                for cell in probe[qi]:
-                    rq = Q[qi] - c[cell]
-                    lut = np.empty((m, ksub), dtype=np.float64)
-                    for j in range(m):
-                        rj = rq[j * dsub : (j + 1) * dsub]
-                        lut[j] = (rj**2).sum() - 2 * b[j] @ rj + (b[j] ** 2).sum(axis=1)
-                    luts.setdefault(int(cell), []).append((qi, lut))
-
-            probed_cells = sorted(luts)
-            # static cell pruning — PartitionFilters on a written index
-            cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
-
-            def adc_partition(batches):
-                import pandas as pd
-
-                best: list[pd.DataFrame] = []
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    for cell, grp in pdf.groupby("centroid_id", sort=False):
-                        pairs = luts.get(int(cell))
-                        if not pairs:
-                            continue
-                        codes = np.frombuffer(
-                            b"".join(grp["pq_code"].tolist()), dtype=np.uint8
-                        ).reshape(len(grp), m)
-                        ids = grp[id_col].to_numpy()
-                        for qi, lut in pairs:
-                            dist = np.maximum(
-                                lut[np.arange(m)[None, :], codes].sum(axis=1), 0.0
-                            )
-                            take = min(kk, len(dist))
-                            part = np.argpartition(dist, take - 1)[:take]
-                            best.append(
-                                pd.DataFrame(
-                                    {
-                                        query_id: qids[qi],
-                                        "neighbor_id": ids[part],
-                                        "adist": dist[part],
-                                    }
-                                )
-                            )
-                if not best:
-                    return
-                allc = pd.concat(best, ignore_index=True)
-                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
-                yield allc.groupby(query_id, sort=False).head(kk)
-
-            return cands_src.mapInPandas(adc_partition, schema=out_schema)
-
-        cands = None
-        buf_ids: list = []
-        buf_vecs: list = []
-        for r in queries.select(query_id, query_vec).toLocalIterator(
-            prefetchPartitions=True
-        ):
-            buf_ids.append(r[0])
-            buf_vecs.append(r[1])
-            if len(buf_ids) >= query_chunk:
-                cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-                cands = cdf if cands is None else cands.unionByName(cdf)
-                buf_ids, buf_vecs = [], []
-        if buf_ids:
-            cdf = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-            cands = cdf if cands is None else cands.unionByName(cdf)
-        if cands is None:
+        rows = queries.select(query_id, query_vec).collect()
+        if not rows:
             raise ValueError("empty query set")
+        qids_all = [r[0] for r in rows]
+        Q_all = np.array([r[1] for r in rows], dtype=np.float64)
+        # per-query probed cells (tiny: Q × nlist on the driver)
+        cd = (
+            (Q_all**2).sum(axis=1)[:, None]
+            - 2 * Q_all @ c.T
+            + (c**2).sum(axis=1)[None, :]
+        )
+        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+        cell2q: dict[int, "np.ndarray"] = {}
+        for cell in np.unique(probe):
+            qi = np.unique(np.nonzero(probe == cell)[0])
+            cell2q[int(cell)] = qi
+        bc = queries.sparkSession.sparkContext.broadcast((qids_all, Q_all, cell2q))
+
+        probed_cells = sorted(cell2q)
+        # static cell pruning — PartitionFilters on a written index
+        cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
+
+        def adc_partition(batches):
+            import pandas as pd
+
+            qids, Q, routing = bc.value
+            best: list[pd.DataFrame] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for cell, grp in pdf.groupby("centroid_id", sort=False):
+                    qis = routing.get(int(cell))
+                    if qis is None:
+                        continue
+                    codes = np.frombuffer(
+                        b"".join(grp["pq_code"].tolist()), dtype=np.uint8
+                    ).reshape(len(grp), m)
+                    ids = grp[id_col].to_numpy()
+                    n = len(ids)
+                    take = min(kk, n)
+                    cc = c[int(cell)]
+                    b2 = [(b[j] ** 2).sum(axis=1) for j in range(m)]
+                    for lo in range(0, len(qis), chunk):
+                        qc = qis[lo : lo + chunk]
+                        nc = len(qc)
+                        # per-query dgemv LUT build (NOT a batched GEMM):
+                        # BLAS fold order must not depend on chunk size, or
+                        # chunk-invariance breaks by ULPs
+                        luts = np.empty((nc, m, ksub), dtype=np.float64)
+                        for ci in range(nc):
+                            rq = Q[qc[ci]] - cc
+                            for j in range(m):
+                                rj = rq[j * dsub : (j + 1) * dsub]
+                                luts[ci, j] = (rj**2).sum() - 2 * b[j] @ rj + b2[j]
+                        dist = np.zeros((nc, n), dtype=np.float64)
+                        for j in range(m):
+                            dist += luts[:, j, :][:, codes[:, j]]
+                        np.maximum(dist, 0.0, out=dist)
+                        part = np.argpartition(dist, take - 1, axis=1)[:, :take]
+                        qidx = np.repeat(qc, take)
+                        best.append(
+                            pd.DataFrame(
+                                {
+                                    query_id: [qids[i] for i in qidx],
+                                    "neighbor_id": ids[part.ravel()],
+                                    "adist": np.take_along_axis(
+                                        dist, part, axis=1
+                                    ).ravel(),
+                                }
+                            )
+                        )
+            if not best:
+                return
+            allc = pd.concat(best, ignore_index=True)
+            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+            yield allc.groupby(query_id, sort=False).head(kk)
+
+        cands = cands_src.mapInPandas(adc_partition, schema=out_schema)
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

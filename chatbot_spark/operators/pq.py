@@ -16,15 +16,14 @@ Search", TPAMI 2011; FAISS `IVFx,PQy`), re-expressed set-at-a-time:
  * encode: one Arrow-batched pass; each row's code is argmin against the
    (m, ksub, dsub) codebook tensor shipped in the closure — BLAS per
    batch, emitted as a BINARY column (m bytes/row).
- * search (ADC — asymmetric distance computation): per query build an
-   (m, ksub) lookup table of sub-distances; the query side streams to
-   the driver in bounded chunks (``toLocalIterator``), each chunk
-   shipping its own LUT tensor (C·m·ksub doubles) into one mapInPandas
-   over the code table: distance = sum of m table gathers, partial
-   top-k INSIDE the kernel (each partition emits ≤ C·k rows), chunk
-   branches unioned, global window top-k after. No shuffle touches
-   anything row-count sized; the wide data never moves, and driver
-   memory is bounded by the chunk rather than the query count.
+ * search (ADC — asymmetric distance computation): the query batch is
+   collected once and broadcast to the executors; ONE mapInPandas scan
+   of the code table serves the whole batch. Inside the kernel, per
+   chunk of queries an (m, ksub) LUT tensor is built and the distance
+   is a sum of m vectorized table gathers; partial top-k INSIDE the
+   kernel (each partition emits ≤ Q·k rows), global window top-k after.
+   No shuffle touches anything row-count sized; the wide data never
+   moves; one Spark job per search regardless of query count.
  * optional exact re-rank: top-R ADC candidates equi-join back to the
    raw vectors by id (R·Q rows — tiny), exact L2, final top-k. This is
    what restores recall lost to quantization.
@@ -177,15 +176,18 @@ class PQIndex:
         output then matches the exact operator's (rank, dist) contract on
         every candidate quantization ranked correctly.
 
-        The query side is streamed to the driver in chunks of
-        ``query_chunk`` (``toLocalIterator``, never one big ``collect``):
-        each chunk builds its own (C, m, ksub) LUT tensor shipped in its
-        kernel closure (~33 MB at C=8192, m=16, ksub=32) and contributes
-        one mapInPandas branch over the code table; branches union before
-        the global top-k window. Driver memory is bounded by the chunk, not
-        the query count — a million-query batch is ~128 scans of the code
-        table, which is the ADC trade (LUTs can't be joined, only shipped).
-        """
+        Distribution contract: the query batch is collected ONCE (one
+        bounded job — ids + raw vectors, Q·d doubles) and torrent-shipped
+        to every executor as a broadcast variable; ONE mapInPandas scan
+        of the code table then serves the whole batch — no driver chunk
+        loop, no serialized job-per-chunk submission, search cost is one
+        pass over the codes regardless of query count. ``query_chunk``
+        bounds EXECUTOR memory instead: inside the kernel, LUT tensors
+        are built per chunk of queries ((C, m, ksub) doubles live at a
+        time) and the distance gather is vectorized across the chunk.
+        LUTs are recomputed per partition rather than shipped — C·m·ksub
+        BLAS per partition is noise next to the code scan, and it keeps
+        the task closure O(books), not O(queries × books)."""
         import numpy as np
 
         b = self.books
@@ -198,78 +200,71 @@ class PQIndex:
         )
         id_col = self.id_col
         kk = max(k, rerank)
+        chunk = max(1, int(query_chunk))
 
-        def chunk_cands(qids: list, Q) -> DataFrame:
-            # (C, m, ksub) LUT of exact sub-distances query↔codebook center
-            luts = np.empty((len(qids), m, ksub), dtype=np.float64)
-            for j in range(m):
-                Qj = Q[:, j * dsub : (j + 1) * dsub]  # (C, dsub)
-                d2 = (
-                    (Qj**2).sum(axis=1)[:, None]
-                    - 2 * Qj @ b[j].T
-                    + (b[j] ** 2).sum(axis=1)[None, :]
-                )
-                luts[:, j, :] = d2
-
-            def adc_partition(batches):
-                import pandas as pd
-
-                # accumulate per-partition candidates, emit one partial top-k
-                best: list[pd.DataFrame] = []
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    codes = np.frombuffer(
-                        b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
-                    ).reshape(len(pdf), m)
-                    ids = pdf[id_col].to_numpy()
-                    frames = []
-                    for qi in range(len(qids)):
-                        # gather: distance = Σ_j LUT[qi, j, code_j]; the
-                        # expanded form can dip to −ε for (near-)self matches —
-                        # clamp so sqrt never sees a negative
-                        dist = np.maximum(
-                            luts[qi][np.arange(m)[None, :], codes].sum(axis=1), 0.0
-                        )
-                        take = min(kk, len(dist))
-                        part = np.argpartition(dist, take - 1)[:take]
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    query_id: qids[qi],
-                                    "neighbor_id": ids[part],
-                                    "adist": dist[part],
-                                }
-                            )
-                        )
-                    best.append(pd.concat(frames, ignore_index=True))
-                if not best:
-                    return
-                allc = pd.concat(best, ignore_index=True)
-                # partial top-k per query within this partition (stable order:
-                # adist then id — the global window re-ranks identically)
-                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
-                yield allc.groupby(query_id, sort=False).head(kk)
-
-            return self.encoded.mapInPandas(adc_partition, schema=out_schema)
-
-        cands = None
-        buf_ids: list = []
-        buf_vecs: list = []
-        for r in queries.select(query_id, query_vec).toLocalIterator(
-            prefetchPartitions=True
-        ):
-            buf_ids.append(r[0])
-            buf_vecs.append(r[1])
-            if len(buf_ids) >= query_chunk:
-                c = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-                cands = c if cands is None else cands.unionByName(c)
-                buf_ids, buf_vecs = [], []
-        if buf_ids:
-            c = chunk_cands(buf_ids, np.array(buf_vecs, dtype=np.float64))
-            cands = c if cands is None else cands.unionByName(c)
-        if cands is None:
+        rows = queries.select(query_id, query_vec).collect()
+        if not rows:
             raise ValueError("empty query set")
+        bc = queries.sparkSession.sparkContext.broadcast(
+            ([r[0] for r in rows], np.array([r[1] for r in rows], dtype=np.float64))
+        )
+
+        def adc_partition(batches):
+            import pandas as pd
+
+            qids, Q = bc.value
+            nq = len(qids)
+            # accumulate per-partition candidates, emit one partial top-k
+            best: list[pd.DataFrame] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.frombuffer(
+                    b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
+                ).reshape(len(pdf), m)
+                ids = pdf[id_col].to_numpy()
+                n = len(ids)
+                take = min(kk, n)
+                b2 = [(b[j] ** 2).sum(axis=1) for j in range(m)]
+                for lo in range(0, nq, chunk):
+                    Qc = Q[lo : lo + chunk]  # (C, d)
+                    nc = len(Qc)
+                    # (C, m, ksub) LUT of exact sub-distances q↔center,
+                    # built per query with dgemv (NOT a batched GEMM):
+                    # BLAS fold order must not depend on chunk size, or
+                    # chunk-invariance breaks by ULPs
+                    luts = np.empty((nc, m, ksub), dtype=np.float64)
+                    for ci in range(nc):
+                        for j in range(m):
+                            qj = Qc[ci, j * dsub : (j + 1) * dsub]
+                            luts[ci, j] = (qj**2).sum() - 2 * b[j] @ qj + b2[j]
+                    # gather: distance = Σ_j LUT[·, j, code_j], vectorized
+                    # over the whole chunk; the expanded form can dip to −ε
+                    # for (near-)self matches — clamp so sqrt stays real
+                    dist = np.zeros((nc, n), dtype=np.float64)
+                    for j in range(m):
+                        dist += luts[:, j, :][:, codes[:, j]]
+                    np.maximum(dist, 0.0, out=dist)
+                    part = np.argpartition(dist, take - 1, axis=1)[:, :take]
+                    qidx = np.repeat(np.arange(lo, lo + nc), take)
+                    best.append(
+                        pd.DataFrame(
+                            {
+                                query_id: [qids[i] for i in qidx],
+                                "neighbor_id": ids[part.ravel()],
+                                "adist": np.take_along_axis(dist, part, axis=1).ravel(),
+                            }
+                        )
+                    )
+            if not best:
+                return
+            allc = pd.concat(best, ignore_index=True)
+            # partial top-k per query within this partition (stable order:
+            # adist then id — the global window re-ranks identically)
+            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+            yield allc.groupby(query_id, sort=False).head(kk)
+
+        cands = self.encoded.mapInPandas(adc_partition, schema=out_schema)
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

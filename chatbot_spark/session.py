@@ -51,6 +51,21 @@ def get_spark(
         # testdata timestamps are naive TIMESTAMP(MICROS); treat stored
         # micros as epoch micros (TIMESTAMP_LTZ) like the UTC DuckDB oracle
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # RocksDB state store for every streaming query: state spills to
+        # local disk instead of living on the JVM heap (the default
+        # HDFS-backed provider is memory-resident) — at 100 TB/day the
+        # watermark-horizon state of the dedup/join/session operators must
+        # not be bounded by executor heap. Bundled rocksdbjni, no extra dep.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        # changelog checkpointing: per-batch uploads ship the RocksDB WAL
+        # delta, not a full snapshot — commit cost O(changed keys)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -486,6 +486,52 @@ def test_nsw_append_on_loaded_index_same_path(spark, corpus, queries, tmp_path):
     }
 
 
+def _n_jobs(spark) -> int:
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_ann_search_jobs_independent_of_query_count(spark, corpus):
+    """The distributed query side: a PQ/IVF-PQ/NSW search is one bounded
+    query-collect plus ONE scan job — the Spark job count must not grow
+    with the query count or shrink with query_chunk (the old driver chunk
+    loop submitted one serialized job per chunk)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+    from chatbot_spark.operators.pq import PQIndex
+
+    def q_of(n):
+        return corpus.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+
+    pq = PQIndex.build(corpus, vec_col="embedding", id_col="vec_id", m=16, ksub=32)
+    ivfpq = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=16, ksub=32
+    )
+    nsw = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+
+    def jobs_for(thunk) -> int:
+        before = _n_jobs(spark)
+        thunk().write.format("noop").mode("overwrite").save()
+        return _n_jobs(spark) - before
+
+    for idx, kwargs in (
+        (pq, {}),
+        (ivfpq, {"nprobe": 2}),
+        (nsw, {"nprobe": 2}),
+    ):
+        few = jobs_for(lambda: idx.search(q_of(3), k=5, **kwargs))
+        many_chunked = jobs_for(
+            lambda: idx.search(q_of(40), k=5, query_chunk=3, **kwargs)
+        )
+        assert many_chunked == few, type(idx).__name__
+        assert few <= 6, type(idx).__name__
+
+
 def test_nsw_reachability_repair_on_clustered_data():
     """Classic NSW failure mode: pruning neighbor lists to 2m strips a
     node's every in-edge on clustered data, making it unreachable from

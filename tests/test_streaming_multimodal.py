@@ -278,6 +278,43 @@ def test_foreach_batch_sink_is_idempotent_on_replay(spark, tmp_path):
     )
 
 
+def test_rocksdb_state_store_provider_active(spark, tmp_path):
+    """Every streaming query runs on the RocksDB state store (state spills
+    to disk instead of executor heap — the 100 TB/day requirement). Assert
+    the session conf AND that a real stateful drain ran on it (the
+    query's lastProgress stateOperators report the RocksDB provider's
+    customMetrics)."""
+    from chatbot_spark.streaming.events import dedup_stream, read_event_stream
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    schema = "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}") for i in range(3)]
+    inpath = str(tmp_path / "in")
+    (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+        .write.parquet(inpath)
+    )
+    q = (
+        dedup_stream(read_event_stream(spark, inpath), watermark="1 hour")
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = (q.lastProgress or {}).get("stateOperators", [])
+    assert ops, "stateful drain produced no state operator progress"
+    metrics = ops[0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+
 def test_upsert_state_writer_replay_after_repoint(spark, tmp_path):
     """Crash-replay in the worst window: the crash lands AFTER the CURRENT
     repoint but BEFORE the streaming checkpoint commit, so the replayed

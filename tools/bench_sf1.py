@@ -1,0 +1,116 @@
+"""One sf1 bench point (round-3 verdict item 7): sf0.1 sits at the ~1 s
+Spark scheduling floor, which hides plan differences — a 10× data point
+shows which entries scale with data and which are floor-bound.
+
+/root/testdata is read-only and has no sf1, so this tool DERIVES one:
+each table is replicated 10× with disjoint key shifts (copy i shifts
+every key column by i·10⁸), so join fan-outs, group cardinalities per
+key, and per-user event timelines are preserved exactly — the database
+is 10 independent sf0.1 copies, the standard replication scale-up.
+region/nation stay fixed-size (TPC-H dimension contract). Clearly a
+BENCH-ONLY derivation: correctness still runs on driver data only.
+
+Runs the slowest entries from the sf0.1 suite (default: the 20 slowest
+in BENCH_FULL.json) at the derived sf1, min-of-two per entry, and writes
+``BENCH_SF1.json`` at the repo root; bench.py attaches that file to its
+printed payload so the driver's BENCH_r{N} carries the sf1 section.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_sf1.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/cbs_sf1"
+SHIFT = 100_000_000
+
+KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def make_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    for tbl, keys in KEY_COLS.items():
+        out = os.path.join(SF1_DIR, f"{tbl}.parquet")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        src = spark.read.parquet(os.path.join(SF01, f"{tbl}.parquet"))
+        if not keys:  # fixed-size dimensions
+            src.write.mode("overwrite").parquet(out)
+            continue
+        copies = None
+        for i in range(10):
+            c = src
+            for kc in keys:
+                c = c.withColumn(kc, F.col(kc) + F.lit(i * SHIFT))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(out)
+
+
+def main() -> int:
+    from chatbot_spark.session import get_spark
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    if len(sys.argv) > 1:
+        names = sys.argv[1:]
+    else:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+            full = json.load(f)
+        qtimes = {
+            n: t
+            for n, t in full["queries"].items()
+            if n in SPARK_QUERIES  # skip build/search legs
+        }
+        names = [n for n, _ in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]]
+
+    spark = get_spark(
+        "bench-sf1", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    make_sf1(spark)
+    for tbl in KEY_COLS:
+        spark.read.parquet(os.path.join(SF1_DIR, f"{tbl}.parquet")).count()
+
+    times: dict[str, float] = {}
+    for pass_n in range(2):  # min-of-two, same policy as bench.py
+        for name in names:
+            fn = SPARK_QUERIES[name]
+            t0 = time.time()
+            fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+            t = round(time.time() - t0, 3)
+            times[name] = t if pass_n == 0 else min(times[name], t)
+            spark.catalog.clearCache()
+
+    payload = {
+        "metric": "sf1_slowest_entries_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "derivation": "10x key-shifted replication of sf0.1 (bench-only)",
+        "queries": times,
+    }
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+        f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    print(json.dumps(payload, separators=(",", ":")))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
