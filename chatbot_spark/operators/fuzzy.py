@@ -102,25 +102,66 @@ def fuzzy_pairs(
     Reference parity: ob-labs/ChatBot resolves near-identical entity names
     during component validation (src/chat/component.py dedup path); this is
     the scale-out form of that matching.
+
+    Duplicate-storm guard: identical strings share every deletion variant,
+    so k copies of one name would meet k² times in the candidate join and
+    pay k² levenshteins. Each distinct string therefore collapses to its
+    min-id REPRESENTATIVE first; the neighborhood explode, candidate join,
+    and verify all run on unique strings, and the verified rep pairs
+    expand back through the (id, rep) groups — cross-group pairs inherit
+    the rep pair's distance (identical texts ⇒ identical distance),
+    intra-group pairs are distance 0 by definition. The OUTPUT pair set is
+    unchanged (it is inherently quadratic in string multiplicity); only
+    the generation cost stops being.
     """
-    variants = _variant_rows(df, id_col, text_col, max_dist)
+    from pyspark.sql import Window
+
+    names = df.select(F.col(id_col).alias("__fid"), F.col(text_col).alias("__t"))
+    w = Window.partitionBy("__t")
+    with_rep = names.withColumn("__rep", F.min("__fid").over(w))
+    reps = with_rep.filter(F.col("__fid") == F.col("__rep")).select("__fid", "__t")
+    mapping = with_rep.select("__fid", "__rep")
+
+    variants = _variant_rows(reps, "__fid", "__t", max_dist)
     # keep the candidate join NARROW: ids + variant key only. Texts rejoin
     # after the distinct, so the big shuffles move two ids, not two strings,
     # and each surviving pair pays exactly one levenshtein.
-    a = variants.select(F.col("__fid").alias("id_a"), "__variant")
-    b = variants.select(F.col("__fid").alias("id_b"), "__variant")
+    a = variants.select(F.col("__fid").alias("__ra"), "__variant")
+    b = variants.select(F.col("__fid").alias("__rb"), "__variant")
     cand = (
         a.join(b, "__variant")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("__ra") < F.col("__rb"))
+        .select("__ra", "__rb")
         .distinct()
     )
-    base_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    base_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    return (
-        cand.join(base_a, "id_a")
-        .join(base_b, "id_b")
+    base_a = reps.select(F.col("__fid").alias("__ra"), F.col("__t").alias("__ta"))
+    base_b = reps.select(F.col("__fid").alias("__rb"), F.col("__t").alias("__tb"))
+    rep_pairs = (
+        cand.join(base_a, "__ra")
+        .join(base_b, "__rb")
         .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
         .filter(F.col("dist") >= 0)
-        .select("id_a", "id_b", "dist")
+        .select("__ra", "__rb", "dist")
     )
+    ga = mapping.select(F.col("__rep").alias("__ra"), F.col("__fid").alias("__ia"))
+    gb = mapping.select(F.col("__rep").alias("__rb"), F.col("__fid").alias("__ib"))
+    cross = (
+        rep_pairs.join(ga, "__ra")
+        .join(gb, "__rb")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "dist",
+        )
+    )
+    intra = (
+        mapping.alias("x")
+        .join(mapping.alias("y"), F.col("x.__rep") == F.col("y.__rep"))
+        .filter(F.col("x.__fid") < F.col("y.__fid"))
+        .select(
+            F.col("x.__fid").alias("id_a"),
+            F.col("y.__fid").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -74,8 +74,12 @@ def embedding_neardup_pairs(
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .withColumn(
             "cosine",
-            dot_product(F.col("a.__vec"), F.col("b.__vec"))
-            / (F.col("a.__norm") * F.col("b.__norm")),
+            # try_divide: cosine is undefined for zero-norm vectors — they
+            # must simply never pair (ANSI mode would otherwise throw)
+            F.try_divide(
+                dot_product(F.col("a.__vec"), F.col("b.__vec")),
+                F.col("a.__norm") * F.col("b.__norm"),
+            ),
         )
         .filter(F.col("cosine") >= min_cosine)
         .select(
@@ -186,6 +190,45 @@ def embedding_neardup_pairs_blocked(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def collapse_exact_duplicates(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Duplicate-storm guard for pair generation: real corpora carry runs
+    of byte-identical embeddings (boilerplate, empty docs, mirrored
+    pages), and every ε-ball pair generator — exact, tiled, or
+    LSH-bucketed — degrades quadratically ON the duplicated content
+    (k copies → k² pairs before any threshold is applied). Collapsing
+    each distinct embedding to its min-id REPRESENTATIVE first makes
+    pair generation scale with the number of DISTINCT vectors, and is
+    exactly semantics-preserving for connected-component dedup: copies
+    of one embedding always form a clique (cosine 1 ≥ any threshold),
+    each copy has identical similarity to every other vector, and the
+    expanded component's min id equals the min over representative ids
+    (each rep IS its group's min). Zero-norm embeddings are NOT
+    collapsed (cosine is undefined for them, so the uncollapsed graph
+    gives them no edges — each stays a singleton).
+
+    Returns ``(reps, mapping)``: one row per distinct embedding (the
+    min-id copy, original schema preserved), and the (id_col, __rep_id)
+    expansion table. One hash shuffle keyed by the vector; nothing
+    quadratic."""
+    guard = (
+        F.when(l2_norm(F.col(vec_col)) == 0, F.col(id_col))
+        .otherwise(F.lit(-1))
+        .alias("__zguard")
+    )
+    w = Window.partitionBy(vec_col, "__zguard")
+    with_rep = (
+        df.withColumn("__zguard", guard)
+        .withColumn("__rep_id", F.min(id_col).over(w))
+    )
+    mapping = with_rep.select(id_col, "__rep_id")
+    reps = with_rep.filter(F.col(id_col) == F.col("__rep_id")).drop(
+        "__zguard", "__rep_id"
+    )
+    return reps, mapping
 
 
 # per-Python-worker tile cache: workers are reused across tasks, so each

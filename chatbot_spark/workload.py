@@ -255,29 +255,40 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a full (vec_id, canonical_id, kept) verdict table for
     every corpus row (singletons keep themselves).
 
-    Scale shape: the pair generator here is the tiled exact operator so
-    the DuckDB oracle can replicate it bit-for-bit; at 100 TB swap in the
-    LSH/IVF-bucketed candidate generator (same downstream) — the
-    component resolution and verdict join are unchanged. Reference has no
-    semantic dedup; this is a §2.J beyond-reference training-data op."""
+    Scale shape: exact duplicates collapse to min-id representatives
+    BEFORE pair generation (collapse_exact_duplicates — duplicate storms
+    make any pair generator quadratic on the duplicated content; the
+    collapse is exactly semantics-preserving for component dedup, see its
+    docstring), the tiled exact operator generates rep pairs so the
+    DuckDB oracle can replicate the full graph bit-for-bit, and verdicts
+    expand back through the (id, rep) mapping: the expanded component's
+    min id IS the rep component's min id. At 100 TB swap the tiled
+    generator for the LSH/IVF-bucketed one (same downstream). Reference
+    has no semantic dedup; this is a §2.J beyond-reference training-data
+    op."""
     from chatbot_spark.operators.dedup import resolve_duplicate_clusters
-    from chatbot_spark.operators.similarity import embedding_neardup_pairs_blocked
+    from chatbot_spark.operators.similarity import (
+        collapse_exact_duplicates,
+        embedding_neardup_pairs_blocked,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    reps, mapping = collapse_exact_duplicates(
+        emb.select("vec_id", "embedding"), id_col="vec_id", vec_col="embedding"
+    )
     pairs = embedding_neardup_pairs_blocked(
-        emb, id_col="vec_id", vec_col="embedding", min_cosine=0.35
+        reps, id_col="vec_id", vec_col="embedding", min_cosine=0.35
     )
     clusters = resolve_duplicate_clusters(pairs.select("id_a", "id_b"))
     return (
-        emb.select("vec_id")
-        .join(
-            clusters.select(F.col("doc_id").alias("vec_id"), "canonical_id"),
-            "vec_id",
+        mapping.join(
+            clusters.select(F.col("doc_id").alias("__rep_id"), "canonical_id"),
+            "__rep_id",
             "left",
         )
         .select(
             "vec_id",
-            F.coalesce("canonical_id", F.col("vec_id")).cast("long").alias("canonical_id"),
+            F.coalesce("canonical_id", F.col("__rep_id")).cast("long").alias("canonical_id"),
         )
         .withColumn("kept", (F.col("canonical_id") == F.col("vec_id")).cast("int"))
     )

@@ -486,6 +486,30 @@ def test_nsw_append_on_loaded_index_same_path(spark, corpus, queries, tmp_path):
     }
 
 
+def test_nsw_knn_build_fullprobe_equals_exact_and_meets_slo(corpus, queries, exact):
+    """The BLAS-vectorized kNN-graph build (method='knn') must satisfy the
+    same envelopes as the insertion build: full probe + unbounded beam ≡
+    the exact scan (reachability repair guarantees connectivity), and the
+    recall SLO at the standard tuning."""
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8, method="knn"
+    )
+    got = index.search(queries, k=10, nprobe=4, ef_search=1000).collect()
+    want = exact.collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+
+    index8 = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=16, method="knn"
+    )
+    approx = index8.search(queries, k=10, nprobe=7, ef_search=64)
+    assert recall_at_k(approx, exact) >= 0.95
+
+
 def _n_jobs(spark) -> int:
     return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
 

@@ -73,6 +73,23 @@ def test_fuzzy_pairs_plan_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_pairs_duplicate_storm_equals_bruteforce(spark):
+    """Duplicate-storm guard: with 10 identical copies of every name, the
+    collapsed pipeline (unique-string candidate generation + pair
+    expansion + intra-group distance-0 pairs) must still produce the
+    exact brute-force pair set — including the k² intra-copy pairs."""
+    from chatbot_spark.operators.fuzzy import fuzzy_pairs
+
+    base = ["kathleen", "kathlen", "cathleen", "zzzzzz"]
+    rows = [(100 * b + c, name) for b, name in enumerate(base) for c in range(10)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == _brute_pairs(spark, df, "id", "name", 2)
+
+
 def test_fuzzy_pairs_rejects_unsupported_k(spark):
     from chatbot_spark.operators.fuzzy import fuzzy_pairs
 

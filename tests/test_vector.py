@@ -138,3 +138,69 @@ def test_blocked_neardup_tiled_equals_exact(spark, sf_dir):
     assert set(tiled) == set(exact)
     for k, v in tiled.items():
         assert v == pytest.approx(exact[k], abs=1e-9)
+
+
+def test_collapse_exact_duplicates_preserves_component_dedup(spark):
+    """Duplicate-storm guard: semantic dedup through the exact-duplicate
+    collapse must produce the IDENTICAL (id, canonical, kept) verdict as
+    the uncollapsed pipeline on a corpus where every vector has many
+    byte-identical copies — including zero-norm vectors, which must stay
+    singletons (cosine undefined → no edges either way)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+    from chatbot_spark.operators.similarity import (
+        collapse_exact_duplicates,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for b in range(6):  # 6 distinct vectors × 5 identical copies each
+        for _ in range(5):
+            rows.append((vid, [float(x) for x in base[b]]))
+            vid += 1
+    for _ in range(3):  # plus zero-norm copies: must never merge
+        rows.append((vid, [0.0] * 8))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def verdict(pairs_df, universe):
+        clusters = resolve_duplicate_clusters(pairs_df.select("id_a", "id_b"))
+        return {
+            (r["vec_id"], r["canonical_id"])
+            for r in universe.join(
+                clusters.select(F.col("doc_id").alias("vec_id"), "canonical_id"),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+            )
+            .collect()
+        }
+
+    uncollapsed = verdict(embedding_neardup_pairs(emb, min_cosine=0.35), emb)
+
+    reps, mapping = collapse_exact_duplicates(emb)
+    rep_pairs = embedding_neardup_pairs(reps, min_cosine=0.35)
+    rep_clusters = resolve_duplicate_clusters(rep_pairs.select("id_a", "id_b"))
+    collapsed = {
+        (r["vec_id"], r["canonical_id"])
+        for r in mapping.join(
+            rep_clusters.select(F.col("doc_id").alias("__rep_id"), "canonical_id"),
+            "__rep_id",
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce("canonical_id", F.col("__rep_id")).alias("canonical_id")
+        )
+        .collect()
+    }
+    assert collapsed == uncollapsed
+    # the collapse really did shrink pair generation: 6 distinct + 3 zero
+    assert reps.count() == 6 + 3

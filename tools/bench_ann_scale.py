@@ -116,6 +116,21 @@ def main() -> int:
     )
     rec_nsw = recall_at_k(spark.createDataFrame(nsw_rows), exact_df)
 
+    # kNG variant: same sharding, BLAS-vectorized kNN-graph construction
+    # (one Gram matrix per shard instead of sequential beam insertions) —
+    # the build-throughput path; search/recall envelopes are identical
+    t0 = time.time()
+    nsw_knn = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=nsw_nlist, m=16,
+        method="knn",
+    )
+    nsw_knn.graph.persist().count()
+    t_knng_build = time.time() - t0
+    knng_rows, t_knng_search = timed(
+        lambda: nsw_knn.search(queries, k=k, nprobe=nprobe, ef_search=64)
+    )
+    rec_knng = recall_at_k(spark.createDataFrame(knng_rows), exact_df)
+
     print(json.dumps({
         "n": n, "dim": dim, "nlist": nlist, "nprobe": nprobe, "k": k,
         "exact_search_sec": round(t_exact, 3),
@@ -132,6 +147,10 @@ def main() -> int:
         "nsw_search_sec": round(t_nsw_search, 3),
         "nsw_speedup_search": round(t_exact / t_nsw_search, 2),
         "nsw_recall_at_10": round(rec_nsw, 4),
+        "knng_build_sec": round(t_knng_build, 3),
+        "knng_build_speedup_vs_insert": round(t_nsw_build / t_knng_build, 2),
+        "knng_search_sec": round(t_knng_search, 3),
+        "knng_recall_at_10": round(rec_knng, 4),
     }))
     return 0
 
