@@ -126,6 +126,7 @@ HEADLINE = [
     "containment_decontam",
     "weighted_sample",
     "encode_tokens",
+    "dsir_select",
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +

@@ -3049,6 +3049,87 @@ def hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_select",
+    f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(c='text')}) AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST({_DUCK_HEXWORD.format(t='tok', off=1)} AS BIGINT) % 1024 AS bucket
+  FROM t),
+nc AS (SELECT bucket, count(*) AS n_c FROM b GROUP BY bucket),
+nt AS (SELECT bucket, count(*) AS n_t FROM b WHERE doc_id % 10 = 0 GROUP BY bucket),
+w AS (
+  SELECT nc.bucket, coalesce(nt.n_t, 0) * 10 - nc.n_c AS wt
+  FROM nc LEFT JOIN nt ON nc.bucket = nt.bucket),
+s AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.wt) AS BIGINT) AS score
+  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(coalesce(s.score, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each corpus
+    document by how much its hashed-token distribution looks like a
+    TARGET subset's distribution relative to the corpus's own. Features
+    are md5-hashed tokens in 1024 buckets (DSIR's hashed n-gram recipe);
+    the per-bucket weight is the INTEGER surrogate
+    ``n_target(b)·10 − n_corpus(b)`` (the target here is the doc_id%10
+    slice, ~1/10 of the corpus, so the ×10 rescales the target counts to
+    corpus volume) — a linear stand-in for DSIR's log-likelihood ratio
+    that keeps every value exact BIGINT arithmetic, hash-matchable
+    across engines; real log-ratio weights would drop into the same
+    plan as a broadcast bucket→double table and feed the same sum.
+
+    Selection composes downstream: feed ``score`` (shifted positive)
+    into systematic_weighted_sample for the actual resample — the
+    distributed-prefix-sum sampler already oracle-pinned by
+    `weighted_sample`.
+
+    Scale shape: token stream → bucket counts (map-side combinable,
+    1024-row result), weight table BROADCAST back onto the token
+    stream, one per-doc sum — two shuffles total (bucket agg + doc agg),
+    no global sort, nothing wider than (doc_id, bucket) ever moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chatbot_spark.operators.textstats import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 1024"),
+    )
+    nc = toks.groupBy("bucket").agg(F.count("*").alias("n_c"))
+    nt = (
+        toks.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_t"))
+    )
+    w = nc.join(nt, "bucket", "left").select(
+        "bucket",
+        (F.coalesce("n_t", F.lit(0)) * 10 - F.col("n_c")).alias("wt"),
+    )
+    s = (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("wt").cast("long").alias("score"),
+        )
+    )
+    return docs.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+
+
+@query(
     "weighted_sample",
     """
 WITH c AS (
