@@ -294,3 +294,76 @@ def test_systematic_weighted_sample_probability_and_determinism(spark):
     heavy = df.union(spark.createDataFrame([(999, 100000)], "k LONG, w LONG"))
     sel = {r["k"] for r in systematic_weighted_sample(heavy, "k", "w", k=10).collect()}
     assert 999 in sel
+
+
+# ----------------------------------------------- shard-graph connectivity
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_shard_graphs_always_reachable(seed, n, n_clusters, m):
+    """Connectivity invariant behind the 'wide beam ≡ exact scan' oracle:
+    BOTH shard-graph constructions (insertion NSW and BLAS kNN-graph) must
+    leave every node BFS-reachable from entry 0, for any clustered data —
+    including the adversarial tight-far-clusters shape where 2m pruning
+    classically disconnects NSW graphs."""
+    import numpy as np
+
+    from chatbot_spark.operators.hnsw import _build_knn_graph, _build_nsw
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, 4)) * 100.0
+    X = np.concatenate(
+        [c + rng.normal(scale=0.01, size=(max(1, n // n_clusters), 4)) for c in centers]
+    )[rng.permutation(n // n_clusters * n_clusters or 1)]
+    if len(X) == 0:
+        return
+
+    def reached_all(adj):
+        seen = {0}
+        stack = [0]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if int(v) not in seen:
+                    seen.add(int(v))
+                    stack.append(int(v))
+        return len(seen) == len(adj)
+
+    assert reached_all(_build_nsw(X, m, ef_construction=2 * m))
+    assert reached_all(_build_knn_graph(X, m))
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=2, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_repair_reachability_fixes_arbitrary_graphs(seed, n):
+    """_repair_reachability must connect ANY directed adjacency (even an
+    empty one) without removing existing edges."""
+    import numpy as np
+
+    from chatbot_spark.operators.hnsw import _repair_reachability
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 3))
+    adj = [
+        list(rng.choice(n, size=rng.integers(0, 3), replace=False))
+        for _ in range(n)
+    ]
+    before = [set(map(int, a)) for a in adj]
+    repaired = _repair_reachability(X, [list(a) for a in adj])
+    seen = {0}
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        for v in repaired[u]:
+            if int(v) not in seen:
+                seen.add(int(v))
+                stack.append(int(v))
+    assert len(seen) == n
+    for i in range(n):
+        assert before[i] <= set(map(int, repaired[i]))  # no edge removed
