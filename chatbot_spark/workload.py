@@ -4004,7 +4004,7 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH rev AS (
   SELECT l_suppkey,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS total_rev_e4
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS total_rev_e4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
@@ -4017,7 +4017,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate once, then keep the argmax rows via a
     scalar-subquery max — expressed as the aggregate joined to its own
     1-row max (broadcast), no second scan of lineitem. Revenue in exact
-    e4 units so max-equality has no float ambiguity."""
+    e4 units so max-equality has no float ambiguity. The e4 int comes
+    from floor(x*1e4 + 0.5), NOT round(): round-on-double tie behavior
+    is engine/version-dependent (Spark HALF_UP vs DuckDB's shifting
+    semantics), and one ULP of disagreement flips the argmax row; floor
+    has no rounding-mode ambiguity (all inputs positive)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -4028,8 +4032,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
-                .cast("long")
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+                ).cast("long")
             ).alias("total_rev_e4")
         )
     )
@@ -4051,13 +4056,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH rev AS (
   SELECT n.n_name,
-         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS rev_e4
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_e4
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   GROUP BY n.n_name)
 SELECT n_name, rev_e4,
-       round(CAST(rev_e4 AS DOUBLE) / (SELECT sum(rev_e4) FROM rev), 6) AS share
+       CAST(floor(CAST(rev_e4 AS DOUBLE) / (SELECT sum(rev_e4) FROM rev) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS share
 FROM rev
 WHERE rev_e4 * 50 > (SELECT sum(rev_e4) FROM rev)
 """,
@@ -4066,8 +4071,11 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped aggregate filtered against a global scalar
     subquery (HAVING share-of-total). The global total re-aggregates the
     per-group partials (no second lineitem scan) and broadcasts; the
-    threshold compares exact ints (rev*50 > total) and the reported share
-    is ONE double division of exact ints — bit-identical on any engine."""
+    threshold compares exact ints (rev*50 > total). Both the e4 unit
+    conversion and the 6-digit share rounding use floor(x + 0.5) instead
+    of round(): round-on-double semantics are engine/version-dependent,
+    while IEEE division + floor is bit-identical on any engine (all
+    values positive)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -4077,8 +4085,9 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
-                .cast("long")
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+                ).cast("long")
             ).alias("rev_e4")
         )
     )
@@ -4089,7 +4098,12 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "rev_e4",
-            F.round(F.col("rev_e4").cast("double") / F.col("__tot"), 6).alias("share"),
+            (
+                F.floor(
+                    F.col("rev_e4").cast("double") / F.col("__tot") * 1000000 + 0.5
+                ).cast("long")
+                / 1000000.0
+            ).alias("share"),
         )
     )
 
@@ -4209,11 +4223,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "big_orders",
     """
 WITH big AS (
-  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200)
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 200)
 SELECT c.c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
-       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
        big.total_qty
 FROM orders o
 JOIN big ON big.l_orderkey = o.o_orderkey
@@ -4226,13 +4240,16 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN over a grouped HAVING — the top 10 largest
     orders whose total quantity exceeds 200 units. The HAVING aggregate is
     one shuffle on orderkey (map-side combinable); customer broadcasts;
-    the top-10 is a TakeOrdered with a tie-free (price, orderkey) key."""
+    the top-10 is a TakeOrdered with a tie-free (price, orderkey) key.
+    Integerization uses floor(x + 0.5), not round(): the top-10 sort key
+    is a rounded double product, and round-on-double tie behavior is
+    engine/version-dependent — one ULP flips top-10 membership."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
     return (
@@ -4241,7 +4258,9 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("o_totalprice_cents"),
             "total_qty",
         )
         .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey").asc())

@@ -2,12 +2,21 @@
 Spark AND its DuckDB oracle at a given sf dir, compare row count, schema
 (column names), and order-insensitive values. Usage:
 
-    python tools/check_parity.py [sf_dir] [query ...]
+    python tools/check_parity.py [sf_dir] [query ...] [--paranoid-floats]
+
+--paranoid-floats: for every selected query whose oracle SQL contains a
+round() call, ALSO run the oracle with round() rewritten to an
+unambiguous floor(x*10^n + 0.5)/10^n macro and compare. A mismatch means
+the query's values sit on a rounding tie — its driver verdict would then
+depend on the oracle engine's round-on-double semantics (which have
+shifted across DuckDB releases). Such queries should be rewritten to the
+floor form on both sides before the driver flags them.
 """
 
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -31,12 +40,54 @@ def normalize(rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def floorize_round(sql: str) -> str:
+    """Rewrite every round(x) / round(x, n) call in *sql* to the
+    rounding-mode-free floor form: floor(x + 0.5) resp.
+    floor(x * 10^n + 0.5) / 10^n. Paren-balancing, so nested calls and
+    commas inside the argument are handled; inner round()s are rewritten
+    too (innermost first via re-scan)."""
+    while True:
+        m = re.search(r"\bround\s*\(", sql)
+        if m is None:
+            return sql
+        start, i = m.start(), m.end()
+        depth, top_comma = 1, None
+        while depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                top_comma = i
+            i += 1
+        if top_comma is None:
+            arg = sql[m.end() : i - 1]
+            repl = f"floor(({arg}) + 0.5)"
+        else:
+            arg = sql[m.end() : top_comma]
+            n = sql[top_comma + 1 : i - 1].strip()
+            repl = (
+                f"(floor(({arg}) * power(10, {n}) + 0.5) / power(10, {n}))"
+            )
+        sql = sql[:start] + repl + sql[i:]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--paranoid-floats"]
+    paranoid = "--paranoid-floats" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    import pyspark
 
     from chatbot_spark.session import get_spark
     from chatbot_spark.workload import ORACLE_SQL, SPARK_QUERIES
+
+    # Pin the oracle-engine versions into every parity report: a query can
+    # be green under one duckdb release and red under another when its
+    # output depends on round-on-double tie behavior.
+    print(f"engines: duckdb={duckdb.__version__} pyspark={pyspark.__version__}")
 
     spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
 
@@ -76,6 +127,29 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
+
+        if paranoid and re.search(r"\bround\s*\(", ORACLE_SQL[name]):
+            # Re-run the oracle with round() swapped for the floor-based
+            # macro: any divergence means this query's verdict depends on
+            # the engine's rounding mode — a latent driver red.
+            psql = floorize_round(ORACLE_SQL[name])
+            try:
+                pcur = con.execute(psql)
+                prows = normalize(
+                    [tuple(r[i] for i in order) for r in pcur.fetchall()]
+                )
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL  {name}: paranoid rewrite error {type(e).__name__}: {e}")
+                continue
+            if prows != drows:
+                n_bad = sum(1 for a, b in zip(prows, drows) if a != b)
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: TIE-SENSITIVE round(): floor-form oracle "
+                    f"differs in {n_bad}/{len(drows)} rows (+{len(prows)-len(drows)} row delta)"
+                )
+                continue
 
         status = []
         if spark_cols != duck_cols:
