@@ -121,6 +121,7 @@ HEADLINE = [
     "pii_redact",
     "cms_heavy_hitters",
     "semantic_dedup",
+    "semantic_dedup_bucketed",
     "paragraph_dedup",
     "hashed_quality_score",
     "containment_decontam",

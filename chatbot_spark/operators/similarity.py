@@ -192,6 +192,161 @@ def embedding_neardup_pairs_blocked(
     return out
 
 
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    nlist: int = 64,
+    seed: int = 42,
+    fit_sample_size: int = 200_000,
+) -> DataFrame:
+    """Cluster-blocked ε-ball self-join — the SemDeDup-style (Abbas et al.
+    2023) scale path for embedding near-dup, with an EXACTNESS guarantee
+    the plain "compare within cluster" recipe lacks.
+
+    Geometry: on unit vectors, cosine ≥ τ  ⟺  L2 ≤ ε = sqrt(2 − 2τ). Fit
+    k-means cells (the IVFIndex coarse-quantizer machinery), record each
+    cell's covering radius r_c = max ||x − c||, and enumerate only cell
+    pairs (i ≤ j) with ||c_i − c_j|| ≤ r_i + r_j + ε — by the triangle
+    inequality NO qualifying vector pair can span any other cell pair, so
+    the emitted pair set equals the exact operator's bit-for-bit (the
+    cosines themselves are BLAS-computed like the tiled variant: equal to
+    the expression form within 1e-6; callers round to 6).
+
+    Plan shape: one Arrow/BLAS cell-assignment map, one tiny radius agg,
+    a driver-side k×k bound check (metadata — centroids only), then ONE
+    shuffle that replicates each cell's rows to its qualifying block
+    pairs and a grouped BLAS kernel per block. Compute is
+    Σ_blocks |cell_i|·|cell_j| instead of N² — sub-quadratic whenever the
+    corpus actually clusters tighter than ε (the SemDeDup regime: τ ≥ 0.9
+    → ε ≤ 0.45). Degenerate data (every cell-pair within the bound)
+    degrades gracefully to the exact N² block set, never to a wrong
+    answer. Zero-norm vectors never pair (cosine undefined — same
+    contract as the exact operator).
+
+    Scale: driver touches only centroids (nlist × d) and the block list
+    (≤ nlist² ids); executor memory is bounded by the two largest cells
+    per task (size nlist so cells ≈ corpus/nlist fits — the IVF recipe).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from chatbot_spark.operators.ann import _assign_cells, _numpy_kmeans
+
+    spark = df.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    side = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    ).filter(F.col("__norm") > 0)
+
+    # normalize JVM-side so cells/radii/kernel all see unit vectors
+    unit = side.select(
+        "__id",
+        F.transform("__vec", lambda x: x / F.col("__norm")).alias("__unit"),
+    )
+
+    sample = np.array(
+        [r[0] for r in unit.select("__unit").limit(fit_sample_size).collect()],
+        dtype=np.float64,
+    )
+    if len(sample) == 0:
+        return spark.createDataFrame([], out_schema)
+    k = min(nlist, len(sample))
+    centers = _numpy_kmeans(sample, k, seed, max_iter=25)
+
+    assigned = unit.withColumn("__cell", _assign_cells(F.col("__unit"), centers))
+    # Per-cell covering radius: max ||x − c_cell||, via the broadcast
+    # centroid table (tiny) + a higher-order-function fold — one narrow agg.
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "__cell INT, __centroid ARRAY<DOUBLE>",
+    )
+    radii_rows = (
+        assigned.join(F.broadcast(cent_df), "__cell")
+        .groupBy("__cell")
+        .agg(
+            F.max(
+                F.aggregate(
+                    F.zip_with("__unit", "__centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("__r2")
+        )
+    )
+    radii = {r["__cell"]: float(r["__r2"]) ** 0.5 for r in radii_rows.collect()}
+
+    eps = float(np.sqrt(max(0.0, 2.0 - 2.0 * min_cosine)))
+    cd = np.sqrt(
+        np.maximum(
+            ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), 0.0
+        )
+    )
+    blocks = []
+    for i in range(k):
+        ri = radii.get(i)
+        if ri is None:
+            continue  # empty cell
+        for j in range(i, k):
+            rj = radii.get(j)
+            if rj is None:
+                continue
+            if cd[i, j] <= ri + rj + eps:
+                blocks.append((len(blocks), i, j))
+    if not blocks:
+        return spark.createDataFrame([], out_schema)
+    blocks_df = spark.createDataFrame(blocks, "__blk INT, __ca INT, __cb INT")
+
+    left = assigned.join(
+        F.broadcast(blocks_df), assigned["__cell"] == blocks_df["__ca"]
+    ).select("__blk", F.lit(0).alias("__side"), "__id", "__unit")
+    right = assigned.join(
+        F.broadcast(blocks_df.filter(F.col("__ca") != F.col("__cb"))),
+        assigned["__cell"] == blocks_df["__cb"],
+    ).select("__blk", F.lit(1).alias("__side"), "__id", "__unit")
+    staged = left.unionByName(right)
+
+    thr = min_cosine - 1e-12
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        l_mask = pdf["__side"].to_numpy() == 0
+        L = np.array(list(pdf.loc[l_mask, "__unit"]), dtype=np.float64)
+        lids = pdf.loc[l_mask, "__id"].to_numpy(dtype=np.int64)
+        if l_mask.all():  # diagonal block: upper triangle of one cell
+            sims = L @ L.T
+            bi, bj = np.nonzero(sims >= thr)
+            keep = lids[bi] < lids[bj]
+            return pd.DataFrame(
+                {"id_a": lids[bi][keep], "id_b": lids[bj][keep], "cosine": sims[bi, bj][keep]}
+            )
+        R = np.array(list(pdf.loc[~l_mask, "__unit"]), dtype=np.float64)
+        rids = pdf.loc[~l_mask, "__id"].to_numpy(dtype=np.int64)
+        if len(L) == 0 or len(R) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        sims = L @ R.T
+        bi, bj = np.nonzero(sims >= thr)
+        ia, ib, s = lids[bi], rids[bj], sims[bi, bj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": s})
+
+    return staged.groupBy("__blk").applyInPandas(kernel, out_schema)
+
+
 def collapse_exact_duplicates(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

@@ -293,6 +293,66 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", (F.col("canonical_id") == F.col("vec_id")).cast("int"))
     )
 
+@query(
+    "semantic_dedup_bucketed",
+    f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_DUCK_NORM.format(a='a.embedding')}) * sqrt({_DUCK_NORM.format(a='b.embedding')})) >= 0.35),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id),
+canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+SELECT e.vec_id,
+       CAST(coalesce(c.canonical, e.vec_id) AS BIGINT) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.canonical, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS INT) AS kept
+FROM embeddings e LEFT JOIN canon c ON c.id = e.vec_id
+""",
+)
+def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cluster-blocked pair generator — the 100 TB
+    composition: collapse exact duplicates → k-means cells + triangle-
+    inequality cell-pair pruning (embedding_neardup_pairs_bucketed, whose
+    pair set is provably EQUAL to the exact tiled operator's — the oracle
+    is the same brute-force recursive-CTE as semantic_dedup) → connected
+    components → expand verdicts. Compute is Σ_blocks |ci||cj| instead of
+    N² over distinct reps; on clustered corpora at SemDeDup thresholds
+    (τ ≥ 0.9) that is the sub-quadratic plan the tiled default is not."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+    from chatbot_spark.operators.similarity import (
+        collapse_exact_duplicates,
+        embedding_neardup_pairs_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps, mapping = collapse_exact_duplicates(
+        emb.select("vec_id", "embedding"), id_col="vec_id", vec_col="embedding"
+    )
+    pairs = embedding_neardup_pairs_bucketed(
+        reps, id_col="vec_id", vec_col="embedding", min_cosine=0.35, nlist=16
+    )
+    clusters = resolve_duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        mapping.join(
+            clusters.select(F.col("doc_id").alias("__rep_id"), "canonical_id"),
+            "__rep_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("canonical_id", F.col("__rep_id")).cast("long").alias("canonical_id"),
+        )
+        .withColumn("kept", (F.col("canonical_id") == F.col("vec_id")).cast("int"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis + dedup (SURVEY §2.J J1/J2/J4, §2.H)
 # --------------------------------------------------------------------------

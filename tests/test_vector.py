@@ -204,3 +204,48 @@ def test_collapse_exact_duplicates_preserves_component_dedup(spark):
     assert collapsed == uncollapsed
     # the collapse really did shrink pair generation: 6 distinct + 3 zero
     assert reps.count() == 6 + 3
+
+def test_bucketed_neardup_equals_exact(spark, sf_dir):
+    """The cluster-blocked (SemDeDup-style) near-dup must produce the
+    IDENTICAL pair set as the exact expression form: the triangle-
+    inequality cell-pair bound (||ci−cj|| ≤ ri+rj+ε on unit vectors) is
+    sound, so no qualifying pair can be lost regardless of nlist. Checked
+    at two cell counts, including one far above the cluster count (many
+    near-empty cells) — and cosines agree to 1e-6 (BLAS reassociation)."""
+    from chatbot_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, min_cosine=0.35).collect()
+    }
+    for nlist in (3, 24):
+        bucketed = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs_bucketed(
+                emb, min_cosine=0.35, nlist=nlist
+            ).collect()
+        }
+        assert set(bucketed) == set(exact)
+        for k, v in bucketed.items():
+            assert v == pytest.approx(exact[k], abs=1e-6)
+
+
+def test_bucketed_neardup_zero_norm_and_empty(spark):
+    """Zero-norm vectors never pair (cosine undefined — same contract as
+    the exact operator), and an all-zero corpus yields an empty result
+    instead of a degenerate k-means fit."""
+    from chatbot_spark.operators.similarity import embedding_neardup_pairs_bucketed
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_bucketed(emb, min_cosine=0.9, nlist=2).collect()
+    }
+    assert got == {(2, 3)}
+    zeros = emb.filter("vec_id < 2")
+    assert embedding_neardup_pairs_bucketed(zeros, min_cosine=0.9).count() == 0
