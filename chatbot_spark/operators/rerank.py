@@ -54,6 +54,73 @@ def hash_cross_score(query_text: Column, doc_text: Column) -> Column:
     return h.cast("double") / F.lit(4294967296.0)
 
 
+def make_bge_cross_scorer(
+    model_name: str = "BAAI/bge-m3",
+    w_dense: float = W_DENSE,
+    w_sparse: float = W_SPARSE,
+    w_colbert: float = W_COLBERT,
+    batch_size: int = 64,
+):
+    """Real cross-encoder scorer — the model-backed twin of
+    hash_cross_score (reference src/rag/embedding/bge.py:237-271: BGE-M3
+    ``compute_score`` over (query, passage) pairs with
+    ``max_query_length=512, max_passage_length=8192,
+    weights_for_different_modes=[dense, sparse, colbert]``, reading the
+    fused ``colbert+sparse+dense`` score).
+
+    Spark shape: one Arrow batch of pairs per model call (the reference
+    scores with batch_size=1, one forward pass per pair — per-Arrow-batch
+    batching is the 100 TB form, batches parallel across executors), lazy
+    per-executor model singleton like the embedding backends.
+    FlagEmbedding isn't in this container — the UDF raises the documented
+    NotImplementedError at first use; tests/test_optional_models.py runs
+    the real path wherever the lib exists and pins the gate here."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def score_batch(query: "pd.Series", doc: "pd.Series") -> "pd.Series":
+        try:
+            from FlagEmbedding import BGEM3FlagModel  # noqa: F401
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "FlagEmbedding not installed in this environment; "
+                "use the deterministic hash_cross_score scorer instead"
+            ) from e
+        if not hasattr(score_batch, "_model"):  # lazy per-executor singleton
+            score_batch._model = BGEM3FlagModel(model_name)
+        pairs = list(zip(query.fillna("").tolist(), doc.fillna("").tolist()))
+        if not pairs:
+            return pd.Series([], dtype="float64")
+        res = score_batch._model.compute_score(
+            pairs,
+            batch_size=min(len(pairs), batch_size),
+            max_query_length=MAX_QUERY_TOKENS,   # reference bge.py:256
+            max_passage_length=MAX_PASSAGE_TOKENS,  # reference bge.py:257
+            weights_for_different_modes=[w_dense, w_sparse, w_colbert],
+        )
+        fused = res["colbert+sparse+dense"]  # reference bge.py:265
+        return pd.Series([float(s) for s in fused])
+
+    # real-class annotations: string hints (future-annotations) don't
+    # resolve for locally-defined UDFs
+    score_batch.__annotations__ = {
+        "query": pd.Series, "doc": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(T.DoubleType())(score_batch)
+
+
+def cross_score(query_text: Column, doc_text: Column, scorer: str = "hash", **kwargs) -> Column:
+    """Scorer registry mirroring the embedding BACKENDS factory: 'hash'
+    (deterministic, engine-agnostic — the test/oracle scorer) or 'bge'
+    (real BGE-M3 cross-encoder, FlagEmbedding-gated)."""
+    if scorer == "hash":
+        return hash_cross_score(query_text, doc_text)
+    if scorer == "bge":
+        return make_bge_cross_scorer(**kwargs)(query_text, doc_text)
+    raise ValueError(f"unknown cross scorer {scorer!r}; have ['hash', 'bge']")
+
+
 def rerank(
     candidates: DataFrame,
     query_id: str = "query_id",

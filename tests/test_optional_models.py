@@ -103,3 +103,61 @@ def test_pyav_gate_raises_cleanly(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|not installed"):
         av_frame_sample(media).collect()
+
+def test_bge_cross_encoder_rerank_end_to_end(spark):
+    """Real-model path (reference bge.py:237-271): score (query, passage)
+    pairs through BGE-M3 compute_score with the reference's caps and
+    fusion weights, then rerank — exercises the per-executor singleton,
+    the Arrow pair batching, and the fused-score ordering downstream."""
+    pytest.importorskip("FlagEmbedding")
+    from chatbot_spark.operators.rerank import cross_score, rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, 10, "what is spark", "Apache Spark is a distributed engine"),
+            (1, 11, "what is spark", "bananas are yellow fruit"),
+            (1, 12, "what is spark", "Spark runs SQL, streaming and ML"),
+            (2, 10, "fruit colors", "Apache Spark is a distributed engine"),
+            (2, 11, "fruit colors", "bananas are yellow fruit"),
+        ],
+        "query_id LONG, neighbor_id LONG, query_text STRING, doc STRING",
+    )
+    scored = cands.withColumn(
+        "rerank_score", cross_score(F.col("query_text"), F.col("doc"), scorer="bge")
+    )
+    out = rerank(scored, keep=2).collect()
+    assert len(out) == 4  # 2 queries × top-2
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rerank_rank"])
+        assert rows[0]["rerank_score"] >= rows[1]["rerank_score"]
+    # semantic sanity: the spark docs outrank bananas for the spark query
+    q1 = sorted(by_q[1], key=lambda r: r["rerank_rank"])
+    assert q1[0]["neighbor_id"] in (10, 12)
+
+
+def test_bge_cross_encoder_gate_raises_cleanly(spark):
+    """Without FlagEmbedding, the scorer must fail with the documented
+    NotImplementedError carrying the fallback hint, at first use."""
+    try:
+        import FlagEmbedding  # noqa: F401
+
+        pytest.skip("FlagEmbedding installed; gate not reachable")
+    except ImportError:
+        pass
+    from chatbot_spark.operators.rerank import cross_score
+
+    df = spark.createDataFrame(
+        [("q", "d")], "query_text STRING, doc STRING"
+    ).withColumn("s", cross_score(F.col("query_text"), F.col("doc"), scorer="bge"))
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        df.collect()
+
+
+def test_cross_score_registry_rejects_unknown():
+    from chatbot_spark.operators.rerank import cross_score
+
+    with pytest.raises(ValueError, match="unknown cross scorer"):
+        cross_score(F.lit("q"), F.lit("d"), scorer="nope")
