@@ -100,6 +100,35 @@ def _assign_cells(col, centers):
     return pandas_udf(T.IntegerType())(one_batch)(col)
 
 
+def _probe_cells(col, centers, nprobe: int):
+    """Top-nprobe nearest-centroid list per vector as an Arrow-batched
+    kernel — the distributed twin of the driver-side routing in the ANN
+    searches' broadcast path: same BLAS expansion, same stable argsort,
+    same lowest-id tie-break, so both paths probe identical cells.
+    Returns ARRAY<INT> (explode for a routing join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(centers, dtype=np.float64)
+    c2 = (c**2).sum(axis=1)
+    np_ = min(nprobe, len(c))
+
+    def one_batch(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(list(s), dtype=np.float64)
+        # EXACT driver-path expression (incl. the argsort-neutral ||q||²
+        # term): same fold → same bits → same tie resolution
+        d = (X**2).sum(axis=1)[:, None] - 2 * X @ c.T + c2[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    one_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(T.ArrayType(T.IntegerType()))(one_batch)(col)
+
+
 class IVFIndex:
     """Inverted-file ANN index: KMeans centroids + per-row cell assignment.
 

@@ -212,6 +212,35 @@ def _build_nsw(X, m: int, ef_construction: int):
     return _repair_reachability(X, adj)
 
 
+def _make_graph_build_kernel(id_col, vec_col, m, ef_construction, method):
+    """Per-shard graph construction kernel shared by build() and
+    rebalance(): deterministic (id-sorted insertion order), one shard per
+    group, reachability-repaired adjacency."""
+    import numpy as np
+
+    def build_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
+        adj = (
+            _build_knn_graph(Xs, m)
+            if method == "knn"
+            else _build_nsw(Xs, m, ef_construction)
+        )
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "pos": np.arange(len(pdf), dtype=np.int32),
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+            }
+        )
+
+    return build_kernel
+
+
 class NSWGraphIndex:
     """Sharded navigable-small-world ANN index.
 
@@ -232,6 +261,21 @@ class NSWGraphIndex:
         self.centers = centers_np  # (nlist, d) float64 on the driver
         self.vec_col = vec_col
         self.id_col = id_col
+        # broadcast-path query batches, freed by release(): without it,
+        # repeated searches in benches / long-lived sessions accumulate
+        # broadcast blocks on driver and executors
+        self._live_broadcasts: list = []
+
+    def release(self) -> None:
+        """Free the query-batch broadcasts of past broadcast-path searches.
+        Call after their result DataFrames are materialized (a released
+        broadcast cannot serve a later recompute of a still-lazy result)."""
+        for bc in self._live_broadcasts:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._live_broadcasts.clear()
 
     @classmethod
     def build(
@@ -278,28 +322,9 @@ class NSWGraphIndex:
             f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
         )
 
-        def build_kernel(pdf):
-            import pandas as pd
-
-            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-            Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            adj = (
-                _build_knn_graph(Xs, m)
-                if method == "knn"
-                else _build_nsw(Xs, m, ef_construction)
-            )
-            return pd.DataFrame(
-                {
-                    "shard": pdf["shard"],
-                    "pos": np.arange(len(pdf), dtype=np.int32),
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "neighbors": [
-                        np.asarray(a, dtype=np.int32) for a in adj
-                    ],
-                }
-            )
-
+        build_kernel = _make_graph_build_kernel(
+            id_col, vec_col, m, ef_construction, method
+        )
         graph = sharded.groupBy("shard").applyInPandas(build_kernel, out_schema)
         centroids = corpus.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -440,6 +465,9 @@ class NSWGraphIndex:
                 )
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                # the checkpoint blocks served their purpose (materialize
+                # before overwriting the path being read) — free them
+                rebuilt.unpersist(blocking=False)
             return NSWGraphIndex(
                 self.centroids,
                 spark.read.parquet(f"{path}/graph"),
@@ -450,6 +478,189 @@ class NSWGraphIndex:
         grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
         return NSWGraphIndex(self.centroids, grown, self.centers, vec_col, id_col)
 
+    def rebalance(
+        self,
+        max_shard_rows: int,
+        m: int = 16,
+        ef_construction: int = 256,
+        method: str = "knn",
+        path: str | None = None,
+        seed: int = 42,
+        fit_sample_size: int = 100_000,
+        max_rounds: int = 4,
+    ) -> "NSWGraphIndex":
+        """Index maintenance OPTIMIZE: frozen-centroid append lets hot
+        shards grow without bound (the OceanBase HNSW analog rebuilds;
+        SPANN re-clusters) — this re-splits every shard above
+        ``max_shard_rows`` into ⌈size/max⌉ k-means sub-cells and rebuilds
+        only those shards' graphs, leaving the rest untouched.
+
+        Mechanics per round: one size agg; per oversized shard a bounded
+        sample (≤ fit_sample_size rows) fits sub-centers driver-side; the
+        shard's rows re-assign to sub-cells in one Arrow/BLAS map (the
+        old shard id is RECYCLED for sub-cell 0 — on a written index the
+        dynamic partition overwrite then replaces the stale partition
+        instead of leaving it behind — and the other sub-cells take
+        fresh contiguous ids, preserving the shard-id == centroid-row
+        invariant search and load() rely on); the shared build kernel
+        reconstructs each sub-shard's graph in parallel. Rounds repeat
+        until every shard fits or ``max_rounds`` — a shard of
+        (near-)identical vectors cannot be split by k-means and may
+        legitimately stay oversized.
+
+        With ``path``: rebuilt shards are written to a TEMP path first,
+        then read back and dynamic-partition-overwritten into the index
+        (only touched partitions) — no executor-local checkpoint blocks,
+        so an executor loss mid-maintenance costs a retry, not the job.
+        The centroid table (tiny) is fully rewritten."""
+        import math
+
+        import numpy as np
+
+        spark = self.graph.sparkSession
+        id_col, vec_col = self.id_col, self.vec_col
+        out_schema = (
+            f"shard INT, pos INT, {id_col} "
+            f"{self.graph.schema[id_col].dataType.simpleString()}, "
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+        )
+        build_kernel = _make_graph_build_kernel(
+            id_col, vec_col, m, ef_construction, method
+        )
+
+        centers_by_id: dict[int, list[float]] = {
+            int(i): [float(x) for x in self.centers[i]]
+            for i in range(len(self.centers))
+        }
+        graph = self.graph
+        changed: set[int] = set()
+
+        for round_no in range(max_rounds):
+            sizes = {
+                int(r["shard"]): r["n"]
+                for r in graph.groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            oversized = sorted(s for s, n in sizes.items() if n > max_shard_rows)
+            if not oversized:
+                break
+            next_id = max(centers_by_id) + 1
+            plan: dict[int, tuple] = {}
+            for s in oversized:
+                k = min(
+                    max(2, math.ceil(sizes[s] / max_shard_rows)), sizes[s]
+                )
+                sample = np.array(
+                    [
+                        r[0]
+                        for r in graph.filter(F.col("shard") == s)
+                        .select(vec_col)
+                        .limit(fit_sample_size)
+                        .collect()
+                    ],
+                    dtype=np.float64,
+                )
+                sub_centers = _numpy_kmeans(
+                    sample, min(k, len(sample)), seed + round_no, max_iter=15
+                )
+                new_ids = [s] + list(range(next_id, next_id + len(sub_centers) - 1))
+                next_id += len(sub_centers) - 1
+                plan[s] = (np.asarray(new_ids, dtype=np.int64), sub_centers)
+                for nid, ctr in zip(new_ids, sub_centers):
+                    centers_by_id[int(nid)] = [float(x) for x in ctr]
+                changed.update(int(i) for i in new_ids)
+
+            bplan = spark.sparkContext.broadcast(plan)
+
+            # bind this round's broadcast via a factory closure: the
+            # rebuilt DataFrames are LAZY, and a closure over the loop
+            # variable `bplan` would resolve to a later round's rebinding
+            # at execution time. (A default arg would change the arity —
+            # applyInPandas would then treat the kernel as (key, pdf).)
+            def make_split_kernel(bplan_):
+                def split_kernel(pdf):
+                    import pandas as pd  # noqa: F401
+
+                    shard = int(pdf["shard"].iloc[0])
+                    ids, ctrs = bplan_.value[shard]
+                    X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    c2 = (ctrs**2).sum(axis=1)
+                    sub = (X @ ctrs.T * -2 + c2[None, :]).argmin(axis=1)
+                    # the recycled old id (sub-cell 0) MUST receive rows —
+                    # on a written index its partition is replaced only if
+                    # rewritten, and an empty cell 0 would leave the stale
+                    # oversized partition behind. k-means re-seeds empty
+                    # cells at fit time, but full-shard assignment can
+                    # still drain cell 0: relabel the largest sub-cell to
+                    # it then (the group holds the WHOLE shard, so this
+                    # check is global for the shard; centroid/row mismatch
+                    # costs routing quality only).
+                    counts = np.bincount(sub, minlength=len(ids))
+                    if counts[0] == 0:
+                        sub[sub == counts.argmax()] = 0
+                    out = pdf[[id_col, vec_col]].copy()
+                    out["shard"] = ids[sub].astype("int32")
+                    return out
+
+                return split_kernel
+
+            split_kernel = make_split_kernel(bplan)
+
+            moved_schema = (
+                f"{id_col} {self.graph.schema[id_col].dataType.simpleString()}, "
+                f"{vec_col} ARRAY<DOUBLE>, shard INT"
+            )
+            moved = (
+                graph.filter(F.col("shard").isin(oversized))
+                .select("shard", id_col, vec_col)
+                .groupBy("shard")
+                .applyInPandas(split_kernel, moved_schema)
+            )
+            rebuilt = moved.groupBy("shard").applyInPandas(build_kernel, out_schema)
+            graph = graph.filter(~F.col("shard").isin(oversized)).unionByName(
+                rebuilt
+            )
+
+        centers_np = np.array(
+            [centers_by_id[i] for i in range(len(centers_by_id))], dtype=np.float64
+        )
+        centroids = spark.createDataFrame(
+            [(i, centers_by_id[i]) for i in range(len(centers_by_id))],
+            "shard INT, centroid ARRAY<DOUBLE>",
+        )
+
+        if path is None or not changed:
+            if path is not None:
+                centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+            return NSWGraphIndex(centroids, graph, centers_np, vec_col, id_col)
+
+        # temp-path write + swap: materializes the rebuilt shards durably
+        # BEFORE touching the live graph path (which `graph` still reads)
+        tmp = f"{path}/graph_rebal_tmp"
+        graph.filter(F.col("shard").isin(sorted(changed))).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(tmp)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+                "shard"
+            ).parquet(f"{path}/graph")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        import shutil
+
+        shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+        return NSWGraphIndex(
+            centroids,
+            spark.read.parquet(f"{path}/graph"),
+            centers_np,
+            vec_col,
+            id_col,
+        )
+
     def search(
         self,
         queries: DataFrame,
@@ -459,6 +670,7 @@ class NSWGraphIndex:
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
         query_chunk: int = 4096,
+        route: str = "broadcast",
     ) -> DataFrame:
         """Top-k per query over the nprobe nearest shards' graphs.
 
@@ -467,16 +679,33 @@ class NSWGraphIndex:
         the whole (connected) shard graph, i.e. exact within the probed
         shards.
 
-        Distribution contract: the query batch is collected ONCE (one
-        bounded job), routed to its nprobe nearest shard centers
-        driver-side (Q × nlist BLAS — tiny), and broadcast together with
-        the shard→queries routing map; ONE applyInPandas over the probed
-        shards (parquet PartitionFilters on a written index) beam-walks
-        each shard's graph for its routed queries. No driver chunk loop —
-        one Spark job per search regardless of query count.
-        ``query_chunk`` is kept for API stability; the beam walk is
-        per-query, so executor memory is bounded by the shard graph plus
-        the broadcast batch regardless of its value."""
+        Distribution contract, two routing modes:
+
+        * ``route="broadcast"`` (default — the bounded-batch fast path):
+          the query batch is collected ONCE, routed to its nprobe nearest
+          shard centers driver-side (Q × nlist BLAS), and broadcast with
+          the shard→queries routing map; ONE applyInPandas over the
+          probed shards (parquet PartitionFilters on a written index)
+          beam-walks each shard's graph for its routed queries. DRIVER
+          MEMORY IS O(Q × d) — the collect and the broadcast both hold
+          the full batch (1 M × 1024-d float64 ≈ 8 GB: past the default
+          driver heap). Use it for interactive/batched serving up to
+          ~100k queries; the broadcast is tracked and freed by
+          ``release()``.
+        * ``route="join"`` (the unbounded-query-set path): queries never
+          touch the driver. One Arrow/BLAS top-nprobe map per query
+          batch (the exact driver-path expression, so both routes probe
+          identical cells) + explode, then a cogrouped applyInPandas
+          pairs each shard's graph with its routed queries. The cogroup
+          shuffles BOTH sides (routed queries and graph), so it costs
+          ~2× the broadcast route's wall clock (BENCH_ANN_BIGBATCH.json:
+          61 s vs 113 s at 100k queries × 200k corpus) — the price of
+          O(1) driver memory. Per-task memory is one shard graph + that
+          shard's routed queries.
+
+        Both modes return the same contract and the same rows (up to
+        probe-order ULP ties). ``query_chunk`` is kept for API
+        stability; the beam walk is per-query either way."""
         import numpy as np
 
         c = self.centers
@@ -491,35 +720,10 @@ class NSWGraphIndex:
             f"neighbor_id {id_field.dataType.simpleString()}, __rdist DOUBLE"
         )
 
-        rows = queries.select(query_id, query_vec).collect()
-        if not rows:
-            raise ValueError("empty query set")
-        qids_all = [r[0] for r in rows]
-        Q_all = np.array([r[1] for r in rows], dtype=np.float64)
-        cd = (
-            (Q_all**2).sum(axis=1)[:, None]
-            - 2 * Q_all @ c.T
-            + (c**2).sum(axis=1)[None, :]
-        )
-        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
-        routed: dict[int, list[int]] = {}
-        for qi in range(len(qids_all)):
-            for cell in probe[qi]:
-                routed.setdefault(int(cell), []).append(qi)
-        bc = queries.sparkSession.sparkContext.broadcast((qids_all, Q_all, routed))
-
-        src = self.graph.filter(F.col("shard").isin(sorted(routed)))
-
-        def search_kernel(pdf):
+        def walk_shard(pdf, Q, qis, qid_values):
+            """Beam-walk one shard's graph for its routed queries."""
             import pandas as pd
 
-            qids, Q, routing = bc.value
-            shard = int(pdf["shard"].iloc[0])
-            qis = routing.get(shard)
-            if not qis or pdf.empty:
-                return pd.DataFrame(
-                    {query_id: [], "neighbor_id": [], "__rdist": []}
-                )
             pdf = pdf.sort_values("pos", kind="mergesort").reset_index(drop=True)
             Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
             adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
@@ -528,14 +732,55 @@ class NSWGraphIndex:
             for qi in qis:
                 found = _beam_search(Xs, adj, Q[qi], ef=ef, entry=0)
                 for d, pos in found[: min(k, len(found))]:
-                    out_q.append(qids[qi])
+                    out_q.append(qid_values[qi])
                     out_n.append(ids[pos])
                     out_d.append(max(d, 0.0))
             return pd.DataFrame(
                 {query_id: out_q, "neighbor_id": out_n, "__rdist": out_d}
             )
 
-        cands = src.groupBy("shard").applyInPandas(search_kernel, out_schema)
+        if route == "join":
+            cands = self._search_join(
+                queries, nprobe, query_id, query_vec, out_schema, walk_shard
+            )
+        elif route == "broadcast":
+            rows = queries.select(query_id, query_vec).collect()
+            if not rows:
+                raise ValueError("empty query set")
+            qids_all = [r[0] for r in rows]
+            Q_all = np.array([r[1] for r in rows], dtype=np.float64)
+            cd = (
+                (Q_all**2).sum(axis=1)[:, None]
+                - 2 * Q_all @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+            routed: dict[int, list[int]] = {}
+            for qi in range(len(qids_all)):
+                for cell in probe[qi]:
+                    routed.setdefault(int(cell), []).append(qi)
+            bc = queries.sparkSession.sparkContext.broadcast(
+                (qids_all, Q_all, routed)
+            )
+            self._live_broadcasts.append(bc)
+
+            src = self.graph.filter(F.col("shard").isin(sorted(routed)))
+
+            def search_kernel(pdf):
+                import pandas as pd
+
+                qids, Q, routing = bc.value
+                shard = int(pdf["shard"].iloc[0])
+                qis = routing.get(shard)
+                if not qis or pdf.empty:
+                    return pd.DataFrame(
+                        {query_id: [], "neighbor_id": [], "__rdist": []}
+                    )
+                return walk_shard(pdf, Q, qis, qids)
+
+            cands = src.groupBy("shard").applyInPandas(search_kernel, out_schema)
+        else:
+            raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
 
         w = Window.partitionBy(query_id).orderBy(
             F.col("__rdist").asc(), F.col("neighbor_id").asc()
@@ -545,4 +790,45 @@ class NSWGraphIndex:
             .filter(F.col("rank") <= k)
             .withColumn("dist", F.sqrt("__rdist"))
             .drop("__rdist")
+        )
+
+    def _search_join(self, queries, nprobe, query_id, query_vec, out_schema, walk_shard):
+        """Join-based routing: one Arrow/BLAS top-nprobe map per query
+        batch (the exact driver-path expression — both routes probe
+        identical cells) + explode → cogrouped applyInPandas with the
+        shard graphs. No query data on the driver, and the routing
+        intermediate is Q × nprobe rows, not Q × nlist."""
+        import numpy as np
+
+        from chatbot_spark.operators.ann import _probe_cells
+
+        routed = (
+            queries.select(
+                F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+            )
+            .withColumn("__cells", _probe_cells(F.col("__qvec"), self.centers, nprobe))
+            .select(
+                F.explode("__cells").alias("shard"), "__qid", "__qvec"
+            )
+        )
+        # probed-shard list is metadata-scale (≤ nlist ids) — an explicit
+        # isin keeps parquet PartitionFilters on a written index
+        probed = [r[0] for r in routed.select("shard").distinct().collect()]
+        if not probed:
+            raise ValueError("empty query set")
+        src = self.graph.filter(F.col("shard").isin(probed))
+
+        def cogroup_kernel(qdf, gdf):
+            import pandas as pd
+
+            if qdf.empty or gdf.empty:
+                return pd.DataFrame({query_id: [], "neighbor_id": [], "__rdist": []})
+            Q = np.array(list(qdf["__qvec"]), dtype=np.float64)
+            qid_values = qdf["__qid"].tolist()
+            return walk_shard(gdf, Q, range(len(qid_values)), qid_values)
+
+        return (
+            routed.groupBy("shard")
+            .cogroup(src.groupBy("shard"))
+            .applyInPandas(cogroup_kernel, out_schema)
         )

@@ -90,6 +90,16 @@ class IVFPQIndex:
         self.encoded = encoded      # (id_col, centroid_id, pq_code)
         self.vec_col = vec_col
         self.id_col = id_col
+        self._live_broadcasts: list = []
+
+    def release(self) -> None:
+        """Free past broadcast-path query batches (see NSWGraphIndex.release)."""
+        for bc in self._live_broadcasts:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._live_broadcasts.clear()
 
     @classmethod
     def build(
@@ -174,22 +184,33 @@ class IVFPQIndex:
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
         query_chunk: int = 2048,
+        route: str = "broadcast",
     ) -> DataFrame:
         """ADC top-k over nprobe cells. LUTs are per (query, probed cell)
         — built from the query's residual against that cell, so the ADC
         distance is exactly ||q − x||² up to quantization of x alone.
 
-        Distribution contract: the query batch is collected ONCE (one
-        bounded job), routed to its nprobe cells driver-side (Q × nlist
-        BLAS — tiny), and broadcast to the executors together with the
-        cell→queries routing map; ONE mapInPandas over the code table —
-        statically pruned to the union of probed cells, PartitionFilters
-        on a written index — serves the whole batch. ``query_chunk``
-        bounds EXECUTOR memory: inside the kernel each probed cell
+        Distribution contract, two routing modes:
+
+        * ``route="broadcast"`` (default): the query batch is collected
+          ONCE, routed to its nprobe cells driver-side (Q × nlist BLAS),
+          and broadcast with the cell→queries routing map; ONE
+          mapInPandas over the code table — statically pruned to the
+          probed cells, PartitionFilters on a written index — serves the
+          whole batch. DRIVER MEMORY IS O(Q × d) (collect + broadcast
+          hold the full batch); use for bounded batches up to ~100k
+          queries and free with ``release()``.
+        * ``route="join"`` (unbounded query sets): queries never touch
+          the driver — distributed crossJoin vs the broadcast centroid
+          table routes each query to its nprobe cells, then a cogrouped
+          applyInPandas pairs each cell's codes with its routed queries
+          (one extra shuffle of the routed queries, keyed by cell).
+
+        ``query_chunk`` bounds EXECUTOR memory in both modes: each cell
         processes its routed queries in chunks, holding one (C, m, ksub)
         residual-LUT tensor at a time with the gather vectorized across
-        the chunk. LUTs are recomputed per partition rather than shipped
-        — keeps task closures O(books), not O(queries × books)."""
+        the chunk. LUTs are recomputed per task rather than shipped —
+        keeps task closures O(books), not O(queries × books)."""
         import numpy as np
 
         c = self.centers
@@ -206,84 +227,137 @@ class IVFPQIndex:
         kk = max(k, rerank)
         chunk = max(1, int(query_chunk))
 
-        rows = queries.select(query_id, query_vec).collect()
-        if not rows:
-            raise ValueError("empty query set")
-        qids_all = [r[0] for r in rows]
-        Q_all = np.array([r[1] for r in rows], dtype=np.float64)
-        # per-query probed cells (tiny: Q × nlist on the driver)
-        cd = (
-            (Q_all**2).sum(axis=1)[:, None]
-            - 2 * Q_all @ c.T
-            + (c**2).sum(axis=1)[None, :]
-        )
-        probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
-        cell2q: dict[int, "np.ndarray"] = {}
-        for cell in np.unique(probe):
-            qi = np.unique(np.nonzero(probe == cell)[0])
-            cell2q[int(cell)] = qi
-        bc = queries.sparkSession.sparkContext.broadcast((qids_all, Q_all, cell2q))
-
-        probed_cells = sorted(cell2q)
-        # static cell pruning — PartitionFilters on a written index
-        cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
-
-        def adc_partition(batches):
+        def adc_cell(grp, Q, qis, qid_values, cell: int):
+            """ADC partial top-kk for one cell's codes × its routed
+            queries (qis indexes into Q / qid_values). Returns a list of
+            result frames."""
             import pandas as pd
 
-            qids, Q, routing = bc.value
-            best: list[pd.DataFrame] = []
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                for cell, grp in pdf.groupby("centroid_id", sort=False):
-                    qis = routing.get(int(cell))
-                    if qis is None:
-                        continue
-                    codes = np.frombuffer(
-                        b"".join(grp["pq_code"].tolist()), dtype=np.uint8
-                    ).reshape(len(grp), m)
-                    ids = grp[id_col].to_numpy()
-                    n = len(ids)
-                    take = min(kk, n)
-                    cc = c[int(cell)]
-                    b2 = [(b[j] ** 2).sum(axis=1) for j in range(m)]
-                    for lo in range(0, len(qis), chunk):
-                        qc = qis[lo : lo + chunk]
-                        nc = len(qc)
-                        # per-query dgemv LUT build (NOT a batched GEMM):
-                        # BLAS fold order must not depend on chunk size, or
-                        # chunk-invariance breaks by ULPs
-                        luts = np.empty((nc, m, ksub), dtype=np.float64)
-                        for ci in range(nc):
-                            rq = Q[qc[ci]] - cc
-                            for j in range(m):
-                                rj = rq[j * dsub : (j + 1) * dsub]
-                                luts[ci, j] = (rj**2).sum() - 2 * b[j] @ rj + b2[j]
-                        dist = np.zeros((nc, n), dtype=np.float64)
-                        for j in range(m):
-                            dist += luts[:, j, :][:, codes[:, j]]
-                        np.maximum(dist, 0.0, out=dist)
-                        part = np.argpartition(dist, take - 1, axis=1)[:, :take]
-                        qidx = np.repeat(qc, take)
-                        best.append(
-                            pd.DataFrame(
-                                {
-                                    query_id: [qids[i] for i in qidx],
-                                    "neighbor_id": ids[part.ravel()],
-                                    "adist": np.take_along_axis(
-                                        dist, part, axis=1
-                                    ).ravel(),
-                                }
-                            )
-                        )
-            if not best:
-                return
-            allc = pd.concat(best, ignore_index=True)
-            allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
-            yield allc.groupby(query_id, sort=False).head(kk)
+            codes = np.frombuffer(
+                b"".join(grp["pq_code"].tolist()), dtype=np.uint8
+            ).reshape(len(grp), m)
+            ids = grp[id_col].to_numpy()
+            n = len(ids)
+            take = min(kk, n)
+            cc = c[cell]
+            b2 = [(b[j] ** 2).sum(axis=1) for j in range(m)]
+            out = []
+            for lo in range(0, len(qis), chunk):
+                qc = qis[lo : lo + chunk]
+                nc = len(qc)
+                # per-query dgemv LUT build (NOT a batched GEMM):
+                # BLAS fold order must not depend on chunk size, or
+                # chunk-invariance breaks by ULPs
+                luts = np.empty((nc, m, ksub), dtype=np.float64)
+                for ci in range(nc):
+                    rq = Q[qc[ci]] - cc
+                    for j in range(m):
+                        rj = rq[j * dsub : (j + 1) * dsub]
+                        luts[ci, j] = (rj**2).sum() - 2 * b[j] @ rj + b2[j]
+                dist = np.zeros((nc, n), dtype=np.float64)
+                for j in range(m):
+                    dist += luts[:, j, :][:, codes[:, j]]
+                np.maximum(dist, 0.0, out=dist)
+                part = np.argpartition(dist, take - 1, axis=1)[:, :take]
+                qidx = np.repeat(qc, take)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id: [qid_values[i] for i in qidx],
+                            "neighbor_id": ids[part.ravel()],
+                            "adist": np.take_along_axis(dist, part, axis=1).ravel(),
+                        }
+                    )
+                )
+            return out
 
-        cands = cands_src.mapInPandas(adc_partition, schema=out_schema)
+        if route == "join":
+            from chatbot_spark.operators.ann import _probe_cells
+
+            routed = (
+                queries.select(
+                    F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+                )
+                .withColumn(
+                    "__cells", _probe_cells(F.col("__qvec"), c, nprobe)
+                )
+                .select(
+                    F.explode("__cells").alias("centroid_id"), "__qid", "__qvec"
+                )
+            )
+            probed = [r[0] for r in routed.select("centroid_id").distinct().collect()]
+            if not probed:
+                raise ValueError("empty query set")
+            src = self.encoded.filter(F.col("centroid_id").isin(probed))
+
+            def cogroup_kernel(qdf, cdf):
+                import pandas as pd
+
+                if qdf.empty or cdf.empty:
+                    return pd.DataFrame({query_id: [], "neighbor_id": [], "adist": []})
+                Q = np.array(list(qdf["__qvec"]), dtype=np.float64)
+                qid_values = qdf["__qid"].tolist()
+                cell = int(cdf["centroid_id"].iloc[0])
+                frames = adc_cell(
+                    cdf, Q, np.arange(len(qid_values)), qid_values, cell
+                )
+                allc = pd.concat(frames, ignore_index=True)
+                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+                return allc.groupby(query_id, sort=False).head(kk)
+
+            cands = (
+                routed.groupBy("centroid_id")
+                .cogroup(src.groupBy("centroid_id"))
+                .applyInPandas(cogroup_kernel, out_schema)
+            )
+        elif route == "broadcast":
+            rows = queries.select(query_id, query_vec).collect()
+            if not rows:
+                raise ValueError("empty query set")
+            qids_all = [r[0] for r in rows]
+            Q_all = np.array([r[1] for r in rows], dtype=np.float64)
+            # per-query probed cells (tiny: Q × nlist on the driver)
+            cd = (
+                (Q_all**2).sum(axis=1)[:, None]
+                - 2 * Q_all @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            probe = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+            cell2q: dict[int, "np.ndarray"] = {}
+            for cell in np.unique(probe):
+                qi = np.unique(np.nonzero(probe == cell)[0])
+                cell2q[int(cell)] = qi
+            bc = queries.sparkSession.sparkContext.broadcast(
+                (qids_all, Q_all, cell2q)
+            )
+            self._live_broadcasts.append(bc)
+
+            probed_cells = sorted(cell2q)
+            # static cell pruning — PartitionFilters on a written index
+            cands_src = self.encoded.filter(F.col("centroid_id").isin(probed_cells))
+
+            def adc_partition(batches):
+                import pandas as pd
+
+                qids, Q, routing = bc.value
+                best: list[pd.DataFrame] = []
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    for cell, grp in pdf.groupby("centroid_id", sort=False):
+                        qis = routing.get(int(cell))
+                        if qis is None:
+                            continue
+                        best.extend(adc_cell(grp, Q, qis, qids, int(cell)))
+                if not best:
+                    return
+                allc = pd.concat(best, ignore_index=True)
+                allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
+                yield allc.groupby(query_id, sort=False).head(kk)
+
+            cands = cands_src.mapInPandas(adc_partition, schema=out_schema)
+        else:
+            raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

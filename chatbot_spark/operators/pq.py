@@ -100,6 +100,17 @@ class PQIndex:
         self.encoded = encoded      # (id_col, pq_code BINARY)
         self.vec_col = vec_col
         self.id_col = id_col
+        self._live_broadcasts: list = []
+
+    def release(self) -> None:
+        """Free past query-batch broadcasts (see NSWGraphIndex.release):
+        call after their result DataFrames are materialized."""
+        for bc in self._live_broadcasts:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._live_broadcasts.clear()
 
     @classmethod
     def build(
@@ -169,6 +180,7 @@ class PQIndex:
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
         query_chunk: int = 8192,
+        driver_batch_rows: int | None = None,
     ) -> DataFrame:
         """ADC top-k. With ``rerank=R > 0`` (requires ``corpus``), the top
         R ADC candidates per query are re-scored with exact L2 against the
@@ -177,17 +189,27 @@ class PQIndex:
         every candidate quantization ranked correctly.
 
         Distribution contract: the query batch is collected ONCE (one
-        bounded job — ids + raw vectors, Q·d doubles) and torrent-shipped
-        to every executor as a broadcast variable; ONE mapInPandas scan
-        of the code table then serves the whole batch — no driver chunk
-        loop, no serialized job-per-chunk submission, search cost is one
-        pass over the codes regardless of query count. ``query_chunk``
-        bounds EXECUTOR memory instead: inside the kernel, LUT tensors
-        are built per chunk of queries ((C, m, ksub) doubles live at a
-        time) and the distance gather is vectorized across the chunk.
-        LUTs are recomputed per partition rather than shipped — C·m·ksub
-        BLAS per partition is noise next to the code scan, and it keeps
-        the task closure O(books), not O(queries × books)."""
+        job — ids + raw vectors) and torrent-shipped to every executor as
+        a broadcast variable; ONE mapInPandas scan of the code table then
+        serves the whole batch. DRIVER MEMORY IS O(Q × d) — collect and
+        broadcast both hold the full batch, so the practical ceiling is
+        ~100k queries at 1024-d on an 8 GB driver. A flat PQ index has no
+        cells to route by, so the unbounded-query-set escape hatch is
+        ``driver_batch_rows=B``: stream the query DF through the driver B
+        rows at a time (toLocalIterator — one partition resident), run
+        one eagerly-materialized scan per batch, and free each batch's
+        broadcast before the next (driver holds ≤ B vectors + the small
+        candidate outputs at any moment, at the cost of ⌈Q/B⌉ passes over
+        the codes). For cell-routed unbounded search use
+        IVFPQIndex.search(route="join") instead — broadcasts there are
+        tracked and freed by ``release()``.
+
+        ``query_chunk`` bounds EXECUTOR memory: inside the kernel, LUT
+        tensors are built per chunk of queries ((C, m, ksub) doubles live
+        at a time) and the distance gather is vectorized across the
+        chunk. LUTs are recomputed per partition rather than shipped —
+        C·m·ksub BLAS per partition is noise next to the code scan, and
+        it keeps the task closure O(books), not O(queries × books)."""
         import numpy as np
 
         b = self.books
@@ -202,12 +224,30 @@ class PQIndex:
         kk = max(k, rerank)
         chunk = max(1, int(query_chunk))
 
+        if driver_batch_rows is not None:
+            cands = self._search_driver_batched(
+                queries, int(driver_batch_rows), query_id, query_vec, out_schema, kk, chunk
+            )
+            return self._finish(cands, queries, k, rerank, corpus, query_id, query_vec)
+
         rows = queries.select(query_id, query_vec).collect()
         if not rows:
             raise ValueError("empty query set")
         bc = queries.sparkSession.sparkContext.broadcast(
             ([r[0] for r in rows], np.array([r[1] for r in rows], dtype=np.float64))
         )
+        self._live_broadcasts.append(bc)
+        cands = self._adc_scan(bc, out_schema, kk, chunk, query_id)
+        return self._finish(cands, queries, k, rerank, corpus, query_id, query_vec)
+
+    def _adc_scan(self, bc, out_schema, kk, chunk, query_id):
+        """One mapInPandas pass over the codes serving the broadcast query
+        batch ``bc`` = (qids, Q matrix)."""
+        import numpy as np
+
+        b = self.books
+        m, ksub, dsub = b.shape
+        id_col = self.id_col
 
         def adc_partition(batches):
             import pandas as pd
@@ -264,7 +304,53 @@ class PQIndex:
             allc = allc.sort_values(["adist", "neighbor_id"], kind="mergesort")
             yield allc.groupby(query_id, sort=False).head(kk)
 
-        cands = self.encoded.mapInPandas(adc_partition, schema=out_schema)
+        return self.encoded.mapInPandas(adc_partition, schema=out_schema)
+
+    def _search_driver_batched(
+        self, queries, batch_rows: int, query_id, query_vec, out_schema, kk, chunk
+    ):
+        """Bounded-driver-memory path for unbounded query sets: stream the
+        query DF through the driver ``batch_rows`` at a time, run one scan
+        per batch, eagerly materialize its (small, ≤ batch×kk rows)
+        candidates, and free the batch broadcast before the next. ⌈Q/B⌉
+        passes over the codes — the price of a flat (cell-less) index."""
+        import numpy as np
+
+        sc = queries.sparkSession.sparkContext
+        batch_rows = max(1, batch_rows)
+        outs = []
+        buf_ids: list = []
+        buf_vecs: list = []
+
+        def flush():
+            bc = sc.broadcast(
+                (list(buf_ids), np.array(buf_vecs, dtype=np.float64))
+            )
+            # localCheckpoint(eager): candidates are computed NOW, so the
+            # broadcast can be freed immediately (result no longer lazy)
+            part = self._adc_scan(
+                bc, out_schema, kk, chunk, query_id
+            ).localCheckpoint(eager=True)
+            bc.unpersist(blocking=False)
+            outs.append(part)
+            buf_ids.clear()
+            buf_vecs.clear()
+
+        for row in queries.select(query_id, query_vec).toLocalIterator():
+            buf_ids.append(row[0])
+            buf_vecs.append(row[1])
+            if len(buf_ids) >= batch_rows:
+                flush()
+        if buf_ids:
+            flush()
+        if not outs:
+            raise ValueError("empty query set")
+        cands = outs[0]
+        for o in outs[1:]:
+            cands = cands.unionByName(o)
+        return cands
+
+    def _finish(self, cands, queries, k, rerank, corpus, query_id, query_vec):
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )

@@ -596,3 +596,172 @@ def test_nsw_reachability_repair_on_clustered_data():
     adj_orphan = [[1], [0], [3], [2]]  # {0,1} component, {2,3} orphaned
     repaired = _repair_reachability(Xu, adj_orphan)
     assert reached_all(repaired)
+
+def test_ann_join_route_equals_broadcast(spark, corpus, queries):
+    """route='join' (unbounded-query-set path: distributed centroid
+    routing + cogrouped search, no query data on the driver) must return
+    the same (query_id, neighbor_id, rank) rows as the default broadcast
+    routing for NSW and IVF-PQ."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    nsw = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    ivfpq = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=16, ksub=32
+    )
+
+    def rows_of(df):
+        return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+
+    for idx, kwargs in ((nsw, {"nprobe": 2}), (ivfpq, {"nprobe": 2})):
+        a = rows_of(idx.search(queries, k=5, **kwargs))
+        b = rows_of(idx.search(queries, k=5, route="join", **kwargs))
+        assert a == b, type(idx).__name__
+    with pytest.raises(ValueError, match="unknown route"):
+        nsw.search(queries, k=5, route="nope").collect()
+
+
+def test_ann_join_route_job_count_independent_of_query_count(spark, corpus):
+    """The join route must also submit a query-count-independent number
+    of Spark jobs (routing shuffle + probed-shard listing + cogroup scan
+    — never a per-chunk loop)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.ivfpq import IVFPQIndex
+
+    def q_of(n):
+        return corpus.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+
+    nsw = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    ivfpq = IVFPQIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=4, m=16, ksub=32
+    )
+
+    def jobs_for(thunk) -> int:
+        before = _n_jobs(spark)
+        thunk().write.format("noop").mode("overwrite").save()
+        return _n_jobs(spark) - before
+
+    for idx in (nsw, ivfpq):
+        few = jobs_for(lambda: idx.search(q_of(3), k=5, nprobe=2, route="join"))
+        many = jobs_for(lambda: idx.search(q_of(40), k=5, nprobe=2, route="join"))
+        assert many == few, type(idx).__name__
+        # the join route legitimately runs more jobs than broadcast (AQE
+        # stages for the routing shuffle + cogroup) — what must NOT happen
+        # is growth with query count (asserted above); the cap just guards
+        # against a reintroduced per-chunk loop
+        assert few <= 14, type(idx).__name__
+
+
+def test_pq_driver_batched_equals_broadcast(spark, corpus, queries):
+    """The bounded-driver-memory PQ path (driver_batch_rows streaming +
+    per-batch broadcast free) must return identical rows to the one-shot
+    broadcast path, batch boundaries notwithstanding."""
+    from chatbot_spark.operators.pq import PQIndex
+
+    pq = PQIndex.build(corpus, vec_col="embedding", id_col="vec_id", m=16, ksub=32)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq.search(queries, k=5).collect()
+    }
+    n_tracked = len(pq._live_broadcasts)  # the broadcast-path call above
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq.search(queries, k=5, driver_batch_rows=3).collect()
+    }
+    assert a == b
+    # batched path frees its per-batch broadcasts as it goes — nothing new
+    assert len(pq._live_broadcasts) == n_tracked
+
+
+def test_ann_release_frees_broadcasts(spark, corpus, queries):
+    """search() tracks its query-batch broadcast; release() clears it."""
+    from chatbot_spark.operators.pq import PQIndex
+
+    pq = PQIndex.build(corpus, vec_col="embedding", id_col="vec_id", m=16, ksub=32)
+    pq.search(queries, k=5).write.format("noop").mode("overwrite").save()
+    assert len(pq._live_broadcasts) == 1
+    pq.release()
+    assert pq._live_broadcasts == []
+
+def test_nsw_rebalance_bounds_shards_and_stays_exact(spark, corpus, queries, tmp_path):
+    """OPTIMIZE maintenance: build small (nlist=2 → big shards), append,
+    then rebalance(max_shard_rows). Post-conditions: (a) every shard fits
+    the bound, (b) centroid ids stay contiguous 0..n-1 (the shard-id ==
+    centroid-row invariant search/load rely on), (c) fullprobe search
+    over the rebalanced written index equals the exact scan over the
+    whole corpus, (d) the on-disk row count is exactly |corpus| — the
+    recycled-id partition was really replaced, no stale rows."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "nsw_rebal")
+    NSWGraphIndex.build(
+        half_a, vec_col="embedding", id_col="vec_id", nlist=2, m=8,
+        ef_construction=64,
+    ).write(path)
+    loaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    grown = loaded.append(half_b, m=8, ef_construction=64, path=path)
+
+    n_total = corpus.count()
+    bound = max(60, n_total // 6)
+    balanced = grown.rebalance(bound, m=8, ef_construction=64, path=path)
+
+    sizes = {
+        r["shard"]: r["n"]
+        for r in balanced.graph.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(sizes.values()) <= bound, sizes
+    assert len(balanced.centers) == len(sizes) >= 6
+    cent_ids = sorted(
+        r["shard"] for r in balanced.centroids.select("shard").collect()
+    )
+    assert cent_ids == list(range(len(cent_ids)))
+
+    assert spark.read.parquet(f"{path}/graph").count() == n_total
+
+    got = balanced.search(
+        queries, k=10, nprobe=len(balanced.centers), ef_search=100000
+    ).collect()
+    want = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in want
+    }
+
+    # reload from disk: same results (centroids/graph were both rewritten)
+    reloaded = NSWGraphIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    res_disk = reloaded.search(
+        queries, k=10, nprobe=len(reloaded.centers), ef_search=100000
+    )
+    assert sorted(map(tuple, res_disk.collect())) == sorted(map(tuple, got))
+
+
+def test_nsw_rebalance_noop_below_bound(corpus):
+    """A rebalance whose bound every shard already meets must leave the
+    shard set unchanged (no gratuitous rebuild)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    idx = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=8, m=8,
+        ef_construction=64,
+    )
+    before = sorted(
+        (r["shard"], r["n"])
+        for r in idx.graph.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    balanced = idx.rebalance(10**9, m=8, ef_construction=64)
+    after = sorted(
+        (r["shard"], r["n"])
+        for r in balanced.graph.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    assert before == after
