@@ -293,11 +293,14 @@ def av_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
                 with av.open(io.BytesIO(bytes(r["content"] or b""))) as container:
                     stream = container.streams.video[0]
                     n = stream.frames or 0
+                    media_rows = []
+                    decoded = 0
                     for idx, frame in enumerate(container.decode(stream)):
+                        decoded = idx + 1
                         if idx % every_n:
                             continue
                         gray = frame.reformat(format="gray").to_ndarray()
-                        rows.append(
+                        media_rows.append(
                             {
                                 "media_id": r["media_id"],
                                 "frame_idx": idx,
@@ -307,6 +310,14 @@ def av_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
                                 "pix_sum": int(gray.astype(np.int64).sum()),
                             }
                         )
+                    if n == 0:
+                        # containers that don't record a frame count
+                        # (stream.frames == 0) would diverge from
+                        # frame_sample's always-populated contract — fall
+                        # back to the decoded count
+                        for row in media_rows:
+                            row["n_frames"] = decoded
+                    rows.extend(media_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
 
     return df.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)

@@ -228,6 +228,7 @@ def upsert_state_writer(
     state_dir: str,
     id_col: str,
     version_col: str,
+    run_token: str | None = None,
 ):
     """foreachBatch MERGE-maintenance: each micro-batch upserts into a
     keep-latest table, versioned with a commit pointer — the lakehouse
@@ -247,6 +248,16 @@ def upsert_state_writer(
     would read ``v<batch_id>`` and overwrite the same path, which Spark
     refuses, wedging the stream). The pointer write is the only
     non-parallel step and is O(bytes of one small file).
+
+    ``run_token`` disambiguates checkpoint lifecycles: batch ids restart
+    at 0 with a FRESH checkpointLocation, so reusing a state_dir across
+    checkpoints would make a stale ``CURRENT = v0`` pointer silently
+    swallow the new stream's first batch as a "replay". Pass the
+    checkpointLocation (or any id with its lifecycle) and the marker is
+    stamped ``v<batch_id>@<token>`` — the short-circuit fires only when
+    BOTH match; a new checkpoint's batch 0 re-merges instead of no-oping.
+    Without a token, state_dir and checkpointLocation must share a
+    lifecycle (the pre-existing contract).
     """
     import os
 
@@ -255,13 +266,16 @@ def upsert_state_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(state_dir, "CURRENT")
+        stamp = f"v{int(batch_id)}" + (f"@{run_token}" if run_token else "")
         prev = None
         if os.path.exists(marker):
             with open(marker) as f:
                 cur = f.read().strip()
-            if cur == f"v{int(batch_id)}":
+            if cur == stamp:
                 return
-            prev = spark.read.parquet(os.path.join(state_dir, cur))
+            prev = spark.read.parquet(
+                os.path.join(state_dir, cur.split("@", 1)[0])
+            )
         merged = (
             upsert_latest(prev, batch_df, id_col=id_col, version_col=version_col)
             if prev is not None
@@ -273,7 +287,7 @@ def upsert_state_writer(
         merged.write.mode("overwrite").parquet(out)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"v{int(batch_id)}")
+            f.write(stamp)
         os.replace(tmp, marker)
 
     return write_batch
@@ -285,4 +299,4 @@ def read_upsert_state(spark, state_dir: str) -> DataFrame:
 
     with open(os.path.join(state_dir, "CURRENT")) as f:
         cur = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, cur))
+    return spark.read.parquet(os.path.join(state_dir, cur.split("@", 1)[0]))

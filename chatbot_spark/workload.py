@@ -2993,6 +2993,150 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ingest_index",
+    """
+WITH d AS (
+  SELECT CAST(doc_id % 4 AS INT) AS component_code,
+         (length(text) - 1) // 200 + 1 AS n
+  FROM documents WHERE doc_id < 120)
+SELECT component_code,
+       CAST(sum(n) AS BIGINT) AS n_chunks,
+       CAST(sum(n) AS BIGINT) AS n_ids,
+       CAST(16 AS BIGINT) AS min_dim,
+       CAST(16 AS BIGINT) AS max_dim
+FROM d GROUP BY component_code ORDER BY component_code
+""",
+)
+def stream_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's write path (§3.3: markdown → split → embed →
+    vector-table insert + HNSW maintenance) as a STREAM: documents arrive
+    in three micro-batches; each foreachBatch invocation chunks
+    (H1-H3), hash-embeds (I1), writes the corpus idempotently
+    (batch_id-partitioned dynamic overwrite — replay rewrites, never
+    duplicates), and maintains the ANN index — batch 0 BUILDs the IVF
+    index, later batches APPEND into its frozen-centroid cells on disk
+    (ann.py IVFIndex.append; index appends assume the drain-once
+    AvailableNow contract — a lakehouse sink would make them
+    transactional).
+
+    Verification is two-sided: the DuckDB oracle recomputes the drained
+    corpus invariants from `documents` (chunk count = ceil(len/200) per
+    doc, distinct ids, dim 16 — the ingest_pipeline contract), and the
+    query itself full-probes the final on-disk index for 5 corpus
+    vectors and RAISES unless the result equals the exact scan over the
+    drained corpus — a wrong index shows up as a driver error, a wrong
+    drain as a hash mismatch."""
+    import os
+    import tempfile
+
+    from chatbot_spark.io.tables import write_corpus  # noqa: F401 (batch twin)
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.chunking import split_documents
+    from chatbot_spark.operators.embed import embed_documents
+    from chatbot_spark.operators.topk import knn_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    md = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 4).cast("int").alias("component_code"),
+        F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"), F.lit(".md")).alias(
+            "doc_url"
+        ),
+        F.concat(
+            F.lit("# Doc "), F.col("doc_id").cast("string"),
+            F.lit("\n\n## Body\n"), F.col("text"),
+        ).alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="cbs_singest_q_")
+    inpath = os.path.join(base, "in")
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        md.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(inpath)
+    corpus_path = os.path.join(base, "corpus")
+    idx_path = os.path.join(base, "ivf")
+
+    def ingest_batch(batch_df, batch_id: int) -> None:
+        chunks = split_documents(
+            batch_df, text_col="text", url_col="doc_url", max_chunk_size=200
+        )
+        emb = embed_documents(
+            chunks, text_col="document", backend="hash", dim=16
+        ).select(
+            F.md5(F.concat_ws("|", "doc_url", "document")).alias("id"),
+            "component_code",
+            "embedding",
+            "document",
+        )
+        (
+            emb.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "component_code")
+            .parquet(corpus_path)
+        )
+        new_rows = emb.select("id", "embedding")
+        if not os.path.exists(os.path.join(idx_path, "centroids")):
+            IVFIndex.build(
+                new_rows, vec_col="embedding", id_col="id", nlist=4,
+                seed=42,
+            ).write(idx_path)
+        else:
+            IVFIndex.load(spark, idx_path, vec_col="embedding", id_col="id").append(
+                new_rows, path=idx_path
+            )
+
+    stream = (
+        spark.readStream.schema(md.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    corpus = spark.read.parquet(corpus_path)
+    index = IVFIndex.load(spark, idx_path, vec_col="embedding", id_col="id")
+    assert index.indexed.count() == corpus.count(), "index/corpus row drift"
+
+    queries_df = (
+        corpus.orderBy("id")
+        .limit(5)
+        .select(F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding"))
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in index.search(queries_df, k=5, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_join(
+            queries_df, corpus.select("id", "embedding"), k=5, metric="l2",
+            corpus_id="id",
+        ).collect()
+    }
+    if got != want:
+        raise RuntimeError(
+            f"streamed index fullprobe != exact: {len(got & want)}/{len(want)} overlap"
+        )
+
+    return (
+        corpus.groupBy("component_code")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("id").alias("n_ids"),
+            F.min(F.size("embedding")).cast("long").alias("min_dim"),
+            F.max(F.size("embedding")).cast("long").alias("max_dim"),
+        )
+        .orderBy("component_code")
+    )
+
+
+@query(
     "stream_dedup",
     """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique

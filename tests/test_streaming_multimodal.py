@@ -339,3 +339,31 @@ def test_upsert_state_writer_replay_after_repoint(spark, tmp_path):
     assert sorted(map(tuple, read_upsert_state(spark, state_dir).collect())) == committed
     with open(os.path.join(state_dir, "CURRENT")) as f:
         assert f.read().strip() == "v1"
+
+def test_upsert_state_writer_run_token_disambiguates_fresh_checkpoint(spark, tmp_path):
+    """Batch ids restart at 0 under a fresh checkpointLocation; without a
+    run token a stale CURRENT=v0 pointer would swallow the new stream's
+    first batch as a 'replay'. With tokens, same-token same-batch replays
+    still short-circuit, but a new token's batch 0 merges."""
+    from chatbot_spark.streaming.events import read_upsert_state, upsert_state_writer
+
+    state_dir = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, 10, "a")], "user_id LONG, event_id LONG, v STRING")
+    df2 = spark.createDataFrame([(2, 20, "b")], "user_id LONG, event_id LONG, v STRING")
+
+    w1 = upsert_state_writer(
+        state_dir, id_col="user_id", version_col="event_id", run_token="ckpt1"
+    )
+    w1(df1, 0)
+    assert {r["user_id"] for r in read_upsert_state(spark, state_dir).collect()} == {1}
+
+    # lifecycle 2, batch ids restart at 0: MUST merge, not no-op
+    w2 = upsert_state_writer(
+        state_dir, id_col="user_id", version_col="event_id", run_token="ckpt2"
+    )
+    w2(df2, 0)
+    assert {r["user_id"] for r in read_upsert_state(spark, state_dir).collect()} == {1, 2}
+
+    # same-token same-batch crash replay: short-circuits (state unchanged)
+    w2(df2, 0)
+    assert {r["user_id"] for r in read_upsert_state(spark, state_dir).collect()} == {1, 2}
