@@ -314,6 +314,23 @@ def main() -> None:
             }
         except (OSError, ValueError, KeyError):
             pass
+    # attach the SemDeDup pair-generation scale point (tools/bench_semdedup.py:
+    # tiled-exact vs cluster-blocked generator on a clustered synthetic corpus
+    # at two sizes — the testdata can't discriminate them after dup-collapse)
+    sd_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SEMDEDUP.json"
+    )
+    if os.path.exists(sd_path):
+        try:
+            with open(sd_path) as f:
+                sd = json.load(f)
+            payload["semdedup_scale"] = {
+                "sizes": sd["sizes"],
+                "growth_tiled": sd["growth_tiled"],
+                "growth_bucketed": sd["growth_bucketed"],
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     full_line = json.dumps(payload, separators=(",", ":"))
     # full per-query detail goes to a file (the driver's capture window is
     # ~2 KB of tail; a ~100-entry queries map does not reliably fit)

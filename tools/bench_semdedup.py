@@ -29,21 +29,30 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DIM = 64
-N_CLUSTERS = 64
+CLUSTER_SIZE = 300  # cluster COUNT grows with n — the 100 TB regime is
+                    # "more topics", not "each topic quadratically denser";
+                    # pair output then grows linearly and the generators'
+                    # asymptotics separate cleanly
 TAU = 0.9
 SEED = 7
 
 
+def n_clusters(n: int) -> int:
+    return max(1, n // CLUSTER_SIZE)
+
+
 def make_corpus(spark, n: int):
-    """n unit vectors in N_CLUSTERS tight clusters (within-cluster cosine
-    mostly ≥ τ, cross-cluster far below), deterministic."""
+    """n unit vectors in n/CLUSTER_SIZE tight clusters (within-cluster
+    cosine mostly ≥ τ, cross-cluster far below), deterministic."""
     import numpy as np
 
     rng = np.random.default_rng(SEED)
-    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers = rng.normal(size=(n_clusters(n), DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    assign = rng.integers(0, N_CLUSTERS, size=n)
-    X = centers[assign] + 0.08 * rng.normal(size=(n, DIM))
+    # σ=0.03: within-cluster cosine ≈ 1/(1+σ²·d) ≈ 0.945 — above τ=0.9,
+    # so clusters are real near-dup groups; cross-cluster stays far below
+    assign = rng.integers(0, n_clusters(n), size=n)
+    X = centers[assign] + 0.03 * rng.normal(size=(n, DIM))
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rows = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
     return spark.createDataFrame(
@@ -51,21 +60,25 @@ def make_corpus(spark, n: int):
     ).repartition(16)
 
 
-def run_one(df, which: str) -> tuple[float, int]:
+def run_one(df, which: str, n: int) -> tuple[float, int]:
     from chatbot_spark.operators.similarity import (
         embedding_neardup_pairs_blocked,
         embedding_neardup_pairs_bucketed,
     )
 
-    t0 = time.time()
-    if which == "tiled":
-        out = embedding_neardup_pairs_blocked(df, min_cosine=TAU)
-    else:
-        out = embedding_neardup_pairs_bucketed(
-            df, min_cosine=TAU, nlist=N_CLUSTERS
-        )
-    n_pairs = out.count()
-    return round(time.time() - t0, 3), n_pairs
+    best, n_pairs = None, None
+    for _ in range(2):  # min-of-two, same policy as bench.py
+        t0 = time.time()
+        if which == "tiled":
+            out = embedding_neardup_pairs_blocked(df, min_cosine=TAU)
+        else:
+            out = embedding_neardup_pairs_bucketed(
+                df, min_cosine=TAU, nlist=n_clusters(n)
+            )
+        n_pairs = out.count()
+        t = round(time.time() - t0, 3)
+        best = t if best is None else min(best, t)
+    return best, n_pairs
 
 
 def main() -> int:
@@ -81,8 +94,8 @@ def main() -> int:
     for n in sizes:
         df = make_corpus(spark, n).persist()
         df.count()  # materialize: both generators read the same cached input
-        t_tiled, p_tiled = run_one(df, "tiled")
-        t_bucket, p_bucket = run_one(df, "bucketed")
+        t_tiled, p_tiled = run_one(df, "tiled", n)
+        t_bucket, p_bucket = run_one(df, "bucketed", n)
         assert p_tiled == p_bucket, (
             f"pair sets diverge at n={n}: tiled={p_tiled} bucketed={p_bucket}"
         )
@@ -99,7 +112,7 @@ def main() -> int:
         "unit": "sec",
         "tau": TAU,
         "dim": DIM,
-        "n_clusters": N_CLUSTERS,
+        "cluster_size": CLUSTER_SIZE,
         "sizes": sizes,
         "results": results,
         "growth_tiled": round(
