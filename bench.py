@@ -122,6 +122,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "semantic_dedup",
     "semantic_dedup_bucketed",
+    "incremental_exact_dedup",
     "paragraph_dedup",
     "hashed_quality_score",
     "containment_decontam",

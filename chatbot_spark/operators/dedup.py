@@ -36,6 +36,136 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_bloom: bool = True,
+    bloom_fpp: float = 0.01,
+) -> DataFrame:
+    """Snapshot-incremental exact dedup — the production crawl shape:
+    keep a NEW batch's row iff its normalized fingerprint (a) never
+    appeared in the prior corpus snapshot ``seen_df`` and (b) is the
+    first (min-id) occurrence within the batch. Returns the full verdict
+    table (id, kept) so downstream can filter or audit.
+
+    Scale shape: the seen side reduces to DISTINCT fingerprints before
+    any join. With ``use_bloom`` (default), a Bloom filter over the seen
+    fingerprints prefilters the new side MAP-SIDE: rows whose
+    fingerprint the filter rejects are definitely-unseen and skip the
+    join entirely; only the (tiny at steady state) might-be-seen
+    remainder takes the exact left-semi verify join that removes the
+    false positives. The filter is built DISTRIBUTED (per-partition
+    bitmaps OR-merged executor-side via treeReduce — the mergeable-
+    sketch pattern; the md5 fingerprint's two halves ARE the double
+    hashes, no extra hashing) and broadcast: at 100 TB the seen
+    snapshot's fingerprints don't fit a broadcast, but the ~1.2 GB /
+    10⁹-key filter at 1% fpp does — the join then moves only the
+    prefiltered sliver. Without the flag it's a plain left-semi join on
+    fingerprint (one shuffle of fingerprints+ids, never documents)."""
+    import math
+
+    fp_new = new_df.withColumn("__fp", fingerprint(F.col(text_col)))
+    seen_fps = (
+        seen_df.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    )
+
+    first_in_batch = F.min(id_col).over(Window.partitionBy("__fp"))
+
+    if use_bloom:
+        n_seen = seen_fps.count()
+        if n_seen == 0:
+            return (
+                fp_new.withColumn(
+                    "kept", (F.col(id_col) == first_in_batch).cast("int")
+                ).drop("__fp")
+            )
+        # optimal sizing: m = -n ln p / ln²2 bits, k = (m/n) ln 2 probes
+        m_bits = max(64, int(-n_seen * math.log(bloom_fpp) / (math.log(2) ** 2)))
+        m_words = (m_bits + 63) // 64
+        m_bits = m_words * 64
+        k_hashes = max(1, round(m_bits / n_seen * math.log(2)))
+
+        def _bit_positions(fp_hex: str):
+            # the fingerprint IS an md5 — its halves are two independent
+            # 64-bit hashes; (h1 + i·h2) mod m is standard double hashing
+            h1 = int(fp_hex[:16], 16)
+            h2 = int(fp_hex[16:32], 16) | 1
+            return [(h1 + i * h2) % m_bits for i in range(k_hashes)]
+
+        def _partition_bitmap(rows):
+            import numpy as np
+
+            bm = np.zeros(m_words, dtype=np.uint64)
+            for row in rows:
+                for pos in _bit_positions(row[0]):
+                    bm[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+            yield bm
+
+        bitmap = seen_fps.rdd.mapPartitions(_partition_bitmap).treeReduce(
+            lambda a, b: a | b
+        )
+        spark = new_df.sparkSession
+        bc = spark.sparkContext.broadcast(bitmap)
+
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        def maybe_seen(s: "pd.Series") -> "pd.Series":
+            import numpy as np
+
+            bm = bc.value
+
+            def probe(fp_hex):
+                for pos in _bit_positions(fp_hex):
+                    if not (bm[pos >> 6] >> np.uint64(pos & 63)) & np.uint64(1):
+                        return False
+                return True
+
+            return s.map(probe)
+
+        maybe_seen.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        maybe_udf = pandas_udf(T.BooleanType())(maybe_seen)
+
+        tagged = fp_new.withColumn("__maybe", maybe_udf(F.col("__fp")))
+        # exact verify join ONLY for Bloom positives (false-positive
+        # removal): the join input is the prefiltered sliver, not the batch
+        positives = tagged.filter(F.col("__maybe"))
+        confirmed = positives.join(seen_fps, "__fp", "left_semi").select(
+            F.col(id_col).alias("__seen_id")
+        )
+        out = (
+            tagged.join(
+                confirmed, tagged[id_col] == confirmed["__seen_id"], "left"
+            )
+            .withColumn(
+                "kept",
+                (
+                    F.col("__seen_id").isNull()
+                    & (F.col(id_col) == first_in_batch)
+                ).cast("int"),
+            )
+            .drop("__seen_id", "__maybe", "__fp")
+        )
+        return out
+
+    seen_hit = fp_new.join(seen_fps, "__fp", "left_semi").select(
+        F.col(id_col).alias("__seen_id")
+    )
+    return (
+        fp_new.join(seen_hit, fp_new[id_col] == seen_hit["__seen_id"], "left")
+        .withColumn(
+            "kept",
+            (F.col("__seen_id").isNull() & (F.col(id_col) == first_in_batch)).cast(
+                "int"
+            ),
+        )
+        .drop("__seen_id", "__fp")
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 def shingles(col: Column, n: int = 3) -> Column:

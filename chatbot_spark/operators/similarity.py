@@ -267,7 +267,12 @@ def embedding_neardup_pairs_bucketed(
     k = min(nlist, len(sample))
     centers = _numpy_kmeans(sample, k, seed, max_iter=25)
 
-    assigned = unit.withColumn("__cell", _assign_cells(F.col("__unit"), centers))
+    # persist: the assignment map is consumed three times (radius agg +
+    # both block-staging joins) — without it the Arrow kernel re-runs per
+    # consumer. LRU-evictable; the blocked result itself stays lazy.
+    assigned = unit.withColumn(
+        "__cell", _assign_cells(F.col("__unit"), centers)
+    ).persist()
     # Per-cell covering radius: max ||x − c_cell||, via the broadcast
     # centroid table (tiny) + a higher-order-function fold — one narrow agg.
     cent_df = spark.createDataFrame(

@@ -458,6 +458,47 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_exact_dedup",
+    """
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents),
+seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 300),
+newb AS (
+  SELECT doc_id, f FROM fp WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, f FROM fp WHERE doc_id < 100),
+w AS (SELECT doc_id, f, min(doc_id) OVER (PARTITION BY f) AS first_id FROM newb)
+SELECT w.doc_id,
+       CAST(CASE WHEN s.f IS NULL AND w.doc_id = w.first_id THEN 1 ELSE 0 END AS INT) AS kept
+FROM w LEFT JOIN seen s ON s.f = w.f
+""",
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup (the production crawl shape): a new
+    batch — fresh docs plus re-keyed copies of old docs, simulating a
+    recrawl — dedups against the prior snapshot's fingerprints via a
+    Bloom-filter prefilter (one distributed mergeable-sketch agg,
+    broadcast; definitely-unseen rows skip the join entirely) + exact
+    left-semi verify of the Bloom positives, then keep-first within the
+    batch. The oracle replays the whole verdict table with plain joins;
+    the non-Bloom engine path is pinned equal by
+    test_incremental_dedup_bloom_equals_plain."""
+    from chatbot_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 300)
+    new_batch = docs.filter(F.col("doc_id") >= 300).unionByName(
+        docs.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_dedup(
+        new_batch, seen, text_col="text", id_col="doc_id"
+    ).select("doc_id", "kept")
+
+
+@query(
     "paragraph_dedup",
     """
 WITH d AS (

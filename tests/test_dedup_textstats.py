@@ -257,3 +257,43 @@ def test_cms_dims_mismatch_raises(spark):
     with pytest.raises(Exception) as ei2:
         cms_merge(sketch, cms_build(df, "k", depth=2, width=32)).collect()
     assert "differently-sized" in str(ei2.value)
+
+def test_incremental_dedup_bloom_equals_plain(spark):
+    """The Bloom-prefiltered path must produce the identical verdict
+    table as the plain left-semi join: the filter only skips
+    definitely-unseen rows, and the verify join removes every false
+    positive. Covers: seen dup, in-batch dup, unseen unique, and a doc
+    seen AND duplicated in-batch."""
+    from chatbot_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta"), (3, "echo  foxtrot")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha bravo"),        # seen -> 0
+            (11, "golf hotel"),         # unseen first -> 1
+            (12, "golf hotel"),         # in-batch dup -> 0
+            (13, "echo   foxtrot"),     # seen modulo whitespace -> 0
+            (14, "india"),              # unseen unique -> 1
+            (15, "charlie delta"),      # seen -> 0
+            (16, "charlie delta"),      # seen + in-batch dup -> 0
+        ],
+        "doc_id LONG, text STRING",
+    )
+    want = {10: 0, 11: 1, 12: 0, 13: 0, 14: 1, 15: 0, 16: 0}
+    for use_bloom in (True, False):
+        got = {
+            r["doc_id"]: r["kept"]
+            for r in incremental_dedup(new, seen, use_bloom=use_bloom).collect()
+        }
+        assert got == want, f"use_bloom={use_bloom}"
+
+    # empty snapshot: pure within-batch keep-first
+    empty = seen.limit(0)
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in incremental_dedup(new, empty, use_bloom=True).collect()
+    }
+    assert got == {10: 1, 11: 1, 12: 0, 13: 1, 14: 1, 15: 1, 16: 0}

@@ -146,6 +146,23 @@ COMMENT = {
         "count), and split (audit agg) — each the minimal key for its "
         "stage, none row-count-quadratic."
     ),
+    "semantic_dedup_bucketed": (
+        "The 100 TB SemDeDup plan: exact-duplicate collapse (one window "
+        "keyed by the vector), Arrow cell assignment + tiny radius agg, "
+        "then ONE staging shuffle keyed by block id feeding "
+        "FlatMapGroupsInPandas — the pair compute is per-block BLAS, "
+        "Σ|ci||cj| flops instead of N², and the driver only ever sees "
+        "centroids and block numbers. Downstream CC + verdict expansion "
+        "shuffle ids, never vectors."
+    ),
+    "incremental_exact_dedup": (
+        "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
+        "fingerprints, one distributed agg builds the Bloom filter, the "
+        "new batch prefilters MAP-SIDE (pandas filter over the broadcast "
+        "sketch — definitely-unseen rows never reach an exchange), and "
+        "only Bloom positives take the left-semi verify join. Shuffles "
+        "move fingerprints+ids, never documents."
+    ),
 }
 
 
