@@ -263,13 +263,23 @@ class IVFIndex:
         nprobe: int = 8,
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
+        route: str = "broadcast",
     ) -> DataFrame:
         """Top-k per query over the nprobe nearest cells.
 
         Plan shape: queries × centroids (broadcast, tiny) → nprobe shortlist
         → equi-join on centroid_id against the clustered corpus → exact
         distance + per-query window. The big side is only ever equi-joined
-        and scanned nprobe/nlist."""
+        and scanned nprobe/nlist.
+
+        ``route="broadcast"`` (default) broadcasts the routed query
+        shortlist to the corpus join — right for bounded batches (the
+        shortlist is Q × nprobe vector rows; executors each hold it
+        whole). ``route="join"`` drops the broadcast hint so Catalyst
+        shuffle-joins on centroid_id — the unbounded-query-set form (the
+        routing itself is already distributed either way)."""
+        if route not in ("broadcast", "join"):
+            raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
         q = queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
         )
@@ -292,7 +302,8 @@ class IVFIndex:
         probed = [r[0] for r in qc.select("centroid_id").distinct().collect()]
         corpus_side = self.indexed.filter(F.col("centroid_id").isin(probed))
 
-        pairs = corpus_side.join(F.broadcast(qc), "centroid_id").select(
+        qc_side = F.broadcast(qc) if route == "broadcast" else qc
+        pairs = corpus_side.join(qc_side, "centroid_id").select(
             F.col("__qid").alias(query_id),
             F.col(self.id_col).alias("neighbor_id"),
             sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),

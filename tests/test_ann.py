@@ -765,3 +765,16 @@ def test_nsw_rebalance_noop_below_bound(corpus):
         for r in balanced.graph.groupBy("shard").agg(F.count("*").alias("n")).collect()
     )
     assert before == after
+
+def test_ivf_join_route_equals_broadcast(corpus, queries):
+    """IVFIndex route='join' (no broadcast hint on the routed query
+    shortlist — Catalyst shuffle-joins on centroid_id) must return the
+    same rows as the broadcast default."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(corpus, vec_col="embedding", id_col="vec_id", nlist=8)
+    a = sorted(map(tuple, idx.search(queries, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, idx.search(queries, k=5, nprobe=3, route="join").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="unknown route"):
+        idx.search(queries, k=5, route="nope")
