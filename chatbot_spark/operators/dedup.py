@@ -74,6 +74,11 @@ def incremental_dedup(
     first_in_batch = F.min(id_col).over(Window.partitionBy("__fp"))
 
     if use_bloom:
+        # persist: the distinct-fingerprint shuffle over the snapshot is
+        # consumed three times (count, the bitmap build pass, the verify
+        # join) — without it each consumer replays the full seen_df scan.
+        # LRU-evictable; stays cached for the lazy verify join.
+        seen_fps = seen_fps.persist()
         n_seen = seen_fps.count()
         if n_seen == 0:
             return (

@@ -449,25 +449,29 @@ class NSWGraphIndex:
         )
         if path is not None:
             # self.graph may itself read path/graph (a load()ed index):
-            # writing `rebuilt` there would both fail ("Cannot overwrite a
-            # path that is also being read from") and — via the lazy union
-            # below — re-read rewritten partitions on recompute, double-
-            # inserting the new rows. Materialize the rebuilt shards FIRST
-            # (localCheckpoint cuts the lineage back to the parquet scan),
-            # then dynamic-partition-overwrite only the touched cells, and
-            # back the returned index by re-reading the written path.
-            rebuilt = rebuilt.localCheckpoint(eager=True)
+            # writing `rebuilt` there directly would both fail ("Cannot
+            # overwrite a path that is also being read from") and — via
+            # the lazy union below — re-read rewritten partitions on
+            # recompute, double-inserting the new rows. Materialize the
+            # rebuilt shards to a TEMP path first (durable — an executor
+            # loss costs a task retry, unlike executor-local checkpoint
+            # blocks, and nothing lingers in executor storage), then
+            # dynamic-partition-overwrite only the touched cells from the
+            # temp copy, and back the returned index by re-reading the
+            # written path.
+            import shutil
+
+            tmp = f"{path}/graph_append_tmp"
+            rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                rebuilt.write.mode("overwrite").partitionBy("shard").parquet(
-                    f"{path}/graph"
-                )
+                spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+                    "shard"
+                ).parquet(f"{path}/graph")
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-                # the checkpoint blocks served their purpose (materialize
-                # before overwriting the path being read) — free them
-                rebuilt.unpersist(blocking=False)
+            shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
             return NSWGraphIndex(
                 self.centroids,
                 spark.read.parquet(f"{path}/graph"),
@@ -534,6 +538,8 @@ class NSWGraphIndex:
         }
         graph = self.graph
         changed: set[int] = set()
+        persisted: list = []
+        round_broadcasts: list = []
 
         for round_no in range(max_rounds):
             sizes = {
@@ -546,21 +552,30 @@ class NSWGraphIndex:
             if not oversized:
                 break
             next_id = max(centers_by_id) + 1
+            # ONE batched sample job for all oversized shards (deterministic
+            # id-ordered take per shard), grouped driver-side — not a Spark
+            # job per shard
+            samples: dict[int, list] = {s: [] for s in oversized}
+            sample_rows = (
+                graph.filter(F.col("shard").isin(oversized))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("shard").orderBy(F.col(id_col))
+                    ),
+                )
+                .filter(F.col("__rn") <= fit_sample_size)
+                .select("shard", vec_col)
+                .collect()
+            )
+            for r in sample_rows:
+                samples[int(r["shard"])].append(r[vec_col])
             plan: dict[int, tuple] = {}
             for s in oversized:
                 k = min(
                     max(2, math.ceil(sizes[s] / max_shard_rows)), sizes[s]
                 )
-                sample = np.array(
-                    [
-                        r[0]
-                        for r in graph.filter(F.col("shard") == s)
-                        .select(vec_col)
-                        .limit(fit_sample_size)
-                        .collect()
-                    ],
-                    dtype=np.float64,
-                )
+                sample = np.array(samples[s], dtype=np.float64)
                 sub_centers = _numpy_kmeans(
                     sample, min(k, len(sample)), seed + round_no, max_iter=15
                 )
@@ -572,6 +587,7 @@ class NSWGraphIndex:
                 changed.update(int(i) for i in new_ids)
 
             bplan = spark.sparkContext.broadcast(plan)
+            round_broadcasts.append(bplan)
 
             # bind this round's broadcast via a factory closure: the
             # rebuilt DataFrames are LAZY, and a closure over the loop
@@ -621,6 +637,12 @@ class NSWGraphIndex:
             graph = graph.filter(~F.col("shard").isin(oversized)).unionByName(
                 rebuilt
             )
+            # persist each round's result: the next round's size agg (or
+            # the final write) materializes it ONCE — without this, every
+            # later action replays all previous rounds' split + graph-build
+            # kernels from scratch
+            graph = graph.persist()
+            persisted.append(graph)
 
         centers_np = np.array(
             [centers_by_id[i] for i in range(len(centers_by_id))], dtype=np.float64
@@ -633,7 +655,16 @@ class NSWGraphIndex:
         if path is None or not changed:
             if path is not None:
                 centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-            return NSWGraphIndex(centroids, graph, centers_np, vec_col, id_col)
+            # keep only the FINAL round's persist (the returned graph);
+            # earlier rounds' cached parents are dead weight. The
+            # per-round broadcasts stay live (the returned graph is lazy
+            # where max_rounds was exhausted) — they ride the returned
+            # index's release() contract like search batches.
+            for p in persisted[:-1]:
+                p.unpersist(blocking=False)
+            out = NSWGraphIndex(centroids, graph, centers_np, vec_col, id_col)
+            out._live_broadcasts.extend(round_broadcasts)
+            return out
 
         # temp-path write + swap: materializes the rebuilt shards durably
         # BEFORE touching the live graph path (which `graph` still reads)
@@ -653,6 +684,15 @@ class NSWGraphIndex:
         import shutil
 
         shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+        # everything is on disk now — free the per-round caches and plan
+        # broadcasts entirely
+        for p in persisted:
+            p.unpersist(blocking=False)
+        for bcx in round_broadcasts:
+            try:
+                bcx.unpersist(blocking=False)
+            except Exception:
+                pass
         return NSWGraphIndex(
             centroids,
             spark.read.parquet(f"{path}/graph"),

@@ -376,6 +376,10 @@ class IVFPQIndex:
             .drop("__arank", "adist")
         )
         q = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))
+        # route='join' promises no query data on the driver — the rerank
+        # join must not broadcast q (that collects all Q vectors); Catalyst
+        # shuffle-joins on query_id instead
+        q_side = F.broadcast(q) if route == "broadcast" else q
         exact = (
             top_r.join(
                 corpus.select(
@@ -384,7 +388,7 @@ class IVFPQIndex:
                 ),
                 "neighbor_id",
             )
-            .join(F.broadcast(q), query_id)
+            .join(q_side, query_id)
             .withColumn("__rdist", sq_l2_distance(F.col("__qvec"), F.col("__cvec")))
         )
         w2 = Window.partitionBy(query_id).orderBy(

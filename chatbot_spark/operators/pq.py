@@ -228,7 +228,13 @@ class PQIndex:
             cands = self._search_driver_batched(
                 queries, int(driver_batch_rows), query_id, query_vec, out_schema, kk, chunk
             )
-            return self._finish(cands, queries, k, rerank, corpus, query_id, query_vec)
+            # unbounded-Q contract: the rerank join must not broadcast the
+            # query side either (F.broadcast(q) would collect all Q vectors
+            # to the driver — the exact condition this path avoids)
+            return self._finish(
+                cands, queries, k, rerank, corpus, query_id, query_vec,
+                broadcast_queries=False,
+            )
 
         rows = queries.select(query_id, query_vec).collect()
         if not rows:
@@ -350,7 +356,10 @@ class PQIndex:
             cands = cands.unionByName(o)
         return cands
 
-    def _finish(self, cands, queries, k, rerank, corpus, query_id, query_vec):
+    def _finish(
+        self, cands, queries, k, rerank, corpus, query_id, query_vec,
+        broadcast_queries: bool = True,
+    ):
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )
@@ -379,7 +388,7 @@ class PQIndex:
                 ),
                 "neighbor_id",
             )
-            .join(F.broadcast(q), query_id)
+            .join(F.broadcast(q) if broadcast_queries else q, query_id)
             .withColumn("__rdist", sq_l2_distance(F.col("__qvec"), F.col("__cvec")))
         )
         w2 = Window.partitionBy(query_id).orderBy(

@@ -253,29 +253,39 @@ def upsert_state_writer(
     at 0 with a FRESH checkpointLocation, so reusing a state_dir across
     checkpoints would make a stale ``CURRENT = v0`` pointer silently
     swallow the new stream's first batch as a "replay". Pass the
-    checkpointLocation (or any id with its lifecycle) and the marker is
-    stamped ``v<batch_id>@<token>`` — the short-circuit fires only when
-    BOTH match; a new checkpoint's batch 0 re-merges instead of no-oping.
-    Without a token, state_dir and checkpointLocation must share a
-    lifecycle (the pre-existing contract).
+    checkpointLocation (or any id with its lifecycle) and the version
+    dirs become ``v<batch_id>_<token-hash>`` — the short-circuit fires
+    only on a same-lifecycle replay, and a new lifecycle's merges write
+    fresh paths. Without a token, state_dir and checkpointLocation must
+    share a lifecycle (the pre-existing contract).
     """
+    import hashlib
     import os
 
     from chatbot_spark.io.tables import upsert_latest
 
+    # the token is baked into the VERSION DIRECTORY NAME, not just the
+    # pointer: with only the pointer stamped, a new lifecycle's batch N
+    # would read prev from v<N> and write its merge back to v<N> — a
+    # read-and-overwrite of the same parquet path (works on some Spark
+    # builds by scan-ordering luck, loses the prior state on builds that
+    # clear the output dir first). Distinct dir names make every merge
+    # write a fresh path.
+    suffix = (
+        "_" + hashlib.md5(run_token.encode()).hexdigest()[:8] if run_token else ""
+    )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(state_dir, "CURRENT")
-        stamp = f"v{int(batch_id)}" + (f"@{run_token}" if run_token else "")
+        stamp = f"v{int(batch_id)}{suffix}"
         prev = None
         if os.path.exists(marker):
             with open(marker) as f:
                 cur = f.read().strip()
             if cur == stamp:
                 return
-            prev = spark.read.parquet(
-                os.path.join(state_dir, cur.split("@", 1)[0])
-            )
+            prev = spark.read.parquet(os.path.join(state_dir, cur))
         merged = (
             upsert_latest(prev, batch_df, id_col=id_col, version_col=version_col)
             if prev is not None
@@ -283,8 +293,7 @@ def upsert_state_writer(
                 batch_df.limit(0), batch_df, id_col=id_col, version_col=version_col
             )
         )
-        out = os.path.join(state_dir, f"v{int(batch_id)}")
-        merged.write.mode("overwrite").parquet(out)
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, stamp))
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(stamp)
@@ -299,4 +308,4 @@ def read_upsert_state(spark, state_dir: str) -> DataFrame:
 
     with open(os.path.join(state_dir, "CURRENT")) as f:
         cur = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, cur.split("@", 1)[0]))
+    return spark.read.parquet(os.path.join(state_dir, cur))

@@ -778,3 +778,24 @@ def test_ivf_join_route_equals_broadcast(corpus, queries):
     assert a == b
     with pytest.raises(ValueError, match="unknown route"):
         idx.search(queries, k=5, route="nope")
+
+def test_pq_driver_batched_rerank_equals_broadcast(spark, corpus, queries):
+    """The bounded-driver path composed with exact re-rank: the rerank
+    join must not broadcast the query side (that would re-collect all Q
+    vectors to the driver — the condition driver_batch_rows exists to
+    avoid) and must return identical rows to the broadcast path."""
+    from chatbot_spark.operators.pq import PQIndex
+
+    pq = PQIndex.build(corpus, vec_col="embedding", id_col="vec_id", m=16, ksub=32)
+    a = sorted(
+        map(tuple, pq.search(queries, k=5, rerank=20, corpus=corpus).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq.search(
+                queries, k=5, rerank=20, corpus=corpus, driver_batch_rows=4
+            ).collect(),
+        )
+    )
+    assert a == b

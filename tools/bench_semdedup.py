@@ -60,13 +60,15 @@ def make_corpus(spark, n: int):
     ).repartition(16)
 
 
-def run_one(df, which: str, n: int) -> tuple[float, int]:
+def run_one(df, which: str, n: int) -> tuple[float, int, int]:
     from chatbot_spark.operators.similarity import (
         embedding_neardup_pairs_blocked,
         embedding_neardup_pairs_bucketed,
     )
 
-    best, n_pairs = None, None
+    from pyspark.sql import functions as F
+
+    best, n_pairs, checksum = None, None, None
     for _ in range(2):  # min-of-two, same policy as bench.py
         t0 = time.time()
         if which == "tiled":
@@ -78,7 +80,11 @@ def run_one(df, which: str, n: int) -> tuple[float, int]:
         n_pairs = out.count()
         t = round(time.time() - t0, 3)
         best = t if best is None else min(best, t)
-    return best, n_pairs
+    # untimed equality evidence: order-insensitive xxhash64 sum over the
+    # (id_a, id_b) pair set — equal counts alone would let a generator
+    # that trades one boundary pair for a spurious one slip through
+    checksum = out.agg(F.sum(F.xxhash64("id_a", "id_b")).alias("h")).collect()[0]["h"]
+    return best, n_pairs, checksum
 
 
 def main() -> int:
@@ -94,10 +100,11 @@ def main() -> int:
     for n in sizes:
         df = make_corpus(spark, n).persist()
         df.count()  # materialize: both generators read the same cached input
-        t_tiled, p_tiled = run_one(df, "tiled", n)
-        t_bucket, p_bucket = run_one(df, "bucketed", n)
-        assert p_tiled == p_bucket, (
-            f"pair sets diverge at n={n}: tiled={p_tiled} bucketed={p_bucket}"
+        t_tiled, p_tiled, h_tiled = run_one(df, "tiled", n)
+        t_bucket, p_bucket, h_bucket = run_one(df, "bucketed", n)
+        assert (p_tiled, h_tiled) == (p_bucket, h_bucket), (
+            f"pair sets diverge at n={n}: tiled=({p_tiled},{h_tiled}) "
+            f"bucketed=({p_bucket},{h_bucket})"
         )
         results[str(n)] = {
             "tiled_sec": t_tiled,
