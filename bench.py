@@ -113,6 +113,7 @@ HEADLINE = [
     "scd2_user_state",
     "source_mixture",
     "asof_forward_next_purchase",
+    "resample_forward_fill",
     "rrf_hybrid",
     "user_segments_setops",
     "fuzzy_name_pairs",

@@ -3034,6 +3034,49 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resample_forward_fill",
+    """
+WITH e AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE user_id < 40),
+ev AS (SELECT user_id, ts, value FROM e WHERE rn = 1),
+b AS (SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+      FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series((mn + 21599) // 21600 * 21600, mx // 21600 * 21600, 21600)) AS grid_epoch
+  FROM b),
+j AS (
+  SELECT g.user_id, g.grid_epoch, ev.value,
+         row_number() OVER (PARTITION BY g.user_id, g.grid_epoch ORDER BY ev.ts DESC) AS rn
+  FROM grid g JOIN ev ON ev.user_id = g.user_id AND epoch(ev.ts) <= g.grid_epoch)
+SELECT user_id, CAST(grid_epoch AS BIGINT) AS grid_epoch, value
+FROM j WHERE rn = 1
+""",
+)
+def resample_forward_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (beyond-reference §2.J): each
+    user's irregular event stream onto a 6-hour epoch-aligned grid,
+    forward-filling the last observed value — sequence+explode grid (no
+    UDF, no driver loop) + the as-of join operator (one union+window
+    shuffle). The oracle replays the fill with an inequality join +
+    keep-latest window at full timestamp precision; boundaries use
+    floored integer epochs on both sides (Spark's unix_timestamp floors;
+    DuckDB epoch keeps fractions). Values pass through untouched —
+    bit-identical doubles."""
+    from chatbot_spark.operators.timeseries import resample_forward_fill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return resample_forward_fill(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=21600, tie_col="event_id",
+    )
+
+
+@query(
     "stream_ingest_index",
     """
 WITH d AS (

@@ -80,10 +80,13 @@ def run_one(df, which: str, n: int) -> tuple[float, int, int]:
         n_pairs = out.count()
         t = round(time.time() - t0, 3)
         best = t if best is None else min(best, t)
-    # untimed equality evidence: order-insensitive xxhash64 sum over the
-    # (id_a, id_b) pair set — equal counts alone would let a generator
-    # that trades one boundary pair for a spurious one slip through
-    checksum = out.agg(F.sum(F.xxhash64("id_a", "id_b")).alias("h")).collect()[0]["h"]
+    # untimed equality evidence: order-insensitive XOR-fold of
+    # xxhash64(id_a, id_b) over the pair set — equal counts alone would
+    # let a generator that trades one boundary pair for a spurious one
+    # slip through (a LONG sum would overflow under ANSI mode)
+    checksum = out.agg(
+        F.expr("bit_xor(xxhash64(id_a, id_b))").alias("h")
+    ).collect()[0]["h"]
     return best, n_pairs, checksum
 
 
