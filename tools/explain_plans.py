@@ -155,6 +155,12 @@ COMMENT = {
         "centroids and block numbers. Downstream CC + verdict expansion "
         "shuffle ids, never vectors."
     ),
+    "resample_forward_fill": (
+        "Gap-fill grid via sequence()+explode (Generate, JVM-side — no "
+        "UDF, no driver loop), then the as-of fill: union + ONE hash "
+        "exchange keyed by user + in-partition window sweep. Grid rows "
+        "are generated where the bounds land, never shuffled wide."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
