@@ -106,6 +106,7 @@ HEADLINE = [
     # multi-batch streaming drains — the wall-clock measures the 5-batch
     # file-replay harness, not the join plan
     "range_layout_pruning",
+    "zorder_layout_pruning",
     "bm25_topk",
     # ivfpq_knn: like ivf_knn, the correctness query bundles build + an
     # exact-scan recall check — measured by ivfpq_build/ivfpq_search below
@@ -125,6 +126,7 @@ HEADLINE = [
     "semantic_dedup_bucketed",
     "incremental_exact_dedup",
     "paragraph_dedup",
+    "exact_substring_dedup",
     "hashed_quality_score",
     "containment_decontam",
     "weighted_sample",

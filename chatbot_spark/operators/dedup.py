@@ -620,3 +620,114 @@ def resolve_duplicate_clusters(
     sym.unpersist()
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+# ------------------------------------- exact-substring span dedup (J2d)
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-passage detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``window``-token sliding shingle that occurs more than once ANYWHERE
+    in the corpus (another document or another offset of the same one)
+    marks its token range as duplicated; overlapping/adjacent duplicated
+    windows then merge into maximal per-document spans. This is the
+    fixed-window-anchor surrogate of the paper's suffix-array scan — it
+    finds exactly the substrings duplicated for >= ``window`` tokens,
+    span boundaries quantized to token positions, and unlike the suffix
+    array it is shuffle-parallel.
+
+    Finer-grained than paragraph dedup (J1b: whole paragraphs only) and
+    exact where MinHash (J2) is probabilistic: the reference outsources
+    all dedup to its vector store, so this family is beyond-reference
+    scope (SURVEY §2.J).
+
+    Returns one row per merged span: (id_col, span_start, span_end) in
+    1-based token positions, both inclusive.
+
+    Scale: the one wide exchange is the count-over-hash on the 32-byte
+    shingle md5 — the shuffle carries (hash, id, start), never document
+    text; everything downstream (island merge) shuffles only the
+    duplicated subset, re-keyed by document. No UDFs: shingling is a
+    slice + concat inside whole-stage codegen.
+    """
+    w = int(window)
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    wins = (
+        tk.filter(F.col("__n") >= w)
+        .select(
+            "__id",
+            F.explode(F.sequence(F.lit(1), F.col("__n") - w + 1)).alias("s"),
+            "__toks",
+        )
+        .select(
+            "__id",
+            "s",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(__toks, s, {w})"))).alias("h"),
+        )
+    )
+    dup = (
+        wins.withColumn("__cnt", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("__cnt") > 1)
+        .select("__id", "s")
+    )
+    seq = Window.partitionBy("__id").orderBy("s")
+    isl = dup.withColumn(
+        "__brk",
+        F.when(
+            F.lag("s").over(seq).isNull() | (F.col("s") > F.lag("s").over(seq) + w),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        isl.groupBy("__id", "__island")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(w - 1)).alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rebuild each document with its duplicated spans dropped (the
+    ExactSubstr removal step). ``spans`` is ``duplicated_spans`` output;
+    rows without spans pass through verbatim (whitespace-normalized).
+
+    The span list per document is tiny (merged, non-overlapping), so it
+    rides along as an array column; filtering is a nested higher-order
+    expression — position-tagged tokens filtered against the span
+    intervals — entirely JVM-side, no UDF, no extra shuffle beyond the
+    spans aggregation itself."""
+    sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    tk = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    joined = tk.join(sp, F.col(id_col) == F.col("__sid"), "left")
+    kept = F.expr(
+        "transform("
+        "  filter("
+        "    transform(__toks, (t, i) -> struct(i + 1 AS pos, t AS tok)),"
+        "    p -> __spans IS NULL OR NOT exists("
+        "      __spans, b -> p.pos >= b.span_start AND p.pos <= b.span_end)"
+        "  ), p -> p.tok)"
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
+        "__toks", "__spans", "__sid"
+    )

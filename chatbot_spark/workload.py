@@ -557,6 +557,98 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "exact_substring_dedup",
+    r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+wins AS (
+  SELECT tk.doc_id, s, md5(array_to_string(toks[s:s+7], ' ')) AS h
+  FROM tk, unnest(generate_series(1, n_tokens - 8 + 1)) AS t(s)
+  WHERE n_tokens >= 8
+),
+dup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY h) AS cnt FROM wins
+  ) WHERE cnt > 1
+),
+brk AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+                   OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + 8
+              THEN 1 ELSE 0 END AS is_break
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s,
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(s) AS st, max(s) + 7 AS en
+  FROM isl GROUP BY doc_id, island
+),
+span_agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(en - st + 1) AS dup_toks
+  FROM spans GROUP BY doc_id
+),
+pos AS (
+  SELECT tk.doc_id, i, toks[i] AS tok
+  FROM tk, unnest(generate_series(1, n_tokens)) AS t(i)
+),
+kept AS (
+  SELECT p.doc_id, md5(string_agg(p.tok, ' ' ORDER BY p.i)) AS km
+  FROM pos p
+  LEFT JOIN spans sp ON sp.doc_id = p.doc_id AND p.i BETWEEN sp.st AND sp.en
+  WHERE sp.doc_id IS NULL
+  GROUP BY p.doc_id
+)
+SELECT tk.doc_id,
+       CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(sa.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(sa.dup_toks, 0) AS BIGINT) AS dup_tokens,
+       coalesce(k.km, md5('')) AS kept_md5
+FROM tk
+LEFT JOIN span_agg sa ON sa.doc_id = tk.doc_id
+LEFT JOIN kept k ON k.doc_id = tk.doc_id
+""",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2d: ExactSubstr duplicated-passage removal (Lee et al. 2021) —
+    every 8-token shingle occurring more than once in the corpus marks a
+    duplicated span; overlapping windows merge into maximal spans, which
+    are then cut out of each document. Finer than paragraph_dedup (spans
+    need not align to paragraphs), exact where MinHash is probabilistic.
+    Verdict per doc: token count, merged-span count, duplicated-token
+    count, and md5 of the span-removed reconstruction (whitespace-
+    normalized) — so neither tokens nor rebuilt documents ever leave the
+    executors. The oracle replays window-hash counting, island merge and
+    the positional anti-join reconstruction in full."""
+    from chatbot_spark.operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, id_col="doc_id", text_col="text", window=8)
+    clean = remove_duplicated_spans(docs, spans, id_col="doc_id", text_col="text")
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("dup_tokens"),
+    )
+    return (
+        clean.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.md5("clean_text").alias("kept_md5"),
+        )
+    )
+
+
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 1)), "
     "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))"
@@ -5315,6 +5407,80 @@ def range_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("nf_clus") <= 2).cast("int").alias("clustered_le_2_files"),
             (F.col("nf_clus") < F.col("nf_scat")).cast("int").alias("clustered_lt_unclustered"),
+            "n_rows",
+            "content_checksum",
+        )
+    )
+
+
+@query(
+    "zorder_layout_pruning",
+    """
+SELECT 1 AS z_user_le_8_files, 1 AS z_time_le_8_files, 1 AS z_beats_onedim_on_time,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id * 1000003 + event_id) AS BIGINT) AS content_checksum
+FROM events
+WHERE user_id < 2 AND ts < TIMESTAMP '2024-01-05'
+""",
+)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional layout clustering (OPTIMIZE ZORDER BY): events
+    written on the Morton curve of (user_id, unix_micros(ts)) — 8 bits
+    per dimension, integer-exact normalization, 16 range-partitioned
+    files — versus the single-key range layout. Each z file owns a 2-D
+    tile, so a selective predicate on EITHER dimension touches ~4-5 of 16
+    files (measured in-plan via count(DISTINCT input_file_name) over
+    matching rows), where the user-clustered layout answers user
+    predicates with 1 file but time predicates with ~all 16 (every user's
+    events span the whole month). Measured at sf0.001/0.01/0.1: z gives
+    4-5 files on both dimensions; one-dim gives 14-16 on time.
+
+    Driver-checked invariants: both-dimension file bounds (≤8 of 16), z
+    strictly beating the one-dim layout on the non-clustered dimension,
+    and exact row count + content checksum of the 2-D box readback
+    against the original table (clustering must be lossless)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.zorder import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    base = tempfile.mkdtemp(prefix="cbs_zorder_q_")
+    zpath, rpath = os.path.join(base, "z"), os.path.join(base, "r")
+    zorder_write(ev, zpath, ["user_id", "ts_us"], n_files=16, bits=8)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.parquet(rpath)
+    )
+    p_user = F.col("user_id") < 2
+    p_time = F.col("ts") < F.lit("2024-01-05").cast("timestamp")
+
+    def n_files(path: str, pred) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("__f"))
+            .agg(F.countDistinct("__f").alias("nf"))
+        )
+
+    box = spark.read.parquet(zpath).filter(p_user & p_time)
+    stats = box.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("user_id") * 1000003 + F.col("event_id"))
+        .cast("long")
+        .alias("content_checksum"),
+    )
+    return (
+        n_files(zpath, p_user)
+        .select(F.col("nf").alias("zu"))
+        .crossJoin(n_files(zpath, p_time).select(F.col("nf").alias("zt")))
+        .crossJoin(n_files(rpath, p_time).select(F.col("nf").alias("rt")))
+        .crossJoin(stats)
+        .select(
+            (F.col("zu") <= 8).cast("int").alias("z_user_le_8_files"),
+            (F.col("zt") <= 8).cast("int").alias("z_time_le_8_files"),
+            (F.col("zt") < F.col("rt")).cast("int").alias("z_beats_onedim_on_time"),
             "n_rows",
             "content_checksum",
         )

@@ -297,3 +297,48 @@ def test_incremental_dedup_bloom_equals_plain(spark):
         for r in incremental_dedup(new, empty, use_bloom=True).collect()
     }
     assert got == {10: 1, 11: 1, 12: 0, 13: 1, 14: 1, 15: 1, 16: 0}
+
+
+def test_duplicated_spans_merge_and_removal(spark):
+    """Hand-computed ExactSubstr semantics: window=3, two docs sharing a
+    4-token run -> both get ONE merged span covering tokens of that run;
+    a doc with no repeats gets none; removal rebuilds the residue."""
+    from chatbot_spark.operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),       # "a b c d" duplicated vs doc 2
+            (2, "p q a b c d r"),       # same run at offset 3..6
+            (3, "u v w u v w u v w"),   # self-repeat: windows at 1..7 all dup
+            (4, "m n o p q r s"),       # unique
+        ],
+        "doc_id INT, text STRING",
+    )
+    spans = duplicated_spans(docs, window=3)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.collect()
+    }
+    # doc 1: dup windows start 1,2 -> span [1,4]; doc 2: starts 3,4 -> [3,6]
+    # doc 3: "u v w" x3 + rotations repeat -> every window 1..7 dup -> [1,9]
+    assert got == {(1, 1, 4), (2, 3, 6), (3, 1, 9)}
+    clean = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicated_spans(docs, spans).collect()
+    }
+    assert clean[1] == "x y z"
+    assert clean[2] == "p q r"
+    assert clean[3] == ""
+    assert clean[4] == "m n o p q r s"
+
+
+def test_duplicated_spans_short_docs_excluded(spark):
+    """Docs shorter than the window can never anchor a shingle — even an
+    exact short duplicate pair yields no spans (that is exact_dedup's
+    job, not ExactSubstr's)."""
+    from chatbot_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id INT, text STRING"
+    )
+    assert duplicated_spans(docs, window=3).count() == 0

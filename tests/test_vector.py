@@ -249,3 +249,57 @@ def test_bucketed_neardup_zero_norm_and_empty(spark):
     assert got == {(2, 3)}
     zeros = emb.filter("vec_id < 2")
     assert embedding_neardup_pairs_bucketed(zeros, min_cosine=0.9).count() == 0
+
+
+def test_zorder_value_interleave_known_bits(spark):
+    """Hand-computed Morton codes: with 2-bit dims spanning exactly [0,3],
+    normalization is identity and z = interleave(x, y) — x owns even bits,
+    y odd. (x=3,y=0) -> 0b0101 = 5; (x=0,y=3) -> 0b1010 = 10; (3,3) -> 15."""
+    from chatbot_spark.operators.zorder import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2)], "x INT, y INT"
+    )
+    got = {
+        (r.x, r.y): r.zval
+        for r in zorder_value(df, ["x", "y"], bits=2).collect()
+    }
+    assert got == {(0, 0): 0, (3, 0): 5, (0, 3): 10, (3, 3): 15, (1, 2): 9}
+
+
+def test_zorder_write_lossless_and_tiled(spark, tmp_path):
+    """zorder_write round-trips content exactly, drops the helper column,
+    and a thin slab on either dimension touches a strict subset of files."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.zorder import zorder_write
+
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / 64).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    path = str(tmp_path / "z")
+    zorder_write(df, path, ["a", "b"], n_files=16, bits=8)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"a", "b", "payload"}
+    assert back.count() == 4096
+    assert (
+        back.agg(F.sum("payload")).first()[0]
+        == df.agg(F.sum("payload")).first()[0]
+    )
+    def nf(pred):
+        return (
+            back.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .agg(F.countDistinct("f"))
+            .first()[0]
+        )
+    total = back.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f")
+    ).first()[0]
+    assert nf(F.col("a") < 4) < total
+    assert nf(F.col("b") < 4) < total
