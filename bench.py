@@ -92,6 +92,7 @@ HEADLINE = [
     "market_share",
     "big_orders",
     "pq_knn",
+    "sq_knn",
     "compact_small_files",
     "stratified_sample",
     "incremental_rollup",

@@ -4725,6 +4725,31 @@ def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
     return _ann_recall_summary(approx, exact)
 
+@query(
+    "sq_knn",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 compression family, SQ8 rung (operators/sq.py): each dimension
+    stored as one uint8 against exact per-dimension min/max bounds — 4×
+    smaller than float32 at zero training cost (one distributed agg, no
+    k-means, no sampling). The decoded-L2 scan shortlists top-100, exact
+    re-rank restores the top-10. Unlike PQ the quantizer is fully
+    deterministic (no seed), but the workload embeddings aren't on the
+    256-point grid, so the driver oracle asserts the family recall SLO;
+    the zero-quantization-error pytest pins ADC ≡ exact bit-for-bit."""
+    from chatbot_spark.operators.sq import SQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = SQIndex.build(emb, vec_col="embedding", id_col="vec_id")
+    approx = index.search(q, k=10, rerank=100, corpus=emb)
+    exact = knn_join(q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding")
+    return _ann_recall_summary(approx, exact)
+
+
 # --------------------------------------------------------------------------
 # Table maintenance + deterministic sampling (100 TB ops surface):
 # small-file compaction with lossless-content proof, and content-hash

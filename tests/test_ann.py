@@ -799,3 +799,82 @@ def test_pq_driver_batched_rerank_equals_broadcast(spark, corpus, queries):
         )
     )
     assert a == b
+
+
+def test_sq_zero_quantization_error_matches_exact(spark):
+    """Vectors whose per-dim values sit exactly on the 256-point grid
+    (integers in [0, 255], bounds [0, 255]) decode losslessly — SQ8 ADC
+    must then agree with the exact scan on sets AND distances."""
+    import numpy as np
+
+    from chatbot_spark.operators.sq import SQIndex
+    from chatbot_spark.operators.topk import knn_join
+
+    rng = np.random.default_rng(11)
+    X = rng.integers(0, 256, size=(300, 16)).astype(np.float64)
+    # pin the bounds so span/255 = 1 exactly: make rows 0/1 the corners
+    X[0, :] = 0.0
+    X[1, :] = 255.0
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    got = index.search(queries, k=10).collect()
+    exact = knn_join(queries, corpus, k=10, metric="l2", corpus_id="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in exact
+    }
+    ed = {(r.query_id, r.neighbor_id): r.dist for r in exact}
+    assert all(abs(r.dist - ed[(r.query_id, r.neighbor_id)]) < 1e-9 for r in got)
+    index.release()
+
+
+def test_sq_codes_are_d_bytes_and_rerank_recall(corpus, queries, exact):
+    """SQ8 codes are d bytes (4x under float32); with a top-100 exact
+    re-rank the top-10 meets the family recall SLO."""
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.sq import SQIndex
+
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    lens = index.encoded.select(F.length("sq_code").alias("n")).distinct().collect()
+    assert [r.n for r in lens] == [64]  # 64-d float32 (256 B) -> 64 B
+    approx = index.search(queries, k=10, rerank=100, corpus=corpus)
+    assert recall_at_k(approx, exact) >= 0.95
+    index.release()
+
+
+def test_sq_write_load_roundtrip(spark, corpus, queries, tmp_path):
+    from chatbot_spark.operators.sq import SQIndex
+
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "sq")
+    index.write(path)
+    loaded = SQIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    a = sorted(map(tuple, index.search(queries, k=5).collect()))
+    b = sorted(map(tuple, loaded.search(queries, k=5).collect()))
+    assert a == b
+    index.release()
+    loaded.release()
+
+
+def test_sq_degenerate_constant_dimension(spark):
+    """A constant dimension (span 0) must encode to 0 and decode to the
+    constant — not NaN/inf — leaving distances exact on that axis."""
+    from chatbot_spark.operators.sq import SQIndex
+
+    corpus = spark.createDataFrame(
+        [(i, [7.5, float(i)]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    top = index.search(queries, k=3).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)][0] == 0
+    assert abs(sorted(top, key=lambda r: r.rank)[0].dist) < 1e-12
+    index.release()
