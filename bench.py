@@ -133,6 +133,10 @@ HEADLINE = [
     "weighted_sample",
     "encode_tokens",
     "dsir_select",
+    # bpe_train: 10 driver-coordinated merge rounds — wall-clock is the
+    # per-round job floor (~2 s x 10), not a data-plane cost, so it is
+    # excluded like the multi-batch streaming drains
+
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +

@@ -3577,6 +3577,78 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled-CTE replay of the BPE training rounds (operators/bpe.py):
+    round r's pair counts come from the merged reps of round r-1, the
+    winning pair is the (count DESC, left ASC, right ASC) head, and the
+    merge applies as the same wrapped-symbol literal replace. DuckDB's
+    replace is left-to-right non-overlapping like Spark's — greedy BPE
+    merge order on both sides."""
+    parts = [
+        r"""
+WITH w1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         '<' || array_to_string(list_append(list_filter(string_split(word, ''), x -> x != ''), '_'), '><') || '>' AS rep
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+  WHERE word != ''
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT p.a AS a, p.b AS b, sum(cnt) AS c
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+    FROM (SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), '><') AS syms FROM w{r})
+  )
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f""",
+w{r + 1} AS (
+  SELECT word, cnt, replace(rep, '<'||a||'>'||'<'||b||'>', '<'||a||b||'>') AS rep
+  FROM w{r}, b{r}
+)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, "
+        f"a||b AS merged, CAST(c AS BIGINT) AS weight FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + unions
+
+
+@query("bpe_train", _bpe_oracle_sql(10))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 learn-side: distributed BPE tokenizer training (Sennrich et al.
+    2016) — 10 driver-coordinated merge rounds over the word-count table
+    (the corpus collapses to (distinct word, count) once; every round's
+    pair statistics weight by word frequency, so they equal corpus-level
+    counts at vocabulary cost — ~10M rows at 100 TB, not the corpus).
+    Per round one argmax row reaches the driver; merges apply as
+    wrapped-symbol literal replaces (greedy left-to-right = BPE merge
+    order). The oracle unrolls the identical rounds as CTEs — the
+    learned merge table is bit-exact across engines."""
+    from chatbot_spark.operators.bpe import merges_df, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = train_bpe(docs, text_col="text", n_merges=10)
+    return merges_df(spark, merges).select(
+        F.col("round").cast("long").alias("merge_round"),
+        "left_sym",
+        "right_sym",
+        "merged",
+        "weight",
+    )
+
+
 @query(
     "vocab_topk",
     f"""

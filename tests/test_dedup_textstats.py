@@ -342,3 +342,53 @@ def test_duplicated_spans_short_docs_excluded(spark):
         [(1, "a b"), (2, "a b")], "doc_id INT, text STRING"
     )
     assert duplicated_spans(docs, window=3).count() == 0
+
+
+def test_bpe_train_hand_computed(spark):
+    """Sennrich's own worked example shape: corpus where 'es' then 'est'
+    dominate. Weighted pair counts, total tie-order, greedy merge
+    application — all hand-checked."""
+    from chatbot_spark.operators.bpe import encoded_token_count, train_bpe
+
+    # widest: 'lowest' x3, 'newest' x2, 'low' x2  ->
+    # chars: l o w e s t _ n
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest lowest lowest"),
+            (2, "newest newest low"),
+            (3, "low"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    merges, words = train_bpe(docs, n_merges=3)
+    # round 1 pairs: (e,s)=5, (s,t)=5, (t,_)=5, (w,e)=5, (l,o)=5, (o,w)=5 ...
+    # tie-order (count DESC, left ASC, right ASC): (e,s) wins round 1;
+    # round 2: (es,t)=5 vs (t,_)=5 vs (l,o)=5 ... -> (es,t); round 3 (est,_)=5 vs (l,o)=5 -> (est,_)
+    assert [(m[1], m[2]) for m in merges] == [("e", "s"), ("es", "t"), ("est", "_")]
+    assert [m[4] for m in merges] == [5, 5, 5]
+    # after 3 merges: lowest = l o w est_ (4 syms) x3, newest = n e w est_ (4) x2,
+    # low = l o w _ (4) x3  -> 8 words... recount: words lowest(3), newest(2), low(2)
+    assert encoded_token_count(words) == 3 * 4 + 2 * 4 + 2 * 4
+
+
+def test_bpe_rejects_wrapper_chars(spark):
+    import pytest
+
+    from chatbot_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "a <b>")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError):
+        train_bpe(docs, n_merges=1)
+
+
+def test_bpe_greedy_self_overlap(spark):
+    """'aaaa' with merge (a,a) must apply left-to-right non-overlapping:
+    aa aa, not a aa a — the wrapped-symbol replace guarantees it."""
+    from chatbot_spark.operators.bpe import train_bpe, _symbols
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id INT, text STRING")
+    merges, words = train_bpe(docs, n_merges=1)
+    assert (merges[0][1], merges[0][2], merges[0][4]) == ("a", "a", 6)
+    syms = words.select(_symbols().alias("s")).first()["s"]
+    assert syms == ["aa", "aa", "_"]
