@@ -79,6 +79,7 @@ HEADLINE = [
     "intents_batch",
     "tfidf_topk",
     "salted_event_counts",
+    "salted_join_enrich",
     "upsert_latest",
     "approx_percentile_slo",
     "csv_orc_roundtrip",

@@ -50,3 +50,42 @@ def salted_agg(
         ]
     )
     return final
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_source: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the manual fallback for when AQE's skew-join
+    can't fire (the skewed side feeds a window first, the join is inside
+    a cached subtree, or the planner's skew thresholds don't trip) and
+    the dimension is too big to broadcast outright.
+
+    Each LEFT row gets a deterministic salt from ``salt_source`` (a
+    high-cardinality column — retries must re-derive the same salt);
+    the RIGHT side is replicated ``n_salts``× via one explode, and the
+    join runs on ``on + [salt]`` — a hot key's rows now spread over
+    n_salts reducers instead of funneling through one. Every left row
+    still matches each right row exactly once (through its single
+    salt), so the result is EXACTLY the plain join — the workload query
+    proves equality against the unsalted oracle.
+
+    Cost model: the right side inflates n_salts× through the shuffle —
+    right for dimensions in the too-big-to-broadcast / far-smaller-than-
+    fact window. Only ``inner`` and ``left`` are supported: replicating
+    the right side would emit unmatched right rows n_salts times under
+    ``right``/``full`` semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
+    )
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return salted_left.join(replicated_right, [*on, "__salt"], how).drop("__salt")

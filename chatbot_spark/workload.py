@@ -4139,6 +4139,45 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_enrich",
+    """
+WITH dim AS (
+  SELECT event_type,
+         CAST(length(event_type) * 37 + 11 AS BIGINT) AS type_weight
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(d.type_weight * e.event_id) AS BIGINT) AS weighted_checksum
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+)
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN (the join-side complement of salted_event_counts):
+    the fact side is hot on event_type (3 keys own everything), the
+    dimension is replicated 16× and the join runs on (key, salt), so no
+    reducer owns a whole hot key. The oracle is the PLAIN join — each
+    left row matches through exactly one salt, so equality is exact and
+    IS the proof. This is the manual fallback when AQE skew-join can't
+    fire; `test_aqe_splits_skewed_join_partition` covers the engine-level
+    path, `tools/bench_skew.py` the wall-clock."""
+    from chatbot_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_weight", (F.length("event_type") * 37 + 11).cast("long")
+    )
+    joined = salted_join(
+        ev, dim, on=["event_type"], salt_source=F.col("event_id"), n_salts=16
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("type_weight") * F.col("event_id")).cast("long").alias("weighted_checksum"),
+    )
+
+
+@query(
     "upsert_latest",
     """
 WITH base AS (

@@ -392,3 +392,30 @@ def test_bpe_greedy_self_overlap(spark):
     assert (merges[0][1], merges[0][2], merges[0][4]) == ("a", "a", 6)
     syms = words.select(_symbols().alias("s")).first()["s"]
     assert syms == ["aa", "aa", "_"]
+
+
+def test_salted_join_equals_plain_and_left_semantics(spark):
+    """salted_join must be EXACTLY the plain join (each left row matches
+    through one salt), including unmatched-left rows appearing once
+    under how='left'; right/full are rejected (replication would
+    duplicate unmatched right rows)."""
+    import pytest
+
+    from chatbot_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)] + [(999, "orphan")],
+        "id LONG, k STRING",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold", 2)], "k STRING, v INT"
+    )
+    plain = left.join(right, "k", "left")
+    salted = salted_join(
+        left, right, on=["k"], salt_source=F.col("id"), n_salts=8, how="left"
+    )
+    assert sorted(map(tuple, salted.select("k", "id", "v").collect())) == sorted(
+        map(tuple, plain.select("k", "id", "v").collect())
+    )
+    with pytest.raises(ValueError):
+        salted_join(left, right, on=["k"], salt_source=F.col("id"), how="full")
