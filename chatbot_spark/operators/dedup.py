@@ -705,6 +705,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "clean_text",
+    keep_spans_col: str | None = None,
 ) -> DataFrame:
     """Rebuild each document with its duplicated spans dropped (the
     ExactSubstr removal step). ``spans`` is ``duplicated_spans`` output;
@@ -714,7 +715,13 @@ def remove_duplicated_spans(
     rides along as an array column; filtering is a nested higher-order
     expression — position-tagged tokens filtered against the span
     intervals — entirely JVM-side, no UDF, no extra shuffle beyond the
-    spans aggregation itself."""
+    spans aggregation itself.
+
+    ``keep_spans_col`` retains the per-doc span array (NULL where a doc
+    has none) under that name, so callers computing span statistics read
+    them off THIS plan instead of re-evaluating the whole shingle
+    pipeline a second time — at corpus scale the spans subtree is the
+    dominant cost and must not be duplicated."""
     sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -728,6 +735,7 @@ def remove_duplicated_spans(
         "      __spans, b -> p.pos >= b.span_start AND p.pos <= b.span_end)"
         "  ), p -> p.tok)"
     )
-    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
-        "__toks", "__spans", "__sid"
-    )
+    out = joined.withColumn(out_col, F.concat_ws(" ", kept))
+    if keep_spans_col is not None:
+        out = out.withColumn(keep_spans_col, F.col("__spans"))
+    return out.drop("__toks", "__spans", "__sid")

@@ -632,20 +632,24 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     spans = duplicated_spans(docs, id_col="doc_id", text_col="text", window=8)
-    clean = remove_duplicated_spans(docs, spans, id_col="doc_id", text_col="text")
-    stats = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_dup_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("dup_tokens"),
+    # keep_spans_col: span stats read off the SAME plan as the removal —
+    # without it the whole shingle pipeline evaluates twice (plan-audited)
+    clean = remove_duplicated_spans(
+        docs, spans, id_col="doc_id", text_col="text", keep_spans_col="spans"
     )
-    return (
-        clean.join(stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-            F.md5("clean_text").alias("kept_md5"),
-        )
+    return clean.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + b["span_end"] - b["span_start"] + 1,
+            ),
+            F.lit(0),
+        ).cast("long").alias("dup_tokens"),
+        F.md5("clean_text").alias("kept_md5"),
     )
 
 

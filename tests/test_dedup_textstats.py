@@ -419,3 +419,20 @@ def test_salted_join_equals_plain_and_left_semantics(spark):
     )
     with pytest.raises(ValueError):
         salted_join(left, right, on=["k"], salt_source=F.col("id"), how="full")
+
+
+def test_exact_substring_query_evaluates_span_pipeline_once(spark):
+    """Plan audit: the shingle/island subtree (its Generate node) must
+    appear exactly once — span stats read off the removal plan via
+    keep_spans_col, not a second evaluation of the whole pipeline."""
+    import io
+    from contextlib import redirect_stdout
+
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    df = SPARK_QUERIES["exact_substring_dedup"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("explode(sequence(1,") == 1, plan

@@ -161,6 +161,31 @@ COMMENT = {
         "exchange keyed by user + in-partition window sweep. Grid rows "
         "are generated where the bounds land, never shuffled wide."
     ),
+    "exact_substring_dedup": (
+        "ExactSubstr spans: shingle Generate → ONE exchange keyed by the "
+        "32-byte window md5 (count-over-hash window; the shuffle carries "
+        "(hash, id, start), never text) → island merge re-keyed by doc → "
+        "span arrays broadcast back onto the documents scan. The removal "
+        "filter and the span statistics are higher-order expressions over "
+        "the SAME joined span array — the spans subtree appears exactly "
+        "once (plan-audited by test)."
+    ),
+    "salted_join_enrich": (
+        "Skew-safe join shape: the fact side's exchange is keyed by "
+        "(event_type, salt) — 16 balanced sub-groups per hot key — while "
+        "the dimension replicates through one Generate before its "
+        "exchange. Equality with the plain join is the oracle; the plan "
+        "is what changes."
+    ),
+    "sq_knn": (
+        "SQ8 ADC: the code table (d bytes/row, 4x under float32) is "
+        "scanned by ONE mapInPandas serving the whole broadcast query "
+        "batch; partial top-k inside the kernel, the per-query window "
+        "moves <= Q*k tiny rows, and the exact re-rank joins only the "
+        "top-100 shortlist back to raw vectors. The quantizer itself is "
+        "the posexplode+groupBy(dim) agg — map-side partials collapse "
+        "each partition to d rows."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
