@@ -81,6 +81,7 @@ HEADLINE = [
     "salted_event_counts",
     "salted_join_enrich",
     "upsert_latest",
+    "merge_into_changes",
     "approx_percentile_slo",
     "csv_orc_roundtrip",
     "stream_static_join",

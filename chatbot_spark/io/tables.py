@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chatbot_spark.schemas import TESTDATA_TABLES
@@ -170,3 +170,95 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def merge_into(
+    base: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: dict[str, Column] | None = None,
+    update_condition: Column | None = None,
+) -> DataFrame:
+    """General MERGE INTO (the Delta/Iceberg mutation primitive,
+    generalizing :func:`upsert_latest`'s keep-latest special case):
+
+    * matched + ``when_matched_delete`` condition true → row dropped;
+    * matched otherwise → ``when_matched_update`` column map applied
+      (gated by ``update_condition`` if given; unlisted columns keep
+      their target values);
+    * source-only → inserted (``when_not_matched_insert`` map, or the
+      source row verbatim);
+    * target-only → kept unchanged.
+
+    Clause expressions reference the two sides as ``t.<col>`` (target)
+    and ``s.<col>`` (source), exactly like MERGE USING aliases.
+
+    Execution: ONE full-outer join on the key columns plus a CASE
+    projection — the canonical MERGE shuffle. With the base bucketed on
+    the keys (``write_bucketed``) the exchange on the target side
+    disappears, which is what makes nightly 100 TB merges viable; at
+    write time pair this with the versioned-commit protocol
+    (streaming/events.py::upsert_state_writer) for atomicity.
+
+    MERGE semantics require the source to bind at most one row per key —
+    ambiguous matches are rejected (the Delta cardinality-violation
+    rule) with a distributed check that adds one cheap aggregate over
+    the source only.
+    """
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has multiple rows per key (cardinality violation)"
+        )
+    # string-qualified t./s. references (not DataFrame attribute access):
+    # base and source often derive from the SAME table (a change feed is
+    # a self-join), where attribute ids collide and only alias-qualified
+    # names disambiguate
+    t = base.alias("t")
+    s = source.alias("s")
+
+    def tc(c: str) -> Column:
+        return F.col(f"t.{c}")
+
+    def sc(c: str) -> Column:
+        return F.col(f"s.{c}")
+
+    cond = [tc(c).eqNullSafe(sc(c)) for c in on]
+    joined = t.join(s, cond, "full_outer")
+    matched = F.lit(True)
+    for c in on:
+        matched = matched & tc(c).isNotNull() & sc(c).isNotNull()
+    src_only = F.lit(True)
+    for c in on:
+        src_only = src_only & tc(c).isNull()
+
+    delete_now = (
+        matched & when_matched_delete
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_gate = update_condition if update_condition is not None else F.lit(True)
+    updates = when_matched_update or {}
+    inserts = when_not_matched_insert or {
+        c: sc(c) for c in base.columns if c in source.columns
+    }
+
+    out_cols = []
+    for c in base.columns:
+        upd_expr = updates.get(c, tc(c))
+        ins_expr = inserts.get(c, F.lit(None).cast(base.schema[c].dataType))
+        val = (
+            F.when(src_only, ins_expr)
+            .when(matched & upd_gate, upd_expr)
+            .otherwise(tc(c))
+        )
+        if c in on:
+            # keys are identical on both sides where matched; coalesce
+            # covers the target-only / source-only branches
+            val = F.coalesce(tc(c), sc(c))
+        out_cols.append(val.alias(c))
+    return joined.filter(~delete_now).select(*out_cols)

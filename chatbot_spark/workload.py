@@ -4182,6 +4182,70 @@ def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_into_changes",
+    """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+src AS (
+  SELECT doc_id, 'u:' || text AS text, 'U' AS action FROM documents
+  WHERE doc_id < 400 AND doc_id % 7 = 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id, text, 'D' AS action FROM documents
+  WHERE doc_id < 400 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 10000, 'i:' || text, 'I' AS action FROM documents
+  WHERE doc_id < 400 AND doc_id % 11 = 0
+),
+m AS (
+  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+         CASE WHEN s.doc_id IS NULL THEN b.text
+              WHEN b.doc_id IS NULL THEN s.text
+              ELSE s.text END AS text,
+         CASE WHEN b.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                   AND s.action = 'D' THEN 1 ELSE 0 END AS deleted
+  FROM base b FULL OUTER JOIN src s ON b.doc_id = s.doc_id
+)
+SELECT doc_id, md5(text) AS text_md5 FROM m WHERE deleted = 0
+""",
+)
+def merge_into_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family mutation primitive: general MERGE INTO
+    (io/tables.py::merge_into) over a deterministic change feed — every
+    7th doc updated, every 13th deleted, every 11th re-inserted under a
+    new key — one full-outer join + CASE projection, the canonical MERGE
+    shuffle (bucket the base on the key and the target-side exchange
+    disappears). The oracle replays the same FULL OUTER JOIN emulation;
+    the full per-row (doc_id, text_md5) verdict is bit-exact."""
+    from chatbot_spark.io.tables import merge_into
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    base = docs.select("doc_id", "text")
+    src = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select("doc_id", F.concat(F.lit("u:"), "text").alias("text"), F.lit("U").alias("action"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                "doc_id", "text", F.lit("D").alias("action")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.lit("i:"), "text").alias("text"),
+                F.lit("I").alias("action"),
+            )
+        )
+    )
+    merged = merge_into(
+        base,
+        src,
+        on=["doc_id"],
+        when_matched_update={"text": F.col("s.text")},
+        when_matched_delete=F.col("s.action") == "D",
+    )
+    return merged.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@query(
     "upsert_latest",
     """
 WITH base AS (

@@ -314,3 +314,55 @@ def test_lexical_construction_is_lazy(spark):
     tfidf_topk(q, corpus, k=3)
     bm25_topk(q, corpus, k=3)
     assert len(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_merge_into_all_clauses(spark):
+    """MERGE semantics matrix: matched-update (gated), matched-delete,
+    not-matched-insert, target-only passthrough — plus the Delta
+    cardinality-violation rejection for ambiguous sources."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id LONG, val STRING, score LONG",
+    )
+    src = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (5, "e", "I"), (4, "DD", "U")],
+        "id LONG, val STRING, action STRING",
+    )
+    merged = merge_into(
+        base,
+        src,
+        on=["id"],
+        when_matched_update={"val": F.col("s.val")},
+        when_matched_delete=F.col("s.action") == "D",
+        # gate: only update rows whose score is < 35 -> id 4 keeps 'd'
+        update_condition=F.col("t.score") < 35,
+        when_not_matched_insert={"val": F.col("s.val"), "score": F.lit(0)},
+    )
+    got = {r.id: (r.val, r.score) for r in merged.collect()}
+    assert got == {
+        1: ("a", 10),   # target-only: untouched
+        2: ("B", 20),   # matched + gate passes: updated, score kept
+        4: ("d", 40),   # matched but gate fails: unchanged
+        5: ("e", 0),    # source-only: inserted with explicit map
+    }  # 3 deleted
+    dup_src = src.unionByName(
+        spark.createDataFrame([(2, "B2", "U")], "id LONG, val STRING, action STRING")
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(base, dup_src, on=["id"])
+
+
+def test_merge_into_default_insert_is_source_row(spark):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import merge_into
+
+    base = spark.createDataFrame([(1, "a")], "id LONG, val STRING")
+    src = spark.createDataFrame([(9, "z")], "id LONG, val STRING")
+    got = {r.id: r.val for r in merge_into(base, src, on=["id"]).collect()}
+    assert got == {1: "a", 9: "z"}
