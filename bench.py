@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_clusters",
     "hybrid_rerank",
     "media_features",
+    "image_phash_neardup",
     "rag_pipeline_e2e",
     "quality_filter",
     "sparse_lexical_weights",

@@ -321,3 +321,138 @@ def av_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
 
     return df.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
+
+
+# ------------------------------------------------------------------ image
+# perceptual-hash near-dup (aHash): the image-side member of the dedup
+# family (J2 x J5). RAWP is the minimal raw-grayscale container (magic +
+# dims + row-major uint8 pixels) — real byte-level parsing, stdlib-only,
+# same strategy as RIFF/WAVE above: a real codec (JPEG via PIL) would
+# swap synth/parse only, the hash/pair machinery is format-agnostic.
+
+_RAWP_MAGIC = b"RAWP"
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bits", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def pattern_pixels(doc_id: int, width: int, height: int, group: int):
+    """Integer-exact synthetic grayscale: a group-keyed base pattern plus
+    a sparse per-image perturbation — images in a group are near-dups
+    (few aHash bits flip), across groups they diverge. Pure integer
+    arithmetic (%, *, +, CASE) so any engine reproduces every pixel."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    base = (x * (3 + group) + y * (5 + 2 * group) + 37 * group) % 251
+    noise = np.where((x + y * width + doc_id) % 101 == 0, doc_id % 40, 0)
+    return np.minimum(base + noise, 255).astype(np.uint8)
+
+
+def synth_rawp(pixels) -> bytes:
+    """Pack a 2-D uint8 array as RAWP bytes (magic + <HH dims + raster)."""
+    import struct
+
+    h, w = pixels.shape
+    return _RAWP_MAGIC + struct.pack("<HH", w, h) + pixels.tobytes()
+
+
+def extract_image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Parse RAWP and compute the average hash in ONE mapInPandas pass:
+    the image divides into a grid×grid block mesh (dims must divide
+    evenly), and bit_i = 1 iff grid²·block_sum_i > total_sum — the
+    integer-exact form of 'block mean above global mean' (no division,
+    so engines agree bit-for-bit). Emits the 64 bits as an INT array;
+    everything downstream treats them as an opaque fingerprint."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                if content[:4] != _RAWP_MAGIC:
+                    raise ValueError("not a RAWP image")
+                w, h = struct.unpack("<HH", content[4:8])
+                px = np.frombuffer(content[8:], dtype=np.uint8).reshape(h, w)
+                if h % grid or w % grid:
+                    raise ValueError(f"dims {w}x{h} not divisible by {grid}")
+                bh, bw = h // grid, w // grid
+                sums = (
+                    px.astype(np.int64)
+                    .reshape(grid, bh, grid, bw)
+                    .sum(axis=(1, 3))
+                )
+                total = int(sums.sum())
+                bits = (sums.reshape(-1) * grid * grid > total).astype(np.int32)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": int(w),
+                        "height": int(h),
+                        "bits": bits.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def ahash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance — the same
+    pigeonhole block-LSH as text SimHash (dedup.py::simhash_pairs): the
+    64 bits split into ``max_hamming + 1`` blocks, so any pair within
+    the threshold MUST agree on at least one whole block (candidate
+    recall is complete, not probabilistic); candidates equi-join on
+    (block_idx, block_value) and verify exact hamming via one zip_with
+    fold. Never an all-pairs cross join."""
+    n_blocks = max_hamming + 1
+    blocked = hashes.select(
+        F.col("media_id").alias("__id"),
+        F.col("bits").alias("__bits"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"b -> struct(b AS bi, "
+                f"array_join(transform(slice(bits, b * size(bits) DIV {n_blocks} + 1, "
+                f"(b + 1) * size(bits) DIV {n_blocks} - b * size(bits) DIV {n_blocks}), "
+                f"x -> CAST(x AS STRING)), '') AS bv))"
+            )
+        ).alias("__blk"),
+    ).select("__id", "__bits", F.col("__blk.bi").alias("__bi"), F.col("__blk.bv").alias("__bv"))
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.__bi") == F.col("b.__bi"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__bits").alias("__ba"),
+            F.col("b.__bits").alias("__bb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with("__ba", "__bb", lambda x, y: F.abs(x - y)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1873,6 +1873,82 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "image_phash_neardup",
+    """
+WITH p AS (SELECT doc_id, doc_id % 5 AS g FROM documents WHERE doc_id < 20),
+px AS (
+  SELECT doc_id, g, i % 32 AS x, i // 32 AS y,
+         least((((i % 32) * (3 + g) + (i // 32) * (5 + 2*g) + 37*g) % 251)
+               + CASE WHEN (i + doc_id) % 101 = 0 THEN doc_id % 40 ELSE 0 END, 255) AS v
+  FROM p, unnest(generate_series(0, 1023)) AS t(i)
+),
+blk AS (
+  SELECT doc_id, (y // 4) * 8 + (x // 4) AS b, sum(v) AS bs
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY doc_id),
+bits AS (
+  SELECT blk.doc_id, b, CASE WHEN bs * 64 > ts THEN 1 ELSE 0 END AS bit
+  FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+),
+ham AS (
+  -- pair order follows the STRING media ids ('10' < '2'), matching the
+  -- engine's lexicographic id_a < id_b
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b
+    ON a.b = b.b AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+  GROUP BY 1, 2
+)
+SELECT CAST(ia AS VARCHAR) AS id_a, CAST(ib AS VARCHAR) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 8
+""",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2×J5: perceptual-hash image near-dup, oracle-checked end-to-end.
+    Integer-exact synthetic grayscale images (group-keyed pattern + a
+    sparse per-image perturbation, 4 near-dup images per group) are
+    packed as REAL RAWP bytes; the kernel PARSES the container, computes
+    the 64-bit average hash with the division-free bit rule
+    (64·block_sum > total_sum), and pairs form via the pigeonhole
+    block-LSH + exact hamming verify — never an all-pairs cross join.
+    The oracle recomputes every pixel, block sum, bit and hamming from
+    the closed-form integer formula, so a header-parse bug, a block-mesh
+    bug, a bit-rule bug or an LSH recall bug all surface as mismatches."""
+    from chatbot_spark.operators.multimodal import (
+        ahash_pairs,
+        extract_image_ahash,
+        pattern_pixels,
+        synth_rawp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    params = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").cast("int").alias("did"),
+        (F.col("doc_id") % 5).cast("int").alias("g"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            out["content"] = [
+                synth_rawp(pattern_pixels(int(d), 32, 32, int(g)))
+                for d, g in zip(pdf["did"], pdf["g"])
+            ]
+            yield out
+
+    media = params.mapInPandas(synth, "media_id STRING, content BINARY")
+    hashes = extract_image_ahash(media, grid=8)
+    return ahash_pairs(hashes, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
     "audio_features",
     """
 WITH p AS (

@@ -367,3 +367,55 @@ def test_upsert_state_writer_run_token_disambiguates_fresh_checkpoint(spark, tmp
     # same-token same-batch crash replay: short-circuits (state unchanged)
     w2(df2, 0)
     assert {r["user_id"] for r in read_upsert_state(spark, state_dir).collect()} == {1, 2}
+
+
+def test_ahash_pairs_pigeonhole_equals_bruteforce(spark):
+    """Block-LSH candidate recall is pigeonhole-COMPLETE at the default
+    threshold: the pair set must equal brute-force all-pairs hamming."""
+    import itertools
+    import random
+
+    from chatbot_spark.operators.multimodal import ahash_pairs
+
+    rng = random.Random(3)
+    base = [rng.randint(0, 1) for _ in range(64)]
+    rows = []
+    for i in range(12):
+        bits = list(base)
+        for _ in range(rng.choice([0, 2, 5, 9, 30])):
+            j = rng.randrange(64)
+            bits[j] = 1 - bits[j]
+        rows.append((f"m{i:02d}", bits))
+    df = spark.createDataFrame(rows, "media_id STRING, bits ARRAY<INT>")
+    got = {
+        (r.id_a, r.id_b, r.hamming) for r in ahash_pairs(df, max_hamming=8).collect()
+    }
+    want = set()
+    for (ia, ba), (ib, bb) in itertools.combinations(rows, 2):
+        h = sum(x != y for x, y in zip(ba, bb))
+        if h <= 8:
+            a, b = sorted((ia, ib))
+            want.add((a, b, h))
+    assert got == want and len(want) > 0
+
+
+def test_rawp_roundtrip_and_grid_check(spark):
+    """synth_rawp -> extract_image_ahash parses dims back; non-divisible
+    grids are rejected."""
+    import pytest
+
+    from chatbot_spark.operators.multimodal import (
+        extract_image_ahash,
+        pattern_pixels,
+        synth_rawp,
+    )
+
+    content = synth_rawp(pattern_pixels(3, 32, 32, 1))
+    df = spark.createDataFrame([("a", content)], "media_id STRING, content BINARY")
+    row = extract_image_ahash(df, grid=8).first()
+    assert (row.width, row.height, len(row.bits)) == (32, 32, 64)
+    assert set(row.bits) <= {0, 1}
+    bad = synth_rawp(pattern_pixels(3, 30, 32, 1))
+    dfb = spark.createDataFrame([("b", bad)], "media_id STRING, content BINARY")
+    with pytest.raises(Exception, match="not divisible"):
+        extract_image_ahash(dfb, grid=8).collect()
