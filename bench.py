@@ -50,6 +50,7 @@ HEADLINE = [
     "sparse_lexical_weights",
     "customer_ntile",
     "events_lag_lead",
+    "rolling_zscore_anomalies",
     "orders_cube",
     "revenue_grouping_sets",
     "range_join_price_bands",

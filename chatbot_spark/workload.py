@@ -4219,6 +4219,72 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_zscore_anomalies",
+    """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT user_id, event_id, cents,
+         count(*)      OVER win AS n,
+         sum(cents)    OVER win AS s,
+         sum(cents * cents) OVER win AS sq
+  FROM c
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT user_id, event_id,
+         (20 * cents - s) / sqrt(CAST(20 * sq - s * s AS DOUBLE)) AS zs
+  FROM w
+  WHERE n = 20 AND 20 * sq - s * s > 0)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       round(zs, 4) AS zscore
+FROM z WHERE abs(zs) > 3
+""",
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per-user rolling z-score over the
+    last 20 events. Everything feeding the statistic is EXACT integer
+    arithmetic — cents, rolling sum, rolling sum-of-squares — and the
+    algebraic form z = (n·x − Σ)/√(n·Σx² − Σ²) does one division and one
+    sqrt on exact BIGINTs, so both engines compute the identical double
+    (no mean/std intermediate, no reassociated float sums; the workload
+    float discipline applied to streaming statistics). Windows shuffle
+    once on user_id; partial windows and zero-variance windows are
+    excluded explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    c = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = c.select(
+        "user_id", "event_id", "cents",
+        F.count("*").over(win).alias("n"),
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("sq"),
+    )
+    z = (
+        w.filter((F.col("n") == 20) & (20 * F.col("sq") - F.col("s") * F.col("s") > 0))
+        .withColumn(
+            "zs",
+            (20 * F.col("cents") - F.col("s"))
+            / F.sqrt((20 * F.col("sq") - F.col("s") * F.col("s")).cast("double")),
+        )
+    )
+    return z.filter(F.abs("zs") > 3).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("zs", 4).alias("zscore"),
+    )
+
+
+@query(
     "salted_join_enrich",
     """
 WITH dim AS (
