@@ -107,9 +107,9 @@ HEADLINE = [
     "returned_item_revenue",
     "brand_supplier_count",
     "dataprep_pipeline",
-    # stream_left_outer_join: parity-gated but excluded here like the other
-    # multi-batch streaming drains — the wall-clock measures the 5-batch
-    # file-replay harness, not the join plan
+    # stream_left_outer_join / stream_late_data_drop: parity-gated but
+    # excluded here like the other multi-batch streaming drains — the
+    # wall-clock measures the file-replay/restart harness, not the plan
     "range_layout_pruning",
     "zorder_layout_pruning",
     "bm25_topk",

@@ -2416,6 +2416,87 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
     )
 
+@query(
+    "stream_late_data_drop",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08'
+GROUP BY 1, 2
+""",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DROP semantics, oracle-proven across RESTARTS: run 1
+    drains the bulk of January (ts ≥ Jan 8), committing a ~Jan 30
+    watermark to the checkpoint; the Jan 1–7 slice lands BETWEEN runs
+    (the production late-arrival shape — a delayed upstream partition)
+    and run 2, restoring the watermark from the checkpoint, drops every
+    one of its rows (their hourly windows end far below the watermark);
+    run 3's far-future sentinel finalizes all on-time windows for append
+    emission (the sentinel's own window never finalizes and so excludes
+    itself). The oracle is the batch rollup over ONLY the on-time subset
+    — equality proves on-time data survived exactly AND late data was
+    dropped completely, the contract that bounds state to O(watermark
+    horizon) at 100 TB/day.
+
+    Within a single AvailableNow run, Spark 4.1 does NOT apply the
+    advancing watermark to late-input filtering (measured:
+    numRowsDroppedByWatermark=0 for a late file in the same run even two
+    batches after the watermark advanced) — the committed checkpoint
+    watermark is what enforces the drop, hence the restart structure."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        hourly_rollup,
+        read_event_stream,
+        run_stream_once,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_late_q_")
+    inpath = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    outpath = os.path.join(base, "out")
+
+    def drain():
+        run_stream_once(
+            hourly_rollup(
+                read_event_stream(spark, inpath, max_files_per_trigger=1),
+                watermark="1 hour",
+            ),
+            ckpt,
+            outpath,
+        )
+
+    cut = F.lit("2024-01-08").cast("timestamp")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(inpath)
+    drain()  # run 1: on-time bulk; checkpoint commits the ~Jan 30 watermark
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(inpath)
+    drain()  # run 2: the late slice — dropped against the restored watermark
+    sent = spark.createDataFrame(
+        [(-1, -1, "click")], "event_id BIGINT, user_id BIGINT, event_type STRING"
+    ).withColumn("ts", F.lit("2099-06-01 00:00:00").cast("timestamp"))
+    for f in ev.schema.fields:
+        if f.name not in sent.columns:
+            sent = sent.withColumn(f.name, F.lit(None).cast(f.dataType))
+    sent.select(ev.columns).coalesce(1).write.mode("append").parquet(inpath)
+    drain()  # run 3: sentinel advances the watermark past all real windows
+    return (
+        spark.read.parquet(outpath)
+        .filter(F.col("hour") < "2099")  # defensive: sentinel never finalizes
+        .select(
+            "hour",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Quality filtering (SURVEY §2.J J4 — the training-data quality gate)
 # --------------------------------------------------------------------------
