@@ -127,6 +127,8 @@ HEADLINE = [
     "repetition_stats",
     "pii_redact",
     "cms_heavy_hitters",
+    "kmv_distinct_users",
+    "kmv_jaccard_userdays",
     "semantic_dedup",
     "semantic_dedup_bucketed",
     "incremental_exact_dedup",

@@ -145,3 +145,77 @@ def cms_estimate(
     )
     est = joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))
     return _dims_guard(est, sketch, depth, width)
+
+
+# ----------------------------------------------------------------- KMV
+# k-minimum-values distinct sketch (Bar-Yossef et al. 2002; the θ-sketch
+# family's simplest member). Where HLL gives approximate counts that no
+# SQL oracle can replay (register layouts are engine-internal), KMV is a
+# DETERMINISTIC function of the data — the k smallest distinct md5s —
+# so estimates, merges and set operations are all bit-exact replayable.
+# Its extra power over HLL: sketches of different sets INTERSECT
+# (Jaccard/overlap estimates), which count-only sketches cannot do.
+
+def kmv_sketch(
+    df: DataFrame, key_cols: list[str], value_col, k: int = 128
+) -> DataFrame:
+    """Per key group: the ``k`` lexicographically smallest distinct
+    md5(value) hex strings (fixed-width lowercase hex ⇒ string order ==
+    128-bit numeric order) as a sorted ARRAY<STRING> — (key, kmv) rows,
+    ≤ k·32 bytes per key.
+
+    Two-phase skew-safe top-k: a first window keyed by
+    (key, spark_partition_id) prunes every input partition to ≤ k rows
+    per key BEFORE the global per-key window — a hot key's distinct
+    hashes spread over all its partitions instead of funneling one
+    reducer (the salted-window shape of operators/topk.py). Map-side
+    partial aggregation already collapses the initial distinct."""
+    from pyspark.sql import Window
+
+    h = df.select(
+        *key_cols, F.md5(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    pre = h.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*key_cols, "__pid").orderBy("h")
+    w2 = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        pre.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(kmv, k: int):
+    """Distinct-count estimate from a sorted KMV array: exact size when
+    the group had < k distinct values; else the classic (k−1)/θ with
+    θ = first-32-bits(h_k)/2³². Every input is an exact integer, the one
+    division is deterministic IEEE — engines agree on the double."""
+    # try_element_at: the short branch guards size < k, but ANSI
+    # element_at would still be an error surface on malformed input
+    hk_val = F.conv(
+        F.substring(F.try_element_at(kmv, F.lit(k)), 1, 8), 16, 10
+    ).cast("long")
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**32)) / hk_val
+    )
+
+
+def kmv_merge(a, b, k: int):
+    """Union of two sketches = the k smallest of the deduped hash union —
+    closed under merge (the property that makes KMV the incremental /
+    per-batch shape, like cms_merge for counters)."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_jaccard(a, b, k: int):
+    """Jaccard estimate for the two underlying sets: over the merged
+    sketch U (k smallest of a ∪ b), the fraction of U's hashes present
+    in BOTH input sketches — deterministic, so oracle-replayable."""
+    u = kmv_merge(a, b, k)
+    inter = F.size(
+        F.filter(u, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
+    )
+    return inter.cast("double") / F.size(u)

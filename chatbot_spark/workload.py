@@ -5282,6 +5282,146 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_HEX8 = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "d -> (strpos('0123456789abcdef', substr({h}, d, 1)) - 1) * 2^(4*(8-d))), "
+    "(a, x) -> a + x)"
+)
+
+
+@query(
+    "kmv_distinct_users",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h),
+sk AS (
+  SELECT event_type, count(*) AS n_kept,
+         max(CASE WHEN rn = 128 THEN h END) AS hk
+  FROM r WHERE rn <= 128 GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT sk.event_type,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+             END, 4) AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM sk JOIN ex ON ex.event_type = sk.event_type
+""",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketch.py): per event type, the
+    128 smallest distinct user-id md5s; estimate = (k−1)/θ. Unlike HLL
+    (whose register layout no oracle can replay — its query asserts an
+    SLO), KMV is a deterministic function of the data: the oracle
+    recomputes the sketch AND the estimate bit-for-bit. In-plan exact
+    distinct rides along as the accuracy witness."""
+    from chatbot_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=128)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.size("kmv").cast("long").alias("n_kept"),
+        F.round(kmv_estimate(F.col("kmv"), 128), 4).alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+@query(
+    "kmv_jaccard_userdays",
+    f"""
+WITH ud AS (
+  SELECT event_type, user_id * 1000 + date_part('day', ts) AS ud FROM events
+  WHERE event_type IN ('click', 'purchase')),
+h AS (SELECT DISTINCT event_type, md5(CAST(ud AS VARCHAR)) AS h FROM ud),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h),
+ab AS (SELECT event_type, h FROM r WHERE rn <= 128),
+u AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM ab) t ORDER BY h LIMIT 128),
+flags AS (
+  SELECT u.h,
+         CASE WHEN EXISTS (SELECT 1 FROM ab WHERE ab.h = u.h AND event_type = 'click')
+               AND EXISTS (SELECT 1 FROM ab WHERE ab.h = u.h AND event_type = 'purchase')
+              THEN 1 ELSE 0 END AS in_both
+  FROM u),
+est AS (
+  SELECT CAST(sum(in_both) AS DOUBLE) / count(*) AS jac_est,
+         count(*) AS nu,
+         max(CASE WHEN rnu = 128 THEN h END) AS hk
+  FROM (SELECT h, in_both, row_number() OVER (ORDER BY h) AS rnu FROM flags)),
+ex AS (
+  SELECT CAST(count(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS DOUBLE)
+           / count(*) AS jac_exact
+  FROM (
+    SELECT ud, max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+    FROM ud GROUP BY ud))
+SELECT round(jac_est, 6) AS jaccard_est,
+       round(CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+             END, 4) AS est_union,
+       round(jac_exact, 6) AS exact_jaccard
+FROM est, ex
+""",
+)
+def kmv_jaccard_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV capability HLL lacks: SET INTERSECTION. Click vs purchase
+    user-day sets sketch independently (mergeable per-batch shape); the
+    Jaccard estimate is the both-members fraction of the merged sketch,
+    and est_union comes from the merged sketch's own θ — all
+    deterministic, all replayed bit-for-bit by the oracle, with the
+    in-plan exact Jaccard as the accuracy witness."""
+    from chatbot_spark.operators.sketch import kmv_estimate, kmv_jaccard, kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ud = ev.select(
+        "event_type",
+        (F.col("user_id") * 1000 + F.dayofmonth("ts")).alias("ud"),
+    )
+    sk = kmv_sketch(ud, ["event_type"], "ud", k=128)
+    a = sk.filter(F.col("event_type") == "click").select(F.col("kmv").alias("a"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("kmv").alias("b"))
+    exact = (
+        ud.groupBy("ud")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+        )
+        .agg(
+            (
+                F.sum(F.when((F.col("ca") == 1) & (F.col("cb") == 1), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("jac_exact")
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(exact)
+        .select(
+            F.round(kmv_jaccard(F.col("a"), F.col("b"), 128), 6).alias("jaccard_est"),
+            F.round(
+                kmv_estimate(kmv_merge(F.col("a"), F.col("b"), 128), 128), 4
+            ).alias("est_union"),
+            F.round("jac_exact", 6).alias("exact_jaccard"),
+        )
+    )
+
+
 @query(
     "incremental_distinct_hll",
     """

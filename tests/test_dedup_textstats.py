@@ -436,3 +436,41 @@ def test_exact_substring_query_evaluates_span_pipeline_once(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("explode(sequence(1,") == 1, plan
+
+
+def test_kmv_merge_of_partials_equals_direct(spark):
+    """KMV is closed under merge: per-half sketches merged give EXACTLY
+    the direct whole-set sketch (not approximately — the k smallest of a
+    union is the k smallest of the per-part k-smallest sets)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    df = spark.range(1000).select(F.lit("g").alias("g"), (F.col("id") * 7919 % 1000).alias("v"))
+    k = 32
+    direct = kmv_sketch(df, ["g"], "v", k=k).first()["kmv"]
+    h1 = kmv_sketch(df.filter("id % 2 = 0"), ["g"], "v", k=k).first()["kmv"]
+    h2 = kmv_sketch(df.filter("id % 2 = 1"), ["g"], "v", k=k).first()["kmv"]
+    merged = (
+        spark.createDataFrame([(h1, h2)], "a ARRAY<STRING>, b ARRAY<STRING>")
+        .select(kmv_merge(F.col("a"), F.col("b"), k).alias("m"))
+        .first()["m"]
+    )
+    assert merged == direct
+    est = (
+        spark.createDataFrame([(direct,)], "kmv ARRAY<STRING>")
+        .select(kmv_estimate(F.col("kmv"), k).alias("e"))
+        .first()["e"]
+    )
+    assert 0.6 * 1000 < est < 1.6 * 1000  # k=32 is coarse; sanity band
+
+
+def test_kmv_small_group_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([("g", i % 5) for i in range(50)], "g STRING, v INT")
+    sk = kmv_sketch(df, ["g"], "v", k=128)
+    row = sk.select(kmv_estimate(F.col("kmv"), 128).alias("e"), F.size("kmv").alias("n")).first()
+    assert (row.n, row.e) == (5, 5.0)
