@@ -75,6 +75,7 @@ HEADLINE = [
     "audio_features",
     "video_frames",
     "catalog_roundtrip",
+    "table_stats_orders",
     "component_code_join",
     "reference_dedup",
     "citation_rewrite",

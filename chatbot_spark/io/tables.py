@@ -262,3 +262,56 @@ def merge_into(
             val = F.coalesce(tc(c), sc(c))
         out_cols.append(val.alias(c))
     return joined.filter(~delete_now).select(*out_cols)
+
+
+def collect_table_stats(
+    df: DataFrame, cols: list[str] | None = None, ndv_mode: str = "approx"
+) -> DataFrame:
+    """ANALYZE TABLE: per-column (n_rows, n_nulls, n_distinct, min, max)
+    in ONE scan — the statistics surface a cost-based planner and a
+    file-skipping index consume (Spark's own ANALYZE ... COMPUTE
+    STATISTICS FOR COLUMNS writes these to the catalog; this returns
+    them as a DataFrame so pipelines can persist/diff them).
+
+    All per-column aggregates ride a single ``agg`` (one pass over the
+    data); the wide 1-row result then unpivots to (column, …) rows via
+    stack — driver never sees data, only the k×5 summary. min/max are
+    computed in NATIVE column order and cast to string afterwards for
+    the uniform schema, so numerics don't sort lexicographically.
+
+    ``ndv_mode``: "approx" (default — HLL, constant memory, the 100 TB
+    setting) or "exact" (count distinct; each exact column multiplies
+    the aggregate's Expand by one, the usual COUNT(DISTINCT) cost).
+    """
+    if ndv_mode not in ("approx", "exact"):
+        raise ValueError("ndv_mode must be 'approx' or 'exact'")
+    cols = cols or df.columns
+    ndv = F.countDistinct if ndv_mode == "exact" else (
+        lambda c: F.approx_count_distinct(c)
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __ndv_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stacked}) "
+            "AS (column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_nonnull")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

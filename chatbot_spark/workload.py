@@ -4366,6 +4366,54 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_stats_orders",
+    """
+WITH s AS (
+  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders)
+SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+FROM s
+""",
+)
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE surface (io/tables.py::collect_table_stats): the
+    per-column planner statistics — row/null/distinct counts, native-
+    order min/max — computed in ONE scan (all aggregates ride a single
+    agg; the wide 1-row result unpivots via stack, so only the k×5
+    summary exists anywhere). ndv_mode='exact' here so the oracle is
+    bit-exact; 'approx' is the constant-memory 100 TB default."""
+    from chatbot_spark.io.tables import collect_table_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return collect_table_stats(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        ndv_mode="exact",
+    )
+
+
+@query(
     "salted_join_enrich",
     """
 WITH dim AS (

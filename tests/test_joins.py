@@ -366,3 +366,25 @@ def test_merge_into_default_insert_is_source_row(spark):
     src = spark.createDataFrame([(9, "z")], "id LONG, val STRING")
     got = {r.id: r.val for r in merge_into(base, src, on=["id"]).collect()}
     assert got == {1: "a", 9: "z"}
+
+
+def test_collect_table_stats_native_order_and_nulls(spark):
+    """min/max must use NATIVE column order (numerics not lexicographic)
+    and null accounting must be exact; approx mode stays within the HLL
+    band."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import collect_table_stats
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (100, "a"), (None, "a")],
+        "n LONG, s STRING",
+    )
+    stats = {r.column_name: r for r in collect_table_stats(df, ndv_mode="exact").collect()}
+    n = stats["n"]
+    assert (n.n_rows, n.n_nulls, n.n_distinct) == (4, 1, 3)
+    assert (n.min_value, n.max_value) == ("9", "100")  # native, not "10"/"9"
+    s = stats["s"]
+    assert (s.n_nulls, s.n_distinct, s.min_value, s.max_value) == (1, 2, "a", "b")
+    approx = {r.column_name: r.n_distinct for r in collect_table_stats(df).collect()}
+    assert abs(approx["n"] - 3) <= 1
