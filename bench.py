@@ -35,6 +35,7 @@ HEADLINE = [
     "rollup_returns",
     "supplier_running_qty",
     "events_hourly",
+    "events_hopping_window",
     "sessionize",
     "top_events_per_user",
     "event_type_pivot",

@@ -963,6 +963,49 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hopping_window",
+    """
+WITH w AS (
+  SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000 - j * 900000000)
+           AS win_start,
+         event_type, value
+  FROM events, unnest(generate_series(0, 3)) AS t(j))
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM w
+GROUP BY 1, 2
+""",
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregation — 1-hour windows every 15
+    minutes, the smoothing shape dashboards use where tumbling windows
+    alias. Spark's window TVF replicates each row into its
+    duration/slide = 4 overlapping windows in-stage (a Generate, never a
+    materialized 4× copy); the oracle derives the same 4 slide-aligned
+    window starts per event with integer µs arithmetic. Same exact-cents
+    discipline as events_hourly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:00").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@query(
     "sessionize",
     """
 WITH flagged AS (
