@@ -144,6 +144,9 @@ HEADLINE = [
     # bpe_train: 10 driver-coordinated merge rounds — wall-clock is the
     # per-round job floor (~2 s x 10), not a data-plane cost, so it is
     # excluded like the multi-batch streaming drains
+    # snapshot_time_travel: three commit cycles of the versioned-commit
+    # writer — measures the commit harness, not a query plan; excluded
+    # like the streaming drains
 
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths

@@ -302,10 +302,21 @@ def upsert_state_writer(
     return write_batch
 
 
-def read_upsert_state(spark, state_dir: str) -> DataFrame:
-    """The table at the current commit pointer."""
+def read_upsert_state(spark, state_dir: str, version: str | int | None = None) -> DataFrame:
+    """Snapshot read of the versioned-commit table. ``version=None``
+    follows the ``CURRENT`` pointer; an explicit version (``"v1"`` /
+    ``1`` / a full ``"v1_<token>"`` dir name) reads that commit — TIME
+    TRAVEL for free, because commits are immutable directories that the
+    writer never rewrites after the repoint (the Delta/Iceberg
+    read-at-snapshot path in miniature; retention/VACUUM of old ``v*``
+    dirs is the operator's only extra job at scale)."""
     import os
 
-    with open(os.path.join(state_dir, "CURRENT")) as f:
-        cur = f.read().strip()
+    if version is None:
+        with open(os.path.join(state_dir, "CURRENT")) as f:
+            cur = f.read().strip()
+    elif isinstance(version, int):
+        cur = f"v{version}"
+    else:
+        cur = version if version.startswith("v") else f"v{version}"
     return spark.read.parquet(os.path.join(state_dir, cur))

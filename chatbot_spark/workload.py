@@ -4560,6 +4560,96 @@ def merge_into_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_time_travel",
+    """
+WITH b0 AS (
+  SELECT doc_id AS id, 1 AS version, text FROM documents WHERE doc_id < 150),
+b1 AS (
+  SELECT doc_id AS id, 2 AS version, 'v2:' || text AS text FROM documents
+  WHERE doc_id < 150 AND doc_id % 3 = 0),
+b2 AS (
+  SELECT doc_id AS id, 1 AS version, text FROM documents
+  WHERE doc_id >= 150 AND doc_id < 200),
+v0 AS (SELECT * FROM b0),
+v1 AS (
+  SELECT coalesce(u.id, b.id) AS id, coalesce(u.version, b.version) AS version,
+         coalesce(u.text, b.text) AS text
+  FROM v0 b FULL OUTER JOIN b1 u ON u.id = b.id),
+v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM b2),
+snaps AS (
+  SELECT 'v0' AS snapshot, id, version, text FROM v0
+  UNION ALL SELECT 'v1', id, version, text FROM v1
+  UNION ALL SELECT 'current', id, version, text FROM v2)
+SELECT snapshot,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(version) AS BIGINT) AS sum_version,
+       CAST(sum(list_reduce(list_transform(generate_series(1, 8),
+         d -> (strpos('0123456789abcdef',
+               substr(md5(CAST(id AS VARCHAR) || ':' || CAST(version AS VARCHAR) || ':' || text), d, 1)) - 1)
+         * 2^(4*(8-d))), (a, x) -> a + x)) AS BIGINT) AS content_checksum
+FROM snaps GROUP BY snapshot
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned-commit table: three batches commit
+    through the lakehouse-miniature protocol (merge → write v<batch> →
+    atomically repoint CURRENT); because commits are immutable
+    directories, reading v0/v1 AFTER the third commit returns the exact
+    historical tables — the verdict hashes all three snapshots and the
+    oracle replays the merge algebra (keep-latest full-outer per batch).
+    At scale the only extra operator duty is retention (VACUUM of old
+    v* dirs); readers never block writers and vice versa."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import read_upsert_state, upsert_state_writer
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("version"), "text"
+    )
+    b1 = docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 3 == 0)).select(
+        F.col("doc_id").alias("id"),
+        F.lit(2).alias("version"),
+        F.concat(F.lit("v2:"), "text").alias("text"),
+    )
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)).select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("version"), "text"
+    )
+    state_dir = tempfile.mkdtemp(prefix="cbs_travel_q_")
+    writer = upsert_state_writer(state_dir, id_col="id", version_col="version")
+    for i, b in enumerate((b0, b1, b2)):
+        writer(b, i)
+
+    def verdict(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("version").cast("long").alias("sum_version"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"), F.lit(":"),
+                                F.col("version").cast("string"), F.lit(":"),
+                                F.col("text"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+            ).cast("long").alias("content_checksum"),
+        ).select(F.lit(label).alias("snapshot"), "n_rows", "sum_version", "content_checksum")
+
+    return (
+        verdict(read_upsert_state(spark, state_dir, 0), "v0")
+        .unionByName(verdict(read_upsert_state(spark, state_dir, 1), "v1"))
+        .unionByName(verdict(read_upsert_state(spark, state_dir), "current"))
+    )
+
+
+@query(
     "upsert_latest",
     """
 WITH base AS (
