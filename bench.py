@@ -57,6 +57,7 @@ HEADLINE = [
     "range_join_price_bands",
     "small_quantity_revenue",
     "late_orders_by_priority",
+    "null_aware_not_in",
     "volume_shipping",
     "promo_revenue",
     "urgent_late_by_year",

@@ -4560,6 +4560,62 @@ def merge_into_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "null_aware_not_in",
+    """
+WITH probe AS (SELECT DISTINCT o_custkey FROM orders),
+lst AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer),
+a AS (
+  SELECT count(*) AS n FROM probe
+  WHERE o_custkey NOT IN (SELECT k FROM lst)),
+b AS (
+  SELECT count(*) AS n FROM probe
+  WHERE o_custkey NOT IN (SELECT k FROM lst WHERE k IS NOT NULL))
+SELECT 'with_nulls' AS variant, CAST(n AS BIGINT) AS n_rows FROM a
+UNION ALL
+SELECT 'nulls_filtered' AS variant, CAST(n AS BIGINT) AS n_rows FROM b
+""",
+)
+def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic NOT IN — the correctness trap of the anti-join
+    family: one NULL in the subquery list makes every NOT IN predicate
+    UNKNOWN, so the with-nulls arm must return 0 rows while the
+    nulls-filtered arm anti-joins normally (Spark plans the former as a
+    NULL-aware anti join, the latter as a plain LeftAnti —
+    brand_supplier_count documents why its NOT IN could skip the
+    null-aware machinery; this query exercises it). Both engines'
+    SQL semantics agree exactly, which is the point of pinning it."""
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    vo = f"orders_nai_{uuid.uuid4().hex[:10]}"
+    vc = f"customer_nai_{uuid.uuid4().hex[:10]}"
+    orders.createOrReplaceTempView(vo)
+    cust.createOrReplaceTempView(vc)
+    try:
+        return spark.sql(f"""
+            WITH probe AS (SELECT DISTINCT o_custkey FROM {vo}),
+            lst AS (
+              SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+              FROM {vc}),
+            a AS (
+              SELECT count(*) AS n FROM probe
+              WHERE o_custkey NOT IN (SELECT k FROM lst)),
+            b AS (
+              SELECT count(*) AS n FROM probe
+              WHERE o_custkey NOT IN (SELECT k FROM lst WHERE k IS NOT NULL))
+            SELECT 'with_nulls' AS variant, CAST(n AS BIGINT) AS n_rows FROM a
+            UNION ALL
+            SELECT 'nulls_filtered' AS variant, CAST(n AS BIGINT) AS n_rows FROM b
+        """)
+    finally:
+        spark.catalog.dropTempView(vo)
+        spark.catalog.dropTempView(vc)
+
+
+@query(
     "snapshot_time_travel",
     """
 WITH b0 AS (
