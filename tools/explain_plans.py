@@ -186,6 +186,32 @@ COMMENT = {
         "the posexplode+groupBy(dim) agg — map-side partials collapse "
         "each partition to d rows."
     ),
+    "merge_into_changes": (
+        "General MERGE INTO: ONE full-outer sort-merge join on the key "
+        "plus a CASE projection carrying all three clauses (gated update, "
+        "delete, insert) — the canonical MERGE shuffle; the cardinality "
+        "check is a cheap source-side aggregate. Bucket the base on the "
+        "key and the target-side exchange disappears."
+    ),
+    "kmv_jaccard_userdays": (
+        "KMV set intersection: two sketches built by the skew-safe "
+        "two-phase top-k window pair (the (key, partition) pre-prune "
+        "bounds every exchange to k rows per key per partition), then the "
+        "merge/estimate/Jaccard are pure array expressions over two "
+        "k-element arrays — the final join moves two rows."
+    ),
+    "rolling_zscore_anomalies": (
+        "One hash exchange on user_id; count/sum/sum-of-squares share a "
+        "single Window operator over the same frame, and the z expression "
+        "is a codegen'd projection over exact BIGINTs — no second pass, "
+        "no self-join, no UDF."
+    ),
+    "events_hopping_window": (
+        "The window TVF expands each row to its 4 overlapping windows "
+        "in-stage (Generate inside the scan stage, pipelined into the "
+        "partial aggregate) — map-side combine still collapses before the "
+        "one exchange keyed by (window, type)."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
