@@ -227,17 +227,21 @@ def merge_into(
     def sc(c: str) -> Column:
         return F.col(f"s.{c}")
 
+    # presence markers, not key-null checks: the join is eqNullSafe (NULL
+    # keys DO match), so "matched" must mean "a row existed on both
+    # sides" — keying it off key-nullness would misread a null-key match
+    # as a source-only insert
+    t = t.withColumn("__t_present", F.lit(True)).alias("t")
+    s = s.withColumn("__s_present", F.lit(True)).alias("s")
     cond = [tc(c).eqNullSafe(sc(c)) for c in on]
     joined = t.join(s, cond, "full_outer")
-    matched = F.lit(True)
-    for c in on:
-        matched = matched & tc(c).isNotNull() & sc(c).isNotNull()
-    src_only = F.lit(True)
-    for c in on:
-        src_only = src_only & tc(c).isNull()
+    matched = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNotNull()
+    src_only = F.col("t.__t_present").isNull()
 
+    # a NULL clause condition means "clause does not fire" (SQL 3VL —
+    # same routing the update gate gets from CASE), never "delete"
     delete_now = (
-        matched & when_matched_delete
+        matched & F.coalesce(when_matched_delete, F.lit(False))
         if when_matched_delete is not None
         else F.lit(False)
     )

@@ -170,7 +170,11 @@ class SQIndex:
                 ).reshape(len(pdf), -1)
                 Xd = codes.astype(np.float64) * scale + mins
                 xn = (Xd * Xd).sum(axis=1)
-                d2 = qn[:, None] - 2.0 * (Qm @ Xd.T) + xn[None, :]
+                # clamp: the expansion can land ~-1e-13 for identical
+                # vectors (BLAS reassociation); sqrt(neg) → NaN dist
+                d2 = np.maximum(
+                    qn[:, None] - 2.0 * (Qm @ Xd.T) + xn[None, :], 0.0
+                )
                 top = min(kk, d2.shape[1])
                 idx = np.argpartition(d2, top - 1, axis=1)[:, :top]
                 out_q, out_n, out_d = [], [], []

@@ -14,9 +14,11 @@ At 100 TB this is the difference between a dashboard filter on
 (user, time-window) opening 40 000 files and opening ~40.
 
 Engine notes:
- * The z-value is pure integer arithmetic (subtract, multiply, integer
-   DIV, shift, bitwise OR) inside whole-stage codegen — no UDF, no
-   floats, so layouts are bit-reproducible across runs and engines.
+ * The z-value is a scalar expression chain (subtract, multiply, one
+   correctly-rounded IEEE divide, floor, shift, bitwise OR) inside
+   whole-stage codegen — no UDF; deterministic for the same data, so
+   layouts are reproducible across runs (and the scale-before-truncate
+   order keeps fractional-range columns on the curve).
  * Normalization bounds come from one broadcast 1-row aggregate; at scale
    you would compute them once per maintenance run (they need not be
    exact — stale bounds only skew tile sizes, never correctness).
@@ -42,8 +44,11 @@ def zorder_value(
 ) -> DataFrame:
     """Append a Morton z-value column interleaving ``bits`` bits of each
     (numeric, non-null) column in ``cols``. Columns are min-max
-    normalized to [0, 2^bits) with exact integer arithmetic:
-    ``(v - min) * (2^bits - 1) DIV max(span, 1)``.
+    normalized to [0, 2^bits):
+    ``floor((v - min) * (2^bits - 1) / span)``, clamped — computed in
+    DOUBLE so fractional-range columns normalize correctly (integer
+    inputs up to 2^53·span/maxv stay exact; beyond that the layout only
+    coarsens, never corrupts — z is routing, not results).
 
     Total z width is ``bits * len(cols)`` bits — keep it ≤ 62 so the
     value stays in a BIGINT (8 bits × 2 dims = 16 is plenty for file
@@ -62,10 +67,18 @@ def zorder_value(
     maxv = (1 << bits) - 1
     norms: list[Column] = []
     for c in cols:
+        # scale BEFORE truncating: casting (v - min) to BIGINT first
+        # collapses fractional-range columns (span < 1 → every norm 0,
+        # silently dropping the dimension from the curve). The double
+        # multiply/divide is correctly-rounded IEEE — deterministic for
+        # the same data — and the floor lands back on an exact integer;
+        # clamp covers the v == max edge and any last-ulp excursion.
         norms.append(
             F.expr(
-                f"CAST((CAST({c} - __zmin_{c} AS BIGINT) * {maxv}) "
-                f"DIV greatest(CAST(__zmax_{c} - __zmin_{c} AS BIGINT), 1) AS BIGINT)"
+                f"CASE WHEN CAST(__zmax_{c} - __zmin_{c} AS DOUBLE) <= 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(least(greatest(floor("
+                f"CAST({c} - __zmin_{c} AS DOUBLE) * {maxv} "
+                f"/ CAST(__zmax_{c} - __zmin_{c} AS DOUBLE)), 0), {maxv}) AS BIGINT) END"
             )
         )
     z: Column = F.lit(0).cast("long")

@@ -1470,13 +1470,16 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # even the 64-bit signature reproducible by the oracle)
 # --------------------------------------------------------------------------
 
-# hex → int for an 8-hex-char md5 word, pure SQL (DuckDB lacks conv()):
+# hex → int for an 8-hex-char string, pure SQL (DuckDB lacks conv()):
 # sum of digit_value * 16^(8-d) over the 8 positions, exact in DOUBLE.
-_DUCK_HEXWORD = (
+# _DUCK_HEX8 takes any 8-char hex expression; _DUCK_HEXWORD is its
+# md5-at-offset form (one definition — the arithmetic must never fork).
+_DUCK_HEX8 = (
     "list_reduce(list_transform(generate_series(1, 8), "
-    "d -> (strpos('0123456789abcdef', substr(md5({t}), {off} + d - 1, 1)) - 1) "
+    "d -> (strpos('0123456789abcdef', substr({h}, d, 1)) - 1) "
     "* 2^(4*(8-d))), (a, x) -> a + x)"
 )
+_DUCK_HEXWORD = _DUCK_HEX8.format(h="substr(md5({t}), {off}, 8)")
 
 
 @query(
@@ -4639,12 +4642,13 @@ snaps AS (
 SELECT snapshot,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(version) AS BIGINT) AS sum_version,
-       CAST(sum(list_reduce(list_transform(generate_series(1, 8),
-         d -> (strpos('0123456789abcdef',
-               substr(md5(CAST(id AS VARCHAR) || ':' || CAST(version AS VARCHAR) || ':' || text), d, 1)) - 1)
-         * 2^(4*(8-d))), (a, x) -> a + x)) AS BIGINT) AS content_checksum
+       CAST(sum({hex8}) AS BIGINT) AS content_checksum
 FROM snaps GROUP BY snapshot
-""",
+""".format(
+        hex8=_DUCK_HEX8.format(
+            h="md5(CAST(id AS VARCHAR) || ':' || CAST(version AS VARCHAR) || ':' || text)"
+        )
+    ),
 )
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over the versioned-commit table: three batches commit
@@ -5519,13 +5523,6 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_HEX8 = (
-    "list_reduce(list_transform(generate_series(1, 8), "
-    "d -> (strpos('0123456789abcdef', substr({h}, d, 1)) - 1) * 2^(4*(8-d))), "
-    "(a, x) -> a + x)"
-)
-
-
 @query(
     "kmv_distinct_users",
     f"""
@@ -6230,8 +6227,8 @@ WHERE user_id < 2 AND ts < TIMESTAMP '2024-01-05'
 def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional layout clustering (OPTIMIZE ZORDER BY): events
     written on the Morton curve of (user_id, unix_micros(ts)) — 8 bits
-    per dimension, integer-exact normalization, 16 range-partitioned
-    files — versus the single-key range layout. Each z file owns a 2-D
+    per dimension, scale-before-truncate min-max normalization, 16
+    range-partitioned files — versus the single-key range layout. Each z file owns a 2-D
     tile, so a selective predicate on EITHER dimension touches ~4-5 of 16
     files (measured in-plan via count(DISTINCT input_file_name) over
     matching rows), where the user-clustered layout answers user

@@ -421,7 +421,7 @@ def test_salted_join_equals_plain_and_left_semantics(spark):
         salted_join(left, right, on=["k"], salt_source=F.col("id"), how="full")
 
 
-def test_exact_substring_query_evaluates_span_pipeline_once(spark):
+def test_exact_substring_query_evaluates_span_pipeline_once(spark, sf_dir):
     """Plan audit: the shingle/island subtree (its Generate node) must
     appear exactly once — span stats read off the removal plan via
     keep_spans_col, not a second evaluation of the whole pipeline."""
@@ -430,7 +430,7 @@ def test_exact_substring_query_evaluates_span_pipeline_once(spark):
 
     from chatbot_spark.workload import SPARK_QUERIES
 
-    df = SPARK_QUERIES["exact_substring_dedup"](spark, "/root/testdata/sf0.001")
+    df = SPARK_QUERIES["exact_substring_dedup"](spark, sf_dir)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")

@@ -388,3 +388,53 @@ def test_collect_table_stats_native_order_and_nulls(spark):
     assert (s.n_nulls, s.n_distinct, s.min_value, s.max_value) == (1, 2, "a", "b")
     approx = {r.column_name: r.n_distinct for r in collect_table_stats(df).collect()}
     assert abs(approx["n"] - 3) <= 1
+
+
+def test_merge_into_null_semantics(spark):
+    """Review regressions: (a) a NULL delete-condition means the clause
+    does NOT fire (SQL 3VL) — the row must survive; (b) NULL join keys
+    match under eqNullSafe, so a null-key pair is MATCHED (update path),
+    not a source-only insert."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "old")], "id LONG, val STRING"
+    )
+    src = spark.createDataFrame(
+        [(1, "A", None), (None, "new", "U")], "id LONG, val STRING, action STRING"
+    )
+    merged = merge_into(
+        base,
+        src,
+        on=["id"],
+        when_matched_update={"val": F.col("s.val")},
+        # action NULL for id=1 -> UNKNOWN -> must NOT delete
+        when_matched_delete=F.col("s.action") == "D",
+    )
+    got = {r.id: r.val for r in merged.collect()}
+    assert got == {1: "A", None: "new"}  # both matched-updated; none deleted/duplicated
+    assert merged.count() == 2
+
+
+def test_zorder_value_fractional_range_columns(spark):
+    """Review regression: a DOUBLE column spanning [0, 1) must still
+    spread across the full bit range (the old integer-truncating
+    normalization collapsed it to 0, dropping the dimension)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.zorder import zorder_value
+
+    df = spark.range(256).select(
+        (F.col("id") / 256.0).alias("x"), F.col("id").alias("y")
+    )
+    z = zorder_value(df, ["x", "y"], bits=8)
+    # x == y/256 for every row, so both dims normalize identically and
+    # the interleave of equal dims duplicates bit pairs: z = 3 * morton
+    # spread check: distinct z count equals row count (no collapse)
+    assert z.select("zval").distinct().count() == 256
+    # and a thin x slab maps to a small z range, not everything
+    lo = z.filter(F.col("x") < 0.05).agg(F.max("zval")).first()[0]
+    hi = z.filter(F.col("x") > 0.95).agg(F.min("zval")).first()[0]
+    assert lo < hi
