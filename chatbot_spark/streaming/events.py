@@ -302,6 +302,39 @@ def upsert_state_writer(
     return write_batch
 
 
+def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
+    """Retention for the versioned-commit table (the VACUUM half of the
+    time-travel contract): delete all but the newest ``keep`` version
+    directories, never touching the one ``CURRENT`` points at. Versions
+    order by commit recency = batch id (the ``v<id>[_token]`` prefix).
+    Returns the removed directory names.
+
+    Safety order matters: the pointer is read FIRST and its target is
+    exempt unconditionally, so a concurrent repoint can at worst leave
+    one extra directory behind — never dangle the pointer. Readers of a
+    vacuumed snapshot fail like any expired-retention read in a
+    lakehouse; pick ``keep`` >= your longest reader window."""
+    import os
+    import re
+    import shutil
+
+    with open(os.path.join(state_dir, "CURRENT")) as f:
+        current = f.read().strip()
+    vers = [
+        d
+        for d in os.listdir(state_dir)
+        if re.fullmatch(r"v\d+(_[0-9a-f]+)?", d)
+        and os.path.isdir(os.path.join(state_dir, d))
+    ]
+    vers.sort(key=lambda d: int(re.match(r"v(\d+)", d).group(1)))
+    doomed = [d for d in vers[:-keep] if d != current] if keep > 0 else [
+        d for d in vers if d != current
+    ]
+    for d in doomed:
+        shutil.rmtree(os.path.join(state_dir, d))
+    return doomed
+
+
 def read_upsert_state(spark, state_dir: str, version: str | int | None = None) -> DataFrame:
     """Snapshot read of the versioned-commit table. ``version=None``
     follows the ``CURRENT`` pointer; an explicit version (``"v1"`` /

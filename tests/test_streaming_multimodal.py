@@ -419,3 +419,28 @@ def test_rawp_roundtrip_and_grid_check(spark):
     dfb = spark.createDataFrame([("b", bad)], "media_id STRING, content BINARY")
     with pytest.raises(Exception, match="not divisible"):
         extract_image_ahash(dfb, grid=8).collect()
+
+
+def test_vacuum_versions_keeps_current_and_newest(spark, tmp_path):
+    """Retention deletes the oldest version dirs, never the CURRENT
+    target, and vacuumed snapshots fail to read while kept ones work."""
+    import pytest
+
+    from chatbot_spark.streaming.events import (
+        read_upsert_state,
+        upsert_state_writer,
+        vacuum_versions,
+    )
+
+    state = str(tmp_path / "state")
+    writer = upsert_state_writer(state, id_col="id", version_col="version")
+    for i in range(4):
+        writer(
+            spark.createDataFrame([(i, i)], "id LONG, version LONG"), i
+        )
+    removed = vacuum_versions(state, keep=2)
+    assert removed == ["v0", "v1"]
+    assert read_upsert_state(spark, state).count() == 4  # CURRENT intact
+    assert read_upsert_state(spark, state, 2).count() == 3  # kept snapshot
+    with pytest.raises(Exception):
+        read_upsert_state(spark, state, 0).count()  # vacuumed
