@@ -54,6 +54,32 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def hopping_rollup(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of workload.events_hopping_window: overlapping
+    (hopping) windows — each row lands in duration/slide windows; state
+    is per-(window, type) and the watermark bounds how many window
+    generations stay open, exactly as for tumbling windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:00").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization with the built-in session_window — same
     30-min gap as the batch lag/cumsum sessionizer (workload.sessionize)."""

@@ -1006,6 +1006,51 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hopping_rollup",
+    """
+WITH w AS (
+  SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000 - j * 900000000)
+           AS win_start,
+         event_type, value
+  FROM events, unnest(generate_series(0, 3)) AS t(j))
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM w
+GROUP BY 1, 2
+""",
+)
+def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hopping_window: real readStream ->
+    watermarked OVERLAPPING windows -> AvailableNow drain, hash-matched
+    against the same batch oracle (exact parity). State is
+    per-(window, type) x 4 overlapping generations; the watermark bounds
+    open generations exactly as for tumbling windows."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        hopping_rollup,
+        read_event_stream,
+        run_stream_once_complete,
+    )
+
+    base = tempfile.mkdtemp(prefix="cbs_hop_q_")
+    inpath = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
+    rows = run_stream_once_complete(
+        hopping_rollup(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
+    )
+    df = spark.createDataFrame(rows)
+    return df.select(
+        "win_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+    )
+
+
+@query(
     "sessionize",
     """
 WITH flagged AS (
