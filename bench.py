@@ -65,6 +65,7 @@ HEADLINE = [
     "acctbal_percentiles",
     "supplier_rank_distribution",
     "train_test_split",
+    "leakage_free_split",
     "vocab_topk",
     "pack_sequences",
     "event_type_unpivot",

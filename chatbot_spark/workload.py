@@ -3829,6 +3829,98 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "leakage_free_split",
+    f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM documents WHERE doc_id < 200),
+post AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id),
+canon AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.canonical_id, d.doc_id) AS grp,
+         CAST({_DUCK_HEXWORD.format(t="CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)", off=1)} AS BIGINT) % 10 AS bucket
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+  LEFT JOIN canon c ON c.doc_id = d.doc_id),
+folds AS (
+  SELECT doc_id, grp,
+         CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+  FROM assigned),
+spanning AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT grp FROM folds GROUP BY grp HAVING count(DISTINCT split) > 1))
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       (SELECT n FROM spanning) AS clusters_spanning_splits
+FROM folds GROUP BY split
+""",
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (GroupKFold by duplicate
+    cluster): near-duplicate documents straddling a split boundary leak
+    training data into evaluation, so the split key is the doc's
+    near-dup CLUSTER canonical id (3-gram-Jaccard pairs -> connected
+    components; singletons key by themselves) and the whole cluster
+    lands in one fold by construction. The verdict carries per-split
+    membership (id checksum) AND the in-plan invariant that zero
+    clusters span splits; the oracle replays CC with a recursive CTE
+    and the same md5 bucketing."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1
+    )
+    canon = resolve_duplicate_clusters(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(canon, "doc_id", "left")
+        .withColumn("grp", F.coalesce("canonical_id", "doc_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("grp").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    )
+    folds = assigned.select(
+        "doc_id",
+        "grp",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    spanning = (
+        folds.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("clusters_spanning_splits"))
+    )
+    return (
+        folds.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .crossJoin(spanning)
+        .select("split", "n_docs", "id_checksum", "clusters_spanning_splits")
+    )
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Unrolled-CTE replay of the BPE training rounds (operators/bpe.py):
     round r's pair counts come from the merged reps of round r-1, the
