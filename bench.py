@@ -88,6 +88,7 @@ HEADLINE = [
     "salted_join_enrich",
     "upsert_latest",
     "merge_into_changes",
+    "cdc_apply_changes",
     "approx_percentile_slo",
     "csv_orc_roundtrip",
     "stream_static_join",

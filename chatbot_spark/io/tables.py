@@ -319,3 +319,53 @@ def collect_table_stats(
         "min_value",
         "max_value",
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    on: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture feed (the Delta CDF / Debezium apply
+    shape): ``changes`` may carry MANY ordered operations per key —
+    inserts/updates (``op IN ('I','U')``) and deletes (``'D'``) — and
+    only the LAST operation per key (by ``seq_col``; on a sequence tie
+    the delete wins — 'D' sorts first ascending, so it deterministically
+    survives the compaction) decides the key's fate. That compaction is
+    one window over the feed (the feed is usually a sliver of the
+    table); the survivor set then applies through :func:`merge_into`,
+    whose one-row-per-key contract the compaction establishes by
+    construction. ``changes`` must carry every base column (plus
+    ``seq_col``/``op_col``) — the update clause reads them all.
+
+    At 100 TB: window shuffle = O(feed), merge shuffle = the usual MERGE
+    full-outer on the keys — the standard nightly CDC-apply cost."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return merge_into(
+        base,
+        last,
+        on=on,
+        when_matched_update={
+            c: F.col(f"s.{c}") for c in base.columns if c not in on
+        },
+        when_matched_delete=F.col(f"s.{op_col}") == "D",
+    ).join(
+        # a key whose LAST op is a delete but which never existed in the
+        # base would fall through to the default insert clause: anti-join
+        # those phantom keys out (for base keys it already deleted, this
+        # is a no-op)
+        last.filter(F.col(op_col) == "D").select(*on),
+        on,
+        "left_anti",
+    )

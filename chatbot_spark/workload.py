@@ -4756,6 +4756,69 @@ def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_changes",
+    """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+expected AS (
+  -- the oracle encodes CDC semantics per rule-class, independent of the
+  -- operator's window/merge mechanism:
+  SELECT doc_id, 'u2:' || text AS text FROM base WHERE doc_id % 10 = 0       -- two updates: last wins
+  UNION ALL
+  SELECT doc_id, 'res:' || text FROM base WHERE doc_id % 10 = 2              -- delete then update: resurrected
+  UNION ALL
+  SELECT doc_id, text FROM base
+  WHERE doc_id % 10 NOT IN (0, 1, 2, 5)                                      -- untouched classes
+  UNION ALL
+  SELECT doc_id + 1000, 'new:' || text FROM base WHERE doc_id % 10 = 3       -- fresh insert
+  -- %10=1: update then delete -> gone; %10=5: same-seq tie -> delete wins;
+  -- phantom insert+delete (keys +2000) never appear
+)
+SELECT doc_id, md5(text) AS text_md5 FROM expected
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (io/tables.py::apply_cdc): a change feed with MULTIPLE
+    ordered operations per key — update-then-update (last wins),
+    update-then-delete (gone), delete-then-update (resurrected),
+    insert-then-delete of a never-existing key (phantom, must not
+    appear), and a same-sequence tie where the delete deterministically
+    wins. One window compacts the feed to its final op per key, then the
+    general MERGE applies it. The oracle states the EXPECTED table per
+    rule class — semantics, not mechanism — so a compaction-order or
+    clause-routing bug shows up as a hash mismatch."""
+    from chatbot_spark.io.tables import apply_cdc
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = docs.select("doc_id", "text")
+
+    def feed(pred, key_shift, seq, op, prefix):
+        rows = docs.filter(pred).select(
+            (F.col("doc_id") + key_shift).alias("doc_id"),
+            F.concat(F.lit(prefix), "text").alias("text") if prefix else F.col("text"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+        return rows
+
+    m = F.col("doc_id") % 10
+    changes = (
+        feed(m == 0, 0, 1, "U", "u1:")
+        .unionByName(feed(m == 0, 0, 2, "U", "u2:"))
+        .unionByName(feed(m == 1, 0, 1, "U", "u1:"))
+        .unionByName(feed(m == 1, 0, 2, "D", None))
+        .unionByName(feed(m == 2, 0, 1, "D", None))
+        .unionByName(feed(m == 2, 0, 2, "U", "res:"))
+        .unionByName(feed(m == 3, 1000, 1, "I", "new:"))
+        .unionByName(feed(m == 4, 2000, 1, "I", "ph:"))
+        .unionByName(feed(m == 4, 2000, 2, "D", None))
+        .unionByName(feed(m == 5, 0, 1, "U", "tie:"))
+        .unionByName(feed(m == 5, 0, 1, "D", None))
+    )
+    applied = apply_cdc(base, changes, on=["doc_id"], seq_col="seq", op_col="op")
+    return applied.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@query(
     "snapshot_time_travel",
     """
 WITH b0 AS (

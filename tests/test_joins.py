@@ -438,3 +438,25 @@ def test_zorder_value_fractional_range_columns(spark):
     lo = z.filter(F.col("x") < 0.05).agg(F.max("zval")).first()[0]
     hi = z.filter(F.col("x") > 0.95).agg(F.min("zval")).first()[0]
     assert lo < hi
+
+
+def test_apply_cdc_semantics_matrix(spark):
+    """Hand-checked CDC classes incl. the same-seq tie (delete wins) and
+    the phantom insert+delete of a never-existing key."""
+    from chatbot_spark.io.tables import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id LONG, val STRING"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 1, "U"), (1, "a2", 2, "U"),     # last update wins
+            (2, None, 1, "D"), (2, "b2", 2, "U"),     # resurrected
+            (3, "c1", 5, "U"), (3, None, 5, "D"),     # tie -> delete wins
+            (9, "new", 1, "I"),                        # fresh insert
+            (8, "ph", 1, "I"), (8, None, 2, "D"),     # phantom
+        ],
+        "id LONG, val STRING, seq LONG, op STRING",
+    )
+    got = {r.id: r.val for r in apply_cdc(base, changes, ["id"], "seq").collect()}
+    assert got == {1: "a2", 2: "b2", 9: "new"}
