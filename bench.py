@@ -91,6 +91,7 @@ HEADLINE = [
     "cdc_apply_changes",
     "approx_percentile_slo",
     "csv_orc_roundtrip",
+    "schema_evolution_read",
     "stream_static_join",
     "order_count_distribution",
     "idle_rich_customers",

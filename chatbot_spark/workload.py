@@ -4756,6 +4756,50 @@ def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution_read",
+    """
+WITH unioned AS (
+  SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 100 AND doc_id < 200)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM unioned
+""",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source level: an old batch written WITHOUT
+    the lang column and a new batch WITH it land in the same dataset;
+    ``mergeSchema`` unifies the footers so old rows surface lang=NULL —
+    the additive-column evolution every long-lived ingest dataset goes
+    through (at 100 TB you set this per-read, not globally: footer
+    merging costs a file-listing pass). Verdict: row counts by schema
+    generation, distinct langs, id checksum — the oracle is the
+    null-padded UNION the merged read must equal."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="cbs_schevo_q_")
+    path = os.path.join(base, "data")
+    docs.filter(F.col("doc_id") < 100).select("doc_id", "text").write.mode(
+        "append"
+    ).parquet(path)
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "text", "lang"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).cast("long").alias("n_pre_evolution"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+@query(
     "cdc_apply_changes",
     """
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
