@@ -460,3 +460,35 @@ def test_apply_cdc_semantics_matrix(spark):
     )
     got = {r.id: r.val for r in apply_cdc(base, changes, ["id"], "seq").collect()}
     assert got == {1: "a2", 2: "b2", 9: "new"}
+
+
+def test_apply_cdc_random_feed_matches_reference_model(spark):
+    """Differential test: 400 random ops over 60 keys applied by the
+    Spark operator must equal a sequential dict-model replay (last op
+    per key wins; same-seq ties prefer delete, matching the operator's
+    documented order). Seeded — failures reproduce."""
+    import random
+
+    from chatbot_spark.io.tables import apply_cdc
+
+    rng = random.Random(1234)
+    base_rows = [(k, f"b{k}") for k in range(30)]
+    ops = []
+    for seq in range(1, 401):
+        k = rng.randrange(60)
+        op = rng.choice(["U", "U", "I", "D"])
+        ops.append((k, f"v{seq}" if op != "D" else None, seq, op))
+    # reference: compact to last op per key (ties impossible — seq unique)
+    final = {}
+    for k, v, seq, op in ops:
+        final[k] = (seq, op, v)
+    model = {k: v for k, v in dict(base_rows).items()}
+    for k, (seq, op, v) in final.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    base = spark.createDataFrame(base_rows, "id LONG, val STRING")
+    changes = spark.createDataFrame(ops, "id LONG, val STRING, seq LONG, op STRING")
+    got = {r.id: r.val for r in apply_cdc(base, changes, ["id"], "seq").collect()}
+    assert got == model
