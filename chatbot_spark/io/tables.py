@@ -180,6 +180,7 @@ def merge_into(
     when_matched_delete: Column | None = None,
     when_not_matched_insert: dict[str, Column] | None = None,
     update_condition: Column | None = None,
+    insert_condition: Column | None = None,
 ) -> DataFrame:
     """General MERGE INTO (the Delta/Iceberg mutation primitive,
     generalizing :func:`upsert_latest`'s keep-latest special case):
@@ -189,7 +190,9 @@ def merge_into(
       (gated by ``update_condition`` if given; unlisted columns keep
       their target values);
     * source-only → inserted (``when_not_matched_insert`` map, or the
-      source row verbatim);
+      source row verbatim), gated by ``insert_condition`` if given
+      (WHEN NOT MATCHED AND <cond> THEN INSERT — failing rows simply
+      don't insert);
     * target-only → kept unchanged.
 
     Clause expressions reference the two sides as ``t.<col>`` (target)
@@ -246,6 +249,13 @@ def merge_into(
         else F.lit(False)
     )
     upd_gate = update_condition if update_condition is not None else F.lit(True)
+    # WHEN NOT MATCHED [AND <cond>] THEN INSERT — a source-only row
+    # failing (or NULL-ing) the condition simply does not insert
+    skip_insert = (
+        src_only & ~F.coalesce(insert_condition, F.lit(False))
+        if insert_condition is not None
+        else F.lit(False)
+    )
     updates = when_matched_update or {}
     inserts = when_not_matched_insert or {
         c: sc(c) for c in base.columns if c in source.columns
@@ -265,7 +275,7 @@ def merge_into(
             # covers the target-only / source-only branches
             val = F.coalesce(tc(c), sc(c))
         out_cols.append(val.alias(c))
-    return joined.filter(~delete_now).select(*out_cols)
+    return joined.filter(~delete_now & ~skip_insert).select(*out_cols)
 
 
 def collect_table_stats(
@@ -332,20 +342,27 @@ def apply_cdc(
     shape): ``changes`` may carry MANY ordered operations per key —
     inserts/updates (``op IN ('I','U')``) and deletes (``'D'``) — and
     only the LAST operation per key (by ``seq_col``; on a sequence tie
-    the delete wins — 'D' sorts first ascending, so it deterministically
-    survives the compaction) decides the key's fate. That compaction is
-    one window over the feed (the feed is usually a sliver of the
-    table); the survivor set then applies through :func:`merge_into`,
-    whose one-row-per-key contract the compaction establishes by
-    construction. ``changes`` must carry every base column (plus
+    the delete wins — 'D' sorts first ascending — and any remaining tie
+    between identical (seq, op) rows, e.g. a retried delivery with
+    divergent payloads, breaks on the payload columns so the survivor is
+    deterministic, never shuffle-order luck) decides the key's fate.
+    That compaction is one window over the feed (the feed is usually a
+    sliver of the table); the survivor set then applies through
+    :func:`merge_into`, whose one-row-per-key contract the compaction
+    establishes by construction and whose ``insert_condition`` drops
+    phantom keys (a never-existing key whose last op is a delete) at the
+    clause level. ``changes`` must carry every base column (plus
     ``seq_col``/``op_col``) — the update clause reads them all.
 
     At 100 TB: window shuffle = O(feed), merge shuffle = the usual MERGE
     full-outer on the keys — the standard nightly CDC-apply cost."""
     from pyspark.sql import Window
 
+    payload = [c for c in changes.columns if c not in (*on, seq_col, op_col)]
     w = Window.partitionBy(*on).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).asc()
+        F.col(seq_col).desc(),
+        F.col(op_col).asc(),
+        *[F.col(c).asc_nulls_last() for c in payload],
     )
     last = (
         changes.withColumn("__rn", F.row_number().over(w))
@@ -360,12 +377,5 @@ def apply_cdc(
             c: F.col(f"s.{c}") for c in base.columns if c not in on
         },
         when_matched_delete=F.col(f"s.{op_col}") == "D",
-    ).join(
-        # a key whose LAST op is a delete but which never existed in the
-        # base would fall through to the default insert clause: anti-join
-        # those phantom keys out (for base keys it already deleted, this
-        # is a no-op)
-        last.filter(F.col(op_col) == "D").select(*on),
-        on,
-        "left_anti",
+        insert_condition=F.col(f"s.{op_col}") != "D",
     )

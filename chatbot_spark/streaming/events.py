@@ -332,8 +332,13 @@ def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
     """Retention for the versioned-commit table (the VACUUM half of the
     time-travel contract): delete all but the newest ``keep`` version
     directories, never touching the one ``CURRENT`` points at. Versions
-    order by commit recency = batch id (the ``v<id>[_token]`` prefix).
-    Returns the removed directory names.
+    order by COMMIT RECENCY = directory mtime (each version dir is
+    written exactly once), with the batch id as a stable tie-break —
+    NOT by batch id alone: a run_token lifecycle restart resets batch
+    ids to 0, and id-ordering would then retain the OLD lifecycle's
+    stale high-id dirs while deleting the live lifecycle's recent
+    commits. Returns the removed directory names; a state_dir with no
+    ``CURRENT`` yet (first batch not committed) is a no-op.
 
     Safety order matters: the pointer is read FIRST and its target is
     exempt unconditionally, so a concurrent repoint can at worst leave
@@ -344,7 +349,10 @@ def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
     import re
     import shutil
 
-    with open(os.path.join(state_dir, "CURRENT")) as f:
+    marker = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(marker):
+        return []
+    with open(marker) as f:
         current = f.read().strip()
     vers = [
         d
@@ -352,7 +360,12 @@ def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
         if re.fullmatch(r"v\d+(_[0-9a-f]+)?", d)
         and os.path.isdir(os.path.join(state_dir, d))
     ]
-    vers.sort(key=lambda d: int(re.match(r"v(\d+)", d).group(1)))
+    vers.sort(
+        key=lambda d: (
+            os.path.getmtime(os.path.join(state_dir, d)),
+            int(re.match(r"v(\d+)", d).group(1)),
+        )
+    )
     doomed = [d for d in vers[:-keep] if d != current] if keep > 0 else [
         d for d in vers if d != current
     ]

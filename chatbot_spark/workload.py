@@ -962,9 +962,33 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_hopping_window",
-    """
+def _drained_event_rollup(spark: SparkSession, sf_dir: str, rollup_fn) -> DataFrame:
+    """Shared drain harness for the batch-parity streaming rollups: stage
+    events as a file-source stream, apply ``rollup_fn``, drain with
+    AvailableNow in complete mode, return the result rows as a DataFrame
+    (one copy of the mkdtemp/write/drain plumbing — each streaming twin
+    adds only its rollup + column contract)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        run_stream_once_complete,
+    )
+
+    base = tempfile.mkdtemp(prefix="cbs_stream_q_")
+    inpath = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
+    rows = run_stream_once_complete(
+        rollup_fn(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
+    )
+    return spark.createDataFrame(rows)
+
+
+# one definition for both the batch hopping window and its streaming
+# twin — the COVERAGE contract is "same batch oracle, exact parity",
+# which a silently-diverging copy would break
+_HOPPING_ORACLE = """
 WITH w AS (
   SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000 - j * 900000000)
            AS win_start,
@@ -976,8 +1000,10 @@ SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM w
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+@query("events_hopping_window", _HOPPING_ORACLE)
 def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOPPING (sliding) window aggregation — 1-hour windows every 15
     minutes, the smoothing shape dashboards use where tumbling windows
@@ -1005,44 +1031,16 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_hopping_rollup",
-    """
-WITH w AS (
-  SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000 - j * 900000000)
-           AS win_start,
-         event_type, value
-  FROM events, unnest(generate_series(0, 3)) AS t(j))
-SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start,
-       event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-FROM w
-GROUP BY 1, 2
-""",
-)
+@query("stream_hopping_rollup", _HOPPING_ORACLE)
 def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_hopping_window: real readStream ->
     watermarked OVERLAPPING windows -> AvailableNow drain, hash-matched
     against the same batch oracle (exact parity). State is
     per-(window, type) x 4 overlapping generations; the watermark bounds
     open generations exactly as for tumbling windows."""
-    import os
-    import tempfile
+    from chatbot_spark.streaming.events import hopping_rollup
 
-    from chatbot_spark.streaming.events import (
-        hopping_rollup,
-        read_event_stream,
-        run_stream_once_complete,
-    )
-
-    base = tempfile.mkdtemp(prefix="cbs_hop_q_")
-    inpath = os.path.join(base, "in")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
-    rows = run_stream_once_complete(
-        hopping_rollup(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
-    )
-    df = spark.createDataFrame(rows)
+    df = _drained_event_rollup(spark, sf_dir, hopping_rollup)
     return df.select(
         "win_start", "event_type",
         F.col("n_events").cast("long").alias("n_events"),
@@ -2485,22 +2483,9 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_hourly run as a real readStream →
     watermarked window agg → AvailableNow drain; the batch SQL is the
     oracle (exact parity, not approximate)."""
-    import os
-    import tempfile
+    from chatbot_spark.streaming.events import hourly_rollup
 
-    from chatbot_spark.streaming.events import (
-        hourly_rollup,
-        read_event_stream,
-        run_stream_once_complete,
-    )
-
-    base = tempfile.mkdtemp(prefix="cbs_stream_q_")
-    inpath = os.path.join(base, "in")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
-    rows = run_stream_once_complete(
-        hourly_rollup(read_event_stream(spark, inpath)), os.path.join(base, "ckpt")
-    )
-    df = spark.createDataFrame(rows)
+    df = _drained_event_rollup(spark, sf_dir, hourly_rollup)
     return df.select(
         "hour", "event_type",
         F.col("n_events").cast("long").alias("n_events"),

@@ -492,3 +492,24 @@ def test_apply_cdc_random_feed_matches_reference_model(spark):
     changes = spark.createDataFrame(ops, "id LONG, val STRING, seq LONG, op STRING")
     got = {r.id: r.val for r in apply_cdc(base, changes, ["id"], "seq").collect()}
     assert got == model
+
+
+def test_merge_into_insert_condition(spark):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: failing (and NULL)
+    conditions drop the source-only row instead of inserting it."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import merge_into
+
+    base = spark.createDataFrame([(1, "a")], "id LONG, val STRING")
+    src = spark.createDataFrame(
+        [(2, "yes", 1), (3, "no", 0), (4, "nul", None)],
+        "id LONG, val STRING, ok INT",
+    )
+    got = {
+        r.id: r.val
+        for r in merge_into(
+            base, src, on=["id"], insert_condition=F.col("s.ok") == 1
+        ).collect()
+    }
+    assert got == {1: "a", 2: "yes"}
