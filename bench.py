@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "knn_exact_l2",
     "knn_exact_cosine",
+    "radius_search",
     "knn_per_label_quota",
     "embedding_neardup",
     "text_stats",
@@ -105,6 +106,7 @@ HEADLINE = [
     "sq_knn",
     "compact_small_files",
     "stratified_sample",
+    "capped_class_sample",
     "incremental_rollup",
     "incremental_distinct_hll",
     "forecast_revenue",

@@ -198,3 +198,34 @@ def systematic_weighted_sample(
         )
         .drop("__total")
     )
+
+
+def capped_sample(
+    df: DataFrame, group_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Per-group cap — the class-balancing downsample (at most ``cap``
+    rows per group), with the subset chosen by CONTENT-HASH order
+    (md5 of the id): deterministic, layout/engine-invariant, and stable
+    under corpus growth (a row already selected stays selected until
+    cap-out), unlike rand() ordering — same philosophy as
+    deterministic_sample.
+
+    Skew-safe two-phase selection (the kmv_sketch window shape): phase 1
+    ranks within (group, scan-partition-id) and keeps ≤ cap per cell, so
+    a hot group's rows spread across its partitions instead of
+    funneling one reducer; phase 2 ranks the ≤ cap×P survivors per
+    group. Output is identical to the single-window plan (total order
+    (md5, id) in both phases)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    pre = df.withColumn("__h", h).withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__h", id_col)
+    w2 = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    return (
+        pre.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= cap)
+        .drop("__h", "__pid", "__r1", "__rn")
+    )

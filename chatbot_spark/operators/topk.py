@@ -165,3 +165,54 @@ def _reported(metric: str, rank_dist: Column) -> Column:
     if metric == "l2":
         return F.sqrt(rank_dist)
     return rank_dist
+
+
+def radius_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    component_codes: list[int] | None = None,
+) -> DataFrame:
+    """Range search (FAISS ``range_search`` / the vector-store
+    score-threshold retrieval mode): ALL corpus rows within ``radius`` of
+    each query — no k, no ranking window. The plan is the top-k join's
+    first half only: broadcast query side onto the corpus scan, distance
+    in the same deterministic fold as :func:`knn_join`, and a pushed
+    filter instead of any shuffle — range search is embarrassingly
+    parallel (output size is data-dependent, which is exactly why it has
+    no per-query window to skew).
+
+    For cosine, ``radius`` is a minimum SIMILARITY (results with
+    cos >= radius), matching score-threshold retriever semantics;
+    for l2 it is a maximum distance."""
+    if component_codes is not None:
+        corpus_df = corpus_df.filter(F.col("component_code").isin(component_codes))
+    q = queries_df.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    if metric == "l2":
+        from chatbot_spark.functions.vector import l2_distance
+
+        d = l2_distance(F.col("__qvec"), F.col(corpus_vec))
+        keep = d <= F.lit(float(radius))
+    elif metric == "cosine":
+        from chatbot_spark.functions.vector import cosine_similarity
+
+        d = cosine_similarity(F.col("__qvec"), F.col(corpus_vec))
+        keep = d >= F.lit(float(radius))
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    return (
+        corpus_df.join(F.broadcast(q))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col(corpus_id).alias("neighbor_id"),
+            d.alias("score"),
+        )
+        .filter(keep)
+    )

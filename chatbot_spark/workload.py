@@ -106,6 +106,37 @@ def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "radius_search",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+)
+SELECT query_id, neighbor_id, round(d, 6) AS score
+FROM pairs WHERE d <= 1.25
+""",
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 range-search mode (FAISS range_search / score-threshold
+    retrieval): every corpus vector within L2 1.25 of each query — no k,
+    no ranking window, just the broadcast-query scan with a pushed
+    distance filter (embarrassingly parallel; the data-dependent output
+    size is why no per-query window exists to skew). The distance fold
+    is the same deterministic expression as knn_exact_l2, so the
+    threshold comparison agrees bit-for-bit across engines."""
+    from chatbot_spark.operators.topk import radius_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir, n=5)
+    res = radius_join(
+        q, emb, radius=1.25, metric="l2", corpus_id="vec_id", corpus_vec="embedding"
+    )
+    return res.select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+@query(
     "knn_exact_cosine",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -5749,6 +5780,39 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_n").cast("long").alias("n_events"),
         F.sum("p_sum").cast("long").alias("sum_value_cents"),
         F.max("p_max").cast("long").alias("max_user"),
+    )
+
+
+@query(
+    "capped_class_sample",
+    """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 500
+GROUP BY event_type
+""",
+)
+def capped_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing downsample (operators/sampling.py::capped_sample):
+    at most 500 events per type, the subset chosen by content-hash order
+    — deterministic and growth-stable where rand() ordering is neither.
+    The engine path is the skew-safe two-phase window (hot classes rank
+    within (class, partition) first); the oracle is the single-window
+    form — equality proves the two-phase selection exact, and the id
+    checksum pins the exact membership, not just counts."""
+    from chatbot_spark.operators.sampling import capped_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = capped_sample(ev, ["event_type"], "event_id", cap=500)
+    return kept.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
     )
 
 
