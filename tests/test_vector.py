@@ -303,3 +303,51 @@ def test_zorder_write_lossless_and_tiled(spark, tmp_path):
     ).first()[0]
     assert nf(F.col("a") < 4) < total
     assert nf(F.col("b") < 4) < total
+
+
+def test_radius_join_cosine_threshold_mode(spark):
+    """Cosine mode keeps rows with similarity >= threshold (score-
+    threshold retriever semantics); self-similarity 1.0 always in."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.topk import radius_join
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.8, 0.6])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = {
+        r.neighbor_id: round(r.score, 6)
+        for r in radius_join(
+            q, corpus, radius=0.5, metric="cosine",
+            corpus_id="vec_id", corpus_vec="embedding",
+        ).collect()
+    }
+    assert got == {0: 1.0, 2: 0.8}  # orthogonal vec 1 excluded
+
+
+def test_capped_sample_two_phase_equals_single_window(spark):
+    """The skew-safe two-phase selection must equal the plain
+    one-window form on a multi-partition input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from chatbot_spark.operators.sampling import capped_sample
+
+    df = spark.range(3000).repartition(13).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id")
+    )
+    got = {
+        (r.g, r.id) for r in capped_sample(df, ["g"], "id", cap=7).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.md5(F.col("id").cast("string")), "id")
+    want = {
+        (r.g, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 7")
+        .collect()
+    }
+    assert got == want and len(want) == 21
