@@ -109,6 +109,7 @@ HEADLINE = [
     "capped_class_sample",
     "incremental_rollup",
     "incremental_distinct_hll",
+    "incremental_kmv_distinct",
     "forecast_revenue",
     "min_cost_supplier",
     "nation_year_profit",

@@ -5864,6 +5864,62 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_kmv_distinct",
+    f"""
+WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+sk AS (SELECT count(*) AS n_kept, max(CASE WHEN rn = 128 THEN h END) AS hk
+       FROM r WHERE rn <= 128),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT CAST(n_kept AS BIGINT) AS n_kept,
+       round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+             END, 4) AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       1 AS merged_equals_direct
+FROM sk, ex
+""",
+)
+def incremental_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct maintenance with EXACT merge semantics — the
+    bit-exact counterpart of incremental_distinct_hll: each day's events
+    build an independent KMV sketch (the nightly-batch shape); the 30
+    daily sketches fold together with the closed-form merge (k smallest
+    of the union), and closure is EXACT — the merged sketch must equal
+    the sketch built directly over the whole table, asserted in-plan and
+    driver-checked. Where HLL's query can only bound the error (5% SLO),
+    the KMV estimate itself replays bit-for-bit in the oracle."""
+    from chatbot_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = kmv_sketch(ev, ["day"], "user_id", k=k)
+    merged = daily.agg(
+        F.aggregate(
+            F.collect_list("kmv"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.slice(F.array_sort(F.array_union(acc, x)), 1, k),
+        ).alias("kmv")
+    )
+    direct = kmv_sketch(ev, [], "user_id", k=k).select(
+        F.col("kmv").alias("direct_kmv")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        merged.crossJoin(direct)
+        .crossJoin(exact)
+        .select(
+            F.size("kmv").cast("long").alias("n_kept"),
+            F.round(kmv_estimate(F.col("kmv"), k), 4).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (F.col("kmv") == F.col("direct_kmv")).cast("int").alias("merged_equals_direct"),
+        )
+    )
+
+
+@query(
     "kmv_jaccard_userdays",
     f"""
 WITH ud AS (
