@@ -41,6 +41,7 @@ HEADLINE = [
     "top_events_per_user",
     "event_type_pivot",
     "asof_purchase_click",
+    "first_touch_attribution",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -4499,6 +4499,58 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "first_touch_attribution",
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+att AS (
+  SELECT p.event_id, p.user_id,
+         min(c.ts) AS first_click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 7 DAY
+  GROUP BY p.event_id, p.user_id)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(sum(epoch_us(first_click_ts)) AS BIGINT) AS sum_first_click_us
+FROM att GROUP BY user_id % 10
+""",
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, FIRST-touch: each purchase credits the
+    EARLIEST click in its trailing 7-day window — the complement of the
+    as-of join's last-touch (asof_purchase_click: most recent click).
+    Plan: the interval join fans out per (purchase, qualifying click)
+    and collapses with min() — map-side combinable, keyed by purchase;
+    at scale bound the window (the 7-day cap here) or the fan-out is
+    unbounded for always-clicking users. µs-exact sums, no floats."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    att = (
+        p.join(
+            c,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.min("c_ts").alias("first_click_ts"))
+    )
+    return att.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket")).agg(
+        F.count("*").alias("n_attributed"),
+        F.sum(F.unix_micros("first_click_ts")).cast("long").alias("sum_first_click_us"),
+    )
+
+
+@query(
     "rolling_zscore_anomalies",
     """
 WITH c AS (
