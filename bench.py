@@ -328,9 +328,11 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    # attach the recorded sf1 point (tools/bench_sf1.py: the 20 slowest
-    # entries re-run at a 10x key-shifted replication of sf0.1 — sf0.1
-    # sits at the scheduling floor, which hides plan differences)
+    # attach the recorded sf1 point (tools/bench_sf1.py: a PINNED entry
+    # list re-run at a 10x key-shifted replication of sf0.1 — sf0.1 sits
+    # at the scheduling floor, which hides plan differences). Per-query
+    # times ride along so rounds compare entry-by-entry, not just in
+    # aggregate (round-5 verdict item 4).
     sf1_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
     )
@@ -342,6 +344,7 @@ def main() -> None:
                 "value": sf1["value"],
                 "n_queries": len(sf1.get("queries", {})),
                 "derivation": sf1.get("derivation"),
+                "queries": sf1.get("queries", {}),
             }
         except (OSError, ValueError, KeyError):
             pass

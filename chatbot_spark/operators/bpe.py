@@ -78,9 +78,16 @@ def train_bpe(
     the wrappers for the actual subword sequences.
     """
     spark = df.sparkSession
-    bad = df.filter(F.col(text_col).rlike("[<>]")).limit(1).count()
+    # '_' is the end-of-word marker in the wrapped encoding: a literal
+    # corpus underscore would conflate mid-word '_' symbols with word
+    # boundaries in the learned merge table, so it is rejected alongside
+    # the '<'/'>' wrappers (round-5 ADVICE).
+    bad = df.filter(F.col(text_col).rlike("[<>_]")).limit(1).count()
     if bad:
-        raise ValueError("text contains the symbol wrapper chars '<'/'>'")
+        raise ValueError(
+            "text contains reserved symbols: '<'/'>' (wrappers) or "
+            "'_' (end-of-word marker)"
+        )
     base = (
         word_counts(df, text_col)
         .withColumn("rep", _initial_rep())

@@ -215,7 +215,14 @@ def capped_sample(
     a hot group's rows spread across its partitions instead of
     funneling one reducer; phase 2 ranks the ≤ cap×P survivors per
     group. Output is identical to the single-window plan (total order
-    (md5, id) in both phases)."""
+    (md5, id) in both phases).
+
+    PRECONDITION: ``id_col`` must be unique within each group. The
+    selection order is (md5(id), id); duplicate ids tie on that key, so
+    which physical row survives at the cap boundary would depend on
+    shuffle order — membership of the OTHER columns would be
+    nondeterministic even though the id multiset selected is stable
+    (round-5 ADVICE)."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(id_col).cast("string"))

@@ -192,14 +192,22 @@ def kmv_estimate(kmv, k: int):
     """Distinct-count estimate from a sorted KMV array: exact size when
     the group had < k distinct values; else the classic (k−1)/θ with
     θ = first-32-bits(h_k)/2³². Every input is an exact integer, the one
-    division is deterministic IEEE — engines agree on the double."""
+    division is deterministic IEEE — engines agree on the double.
+
+    Degenerate guard (round-5 ADVICE): if h_k's first 32 bits are all
+    zero (P ≈ 2⁻³² per sketch) the division would be Inf, and a NULL
+    from conv() on malformed input would silently NULL the estimate —
+    both fall back to the finite, deterministic size(kmv) instead, and
+    every oracle replays the same CASE so parity stays bit-exact."""
     # try_element_at: the short branch guards size < k, but ANSI
     # element_at would still be an error surface on malformed input
     hk_val = F.conv(
         F.substring(F.try_element_at(kmv, F.lit(k)), 1, 8), 16, 10
     ).cast("long")
     return F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(2**32)) / hk_val
+        F.when(
+            hk_val > 0, F.lit(float(k - 1)) * F.lit(float(2**32)) / hk_val
+        ).otherwise(F.size(kmv).cast("double"))
     )
 
 

@@ -59,27 +59,37 @@ def zorder_value(
         raise ValueError("zorder_value needs at least one column")
     if bits * ndims > 62:
         raise ValueError(f"z width {bits * ndims} exceeds BIGINT range")
+
+    # Column-expression construction throughout (round-5 ADVICE): no raw
+    # name ever reaches an F.expr/SQL string, so names needing quoting
+    # (spaces, dots, hyphens, keywords) work; bound aliases are indexed
+    # (__zmin_0, ...), never name-derived.
+    def _q(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__zmin_{c}"), F.max(c).alias(f"__zmax_{c}")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(_q(c)).alias(f"__zmin_{i}"),
+            F.max(_q(c)).alias(f"__zmax_{i}"),
+        ]
     bounds = df.agg(*aggs)
     j = df.crossJoin(F.broadcast(bounds))
     maxv = (1 << bits) - 1
     norms: list[Column] = []
-    for c in cols:
+    for i, c in enumerate(cols):
         # scale BEFORE truncating: casting (v - min) to BIGINT first
         # collapses fractional-range columns (span < 1 → every norm 0,
         # silently dropping the dimension from the curve). The double
         # multiply/divide is correctly-rounded IEEE — deterministic for
         # the same data — and the floor lands back on an exact integer;
         # clamp covers the v == max edge and any last-ulp excursion.
+        lo, hi = F.col(f"__zmin_{i}"), F.col(f"__zmax_{i}")
+        span = (hi - lo).cast("double")
+        scaled = F.floor((_q(c) - lo).cast("double") * maxv / span)
+        clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(maxv)).cast("long")
         norms.append(
-            F.expr(
-                f"CASE WHEN CAST(__zmax_{c} - __zmin_{c} AS DOUBLE) <= 0 THEN CAST(0 AS BIGINT) "
-                f"ELSE CAST(least(greatest(floor("
-                f"CAST({c} - __zmin_{c} AS DOUBLE) * {maxv} "
-                f"/ CAST(__zmax_{c} - __zmin_{c} AS DOUBLE)), 0), {maxv}) AS BIGINT) END"
-            )
+            F.when(span <= 0, F.lit(0).cast("long")).otherwise(clamped)
         )
     z: Column = F.lit(0).cast("long")
     for i in range(bits):
@@ -87,7 +97,10 @@ def zorder_value(
             bit = F.shiftrightunsigned(norm, i).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, i * ndims + di))
     out = j.withColumn(out_col, z)
-    return out.drop(*[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols])
+    return out.drop(
+        *[f"__zmin_{i}" for i in range(ndims)],
+        *[f"__zmax_{i}" for i in range(ndims)],
+    )
 
 
 def zorder_write(

@@ -5297,10 +5297,13 @@ GROUP BY s.s_name
 def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table —
     suppliers who were the ONLY late shipper in a multi-supplier order.
-    Instead of two correlated semi/anti joins (three scans), one grouped
-    pass computes per-order distinct-supplier and distinct-late-supplier
-    counts; the predicate pair becomes n_supp > 1 AND n_late_supp = 1 —
-    same answer, one shuffle on orderkey."""
+    Instead of two correlated semi/anti joins (three scans) — or round 5's
+    two-branch plan that re-scanned the lineitem⋈orders join for the late
+    (orderkey, suppkey) pairs — ONE grouped pass per order computes
+    distinct-supplier count, distinct-late-supplier count, AND
+    max(late suppkey); when n_late_supp = 1 that max IS the sole late
+    supplier, so no second scan or self-join is needed. One lineitem
+    scan, one shuffle on orderkey, then a broadcast supplier lookup."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -5312,25 +5315,17 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+    late_supp = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
     per_order = flagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("sole_suppkey"),
     )
-    late_pairs = (
-        flagged.filter(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    sole = late_pairs.join(
-        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-        "l_orderkey",
-    )
+    sole = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
-        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        sole.join(F.broadcast(s), sole.sole_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
     )
 
 
@@ -5343,7 +5338,8 @@ WITH rev AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, rev.total_rev_e4
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(rev.total_rev_e4 AS BIGINT) AS total_rev_e4
 FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
 WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
 """,
@@ -5396,7 +5392,7 @@ WITH rev AS (
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   GROUP BY n.n_name)
-SELECT n_name, rev_e4,
+SELECT n_name, CAST(rev_e4 AS BIGINT) AS rev_e4,
        CAST(floor(CAST(rev_e4 AS DOUBLE) / (SELECT sum(rev_e4) FROM rev) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS share
 FROM rev
 WHERE rev_e4 * 50 > (SELECT sum(rev_e4) FROM rev)
@@ -5563,7 +5559,7 @@ WITH big AS (
   HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 200)
 SELECT c.c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
-       big.total_qty
+       CAST(big.total_qty AS BIGINT) AS total_qty
 FROM orders o
 JOIN big ON big.l_orderkey = o.o_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -5887,7 +5883,9 @@ ex AS (
 SELECT sk.event_type,
        CAST(n_kept AS BIGINT) AS n_kept,
        round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
-                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  WHEN CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT) > 0
+                  THEN 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  ELSE CAST(n_kept AS DOUBLE)
              END, 4) AS est_distinct,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM sk JOIN ex ON ex.event_type = sk.event_type
@@ -5925,7 +5923,9 @@ sk AS (SELECT count(*) AS n_kept, max(CASE WHEN rn = 128 THEN h END) AS hk
 ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
 SELECT CAST(n_kept AS BIGINT) AS n_kept,
        round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
-                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  WHEN CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT) > 0
+                  THEN 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  ELSE CAST(n_kept AS DOUBLE)
              END, 4) AS est_distinct,
        CAST(exact_distinct AS BIGINT) AS exact_distinct,
        1 AS merged_equals_direct
@@ -6006,7 +6006,9 @@ ex AS (
     FROM ud GROUP BY ud))
 SELECT round(jac_est, 6) AS jaccard_est,
        round(CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
-                  ELSE 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  WHEN CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT) > 0
+                  THEN 127.0 * 4294967296.0 / CAST({_DUCK_HEX8.format(h='hk')} AS BIGINT)
+                  ELSE CAST(nu AS DOUBLE)
              END, 4) AS est_union,
        round(jac_exact, 6) AS exact_jaccard
 FROM est, ex

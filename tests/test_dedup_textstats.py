@@ -381,6 +381,19 @@ def test_bpe_rejects_wrapper_chars(spark):
         train_bpe(docs, n_merges=1)
 
 
+def test_bpe_rejects_literal_underscore(spark):
+    """'_' is the end-of-word marker: a corpus underscore would conflate
+    mid-word '_' with word boundaries in the merge table, so it is
+    rejected like the '<'/'>' wrappers (round-5 ADVICE)."""
+    import pytest
+
+    from chatbot_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "snake_case word")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError, match="reserved"):
+        train_bpe(docs, n_merges=1)
+
+
 def test_bpe_greedy_self_overlap(spark):
     """'aaaa' with merge (a,a) must apply left-to-right non-overlapping:
     aa aa, not a aa a — the wrapped-symbol replace guarantees it."""
@@ -474,3 +487,22 @@ def test_kmv_small_group_is_exact(spark):
     sk = kmv_sketch(df, ["g"], "v", k=128)
     row = sk.select(kmv_estimate(F.col("kmv"), 128).alias("e"), F.size("kmv").alias("n")).first()
     assert (row.n, row.e) == (5, 5.0)
+
+
+def test_kmv_estimate_zero_hash_degenerate_guard(spark):
+    """If h_k's first 32 bits are all zero (P ≈ 2⁻³², forced here with a
+    synthetic sketch), the estimate must fall back to size(kmv) — finite
+    and deterministic — never Inf from /0 or NULL from a malformed hex
+    (round-5 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.sketch import kmv_estimate
+
+    k = 4
+    zero_hk = [f"{i:032x}" for i in range(k - 1)] + ["00000000" + "f" * 24]
+    bad_hex = [f"{i:032x}" for i in range(k - 1)] + ["zzzzzzzz" + "f" * 24]
+    df = spark.createDataFrame(
+        [(zero_hk,), (bad_hex,)], "kmv ARRAY<STRING>"
+    )
+    rows = df.select(kmv_estimate(F.col("kmv"), k).alias("e")).collect()
+    assert [r.e for r in rows] == [4.0, 4.0]

@@ -440,6 +440,30 @@ def test_zorder_value_fractional_range_columns(spark):
     assert lo < hi
 
 
+def test_zorder_value_nontrivial_column_names(spark):
+    """Round-5 ADVICE: names needing quoting (space, dot, hyphen, SQL
+    keyword) must work — no raw identifier reaches an expr string. Same
+    data as a clean-named twin ⇒ identical z values."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.zorder import zorder_value
+
+    clean = spark.range(64).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 64).alias("y")
+    )
+    weird = clean.select(
+        F.col("x").alias("my col.a-b"), F.col("y").alias("select")
+    )
+    zc = [r.zval for r in zorder_value(clean, ["x", "y"], bits=6).orderBy("x").collect()]
+    zw = [
+        r.zval
+        for r in zorder_value(weird, ["my col.a-b", "select"], bits=6)
+        .orderBy(F.col("`my col.a-b`"))
+        .collect()
+    ]
+    assert zc == zw
+
+
 def test_apply_cdc_semantics_matrix(spark):
     """Hand-checked CDC classes incl. the same-seq tie (delete wins) and
     the phantom insert+delete of a never-existing key."""

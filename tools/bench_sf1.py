@@ -10,8 +10,10 @@ is 10 independent sf0.1 copies, the standard replication scale-up.
 region/nation stay fixed-size (TPC-H dimension contract). Clearly a
 BENCH-ONLY derivation: correctness still runs on driver data only.
 
-Runs the slowest entries from the sf0.1 suite (default: the 20 slowest
-in BENCH_FULL.json) at the derived sf1, min-of-two per entry, and writes
+Runs a PINNED entry list (round-5 verdict item 4: the union of the
+round-4 and round-5 "20 slowest" sets, frozen so round-over-round sf1
+numbers compare entry-by-entry instead of shifting with suite
+composition) at the derived sf1, min-of-two per entry, and writes
 ``BENCH_SF1.json`` at the repo root; bench.py attaches that file to its
 printed payload so the driver's BENCH_r{N} carries the sf1 section.
 
@@ -44,6 +46,39 @@ KEY_COLS = {
 }
 
 
+# Frozen sf1 entry list = union of the r4 and r5 "20 slowest at sf0.1"
+# sets. Append new heavy entries here deliberately; never remove — the
+# point is entry-by-entry comparability across rounds.
+PINNED = [
+    "bm25_topk",
+    "catalog_roundtrip",
+    "cms_heavy_hitters",
+    "csv_orc_roundtrip",
+    "dataprep_pipeline",
+    "dedup_clusters",
+    "dsir_select",
+    "embedding_neardup",
+    "exact_substring_dedup",
+    "fuzzy_name_pairs",
+    "incremental_exact_dedup",
+    "late_orders_by_priority",
+    "late_sole_supplier",
+    "market_share",
+    "min_cost_supplier",
+    "pq_knn",
+    "pricing_summary",
+    "range_layout_pruning",
+    "revenue_by_nation",
+    "rrf_hybrid",
+    "semantic_dedup",
+    "semantic_dedup_bucketed",
+    "simhash_neardup",
+    "stream_static_join",
+    "table_stats_orders",
+    "zorder_layout_pruning",
+]
+
+
 def make_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -71,14 +106,11 @@ def main() -> int:
     if len(sys.argv) > 1:
         names = sys.argv[1:]
     else:
-        with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
-            full = json.load(f)
-        qtimes = {
-            n: t
-            for n, t in full["queries"].items()
-            if n in SPARK_QUERIES  # skip build/search legs
-        }
-        names = [n for n, _ in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]]
+        names = [n for n in PINNED if n in SPARK_QUERIES]
+        missing = [n for n in PINNED if n not in SPARK_QUERIES]
+        if missing:
+            print(f"WARN: pinned entries missing from registry: {missing}",
+                  file=sys.stderr)
 
     spark = get_spark(
         "bench-sf1", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -98,7 +130,7 @@ def main() -> int:
             spark.catalog.clearCache()
 
     payload = {
-        "metric": "sf1_slowest_entries_wall_sec",
+        "metric": "sf1_pinned_entries_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "sf": 1.0,

@@ -1,8 +1,16 @@
 """Local stand-in for the driver's t2 gate: run every workload query on
 Spark AND its DuckDB oracle at a given sf dir, compare row count, schema
-(column names), and order-insensitive values. Usage:
+(column names), ARROW TYPES, and order-insensitive values. Usage:
 
     python tools/check_parity.py [sf_dir] [query ...] [--paranoid-floats]
+
+Type comparison: both results are fetched as Arrow and each column's type
+is reduced to a canonical family (int / float / decimal / str / ...). A
+family mismatch is a FAIL even when every Python value compares equal —
+the round-4/5 lesson: DuckDB types sum(BIGINT) as HUGEINT → arrow
+decimal128(38,0) while Spark returns int64; the driver's value hash is
+type-sensitive, so such a query is driver-red while being value-identical
+locally. Oracles must CAST bare integer sums to BIGINT.
 
 --paranoid-floats: for every selected query whose oracle SQL contains a
 round() call, ALSO run the oracle with round() rewritten to an
@@ -21,6 +29,53 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
+
+
+def arrow_family(t: pa.DataType) -> str:
+    """Collapse an arrow type to the family the driver's hash cares
+    about. int64 vs int32 IS a difference (hash-relevant width); string
+    vs large_string and timestamp unit/tz are representation noise."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{arrow_family(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_family(t.key_type)},{arrow_family(t.item_type)}>"
+    return str(t)
+
+
+def type_mismatches(spark_schema: pa.Schema, duck_schema: pa.Schema) -> list[str]:
+    """Per-column (matched by name) arrow-type family diffs. Name diffs
+    are reported separately by the caller."""
+    out = []
+    dtypes = {f.name: f.type for f in duck_schema}
+    for f in spark_schema:
+        if f.name in dtypes:
+            sfam, dfam = arrow_family(f.type), arrow_family(dtypes[f.name])
+            if sfam != dfam:
+                out.append(f"{f.name}: spark={sfam} duck={dfam}")
+    return out
 
 
 def normalize(rows: list[tuple]) -> list[tuple]:
@@ -123,10 +178,22 @@ def main() -> int:
             order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
             duck_cols = [duck_cols_raw[i] for i in order]
             drows = normalize([tuple(r[i] for i in order) for r in cur.fetchall()])
+            # Schema-only re-probe (LIMIT 0) to get the oracle's arrow
+            # types without re-materializing the result.
+            duck_schema = con.execute(
+                f"SELECT * FROM ({ORACLE_SQL[name]}) AS __t LIMIT 0"
+            ).arrow().schema
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
+
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tdiff = type_mismatches(to_arrow_schema(sdf.schema), duck_schema)
+        except Exception as e:  # pragma: no cover - defensive
+            tdiff = [f"type-probe error {type(e).__name__}: {e}"]
 
         if paranoid and re.search(r"\bround\s*\(", ORACLE_SQL[name]):
             # Re-run the oracle with round() swapped for the floor-based
@@ -154,6 +221,8 @@ def main() -> int:
         status = []
         if spark_cols != duck_cols:
             status.append(f"schema spark={spark_cols} duck={duck_cols}")
+        if tdiff:
+            status.append(f"types {tdiff}")
         if len(srows) != len(drows):
             status.append(f"rows spark={len(srows)} duck={len(drows)}")
         if not status and srows != drows:
