@@ -131,15 +131,44 @@ class SQIndex:
         corpus: DataFrame | None = None,
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
+        driver_batch_rows: int | None = None,
     ) -> DataFrame:
         """Decoded-L2 top-k over the code table; ``rerank=R > 0`` (with
         ``corpus``) re-scores the top-R shortlist with exact L2 so the
         final (rank, dist) match the exact operator's contract on every
-        shortlist that quantization ranked correctly. Driver memory is
-        O(Q × d) — the bounded-batch contract shared by the whole ANN
-        family (route unbounded sets through IVFPQIndex.search
-        route="join" or PQIndex driver_batch_rows)."""
+        shortlist that quantization ranked correctly.
+
+        Default path: the query batch is collected once and broadcast —
+        driver memory O(Q × d), the bounded-batch contract shared by the
+        whole ANN family. For UNBOUNDED query sets pass
+        ``driver_batch_rows=B`` (the PQIndex contract, round-5 verdict
+        item 7): the query DF streams through the driver B rows at a
+        time via toLocalIterator, each batch's scan is eagerly
+        materialized (localCheckpoint) and its broadcast freed before
+        the next — driver holds ≤ B vectors at any moment, at the cost
+        of ⌈Q/B⌉ passes over the codes. Output is identical to the
+        unbatched plan: per-partition partial top-k survives batching
+        (each batch sees every code partition), and the global window
+        re-ranks with the same (adist, neighbor_id) total order."""
         import numpy as np
+
+        qid_t = queries.schema[query_id].dataType.simpleString()
+        nid_t = self.encoded.schema[self.id_col].dataType.simpleString()
+        out_schema = f"{query_id} {qid_t}, neighbor_id {nid_t}, adist DOUBLE"
+        kk = max(k, rerank)
+
+        if driver_batch_rows is not None:
+            cands = self._search_driver_batched(
+                queries, int(driver_batch_rows), query_id, query_vec,
+                out_schema, kk,
+            )
+            # unbounded-Q contract: the rerank join must not broadcast
+            # the query side either (F.broadcast(q) would collect all Q
+            # vectors to the driver — the exact condition this avoids)
+            return self._finish(
+                cands, queries, k, rerank, corpus, query_id, query_vec,
+                broadcast_queries=False,
+            )
 
         rows = queries.select(query_id, query_vec).collect()
         if not rows:
@@ -148,14 +177,17 @@ class SQIndex:
         Q = np.array([r[1] for r in rows], dtype=np.float64)
         bc = queries.sparkSession.sparkContext.broadcast((qids, Q))
         self._live_broadcasts.append(bc)
+        cands = self._sq_scan(bc, out_schema, kk, query_id)
+        return self._finish(cands, queries, k, rerank, corpus, query_id, query_vec)
+
+    def _sq_scan(self, bc, out_schema, kk, query_id):
+        """One mapInPandas pass over the code table serving the broadcast
+        query batch ``bc`` = (qids, Q matrix)."""
+        import numpy as np
 
         mins, spans = self.mins, self.spans
         scale = spans / 255.0
-        kk = max(k, rerank)
         id_col = self.id_col
-        qid_t = queries.schema[query_id].dataType.simpleString()
-        nid_t = self.encoded.schema[id_col].dataType.simpleString()
-        out_schema = f"{query_id} {qid_t}, neighbor_id {nid_t}, adist DOUBLE"
 
         def scan(batches):
             import pandas as pd
@@ -187,13 +219,61 @@ class SQIndex:
                     {query_id: out_q, "neighbor_id": out_n, "adist": out_d}
                 )
 
-        cands = self.encoded.mapInPandas(scan, schema=out_schema)
+        return self.encoded.mapInPandas(scan, schema=out_schema)
+
+    def _search_driver_batched(
+        self, queries, batch_rows: int, query_id, query_vec, out_schema, kk
+    ):
+        """Bounded-driver-memory path for unbounded query sets (the
+        PQIndex._search_driver_batched recipe): stream, scan per batch,
+        eagerly materialize the (small, ≤ batch×kk·P rows) candidates,
+        free the batch broadcast before the next."""
+        import numpy as np
+
+        sc = queries.sparkSession.sparkContext
+        batch_rows = max(1, batch_rows)
+        outs = []
+        buf_ids: list = []
+        buf_vecs: list = []
+
+        def flush():
+            bc = sc.broadcast(
+                (list(buf_ids), np.array(buf_vecs, dtype=np.float64))
+            )
+            # localCheckpoint(eager): candidates are computed NOW, so the
+            # broadcast can be freed immediately (result no longer lazy)
+            part = self._sq_scan(bc, out_schema, kk, query_id).localCheckpoint(
+                eager=True
+            )
+            bc.unpersist(blocking=False)
+            outs.append(part)
+            buf_ids.clear()
+            buf_vecs.clear()
+
+        for row in queries.select(query_id, query_vec).toLocalIterator():
+            buf_ids.append(row[0])
+            buf_vecs.append(row[1])
+            if len(buf_ids) >= batch_rows:
+                flush()
+        if buf_ids:
+            flush()
+        if not outs:
+            raise ValueError("empty query set")
+        cands = outs[0]
+        for o in outs[1:]:
+            cands = cands.unionByName(o)
+        return cands
+
+    def _finish(
+        self, cands, queries, k, rerank, corpus, query_id, query_vec,
+        broadcast_queries: bool = True,
+    ):
         w = Window.partitionBy(query_id).orderBy(
             F.col("adist").asc(), F.col("neighbor_id").asc()
         )
         short = (
             cands.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kk)
+            .filter(F.col("rank") <= max(k, rerank))
         )
         if rerank and corpus is not None:
             from chatbot_spark.functions.vector import l2_distance
@@ -202,7 +282,9 @@ class SQIndex:
                 F.col(self.id_col).alias("neighbor_id"),
                 F.col(self.vec_col).alias("__nvec"),
             )
-            qv = F.broadcast(queries.select(query_id, query_vec))
+            qv = queries.select(query_id, query_vec)
+            if broadcast_queries:
+                qv = F.broadcast(qv)
             exact = (
                 short.select(query_id, "neighbor_id")
                 .join(raw, "neighbor_id")

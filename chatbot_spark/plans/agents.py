@@ -47,6 +47,113 @@ def stub_llm(prompt: str) -> str:
     return json.dumps({"type": itype, "rewrite": prompt[:200], "components": comps})
 
 
+def make_openai_chat_llm(
+    base_url: str = "",
+    api_key: str = "",
+    model: str = "gpt-4o-mini",
+    temperature: float = 0.2,
+    max_tokens: int = 2000,
+    timeout: float = 60.0,
+    system_prompt: str | None = None,
+) -> LLM:
+    """OpenAI-compatible ``/chat/completions`` backend — the real-HTTP
+    twin of the reference's ChatOpenAI hook (src/agents/base.py:34-66;
+    temperature 0.2 / max_tokens 2000 mirror config.py:26-29). Same
+    gated-registry treatment the embedding side already has
+    (operators/embed.py BACKENDS): stdlib urllib, no client lib; without
+    an endpoint configured the call raises NotImplementedError and the
+    deterministic stub remains the test default."""
+
+    def llm(prompt: str) -> str:
+        import urllib.request
+
+        if not base_url:
+            raise NotImplementedError(
+                "openai chat backend needs base_url/api_key; "
+                "use stub_llm for deterministic offline runs"
+            )
+        messages = []
+        if system_prompt:
+            messages.append({"role": "system", "content": system_prompt})
+        messages.append({"role": "user", "content": prompt})
+        req = urllib.request.Request(
+            base_url.rstrip("/") + "/chat/completions",
+            data=json.dumps(
+                {
+                    "model": model,
+                    "messages": messages,
+                    "temperature": temperature,
+                    "max_tokens": max_tokens,
+                }
+            ).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {api_key}",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = json.loads(resp.read())
+        return body["choices"][0]["message"]["content"] or ""
+
+    return llm
+
+
+def make_ollama_chat_llm(
+    base_url: str = "http://localhost:11434",
+    model: str = "qwen2.5",
+    temperature: float = 0.2,
+    timeout: float = 60.0,
+) -> LLM:
+    """Ollama ``/api/chat`` backend (non-streaming), matching the
+    embedding side's make_ollama_embedder plumbing. Raises
+    NotImplementedError when no server is reachable."""
+
+    def llm(prompt: str) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(
+            base_url.rstrip("/") + "/api/chat",
+            data=json.dumps(
+                {
+                    "model": model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "options": {"temperature": temperature},
+                    "stream": False,
+                }
+            ).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = json.loads(resp.read())
+        except OSError as e:  # no Ollama server in this container
+            raise NotImplementedError(
+                f"no Ollama server reachable at {base_url}; "
+                "use stub_llm for deterministic offline runs"
+            ) from e
+        return body["message"]["content"] or ""
+
+    return llm
+
+
+CHAT_BACKENDS = {
+    "stub": lambda **kw: stub_llm,
+    "openai": make_openai_chat_llm,
+    "ollama": make_ollama_chat_llm,
+}
+
+
+def get_llm(backend: str = "stub", **kwargs) -> LLM:
+    """Chat-backend factory keyed like the embedding registry
+    (operators/embed.py get_embedder). ``stub`` is the deterministic
+    offline default; ``openai``/``ollama`` are real HTTP backends."""
+    if backend not in CHAT_BACKENDS:
+        raise ValueError(
+            f"unknown chat backend {backend!r}; have {sorted(CHAT_BACKENDS)}"
+        )
+    return CHAT_BACKENDS[backend](**kwargs)
+
+
 def parse_json_reply(raw: str, llm: LLM | None = None, prompt: str = "", retries: int = 1) -> dict:
     """JSON parse with the reference's single-retry loop (base.py:170-208):
     on failure re-ask the LLM once, then fall back to a safe default."""

@@ -861,6 +861,49 @@ def test_sq_write_load_roundtrip(spark, corpus, queries, tmp_path):
     loaded.release()
 
 
+def test_sq_driver_batched_equals_broadcast(spark, corpus, queries):
+    """Round-5 verdict item 7: SQIndex grows the same bounded-driver
+    driver_batch_rows path as PQIndex — identical rows to the one-shot
+    broadcast path, per-batch broadcasts freed as it goes."""
+    from chatbot_spark.operators.sq import SQIndex
+
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in index.search(queries, k=5).collect()
+    }
+    n_tracked = len(index._live_broadcasts)
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in index.search(queries, k=5, driver_batch_rows=3).collect()
+    }
+    assert a == b
+    assert len(index._live_broadcasts) == n_tracked
+    index.release()
+
+
+def test_sq_driver_batched_rerank_equals_broadcast(spark, corpus, queries):
+    """Bounded-driver SQ path composed with exact re-rank: no query-side
+    broadcast (that would re-collect all Q vectors) and identical rows
+    to the broadcast path."""
+    from chatbot_spark.operators.sq import SQIndex
+
+    index = SQIndex.build(corpus, vec_col="embedding", id_col="vec_id")
+    a = sorted(
+        map(tuple, index.search(queries, k=5, rerank=20, corpus=corpus).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            index.search(
+                queries, k=5, rerank=20, corpus=corpus, driver_batch_rows=4
+            ).collect(),
+        )
+    )
+    assert a == b
+    index.release()
+
+
 def test_sq_degenerate_constant_dimension(spark):
     """A constant dimension (span 0) must encode to 0 and decode to the
     constant — not NaN/inf — leaving distances exact on that axis."""

