@@ -56,20 +56,37 @@ from pyspark.sql import functions as F
 from chatbot_spark.operators.ann import _assign_cells, _numpy_kmeans
 
 
-def _beam_search(X, adj, q, ef: int, entry: int = 0):
+def _beam_search(X, adj, q, ef: int, entry: int = 0, extra_entries=(), stats=None):
     """Layer-0 HNSW beam search over one shard graph. Returns the ef
     nearest (sq_dist, pos) found, ascending, deterministic: heap entries
-    carry pos so equal distances break ties on insertion position."""
+    carry pos so equal distances break ties on insertion position.
+
+    ``extra_entries`` seeds additional start nodes (deduped). The
+    hierarchical search path seeds {descended entry, 0}: the descent
+    entry keeps the walk short, while node 0 preserves the
+    'ef ≥ shard size ⇒ exact scan' envelope — reachability repair
+    guarantees every node reachable from 0, not from arbitrary
+    entries."""
     import numpy as np
 
     n = len(X)
     if n == 0:
         return []
-    d0 = float(((X[entry] - q) ** 2).sum())
+    seeds = [int(entry)]
+    for e in extra_entries:
+        e = int(e)
+        if e not in seeds:
+            seeds.append(e)
     visited = np.zeros(n, dtype=bool)
-    visited[entry] = True
-    cand = [(d0, entry)]  # min-heap of frontier
-    res = [(-d0, entry)]  # max-heap of current ef best
+    cand = []  # min-heap of frontier
+    res = []  # max-heap of current ef best
+    for s in seeds:
+        visited[s] = True
+        ds = float(((X[s] - q) ** 2).sum())
+        heapq.heappush(cand, (ds, s))
+        heapq.heappush(res, (-ds, s))
+    while len(res) > ef:
+        heapq.heappop(res)
     while cand:
         d, u = heapq.heappop(cand)
         if len(res) >= ef and d > -res[0][0]:
@@ -86,7 +103,103 @@ def _beam_search(X, adj, q, ef: int, entry: int = 0):
                 heapq.heappush(res, (-dv, v))
                 if len(res) > ef:
                     heapq.heappop(res)
+    if stats is not None:  # bench instrumentation (tools/bench_hnsw_layers)
+        stats["visited"] = int(visited.sum())
     return sorted((-d, v) for d, v in res)
+
+
+def _assign_levels(ids, m: int, n: int) -> list[int]:
+    """Deterministic HNSW level per node: the classic geometric
+    assignment l = ⌊−ln(U)·mL⌋ with mL = 1/ln(M) (Malkov & Yashunin
+    §4.1), but U drawn from md5(id) instead of an RNG — same id ⇒ same
+    level on every engine/host (the repo's determinism discipline; graph
+    topology is not an oracle surface, but rebuilds must be
+    reproducible). Levels cap at ⌊log_M(n)⌋ + 1 — taller towers add
+    hops, not recall."""
+    import hashlib
+    import math
+
+    if m <= 1 or n <= 1:
+        return [0] * len(ids)
+    ml = 1.0 / math.log(m)
+    cap = int(math.log(max(n, 2)) * ml) + 1
+    out = []
+    for x in ids:
+        v = int.from_bytes(
+            hashlib.md5(str(x).encode("utf-8")).digest()[:8], "big"
+        )
+        u = (v + 0.5) / 2.0**64
+        out.append(min(int(-math.log(u) * ml), cap))
+    return out
+
+
+def _build_upper_layers(X, levels: list[int], m: int) -> list[list[list[int]]]:
+    """Upper-layer adjacency for the hierarchical descent: for each level
+    l ≥ 1 the member set is {i : level_i ≥ l} (geometrically shrinking),
+    linked by symmetrized exact M-nearest within the level — one small
+    BLAS Gram per level (level 1 holds ~n/M nodes, so the n_l² work is
+    ~n²/M² ≪ the layer-0 build). Returns per-node nested lists:
+    out[i][l-1] = neighbor POSITIONS (shard-local) of i at level l;
+    len(out[i]) == level_i."""
+    import numpy as np
+
+    n = len(X)
+    out: list[list[list[int]]] = [[] for _ in range(n)]
+    if n == 0 or not levels:
+        return out
+    lmax = max(levels)
+    for lvl in range(1, lmax + 1):
+        S = np.array([i for i in range(n) if levels[i] >= lvl], dtype=np.int64)
+        if len(S) <= 1:
+            for i in S:
+                out[i].append([])
+            continue
+        Xs = X[S]
+        sq = (Xs**2).sum(axis=1)
+        D = sq[:, None] - 2 * (Xs @ Xs.T) + sq[None, :]
+        np.fill_diagonal(D, np.inf)
+        k = min(m, len(S) - 1)
+        part = np.argpartition(D, k - 1, axis=1)[:, :k]
+        adj_l: list[set] = [set() for _ in range(len(S))]
+        for a in range(len(S)):
+            for b in part[a]:
+                b = int(b)
+                adj_l[a].add(b)
+                adj_l[b].add(a)
+        for a, i in enumerate(S):
+            out[i].append(sorted(int(S[b]) for b in adj_l[a]))
+    return out
+
+
+def _descend_entry(X, layers: list[list[list[int]]], q) -> int:
+    """Greedy upper-layer descent (HNSW SEARCH-LAYER with ef=1): start at
+    the top-level entry (highest tower, lowest pos on ties), walk to the
+    locally-nearest node level by level, return the final position as
+    the layer-0 beam entry. O(log n) hops — this is what keeps beam
+    length flat as shards grow."""
+    import numpy as np
+
+    n = len(X)
+    if n == 0:
+        return 0
+    levels = [len(a) for a in layers]
+    top = max(levels) if levels else 0
+    if top == 0:
+        return 0
+    cur = next(i for i in range(n) if levels[i] == top)
+    cur_d = float(((X[cur] - q) ** 2).sum())
+    for lvl in range(top, 0, -1):
+        while True:
+            nbrs = layers[cur][lvl - 1] if lvl - 1 < len(layers[cur]) else []
+            if not nbrs:
+                break
+            D = ((X[nbrs] - q) ** 2).sum(axis=1)
+            j = int(np.argmin(D))
+            if float(D[j]) < cur_d:
+                cur, cur_d = int(nbrs[j]), float(D[j])
+            else:
+                break
+    return cur
 
 
 def _repair_reachability(X, adj):
@@ -228,6 +341,8 @@ def _make_graph_build_kernel(id_col, vec_col, m, ef_construction, method):
             if method == "knn"
             else _build_nsw(Xs, m, ef_construction)
         )
+        levels = _assign_levels(list(pdf[id_col]), m, len(pdf))
+        layers = _build_upper_layers(Xs, levels, m)
         return pd.DataFrame(
             {
                 "shard": pdf["shard"],
@@ -235,6 +350,7 @@ def _make_graph_build_kernel(id_col, vec_col, m, ef_construction, method):
                 id_col: pdf[id_col],
                 vec_col: pdf[vec_col],
                 "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+                "layer_adj": layers,
             }
         )
 
@@ -319,7 +435,8 @@ class NSWGraphIndex:
         id_type = corpus.schema[id_col].dataType.simpleString()
         out_schema = (
             f"shard INT, pos INT, {id_col} {id_type}, "
-            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>, "
+            f"layer_adj ARRAY<ARRAY<INT>>"
         )
 
         build_kernel = _make_graph_build_kernel(
@@ -349,9 +466,15 @@ class NSWGraphIndex:
         centroids = spark.read.parquet(f"{path}/centroids")
         crows = sorted(centroids.collect(), key=lambda r: r["shard"])
         centers = np.array([r["centroid"] for r in crows], dtype=np.float64)
-        return cls(
-            centroids, spark.read.parquet(f"{path}/graph"), centers, vec_col, id_col
-        )
+        graph = spark.read.parquet(f"{path}/graph")
+        if "layer_adj" not in graph.columns:
+            # pre-hierarchy index: backfill NULL — search then skips the
+            # descent (entry 0, the old behavior); append/rebalance
+            # regenerate real layers for every shard they rebuild
+            graph = graph.withColumn(
+                "layer_adj", F.lit(None).cast("array<array<int>>")
+            )
+        return cls(centroids, graph, centers, vec_col, id_col)
 
     def append(
         self,
@@ -386,7 +509,8 @@ class NSWGraphIndex:
         out_schema = (
             f"shard INT, pos INT, {id_col} "
             f"{self.graph.schema[id_col].dataType.simpleString()}, "
-            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>, "
+            f"layer_adj ARRAY<ARRAY<INT>>"
         )
         old_touched = self.graph.filter(F.col("shard").isin(touched)).select(
             "shard", "pos", id_col, vec_col, "neighbors"
@@ -431,6 +555,12 @@ class NSWGraphIndex:
             adj = _repair_reachability(X, adj)
             ids = list(old[id_col]) + list(new[id_col])
             vecs = list(old[vec_col]) + list(new[vec_col])
+            # upper layers are recomputed for the whole shard: they are
+            # ~n/M nodes total, so the rebuild is noise next to the
+            # layer-0 insertion loop, and id-derived levels make the
+            # result identical to a from-scratch build of the same rows
+            levels = _assign_levels(ids, m, len(ids))
+            layers = _build_upper_layers(X, levels, m)
             shard = pdf["shard"].iloc[0]
             return pd.DataFrame(
                 {
@@ -439,6 +569,7 @@ class NSWGraphIndex:
                     id_col: ids,
                     vec_col: vecs,
                     "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+                    "layer_adj": layers,
                 }
             )
 
@@ -526,7 +657,8 @@ class NSWGraphIndex:
         out_schema = (
             f"shard INT, pos INT, {id_col} "
             f"{self.graph.schema[id_col].dataType.simpleString()}, "
-            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>"
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>, "
+            f"layer_adj ARRAY<ARRAY<INT>>"
         )
         build_kernel = _make_graph_build_kernel(
             id_col, vec_col, m, ef_construction, method
@@ -761,16 +893,31 @@ class NSWGraphIndex:
         )
 
         def walk_shard(pdf, Q, qis, qid_values):
-            """Beam-walk one shard's graph for its routed queries."""
+            """Beam-walk one shard's graph for its routed queries: greedy
+            hierarchical descent picks a near entry (O(log n) hops), the
+            layer-0 beam is dual-seeded {entry, 0} so the exact-scan
+            envelope survives (see _beam_search)."""
             import pandas as pd
 
             pdf = pdf.sort_values("pos", kind="mergesort").reset_index(drop=True)
             Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
             adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
             ids = pdf[id_col].to_numpy()
+            layers = None
+            if "layer_adj" in pdf.columns:
+                raw = list(pdf["layer_adj"])
+                # pre-hierarchy indexes (load() backfills NULL): no descent
+                if not any(a is None for a in raw):
+                    layers = [
+                        [list(nb) for nb in node] for node in raw
+                    ]
             out_q, out_n, out_d = [], [], []
             for qi in qis:
-                found = _beam_search(Xs, adj, Q[qi], ef=ef, entry=0)
+                entry = _descend_entry(Xs, layers, Q[qi]) if layers else 0
+                found = _beam_search(
+                    Xs, adj, Q[qi], ef=ef, entry=entry,
+                    extra_entries=(0,) if entry != 0 else (),
+                )
                 for d, pos in found[: min(k, len(found))]:
                     out_q.append(qid_values[qi])
                     out_n.append(ids[pos])
