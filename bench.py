@@ -155,6 +155,9 @@ HEADLINE = [
     # snapshot_time_travel: three commit cycles of the versioned-commit
     # writer — measures the commit harness, not a query plan; excluded
     # like the streaming drains
+    # graph_knn_maintained: three append/rebalance/commit/vacuum OPTIMIZE
+    # cycles — maintenance harness wall-clock, not a query plan; the
+    # nsw_* legs below measure the index's build/search paths
 
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths

@@ -1019,3 +1019,90 @@ class NSWGraphIndex:
             .cogroup(src.groupBy("shard"))
             .applyInPandas(cogroup_kernel, out_schema)
         )
+
+
+def nsw_optimize_cycle(
+    spark,
+    state_dir: str,
+    new_rows: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    nlist: int = 8,
+    m: int = 16,
+    ef_construction: int = 256,
+    max_shard_rows: int = 4096,
+    keep_versions: int = 2,
+    method: str = "knn",
+) -> NSWGraphIndex:
+    """Cross-run incremental ANN compaction (round-5 verdict item 8) —
+    one OPTIMIZE cycle of a maintenance loop that survives process
+    restarts:
+
+      1. load the index at the ``CURRENT`` version pointer (first cycle:
+         build fresh from the batch, ``nlist`` initial shards);
+      2. ``append`` the batch into its shards (frozen-centroid routing,
+         only touched shards rebuilt);
+      3. ``rebalance(max_shard_rows)`` — shard-size stats decide: shards
+         that grew past the bound re-split into k-means sub-cells, the
+         rest pass through untouched (a no-op cycle costs one size agg);
+      4. commit the optimized index to a NEW version directory
+         ``v<cycle>`` with an atomic ``CURRENT`` repoint (the
+         streaming/events.py versioned-commit protocol), alongside an
+         ANALYZE stats table (io.tables.collect_table_stats over
+         (shard, pos)) so the next cycle — or an operator — can inspect
+         layout health without scanning vectors;
+      5. ``vacuum_versions(keep_versions)`` — retention for superseded
+         versions, never touching CURRENT.
+
+    Correctness invariant (the graph_knn_maintained oracle): after ANY
+    number of cycles, full-probe search with an unbounded beam over the
+    committed index equals the exact scan over the union of all batches
+    — append/rebalance/commit/vacuum only move rows between shards and
+    versions, never lose or duplicate one.
+
+    Crash behavior inherits the commit protocol: a crash before the
+    repoint leaves CURRENT on the previous complete version (the cycle
+    replays in full); after the repoint, the new version is already the
+    committed state. Returns the committed index, re-read from disk."""
+    import os
+    import re as _re
+
+    from chatbot_spark.io.tables import collect_table_stats
+    from chatbot_spark.streaming.events import vacuum_versions
+
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "CURRENT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            cur = f.read().strip()
+        cycle = int(_re.match(r"v(\d+)", cur).group(1)) + 1
+        prev = NSWGraphIndex.load(
+            spark, os.path.join(state_dir, cur), vec_col=vec_col, id_col=id_col
+        )
+        grown = prev.append(new_rows, m=m, ef_construction=ef_construction)
+    else:
+        cycle = 0
+        grown = NSWGraphIndex.build(
+            new_rows, vec_col=vec_col, id_col=id_col, nlist=nlist, m=m,
+            ef_construction=ef_construction, method=method,
+        )
+    opt = grown.rebalance(
+        max_shard_rows, m=m, ef_construction=ef_construction, method=method
+    )
+    vdir = os.path.join(state_dir, f"v{cycle}")
+    opt.write(vdir)
+    collect_table_stats(
+        spark.read.parquet(f"{vdir}/graph").select("shard", "pos")
+    ).write.mode("overwrite").parquet(f"{vdir}/stats")
+    # everything is durable — free the rebalance round caches/broadcasts
+    try:
+        opt.graph.unpersist(blocking=False)
+    except Exception:
+        pass
+    opt.release()
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v{cycle}")
+    os.replace(tmp, marker)
+    vacuum_versions(state_dir, keep=keep_versions)
+    return NSWGraphIndex.load(spark, vdir, vec_col=vec_col, id_col=id_col)

@@ -1460,6 +1460,75 @@ def ivf_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_knn_maintained",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def graph_knn_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 cross-run index MAINTENANCE, oracle-checked (round-5 verdict
+    item 8): the corpus arrives as 3 batches through nsw_optimize_cycle
+    (operators/hnsw.py) — per cycle: load CURRENT version → append into
+    touched shards → shard-size-driven rebalance (max_shard_rows forces
+    real re-splits as the index grows) → versioned commit with ANALYZE
+    stats → vacuum to the retention window. Full-probe search with an
+    unbounded beam over the final committed version must equal the
+    exact scan over the whole corpus: the whole maintenance loop only
+    moves rows between shards and versions, never loses or duplicates
+    one."""
+    import shutil
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import nsw_optimize_cycle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    n = emb.count()
+    state_dir = tempfile.mkdtemp(prefix="cbs_nsw_opt_")
+    try:
+        idx = None
+        for b in range(3):
+            idx = nsw_optimize_cycle(
+                spark,
+                state_dir,
+                emb.filter(F.col("vec_id") % 3 == b),
+                vec_col="embedding",
+                id_col="vec_id",
+                nlist=2,
+                m=8,
+                ef_construction=64,
+                # ~n/6 per shard: the 2 initial shards hold ~n/6 rows
+                # after batch 0 and MUST split by the final cycle
+                max_shard_rows=max(64, n // 6),
+                keep_versions=2,
+            )
+        res = idx.search(
+            q, k=10, nprobe=1_000_000, ef_search=1_000_000
+        ).select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+        rows = res.collect()
+        out = spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 _DUCK_MINHASH_K = 6
 
 
