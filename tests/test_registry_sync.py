@@ -35,6 +35,22 @@ def test_every_query_has_an_oracle():
     assert set(SPARK_QUERIES) == set(ORACLE_SQL)
 
 
+def test_bench_sf1_pinned_names_are_registered():
+    """The frozen sf1 entry list (round-5 verdict item 4) must stay in
+    sync with the registry — a renamed query would silently drop out of
+    the sf1 comparison otherwise."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_sf1 import PINNED
+
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    unknown = [n for n in PINNED if n not in SPARK_QUERIES]
+    assert not unknown, f"pinned sf1 entries not in registry: {unknown}"
+    assert len(set(PINNED)) == len(PINNED), "duplicate pinned sf1 entries"
+
+
 def test_bench_headline_names_are_registered():
     import sys
 

@@ -75,12 +75,14 @@ COMMENT = {
         "collect."
     ),
     "late_sole_supplier": (
-        "The Q21 EXISTS + NOT EXISTS pair collapsed to one grouped pass: "
-        "lineitem is scanned twice (late pairs; per-order supplier counts "
-        "via Expand for the two count-distincts), orders and supplier are "
-        "broadcast, and the n_supp>1 ∧ n_late=1 predicate rides the "
-        "aggregate — no correlated re-execution, no third scan, shuffles "
-        "keyed only by orderkey/suppkey."
+        "The Q21 EXISTS + NOT EXISTS pair collapsed to ONE grouped pass "
+        "over ONE lineitem scan (r6: max(when(is_late, suppkey)) rides "
+        "the same aggregate — when n_late_supp = 1 that max IS the sole "
+        "late supplier, so the old late-pairs branch and its second scan "
+        "are gone): orders and supplier broadcast, one shuffle keyed by "
+        "orderkey (Expand for the two count-distincts), and the "
+        "n_supp>1 ∧ n_late=1 predicate rides the aggregate. sf1: "
+        "19.4 s → 6.0 s."
     ),
     "market_share": (
         "Q8 shape at scale: every dimension side (part filter, orders→"
