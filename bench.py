@@ -122,6 +122,7 @@ HEADLINE = [
     # wall-clock measures the file-replay/restart harness, not the plan
     "range_layout_pruning",
     "zorder_layout_pruning",
+    "bloom_layout_pruning",
     "bm25_topk",
     # ivfpq_knn: like ivf_knn, the correctness query bundles build + an
     # exact-scan recall check — measured by ivfpq_build/ivfpq_search below

@@ -6760,6 +6760,78 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_layout_pruning",
+    """
+SELECT 1 AS bloom_le_half_files, 1 AS bloom_matches_full_scan,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id * 1000003 + event_id) AS BIGINT) AS content_checksum
+FROM events WHERE event_id IN (7, 123, 991)
+""",
+)
+def bloom_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level Bloom skipping index (operators/bloomindex.py) — the
+    layout family's point-lookup leg. Events are written round-robin
+    across 16 files (the min/max-stats worst case: every file's
+    [min, max] on event_id spans everything, so range stats prune
+    NOTHING); a per-file Bloom sidecar on event_id then answers a
+    3-key point lookup touching only the candidate files (~3 of 16 at
+    fpp=0.01; ≤8 is the driver-checked bound).
+
+    Driver-checked invariants: the file bound, pruned-read ≡ full-scan
+    filter in-plan (Bloom has no false negatives — the flag compares
+    row sets, not counts), and exact row count + content checksum of
+    the pruned read against the ORIGINAL table via the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from chatbot_spark.operators.bloomindex import (
+        build_bloom_index,
+        prune_files,
+        read_with_bloom,
+    )
+
+    keys = [7, 123, 991]
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_bloom_q_")
+    data = os.path.join(base, "data")
+    try:
+        ev.repartition(16).write.parquet(data)
+        build_bloom_index(spark, data, "event_id", fpp=0.01)
+        n_candidates = len(prune_files(spark, data, "event_id", keys))
+        # the lookup result is point-lookup-sized (3 rows) — collect both
+        # sides and compare driver-side (one job each, no anti-join job)
+        pruned_rows = sorted(
+            (r["event_id"], r["user_id"])
+            for r in read_with_bloom(spark, data, "event_id", keys)
+            .select("event_id", "user_id")
+            .collect()
+        )
+        full_rows = sorted(
+            (r["event_id"], r["user_id"])
+            for r in spark.read.parquet(data)
+            .filter(F.col("event_id").isin(keys))
+            .select("event_id", "user_id")
+            .collect()
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    int(n_candidates <= 8),
+                    int(pruned_rows == full_rows),
+                    len(pruned_rows),
+                    sum(u * 1000003 + e for e, u in pruned_rows),
+                )
+            ],
+            "bloom_le_half_files INT, bloom_matches_full_scan INT, "
+            "n_rows BIGINT, content_checksum BIGINT",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # BM25 lexical retrieval (I5 family — the production keyword scorer:
 # TF-IDF + tf saturation + doc-length normalization). Rational-idf mode so

@@ -150,6 +150,91 @@ def test_scd2_null_attribute_transitions(spark):
     ]
 
 
+def test_bloom_index_no_false_negatives_and_prunes(spark, sf_dir, tmp_path):
+    """The point-lookup leg of the layout family: a round-robin layout
+    defeats min/max stats entirely, but the per-file Bloom sidecar must
+    (a) never drop a file that holds a looked-up key (pruned read ≡
+    full-scan filter) and (b) actually prune — 3 unique keys across 16
+    files should touch far fewer than all of them at fpp=0.01."""
+    from chatbot_spark.operators.bloomindex import (
+        build_bloom_index,
+        prune_files,
+        read_with_bloom,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data = str(tmp_path / "ev16")
+    ev.repartition(16).write.parquet(data)
+    sidecar = build_bloom_index(spark, data, "event_id", fpp=0.01)
+    assert sidecar.count() == 16
+    keys = [7, 123, 991]
+    files = prune_files(spark, data, "event_id", keys)
+    assert 1 <= len(files) <= 8  # ~3 expected; 8 = generous fpp headroom
+    got = sorted(
+        tuple(r) for r in read_with_bloom(spark, data, "event_id", keys)
+        .select("event_id", "user_id").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(data)
+        .filter(F.col("event_id").isin(keys))
+        .select("event_id", "user_id").collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_bloom_index_absent_key_and_empty_lookup(spark, sf_dir, tmp_path):
+    from chatbot_spark.operators.bloomindex import (
+        build_bloom_index,
+        prune_files,
+        read_with_bloom,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    data = str(tmp_path / "ev4")
+    ev.repartition(4).write.parquet(data)
+    build_bloom_index(spark, data, "event_id", fpp=0.01)
+    # a key that exists nowhere: lookup returns empty with full schema
+    miss = read_with_bloom(spark, data, "event_id", [10**12])
+    assert miss.count() == 0
+    assert miss.columns == spark.read.parquet(data).columns
+    assert prune_files(spark, data, "event_id", []) == []
+
+
+def test_bloom_params_and_positions_deterministic():
+    from chatbot_spark.operators.bloomindex import _bloom_params, _bloom_positions
+
+    m, k = _bloom_params(1000, 0.01)
+    assert m % 8 == 0 and 9000 <= m <= 10100  # ~9.6 bits/key at 1% fpp
+    assert 5 <= k <= 9
+    a = _bloom_positions(12345, m, k)
+    b = _bloom_positions(12345, m, k)
+    assert a == b and len(a) == k and all(0 <= p < m for p in a)
+    assert _bloom_positions(12346, m, k) != a
+
+
+def test_bloom_vectorized_fill_matches_scalar_probe():
+    """The build fills bits with wrapping uint64 numpy arithmetic; the
+    probe recomputes positions with Python ints mod 2^64. Any drift
+    between the two would manifest as FALSE NEGATIVES — so the exact
+    bits must match, value by value, including stride-overflow cases."""
+    import numpy as np
+
+    from chatbot_spark.operators.bloomindex import (
+        _bloom_fill,
+        _bloom_params,
+        _bloom_positions,
+    )
+
+    vals = list(range(5000)) + ["text-key", "αβγ", -17, 2**63 + 11]
+    nbits, k = _bloom_params(len(vals), 0.01)
+    bits = _bloom_fill(vals, nbits, k)
+    scalar = np.zeros(nbits // 8, dtype=np.uint8)
+    for v in vals:
+        for p in _bloom_positions(v, nbits, k):
+            scalar[p >> 3] |= 1 << (p & 7)
+    assert np.array_equal(bits, scalar)
+
+
 def test_rerank_input_caps_match_reference(spark):
     """Reference bge.py:256-258: 512-query/8192-passage token caps. The
     cap is identity for in-cap text and the scorer ignores tokens past it."""
