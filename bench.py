@@ -369,6 +369,35 @@ def main() -> None:
             }
         except (OSError, ValueError, KeyError):
             pass
+    # attach the recorded 1M-vector ANN crossover (tools/bench_ann_scale.py)
+    # and the hierarchy walk point (tools/bench_hnsw_layers.py)
+    for fname, key, fields in (
+        (
+            "BENCH_ANN_SCALE.json",
+            "ann_scale_1m",
+            (
+                "n", "exact_search_sec", "ivf_search_sec", "speedup_search",
+                "recall_at_10", "ivfpq_speedup_search", "ivfpq_recall_at_10",
+                "nsw_search_sec", "nsw_speedup_search", "nsw_recall_at_10",
+            ),
+        ),
+        (
+            "BENCH_HNSW_LAYERS.json",
+            "hnsw_layer_walk",
+            (
+                "descent_visited_growth_10x", "entry0_visited_growth_10x",
+                "descent_walk_ms_growth_10x",
+            ),
+        ),
+    ):
+        fpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+        if os.path.exists(fpath):
+            try:
+                with open(fpath) as f:
+                    rec = json.load(f)
+                payload[key] = {k: rec[k] for k in fields if k in rec}
+            except (OSError, ValueError, KeyError):
+                pass
     full_line = json.dumps(payload, separators=(",", ":"))
     # full per-query detail goes to a file (the driver's capture window is
     # ~2 KB of tail; a ~100-entry queries map does not reliably fit)
@@ -391,7 +420,11 @@ def main() -> None:
         "sf": sf,
     }
     if "sf1" in payload:
-        tail_payload["sf1"] = payload["sf1"]
+        # tail window is ~2 KB: summary only here, per-query sf1 detail
+        # lives in BENCH_FULL.json
+        tail_payload["sf1"] = {
+            k: payload["sf1"][k] for k in ("value", "n_queries", "derivation")
+        }
     print(json.dumps(tail_payload, separators=(",", ":")))
     spark.stop()
 
