@@ -76,6 +76,7 @@ HEADLINE = [
     "json_roundtrip",
     "rolling_fingerprints",
     "markdown_scan",
+    "warc_ingest",
     "colbert_rerank",
     "audio_features",
     "video_frames",

@@ -6761,6 +6761,72 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "warc_ingest",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       1 AS four_files,
+       CAST(sum(doc_id * 1000003 + CAST({_DUCK_HEX8.format(h="substr(md5(text), 1, 8)")} AS BIGINT)) AS BIGINT) AS content_checksum
+FROM documents WHERE doc_id < 200
+""",
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-format ingestion (io/warc.py): documents doc_id<200
+    serialize to 4 spec-conformant .warc.gz files (one gzip member per
+    record — the CC layout; fixture synthesis is driver-side test
+    plumbing like markdown_scan's staging), each file salted with a
+    non-content 'metadata' record; the DISTRIBUTED parser (binaryFile →
+    one mapInPandas framing pass, Content-Length-exact bodies,
+    multi-member gzip) must recover every document byte-for-byte and
+    prune the non-content records — any framing slip or pruning failure
+    breaks the md5-based checksum against the original table."""
+    import os
+    import shutil
+    import tempfile
+
+    from chatbot_spark.io.warc import parse_warc, write_warc_fixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="cbs_warc_q_")
+    try:
+        for b in range(4):
+            recs = [
+                (f"https://corpus.example/doc/{d}", "2024-01-01T00:00:00Z", t)
+                for d, t in rows
+                if d % 4 == b
+            ]
+            # a non-content record the parser must drop (else the url
+            # regexp yields NULL doc_id and the checksum goes NULL-loud)
+            recs.append(
+                ("", "2024-01-01T00:00:00Z", "ignore me", "metadata")
+            )
+            write_warc_fixture(os.path.join(base, f"seg{b}.warc.gz"), recs)
+        parsed = parse_warc(spark, os.path.join(base, "*.warc.gz"))
+        agg = parsed.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.conv(F.substring(F.md5("content"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+            "file",
+        ).agg(
+            F.count("*").cast("long").alias("n_records"),
+            (F.countDistinct("file") == 4).cast("int").alias("four_files"),
+            F.sum(F.col("doc_id") * 1000003 + F.col("h"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        out = spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
     "bloom_layout_pruning",
     """
 SELECT 1 AS bloom_le_half_files, 1 AS bloom_matches_full_scan,
