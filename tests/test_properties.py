@@ -367,3 +367,63 @@ def test_repair_reachability_fixes_arbitrary_graphs(seed, n):
     assert len(seen) == n
     for i in range(n):
         assert before[i] <= set(map(int, repaired[i]))  # no edge removed
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**63), max_value=2**63),
+            st.text(max_size=30),
+        ),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    st.sampled_from([0.01, 0.05]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(values, fpp):
+    """The Bloom contract: EVERY inserted value must probe positive —
+    for any value mix (negative ints, unicode text) and either fpp."""
+    import numpy as np
+
+    from chatbot_spark.operators.bloomindex import (
+        _bloom_fill,
+        _bloom_params,
+        _bloom_positions,
+    )
+
+    nbits, k = _bloom_params(len(values), fpp)
+    bits = np.frombuffer(_bloom_fill(values, nbits, k), dtype=np.uint8)
+    for v in values:
+        assert all(
+            bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(v, nbits, k)
+        ), v
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.binary(max_size=500),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_arbitrary_binary_bodies(recs, gzipped):
+    """WARC framing is Content-Length-based, so ANY body bytes — CRLFs,
+    gzip magic, fake record headers — must round-trip exactly, plain or
+    per-record-gzipped."""
+    from chatbot_spark.io.warc import make_warc_bytes, parse_warc_bytes
+
+    records = [
+        (f"https://x/doc/{i}", "2024-01-01T00:00:00Z", body)
+        for i, (_, body) in enumerate(recs)
+    ]
+    out = parse_warc_bytes(make_warc_bytes(records, gzipped=gzipped))
+    assert [(r["url"], r["content"]) for r in out] == [
+        (u, b) for u, _, b in records
+    ]
