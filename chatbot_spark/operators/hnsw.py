@@ -171,27 +171,38 @@ def _build_upper_layers(X, levels: list[int], m: int) -> list[list[list[int]]]:
     return out
 
 
-def _descend_entry(X, layers: list[list[list[int]]], q) -> int:
+def _top_entry(layers: list[list[list[int]]]) -> tuple[int, int]:
+    """(start position, top level) for the descent: the highest tower,
+    lowest pos on ties. O(n) — call ONCE per shard, not per query (the
+    per-query form cost +50% wall on a 100k-query batch)."""
+    start, top = 0, 0
+    for i, node in enumerate(layers):
+        if len(node) > top:
+            start, top = i, len(node)
+    return start, top
+
+
+def _descend_entry(X, layers: list[list[list[int]]], q, start_top=None) -> int:
     """Greedy upper-layer descent (HNSW SEARCH-LAYER with ef=1): start at
     the top-level entry (highest tower, lowest pos on ties), walk to the
     locally-nearest node level by level, return the final position as
     the layer-0 beam entry. O(log n) hops — this is what keeps beam
-    length flat as shards grow."""
+    length flat as shards grow. Pass ``start_top`` (from _top_entry) on
+    batch paths so the O(n) entry scan amortizes across queries."""
     import numpy as np
 
     n = len(X)
     if n == 0:
         return 0
-    levels = [len(a) for a in layers]
-    top = max(levels) if levels else 0
+    start, top = start_top if start_top is not None else _top_entry(layers)
     if top == 0:
         return 0
-    cur = next(i for i in range(n) if levels[i] == top)
+    cur = start
     cur_d = float(((X[cur] - q) ** 2).sum())
     for lvl in range(top, 0, -1):
         while True:
             nbrs = layers[cur][lvl - 1] if lvl - 1 < len(layers[cur]) else []
-            if not nbrs:
+            if len(nbrs) == 0:
                 break
             D = ((X[nbrs] - q) ** 2).sum(axis=1)
             j = int(np.argmin(D))
@@ -908,12 +919,16 @@ class NSWGraphIndex:
                 raw = list(pdf["layer_adj"])
                 # pre-hierarchy indexes (load() backfills NULL): no descent
                 if not any(a is None for a in raw):
-                    layers = [
-                        [list(nb) for nb in node] for node in raw
-                    ]
+                    layers = raw  # arrow nested arrays index fine as-is
+            # O(shard) prep ONCE per shard — never per query
+            start_top = _top_entry(layers) if layers is not None else (0, 0)
             out_q, out_n, out_d = [], [], []
             for qi in qis:
-                entry = _descend_entry(Xs, layers, Q[qi]) if layers else 0
+                entry = (
+                    _descend_entry(Xs, layers, Q[qi], start_top)
+                    if start_top[1] > 0
+                    else 0
+                )
                 found = _beam_search(
                     Xs, adj, Q[qi], ef=ef, entry=entry,
                     extra_entries=(0,) if entry != 0 else (),
