@@ -70,6 +70,7 @@ HEADLINE = [
     "leakage_free_split",
     "vocab_topk",
     "pack_sequences",
+    "length_bucketed_batches",
     "event_type_unpivot",
     "setext_atx",
     "doc_url_rewrite",

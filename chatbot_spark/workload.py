@@ -4231,6 +4231,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "length_bucketed_batches",
+    f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 16 AS bucket,
+         len({_DUCK_TOKENS.format(c='text')}) AS n_tok
+  FROM documents),
+r AS (
+  SELECT bucket, n_tok,
+         row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) AS rb,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM t),
+bb AS (
+  SELECT bucket, CAST(floor((rb - 1) / 32) AS BIGINT) AS batch,
+         count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS s
+  FROM r GROUP BY 1, 2),
+nb AS (
+  SELECT bucket, CAST(floor((rn - 1) / 32) AS BIGINT) AS batch,
+         count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS s
+  FROM r GROUP BY 1, 2)
+SELECT CAST((SELECT count(*) FROM bb) AS BIGINT) AS n_batches,
+       CAST((SELECT sum(mx * n - s) FROM bb) AS BIGINT) AS bucketed_pad_tokens,
+       CAST((SELECT sum(mx * n - s) FROM nb) AS BIGINT) AS naive_pad_tokens,
+       CAST((SELECT sum(mx * n - s) FROM bb) < (SELECT sum(mx * n - s) FROM nb) AS INT)
+         AS bucketed_lt_naive
+""",
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the PADDED-batch counterpart of
+    pack_sequences (concat packing): batch-inference and non-packed
+    training pad every sequence in a batch of 32 to the batch max, so
+    grouping similar-length docs together is what bounds wasted pad
+    tokens. Docs shard by doc_id % 16 (each shard buckets independently
+    — no global sort, shard count scales with the cluster), sort by
+    (token length, doc_id) within the shard, and chop into batches of
+    32; padding waste = Σ_batch (max_len·n − Σlen), reported against
+    the naive arrival-order batching of the SAME shards. One shuffle on
+    the shard key serves both windows (same partitioning, two in-
+    partition sorts); the two batch aggregates are map-side-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chatbot_spark.operators.textstats import tokens
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("bucket"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("bucket").orderBy("doc_id")
+    r = t.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rn", F.row_number().over(wn)
+    )
+
+    def waste(rank_col: str):
+        return (
+            r.groupBy(
+                "bucket", F.floor((F.col(rank_col) - 1) / 32).alias("batch")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.max("n_tok").alias("mx"),
+                F.sum("n_tok").alias("s"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_batches"),
+                F.sum(F.col("mx") * F.col("n") - F.col("s"))
+                .cast("long")
+                .alias("pad"),
+            )
+        )
+
+    b, n = waste("rb"), waste("rn")
+    return (
+        b.select(
+            F.col("n_batches"), F.col("pad").alias("bucketed_pad_tokens")
+        )
+        .crossJoin(n.select(F.col("pad").alias("naive_pad_tokens")))
+        .select(
+            "n_batches",
+            "bucketed_pad_tokens",
+            "naive_pad_tokens",
+            (F.col("bucketed_pad_tokens") < F.col("naive_pad_tokens"))
+            .cast("int")
+            .alias("bucketed_lt_naive"),
+        )
+    )
+
+
+@query(
     "event_type_unpivot",
     """
 WITH p AS (
