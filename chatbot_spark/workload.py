@@ -4266,9 +4266,12 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no global sort, shard count scales with the cluster), sort by
     (token length, doc_id) within the shard, and chop into batches of
     32; padding waste = Σ_batch (max_len·n − Σlen), reported against
-    the naive arrival-order batching of the SAME shards. One shuffle on
-    the shard key serves both windows (same partitioning, two in-
-    partition sorts); the two batch aggregates are map-side-combinable."""
+    the naive arrival-order batching of the SAME shards. ONE scan, one
+    shuffle on the shard key serving both windows (same partitioning —
+    the second Window re-sorts in place), then both schemes unpivot into
+    (scheme, batch) rows so a single map-side-combinable aggregate pair
+    computes both wastes — no duplicated subtree (the naive two-branch
+    crossJoin form compiled to two scans + two exchanges)."""
     docs = load_table(spark, sf_dir, "documents")
     from chatbot_spark.operators.textstats import tokens
 
@@ -4282,39 +4285,43 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.withColumn("rb", F.row_number().over(wb)).withColumn(
         "rn", F.row_number().over(wn)
     )
-
-    def waste(rank_col: str):
-        return (
-            r.groupBy(
-                "bucket", F.floor((F.col(rank_col) - 1) / 32).alias("batch")
+    both = r.select(
+        "bucket",
+        "n_tok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("b").alias("scheme"),
+                    F.floor((F.col("rb") - 1) / 32).alias("batch"),
+                ),
+                F.struct(
+                    F.lit("n").alias("scheme"),
+                    F.floor((F.col("rn") - 1) / 32).alias("batch"),
+                ),
             )
-            .agg(
-                F.count("*").alias("n"),
-                F.max("n_tok").alias("mx"),
-                F.sum("n_tok").alias("s"),
-            )
-            .agg(
-                F.count("*").cast("long").alias("n_batches"),
-                F.sum(F.col("mx") * F.col("n") - F.col("s"))
-                .cast("long")
-                .alias("pad"),
-            )
-        )
-
-    b, n = waste("rb"), waste("rn")
-    return (
-        b.select(
-            F.col("n_batches"), F.col("pad").alias("bucketed_pad_tokens")
-        )
-        .crossJoin(n.select(F.col("pad").alias("naive_pad_tokens")))
-        .select(
-            "n_batches",
-            "bucketed_pad_tokens",
-            "naive_pad_tokens",
-            (F.col("bucketed_pad_tokens") < F.col("naive_pad_tokens"))
-            .cast("int")
-            .alias("bucketed_lt_naive"),
-        )
+        ).alias("s"),
+    )
+    per_batch = both.groupBy("s.scheme", "bucket", "s.batch").agg(
+        F.count("*").alias("n"),
+        F.max("n_tok").alias("mx"),
+        F.sum("n_tok").alias("sm"),
+    )
+    tot = per_batch.groupBy("scheme").agg(
+        F.count("*").alias("n_batches"),
+        F.sum(F.col("mx") * F.col("n") - F.col("sm")).alias("pad"),
+    )
+    is_b = F.col("scheme") == "b"
+    return tot.agg(
+        F.max(F.when(is_b, F.col("n_batches"))).cast("long").alias("n_batches"),
+        F.max(F.when(is_b, F.col("pad"))).cast("long").alias("bucketed_pad_tokens"),
+        F.max(F.when(~is_b, F.col("pad"))).cast("long").alias("naive_pad_tokens"),
+    ).select(
+        "n_batches",
+        "bucketed_pad_tokens",
+        "naive_pad_tokens",
+        (F.col("bucketed_pad_tokens") < F.col("naive_pad_tokens"))
+        .cast("int")
+        .alias("bucketed_lt_naive"),
     )
 
 

@@ -84,6 +84,12 @@ COMMENT = {
         "n_supp>1 ∧ n_late=1 predicate rides the aggregate. sf1: "
         "19.4 s → 6.0 s."
     ),
+    "length_bucketed_batches": (
+        "Two windows (length-sorted and arrival-order batch ranks) share "
+        "ONE hash exchange on the shard key — the second Window reuses the "
+        "partitioning and only re-sorts in place. Both batch aggregates "
+        "are partial/final hash aggs; no global sort anywhere."
+    ),
     "market_share": (
         "Q8 shape at scale: every dimension side (part filter, orders→"
         "customer→nation chain, supplier→nation) is a BroadcastExchange; "
