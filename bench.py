@@ -81,6 +81,8 @@ HEADLINE = [
     "colbert_rerank",
     "audio_features",
     "video_frames",
+    "scene_cuts",
+    "audio_energy_segments",
     "catalog_roundtrip",
     "table_stats_orders",
     "component_code_join",

@@ -267,6 +267,164 @@ def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     return df.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
 
 
+def synth_rawv_scenes(
+    width: int, height: int, n_frames: int, seed: int, scene_len: int
+) -> bytes:
+    """Deterministic multi-scene grayscale video: pixel(i, fr) =
+    (7i + 13·fr + seed + 128·(fr // scene_len)) % 256 — smooth +13 drift
+    within a scene (mean |Δ| ≈ 25/pixel after mod-256 wrap), a 128 jump
+    at every scene boundary (mean |Δ| ≈ 127/pixel — mod-256 arithmetic
+    makes LARGE additive jumps wrap into small diffs, so 128 is the
+    maximally-separated choice, ~5× the within-scene SAD). Pure integer
+    arithmetic, so the oracle replays every pixel (and therefore every
+    inter-frame SAD) exactly."""
+    import struct
+
+    import numpy as np
+
+    header = _RAWV_MAGIC + struct.pack("<HHI", width, height, n_frames)
+    i = np.arange(width * height, dtype=np.int64)
+    frames = [
+        ((7 * i + 13 * fr + seed + 128 * (fr // scene_len)) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for fr in range(n_frames)
+    ]
+    return header + b"".join(frames)
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), True),  # later frame of the pair
+        T.StructField("sad", T.LongType(), True),  # sum of |pixel diffs|
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+
+def detect_scene_cuts(df: DataFrame, threshold: int) -> DataFrame:
+    """J5 video segmentation: shot/scene-cut detection by inter-frame SAD
+    (sum of absolute pixel differences) — the classic clip-splitting step
+    of a video training-data pipeline (cut the crawl into shots, then
+    sample/caption per shot). One mapInPandas pass per batch of videos:
+    parse the RAWV header, decode adjacent frame pairs, emit one row per
+    frame whose SAD against its predecessor exceeds ``threshold``.
+    Exact integer arithmetic end to end — the oracle replays every pixel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                if content[:4] != _RAWV_MAGIC:
+                    raise ValueError("not a RAWV container")
+                w, h, n = struct.unpack("<HHI", content[4:12])
+                fsize = w * h
+                prev = None
+                for fr in range(n):
+                    off = 12 + fr * fsize
+                    frame = np.frombuffer(
+                        content[off : off + fsize], dtype=np.uint8
+                    ).astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(frame - prev).sum())
+                        if sad > threshold:
+                            rows.append(
+                                {
+                                    "media_id": r["media_id"],
+                                    "frame_idx": fr,
+                                    "sad": sad,
+                                    "n_frames": n,
+                                }
+                            )
+                    prev = frame
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_CUTS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, SCENE_CUTS_SCHEMA)
+
+
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("seg_idx", T.LongType(), True),
+        T.StructField("start_frame", T.LongType(), True),
+        T.StructField("end_frame", T.LongType(), True),  # inclusive
+        T.StructField("n_active_frames", T.LongType(), True),
+        T.StructField("energy_sum", T.LongType(), True),
+    ]
+)
+
+
+def energy_segments(
+    df: DataFrame, frame_len: int = 400, threshold: int = 0
+) -> DataFrame:
+    """J5 audio segmentation: VAD-shaped energy gating — decode PCM16,
+    cut into non-overlapping frames of ``frame_len`` samples, mark frames
+    with Σs² > ``threshold`` active, and merge consecutive active frames
+    into segments (the speech-clip extraction step of an audio pipeline).
+    Exact integer energies; segment merging is the classic
+    gaps-and-islands fold, done in numpy inside the kernel and replayed
+    by the oracle as SQL islands."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                with wave.open(io.BytesIO(content), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only PCM16 supported")
+                    channels = w.getnchannels()
+                    frames = w.readframes(w.getnframes())
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                if channels > 1:
+                    s = s[::channels]
+                n_full = len(s) // frame_len
+                if n_full == 0:
+                    continue
+                e = (
+                    (s[: n_full * frame_len] ** 2)
+                    .reshape(n_full, frame_len)
+                    .sum(axis=1)
+                )
+                active = np.where(e > threshold)[0]
+                if len(active) == 0:
+                    continue
+                # islands: consecutive active frame indices share one id
+                breaks = np.where(np.diff(active) > 1)[0]
+                starts = np.concatenate([[0], breaks + 1])
+                ends = np.concatenate([breaks, [len(active) - 1]])
+                for si, (a, b) in enumerate(zip(starts, ends)):
+                    fa, fb = int(active[a]), int(active[b])
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "seg_idx": si,
+                            "start_frame": fa,
+                            "end_frame": fb,
+                            "n_active_frames": fb - fa + 1,
+                            "energy_sum": int(e[fa : fb + 1].sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, AUDIO_SEGMENTS_SCHEMA)
+
+
 def av_frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     """frame_sample with a REAL codec: decode mp4/mkv/webm containers via
     PyAV (ffmpeg bindings) instead of the RAWV stand-in — same output

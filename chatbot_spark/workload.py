@@ -2269,6 +2269,156 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = params.mapInPandas(synth, MEDIA_SCHEMA)
     return frame_sample(media, every_n=3)
 
+
+@query(
+    "scene_cuts",
+    """
+WITH p AS (
+  SELECT doc_id, 16 AS w, 8 AS h, 20 + (doc_id % 3) * 5 AS n
+  FROM documents WHERE doc_id < 10),
+fr AS (
+  SELECT doc_id, w, h, n, unnest(generate_series(1, n - 1)) AS f FROM p),
+px AS (
+  SELECT doc_id, n, f, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+sads AS (
+  SELECT doc_id, n, f,
+         sum(abs((7 * i + 13 * f + doc_id + 128 * (f // 5)) % 256
+               - (7 * i + 13 * (f - 1) + doc_id + 128 * ((f - 1) // 5)) % 256)) AS sad
+  FROM px GROUP BY doc_id, n, f)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(sad AS BIGINT) AS sad,
+       CAST(n AS BIGINT) AS n_frames
+FROM sads WHERE sad > 8000
+""",
+)
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 video segmentation, oracle-checked end-to-end: multi-scene RAWV
+    containers (smooth +13 pixel drift inside a 5-frame scene, a 128
+    jump at each boundary — the maximally-separated choice under mod-256
+    wrap: within-scene SAD ≤ 3.5k vs cut SAD ≥ 16k here) are synthesized
+    per doc, then detect_scene_cuts PARSES the container, decodes
+    adjacent frame pairs, and emits every frame whose sum-of-absolute-
+    differences exceeds the 8000 threshold. The oracle recomputes every
+    pixel of every frame pair — a header-walk, decode, or SAD bug all
+    surface as mismatches. This is the shot-splitting step of a video
+    training-data pipeline (cut crawl footage into shots, then
+    sample/caption per shot)."""
+    from chatbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        detect_scene_cuts,
+        synth_rawv_scenes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    params = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        (F.lit(20) + (F.col("doc_id") % 3) * 5).cast("int").alias("n"),
+        F.col("doc_id").cast("int").alias("seed"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "video",
+                    "content": [
+                        synth_rawv_scenes(16, 8, int(n), int(s), 5)
+                        for n, s in zip(pdf["n"], pdf["seed"])
+                    ],
+                    "mime": "video/rawv",
+                    "meta": [{} for _ in range(len(pdf))],
+                }
+            )
+
+    media = params.mapInPandas(synth, MEDIA_SCHEMA)
+    return detect_scene_cuts(media, threshold=8000)
+
+
+@query(
+    "audio_energy_segments",
+    """
+WITH p AS (
+  SELECT doc_id, 100 + (doc_id % 8) * 50 AS fq, 8000 AS r, 4000 AS n
+  FROM documents WHERE doc_id < 10),
+t AS (
+  SELECT doc_id, fq, r, unnest(generate_series(0, n - 1)) AS i FROM p),
+s AS (
+  SELECT doc_id, i // 400 AS frame,
+         CASE WHEN (i // 800) % 2 = 0
+              THEN ((i * fq) % r) * 32766 // r - 16383 ELSE 0 END AS v
+  FROM t),
+e AS (SELECT doc_id, frame, sum(v * v) AS energy FROM s GROUP BY doc_id, frame),
+act AS (
+  SELECT doc_id, frame, energy,
+         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS island
+  FROM e WHERE energy > 0),
+seg AS (
+  SELECT doc_id, island, min(frame) AS sf, max(frame) AS ef,
+         count(*) AS nf, sum(energy) AS es
+  FROM act GROUP BY doc_id, island)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1 AS BIGINT) AS seg_idx,
+       CAST(sf AS BIGINT) AS start_frame,
+       CAST(ef AS BIGINT) AS end_frame,
+       CAST(nf AS BIGINT) AS n_active_frames,
+       CAST(es AS BIGINT) AS energy_sum
+FROM seg
+""",
+)
+def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 audio segmentation, oracle-checked end-to-end: gated sawtooth
+    audio (800-sample loud/silent alternation) written as REAL RIFF/WAVE
+    bytes, then energy_segments PARSES the container, decodes PCM16,
+    computes exact per-400-sample-frame energies, and merges consecutive
+    active frames into segments (the VAD-shaped speech-clip extraction
+    step of an audio pipeline). The oracle recomputes every sample from
+    the closed-form integer formula and replays the island merge as SQL
+    gaps-and-islands — expected shape: active frame pairs {0,1}, {4,5},
+    {8,9} per doc."""
+    from chatbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        energy_segments,
+        sawtooth_pcm16,
+        synth_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    params = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        (F.lit(100) + (F.col("doc_id") % 8) * 50).cast("int").alias("freq"),
+        F.lit(8000).alias("rate"),
+        F.lit(4000).alias("n"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            contents = []
+            for f, r, n in zip(pdf["freq"], pdf["rate"], pdf["n"]):
+                s = sawtooth_pcm16(int(f), int(r), int(n))
+                t = np.arange(int(n))
+                s = np.where((t // 800) % 2 == 0, s, 0).astype(np.int16)
+                contents.append(synth_wav_pcm16(s, int(r)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "audio",
+                    "content": contents,
+                    "mime": "audio/wav",
+                    "meta": [{} for _ in range(len(pdf))],
+                }
+            )
+
+    media = params.mapInPandas(synth, MEDIA_SCHEMA)
+    return energy_segments(media, frame_len=400, threshold=0)
+
+
 # --------------------------------------------------------------------------
 # End-to-end RAG pipeline (SURVEY §3.2 / §7.1 — the flagship slice) as ONE
 # oracle-checked query: chunk → hash-embed → exact L2 top-k. The oracle

@@ -444,3 +444,71 @@ def test_vacuum_versions_keeps_current_and_newest(spark, tmp_path):
     assert read_upsert_state(spark, state, 2).count() == 3  # kept snapshot
     with pytest.raises(Exception):
         read_upsert_state(spark, state, 0).count()  # vacuumed
+
+
+def test_scene_cuts_edges(spark):
+    """Boundary behavior: a 1-frame video has no pairs; a single-scene
+    video (scene_len >= n) has no cuts; cuts land exactly at multiples
+    of scene_len with SAD far above the within-scene band."""
+    import pandas as pd
+
+    from chatbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        detect_scene_cuts,
+        synth_rawv_scenes,
+    )
+
+    rows = [
+        ("one", "video", synth_rawv_scenes(16, 8, 1, 0, 5), "video/rawv", {}),
+        ("flat", "video", synth_rawv_scenes(16, 8, 12, 3, 99), "video/rawv", {}),
+        ("cuts", "video", synth_rawv_scenes(16, 8, 12, 7, 5), "video/rawv", {}),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        MEDIA_SCHEMA,
+    )
+    got = detect_scene_cuts(media, threshold=8000).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert "one" not in by_id and "flat" not in by_id
+    assert sorted(r["frame_idx"] for r in by_id["cuts"]) == [5, 10]
+    assert all(r["sad"] > 15000 for r in by_id["cuts"])
+
+
+def test_energy_segments_islands_and_silence(spark):
+    """All-silent audio yields no rows; gated audio yields exactly the
+    expected islands with exact energies (replayed in numpy here)."""
+    import numpy as np
+    import pandas as pd
+
+    from chatbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        energy_segments,
+        sawtooth_pcm16,
+        synth_wav_pcm16,
+    )
+
+    n, rate = 4000, 8000
+    s = sawtooth_pcm16(300, rate, n)
+    t = np.arange(n)
+    gated = np.where((t // 800) % 2 == 0, s, 0).astype(np.int16)
+    silent = np.zeros(n, dtype=np.int16)
+    rows = [
+        ("gated", "audio", synth_wav_pcm16(gated, rate), "audio/wav", {}),
+        ("silent", "audio", synth_wav_pcm16(silent, rate), "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        MEDIA_SCHEMA,
+    )
+    got = energy_segments(media, frame_len=400, threshold=0).collect()
+    assert {r["media_id"] for r in got} == {"gated"}
+    segs = sorted(got, key=lambda r: r["seg_idx"])
+    assert [(r["start_frame"], r["end_frame"]) for r in segs] == [
+        (0, 1), (4, 5), (8, 9),
+    ]
+    e = (gated.astype(np.int64) ** 2).reshape(10, 400).sum(axis=1)
+    assert [r["energy_sum"] for r in segs] == [
+        int(e[0:2].sum()), int(e[4:6].sum()), int(e[8:10].sum())
+    ]
