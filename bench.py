@@ -121,6 +121,7 @@ HEADLINE = [
     "returned_item_revenue",
     "brand_supplier_count",
     "dataprep_pipeline",
+    "dataset_card",
     # stream_left_outer_join / stream_late_data_drop: parity-gated but
     # excluded here like the other multi-batch streaming drains — the
     # wall-clock measures the file-replay/restart harness, not the plan

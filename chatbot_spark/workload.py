@@ -4476,6 +4476,71 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_card",
+    f"""
+WITH base AS (
+  SELECT source, lang, text, md5(text) AS h,
+         len({_DUCK_TOKENS.format(c='text')}) AS n_tok
+  FROM documents),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dup_docs,
+         round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+         round(quantile_cont(n_tok, 0.95), 4) AS p95_tokens
+  FROM base GROUP BY source),
+vocab AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+  FROM (SELECT source, unnest({_DUCK_TOKENS.format(c='text')}) AS tok FROM documents) u
+  GROUP BY source)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, p.n_langs,
+       p.n_exact_dup_docs, p.p50_tokens, p.p95_tokens, v.vocab_size
+FROM per_source p JOIN vocab v ON v.source = p.source
+""",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publishable DATA CARD — the per-source summary a training-data
+    release ships (HuggingFace dataset card / Datasheets-for-Datasets
+    shape): doc and token counts, exact character volume, language
+    spread, exact-duplicate count (docs beyond the first per md5), exact
+    token-length percentiles, and vocabulary size. ONE pass over the
+    corpus for everything except the vocabulary leg (which must explode
+    tokens — its shuffle carries hashed-width tokens and map-side
+    combines); the tiny per-source frames broadcast-join at the end. At
+    100 TB each aggregate is map-side-combinable except the exact
+    percentiles — swap F.percentile for approx_percentile there (the
+    SLO-checked approx path) when exactness stops mattering."""
+    from chatbot_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dup_docs"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.95)), 4).alias("p95_tokens"),
+    )
+    vocab = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("vocab_size"))
+    )
+    return per_source.join(F.broadcast(vocab), "source")
+
+
+@query(
     "event_type_unpivot",
     """
 WITH p AS (
