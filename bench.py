@@ -23,6 +23,7 @@ HEADLINE = [
     "knn_exact_l2",
     "knn_exact_cosine",
     "radius_search",
+    "hard_negatives",
     "knn_per_label_quota",
     "embedding_neardup",
     "text_stats",

@@ -106,6 +106,66 @@ def knn_join(
     return out.drop("__rdist")
 
 
+def hard_negative_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = DEFAULT_SEARCH_LIMIT,
+    exclusion_radius: float = 0.0,
+    metric: str = "l2",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training (the
+    BGE-style dataset-construction step): per anchor, the k NEAREST
+    corpus rows that are not too near — rows within ``exclusion_radius``
+    (the anchor itself at distance 0, near-duplicates, paraphrases) are
+    excluded BEFORE ranking, so the survivors are the hardest VALID
+    negatives. Same plan as :func:`knn_join` (broadcast anchors, one
+    scan, two-phase skew-safe window) with the exclusion pushed into the
+    scan as a map-side filter — at 100 TB the filter costs nothing and
+    the candidate set is exact, not a top-k-then-filter approximation
+    (which could starve below k when an anchor has many near-dups).
+
+    ``exclusion_radius`` is in REPORTED units (the same units knn_join's
+    ``dist`` column uses: L2 distance, or cosine DISTANCE = 1 − sim):
+    rows with dist <= r are excluded."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    rank_dist = _rank_distance(metric)
+    q = queries_df.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    pairs = corpus_df.join(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        rank_dist(F.col("__qvec"), F.col(corpus_vec)).alias("__rdist"),
+    )
+    # l2 ranks on SQUARED distance — exclude in squared units so the
+    # comparison happens on the exact ranking value (no extra sqrt whose
+    # rounding could disagree with the oracle at the boundary)
+    thresh = (
+        float(exclusion_radius) ** 2 if metric == "l2" else float(exclusion_radius)
+    )
+    pairs = pairs.filter(F.col("__rdist") > F.lit(thresh))
+    order = [F.col("__rdist").asc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy(query_id, "__pid").orderBy(*order)
+    pairs = (
+        pairs.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(w1))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("dist", _reported(metric, F.col("__rdist")))
+        .drop("__rdist")
+    )
+
+
 def knn_join_per_component(
     queries_df: DataFrame,
     corpus_df: DataFrame,

@@ -106,6 +106,50 @@ def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negatives",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, len(q.qe)),
+           i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))^2),
+           (acc, x) -> acc + x) AS d2
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM pairs WHERE d2 > 0.25)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sqrt(d2), 6) AS dist
+FROM ranked WHERE rank <= 5
+""",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/topk.py::hard_negative_join) — the
+    contrastive-training dataset constructor: per anchor, the 5 nearest
+    corpus vectors OUTSIDE an exclusion radius of 0.5 (which removes the
+    anchor itself at distance 0 and any near-duplicate/paraphrase — the
+    false-negative class that poisons contrastive losses). The exclusion
+    is pushed into the scan BEFORE ranking, so the result is exact even
+    when an anchor has many near-dups (a top-k-then-filter would
+    starve); both engines compare on the SQUARED fold so the boundary
+    needs no sqrt-rounding agreement."""
+    from chatbot_spark.operators.topk import hard_negative_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    res = hard_negative_join(
+        q, emb, k=5, exclusion_radius=0.5, metric="l2",
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+@query(
     "radius_search",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

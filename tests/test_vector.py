@@ -351,3 +351,45 @@ def test_capped_sample_two_phase_equals_single_window(spark):
         .collect()
     }
     assert got == want and len(want) == 21
+
+
+def test_hard_negative_join_excludes_neardups_without_starving(spark):
+    """An anchor with MANY near-duplicates must still get its full k
+    hard negatives (exclusion is pushed before ranking — a
+    top-k-then-filter would starve), and every returned negative is
+    strictly outside the radius, matching brute force."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.topk import hard_negative_join
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    # ids 0..9: near-identical copies of the anchor (distance ~1e-3)
+    anchor = base[0]
+    for i in range(10):
+        rows.append((i, [float(x) for x in anchor + 1e-4 * rng.normal(size=8)]))
+    for i in range(10, 40):
+        rows.append((i, [float(x) for x in base[i]]))
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1])], "query_id LONG, query_embedding ARRAY<DOUBLE>"
+    )
+    got = hard_negative_join(
+        q, corpus, k=8, exclusion_radius=0.5, corpus_id="vec_id",
+        corpus_vec="embedding",
+    ).collect()
+    assert len(got) == 8
+    assert all(r.dist > 0.5 for r in got)
+    assert all(r.neighbor_id >= 10 for r in got)  # every near-dup excluded
+    # brute force agreement
+    X = np.array([v for _, v in rows])
+    d = np.sqrt(((X - np.array(rows[0][1])) ** 2).sum(axis=1))
+    want = sorted(
+        (dd, i) for i, dd in enumerate(d) if dd > 0.5
+    )[:8]
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == [
+        i for _, i in want
+    ]
