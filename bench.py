@@ -43,6 +43,7 @@ HEADLINE = [
     "event_type_pivot",
     "asof_purchase_click",
     "first_touch_attribution",
+    "host_pagerank",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

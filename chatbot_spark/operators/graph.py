@@ -1,0 +1,99 @@
+"""Link-graph ranking operators (beyond-reference §2.J scope).
+
+Web-scale data curation weighs documents by the authority of their host
+(Common Crawl ships host- and domain-level harmonic/PageRank scores;
+OpenWebText filtered by inbound-link karma). The reference has no graph
+operator at all (its retrieval quality signal is vector distance only,
+src/tools/load.py), so this is engine work: a Pregel-style iterative
+PageRank expressed as DataFrame joins, one rank table per superstep.
+
+Float discipline: classic PageRank is a fixed point of double arithmetic,
+and cross-engine double SUM order is unspecified — so this operator runs
+entirely in BIGINT fixed-point (scale 1e12). Integer division (`div`) and
+BIGINT sums are exact and order-independent on any engine, which makes the
+whole iteration bit-reproducible: the DuckDB oracle unrolls the supersteps
+as CTEs and must agree hash-for-hash, not approximately.
+
+Scale shape (100 TB): edges are pre-deduplicated (src,dst) pairs — at web
+scale ~10^10 rows, hosts ~10^8. Each superstep is
+  edges ⋈ rank (shuffle or broadcast on src) → groupBy(dst) partial-agg →
+  left join back to nodes (shuffle on node)
+i.e. the standard 2-shuffle Pregel round; contributions combine map-side
+(BIGINT sum), and the rank table — the only state — is O(nodes), never
+O(edges). No driver-side state beyond the plan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_integer"]
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Simplified PageRank in exact BIGINT fixed-point.
+
+    ``edges`` is a directed graph; self-loops and duplicate edges are
+    removed here so callers can pass raw link extractions. With
+    d = damping_num/damping_den and r0 = scale div n_nodes, each round
+    computes (all divisions integer floor-division)::
+
+        rank(v) = ((den-num) * r0) div den
+                + (num * sum_{u->v}(rank(u) div outdeg(u))) div den
+
+    Nodes without out-edges contribute nothing (their mass leaks — the
+    early MapReduce formulation; deterministic, documented). Nodes
+    without in-edges keep the base term via the left join. Every
+    quantity is BIGINT: num * inc <= num * scale ~ 8.5e13, far inside
+    the 2^63 range, and integer sums are order-independent, so the
+    result is bit-identical on any engine and any partitioning.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = e.join(deg, "src")  # (src, dst, outdeg); outdeg dup'd per edge
+    base = nodes.agg(F.count("*").alias("__n")).select(
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__r0")
+    )
+    rank = nodes.crossJoin(F.broadcast(base)).select(
+        "node", F.col("__r0").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ew.join(
+            rank.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("rank div outdeg").alias("contrib"))
+        inc = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        rank = (
+            nodes.join(inc.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node",
+                (
+                    F.expr(f"(({damping_den - damping_num}) * __r0) div {damping_den}")
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank

@@ -8154,3 +8154,67 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return raw.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+
+
+# ---------------------------------------------------------------------------
+# Host-level PageRank (§2.J beyond-reference — link-graph authority scoring,
+# the Common Crawl host-rank / OpenWebText inbound-link curation signal).
+# Bit-exact: the whole iteration runs in BIGINT fixed-point (graph.py::
+# pagerank_integer docstring), so the oracle unrolls the supersteps as CTEs
+# and must agree hash-for-hash.
+
+
+def _pagerank_oracle(iterations: int, n_hosts: int, scale: int, num: int, den: int) -> str:
+    sql = f"""
+WITH links AS (
+  SELECT doc_id % {n_hosts} AS src, (doc_id * 7 + 1) % {n_hosts} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % {n_hosts}, (doc_id * 13 + 2) % {n_hosts} FROM documents WHERE doc_id % 3 = 0),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+base AS (SELECT CAST({scale} // (SELECT count(*) FROM nodes) AS BIGINT) AS r0),
+it0 AS (SELECT node, (SELECT r0 FROM base) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+it{i} AS (
+  SELECT n.node,
+         CAST((({den - num}) * (SELECT r0 FROM base)) // {den}
+              + ({num} * coalesce(s.inc, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+    FROM edges e JOIN it{i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+    sql += f"""
+SELECT CAST(node AS BIGINT) AS host, rank AS rank_scaled FROM it{iterations}
+"""
+    return sql
+
+
+@query("host_pagerank", _pagerank_oracle(5, 50, 10**12, 85, 100))
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over a deterministic link graph: hosts are
+    doc_id residues mod 50, every doc links its host to (7*doc_id+1)%50
+    and every third doc adds (13*doc_id+2)%50 — a connected multiplicative
+    scramble with no self-loops (6h+1 is never 0 mod 50) and full in-degree
+    coverage (h -> 7h+1 is a bijection mod 50). Five supersteps of
+    operators/graph.py::pagerank_integer, damping 85/100, scale 1e12 —
+    pure-BIGINT fixed point, so the unrolled-CTE oracle matches bit for
+    bit. Plan: each superstep is edges ⋈ rank (map-side combinable
+    contribution sum on dst) + a left join back to nodes — the standard
+    2-shuffle Pregel round, state O(hosts) never O(edges)."""
+    from chatbot_spark.operators.graph import pagerank_integer
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 50
+    links = docs.select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 1) % 50).alias("dst")
+    ).union(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            h.alias("src"), ((F.col("doc_id") * 13 + 2) % 50).alias("dst")
+        )
+    )
+    ranks = pagerank_integer(links, iterations=5, scale=10**12)
+    return ranks.select(
+        F.col("node").cast("long").alias("host"), F.col("rank").alias("rank_scaled")
+    )
