@@ -44,6 +44,7 @@ HEADLINE = [
     "asof_purchase_click",
     "first_touch_attribution",
     "host_pagerank",
+    "html_main_content",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",
