@@ -45,6 +45,7 @@ HEADLINE = [
     "first_touch_attribution",
     "host_pagerank",
     "html_main_content",
+    "lm_quality_buckets",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -8301,3 +8301,68 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cols["content"]).cast("long").alias("content_len"),
         F.md5(cols["content"]).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality bucketing (§2.J beyond-reference — operators/lm.py).
+# Integer "bits" scoring (bitlen surrogate of -log2 P) so the oracle replays
+# the model training AND the scoring bit-for-bit; fixed head/middle/tail
+# cutoffs exactly as CCNet applies precomputed per-language thresholds.
+
+
+@query(
+    "lm_quality_buckets",
+    """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS w2
+  FROM toks),
+train AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt
+  FROM big WHERE doc_id % 10 < 3 GROUP BY w1, w2),
+pre AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS pre_cnt FROM train GROUP BY w1),
+model AS (SELECT t.w1, t.w2, t.bg_cnt, p.pre_cnt FROM train t JOIN pre p USING (w1)),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN m.bg_cnt IS NULL THEN 20
+                  ELSE length(bin(m.pre_cnt)) - length(bin(m.bg_cnt)) END) AS total_bits
+  FROM big b LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+  GROUP BY b.doc_id)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(total_bits AS BIGINT) AS total_bits,
+       CAST(total_bits * 1000 // n_bigrams AS BIGINT) AS score_milli,
+       CASE WHEN total_bits * 1000 // n_bigrams < 5200 THEN 'head'
+            WHEN total_bits * 1000 // n_bigrams < 5300 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored
+""",
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality bucketing: a bigram count LM trained on the clean
+    residue slice (doc_id%10 < 3) scores EVERY document in integer bits
+    (bitlen(prefix)-bitlen(bigram) per seen pair, flat 20-bit backoff for
+    unseen), then fixed milli-bit cutoffs split head/middle/tail — no
+    global sort, thresholds are config exactly as CCNet applies
+    precomputed per-language cutoffs. Model = vocabulary-sized broadcast;
+    scoring = one transient bigram explode + broadcast join + one groupBy
+    on doc_id. Every quantity is BIGINT: the oracle replays training and
+    scoring verbatim and must match hash-for-hash."""
+    from chatbot_spark.operators.lm import score_lm_bits, train_bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bigram_counts(docs.filter(F.col("doc_id") % 10 < 3))
+    scored = score_lm_bits(docs, model)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "score_milli",
+        F.when(F.col("score_milli") < 5200, F.lit("head"))
+        .when(F.col("score_milli") < 5300, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
