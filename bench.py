@@ -46,6 +46,7 @@ HEADLINE = [
     "host_pagerank",
     "html_main_content",
     "lm_quality_buckets",
+    "phrase_search",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -180,3 +180,67 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("__qid").alias(query_id), "neighbor_id", "rank", "score")
     )
+
+
+def positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) positional posting list — the phrase-search index.
+
+    posexplode over the token array; positions are 0-based within the
+    document. One narrow explode, shuffles only downstream on `token`.
+    """
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact multi-word phrase matching via positional-index intersection.
+
+    The classic IR positional AND, as ONE equi-join + one aggregate:
+    explode each phrase into (phrase_id, idx, term); join the corpus
+    positional postings on term; every joined row votes for the anchor
+    ``pos - idx`` (where the phrase would have to start); an anchor with
+    count(DISTINCT idx) == phrase_len has every phrase slot present in
+    sequence — an occurrence. Duplicate terms inside a phrase are handled
+    by the DISTINCT (both slots of "data data" vote for the same anchor
+    with different idx).
+
+    Returns (phrase_id, doc_id, n_occurrences). Scale shape (100 TB):
+    postings shuffle on `token` — only terms that appear in some phrase
+    survive the join (semi-join pushdown via the broadcast phrase side),
+    so the wide exchange carries matched positions, never documents; the
+    anchor aggregate is map-side combinable on (phrase, doc, anchor).
+    Overlapping occurrences count separately ("a a a" matches "a a"
+    twice), matching the standard positional-index semantics.
+    """
+    terms = phrases.select(
+        F.col(phrase_id_col).alias("__pid"),
+        F.posexplode(tokens(F.col(phrase_col))).alias("idx", "token"),
+    )
+    n_terms = terms.groupBy("__pid").agg(F.count("*").alias("__len"))
+    post = positional_postings(docs, id_col, text_col)
+    votes = post.join(F.broadcast(terms), "token").select(
+        "__pid", "__id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx"
+    )
+    hits = (
+        votes.filter(F.col("anchor") >= 0)
+        .groupBy("__pid", "__id", "anchor")
+        .agg(F.count_distinct("idx").alias("__n"))
+        .join(F.broadcast(n_terms), "__pid")
+        .filter(F.col("__n") == F.col("__len"))
+    )
+    return hits.groupBy("__pid", "__id").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    ).select(
+        F.col("__pid").alias(phrase_id_col),
+        F.col("__id").alias(id_col),
+        "n_occurrences",
+    )

@@ -8366,3 +8366,63 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (§2.I I5 family extension — the exact-phrase AND
+# of a positional inverted index; operators/lexical.py::phrase_search).
+
+_PHRASES = [
+    (0, "batch batch"),
+    (1, "data merge"),
+    (2, "slow hash batch"),
+    (3, "the fast key"),
+]
+
+
+@query(
+    "phrase_search",
+    """
+WITH phrases AS (
+  SELECT * FROM (VALUES {vals}) AS p(phrase_id, phrase)),
+terms AS (
+  SELECT phrase_id,
+         unnest(list_transform(generate_series(1, len(regexp_extract_all(lower(phrase), '\\S+'))), i -> i - 1)) AS idx,
+         unnest(regexp_extract_all(lower(phrase), '\\S+')) AS token
+  FROM phrases),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+post AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk)), i -> i - 1)) AS pos,
+         unnest(tk) AS token
+  FROM toks),
+votes AS (
+  SELECT t.phrase_id, p.doc_id, p.pos - t.idx AS anchor, t.idx
+  FROM post p JOIN terms t ON t.token = p.token
+  WHERE p.pos - t.idx >= 0),
+hits AS (
+  SELECT phrase_id, doc_id, anchor, count(DISTINCT idx) AS n
+  FROM votes GROUP BY phrase_id, doc_id, anchor),
+lens AS (SELECT phrase_id, count(*) AS plen FROM terms GROUP BY phrase_id)
+SELECT CAST(h.phrase_id AS BIGINT) AS phrase_id, h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits h JOIN lens l ON l.phrase_id = h.phrase_id AND h.n = l.plen
+GROUP BY h.phrase_id, h.doc_id
+""".format(
+        vals=", ".join(f"({i}, '{p}')" for i, p in _PHRASES)
+    ),
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching by positional-index intersection: every
+    (term, idx) of a phrase joined against the corpus positional
+    postings votes for anchor pos-idx; anchors with all DISTINCT slots
+    present are occurrences (overlapping matches count separately —
+    standard positional-AND semantics; 'batch batch batch' exercises the
+    duplicate-term path). ONE equi-join on token (phrase side broadcast,
+    so only phrase terms survive the postings explode) + one map-side-
+    combinable anchor aggregate — documents themselves never shuffle."""
+    from chatbot_spark.operators.lexical import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
+    return phrase_search(docs, phrases)
