@@ -208,10 +208,12 @@ def phrase_search(
     explode each phrase into (phrase_id, idx, term); join the corpus
     positional postings on term; every joined row votes for the anchor
     ``pos - idx`` (where the phrase would have to start); an anchor with
-    count(DISTINCT idx) == phrase_len has every phrase slot present in
-    sequence — an occurrence. Duplicate terms inside a phrase are handled
-    by the DISTINCT (both slots of "data data" vote for the same anchor
-    with different idx).
+    phrase_len votes has every phrase slot present in sequence — an
+    occurrence. Votes are UNIQUE per (phrase, doc, anchor, idx) by
+    construction (pos = anchor + idx pins the posting row), so a plain
+    count(*) equals count(DISTINCT idx) while skipping the distinct
+    aggregate's extra dedup exchange; duplicate terms inside a phrase are
+    still exact (each slot votes with its own idx).
 
     Returns (phrase_id, doc_id, n_occurrences). Scale shape (100 TB):
     postings shuffle on `token` — only terms that appear in some phrase
@@ -233,7 +235,7 @@ def phrase_search(
     hits = (
         votes.filter(F.col("anchor") >= 0)
         .groupBy("__pid", "__id", "anchor")
-        .agg(F.count_distinct("idx").alias("__n"))
+        .agg(F.count("*").alias("__n"))
         .join(F.broadcast(n_terms), "__pid")
         .filter(F.col("__n") == F.col("__len"))
     )

@@ -8401,7 +8401,7 @@ votes AS (
   FROM post p JOIN terms t ON t.token = p.token
   WHERE p.pos - t.idx >= 0),
 hits AS (
-  SELECT phrase_id, doc_id, anchor, count(DISTINCT idx) AS n
+  SELECT phrase_id, doc_id, anchor, count(*) AS n
   FROM votes GROUP BY phrase_id, doc_id, anchor),
 lens AS (SELECT phrase_id, count(*) AS plen FROM terms GROUP BY phrase_id)
 SELECT CAST(h.phrase_id AS BIGINT) AS phrase_id, h.doc_id,

@@ -220,6 +220,32 @@ COMMENT = {
         "partial aggregate) — map-side combine still collapses before the "
         "one exchange keyed by (window, type)."
     ),
+    "phrase_search": (
+        "Positional phrase AND: the phrase (term, idx) side broadcasts "
+        "into the postings explode — only phrase terms survive the join, "
+        "with the anchor >= 0 predicate evaluated inside the "
+        "BroadcastHashJoin — then the anchor vote count and the per-doc "
+        "occurrence count are two map-side-combinable hash aggregates "
+        "(votes are unique by construction, so no distinct-agg Expand). "
+        "Documents never shuffle; the wide exchanges carry only matched "
+        "(phrase, doc, anchor) votes."
+    ),
+    "host_pagerank": (
+        "Five Pregel supersteps in one DAG: per round, edges ⋈ rank "
+        "(broadcast here; shuffle-on-src at scale), a partial/final "
+        "BIGINT contribution sum keyed by dst, and the left join back to "
+        "nodes. All arithmetic is integer div/add inside codegen'd "
+        "projections — no UDF, no floats — and state per round is one "
+        "O(nodes) rank table, never O(edges)."
+    ),
+    "lm_quality_buckets": (
+        "CCNet bucketing: the bigram model (clean-slice counts + prefix "
+        "totals) builds with two map-side-combinable aggregates, then "
+        "broadcasts into the corpus bigram explode; scoring is one "
+        "groupBy(doc_id) over codegen'd bitlen arithmetic and the "
+        "head/middle/tail CASE is a projection — no global sort, no "
+        "single-partition window anywhere."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
