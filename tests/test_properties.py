@@ -427,3 +427,100 @@ def test_warc_roundtrip_arbitrary_binary_bodies(recs, gzipped):
     assert [(r["url"], r["content"]) for r in out] == [
         (u, b) for u, _, b in records
     ]
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    # random token streams from a tiny alphabet (dense with duplicate
+    # terms and overlaps) vs a serial sliding-window reference.
+    import random
+
+    from chatbot_spark.operators.lexical import phrase_search
+
+    rng = random.Random(61)
+    vocab = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    phrases = [(0, "a b"), (1, "a a"), (2, "b a b"), (3, "c c c"), (4, "a")]
+    expect = {}
+    for pid, ph in phrases:
+        pt = ph.split()
+        for did, text in docs:
+            tk = text.split()
+            n = sum(
+                1
+                for s in range(len(tk) - len(pt) + 1)
+                if tk[s : s + len(pt)] == pt
+            )
+            if n:
+                expect[(pid, did)] = n
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(phrases, "phrase_id long, phrase string")
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_search(d, p).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_random_graph_matches_serial(spark):
+    import random
+
+    from chatbot_spark.operators.graph import pagerank_integer
+    from tests.test_graph import _ref_pagerank
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iterations=6).collect()
+    }
+    assert got == _ref_pagerank(edges, iterations=6)
+
+
+def test_html_classifier_matches_python_reference(spark):
+    # random block soup vs a serial reimplementation of the integer rule.
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.html import extract_main_content
+
+    rng = random.Random(29)
+
+    def block(rng):
+        words = ["alpha", "beta", "gamma", "delta", "ep"]
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            w = rng.choice(words)
+            if rng.random() < 0.4:
+                parts.append(f'<a href="/x">{w}</a>')
+            else:
+                parts.append(w)
+        tag = rng.choice(["p", "div"])
+        return f"<{tag}>{' '.join(parts)}</{tag}>"
+
+    pages = [
+        (i, "".join(block(rng) for _ in range(rng.randint(0, 5))))
+        for i in range(30)
+    ]
+
+    def ref_content(html):
+        keep = []
+        for b in re.findall(r"<(?:p|div)>.*?</(?:p|div)>", html):
+            text = re.sub(r"<[^>]*>", "", b)
+            link = sum(len(m) for m in re.findall(r"<a [^>]*>([^<]*)</a>", b))
+            if len(text) >= 20 and 3 * link < len(text):
+                keep.append(text)
+        return "\n".join(keep)
+
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    cols = extract_main_content(F.col("html"))
+    got = {
+        r["doc_id"]: r["content"]
+        for r in df.select("doc_id", cols["content"].alias("content")).collect()
+    }
+    assert got == {i: ref_content(h) for i, h in pages}
