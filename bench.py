@@ -47,6 +47,7 @@ HEADLINE = [
     "html_main_content",
     "lm_quality_buckets",
     "phrase_search",
+    "alpha_source_mixture",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -8426,3 +8426,57 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     phrases = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
     return phrase_search(docs, phrases)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (§2.J beyond-reference — the mT5/XLM-R
+# alpha-sampling rate computation, alpha = 0.5). Pairs with source_mixture
+# (observed mix) and dsir_select (importance reweighting): this is the
+# POLICY side — per-source sampling weights n^alpha and integer target
+# allocations for a fixed budget.
+
+
+@query(
+    "alpha_source_mixture",
+    """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS w_alpha
+  FROM counts),
+tot AS (SELECT CAST(sum(w_alpha) AS BIGINT) AS w_tot FROM w)
+SELECT source, n_docs, w_alpha,
+       CAST(w_alpha * 1000000 // (SELECT w_tot FROM tot) AS BIGINT) AS p_micro,
+       CAST(w_alpha * 1000 // (SELECT w_tot FROM tot) AS BIGINT) AS take_of_1000
+FROM w
+""",
+)
+def alpha_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature sampling (alpha = 0.5): per-source weight
+    w = floor(sqrt(n_docs * 1e6)) — n*1e6 stays double-exact below 2^53
+    and IEEE sqrt is correctly rounded, so floor is deterministic on any
+    engine — then micro-probabilities and a 1000-doc budget allocation by
+    integer division. One map-side-combinable count + a broadcast 1-row
+    total: the policy table is O(sources), computed in two tiny shuffles
+    regardless of corpus size. Upsampling rare sources / downsampling
+    dominant ones follows by feeding take_of_N into capped_sample /
+    systematic_weighted_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt((F.col("n_docs") * 1000000).cast("double")))
+        .cast("long")
+        .alias("w_alpha"),
+    )
+    tot = w.agg(F.sum("w_alpha").cast("long").alias("w_tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_alpha",
+        F.expr("w_alpha * 1000000 div w_tot").alias("p_micro"),
+        F.expr("w_alpha * 1000 div w_tot").alias("take_of_1000"),
+    )
