@@ -48,6 +48,7 @@ HEADLINE = [
     "lm_quality_buckets",
     "phrase_search",
     "alpha_source_mixture",
+    "incremental_pagerank",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -39,6 +39,7 @@ def pagerank_integer(
     damping_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Simplified PageRank in exact BIGINT fixed-point.
 
@@ -56,6 +57,14 @@ def pagerank_integer(
     quantity is BIGINT: num * inc <= num * scale ~ 8.5e13, far inside
     the 2^63 range, and integer sums are order-independent, so the
     result is bit-identical on any engine and any partitioning.
+
+    ``init``: optional (node, rank) table to WARM-START from — the
+    incremental-maintenance path: after an edge delta, resume from the
+    previous fixed point instead of uniform r0 and refine with a couple
+    of rounds (nodes absent from ``init`` — newly discovered hosts —
+    fall back to the current graph's r0 via coalesce). The recurrence is
+    identical either way, so the warm-started result is exactly the
+    recurrence applied to (coalesced init) — oracle-replayable.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -74,9 +83,17 @@ def pagerank_integer(
     base = nodes.agg(F.count("*").alias("__n")).select(
         F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__r0")
     )
-    rank = nodes.crossJoin(F.broadcast(base)).select(
-        "node", F.col("__r0").alias("rank")
-    )
+    if init is None:
+        rank = nodes.crossJoin(F.broadcast(base)).select(
+            "node", F.col("__r0").alias("rank")
+        )
+    else:
+        prev = init.select("node", F.col("rank").alias("__prev"))
+        rank = (
+            nodes.join(prev, "node", "left")
+            .crossJoin(F.broadcast(base))
+            .select("node", F.coalesce("__prev", "__r0").alias("rank"))
+        )
     for _ in range(iterations):
         contrib = ew.join(
             rank.withColumnRenamed("node", "src"), "src"

@@ -8480,3 +8480,86 @@ def alpha_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("w_alpha * 1000000 div w_tot").alias("p_micro"),
         F.expr("w_alpha * 1000 div w_tot").alias("take_of_1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PageRank (warm-start after a link-graph delta) — the
+# incremental-maintenance twin of host_pagerank: crawl batch 2 arrives,
+# ranks resume from the previous fixed point instead of uniform.
+
+
+def _pr_round(out: str, prev: str, edges: str, deg: str, base: str, den: int, num: int) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         CAST((({den - num}) * (SELECT r0 FROM {base})) // {den}
+              + ({num} * coalesce(s.inc, 0)) // {den} AS BIGINT) AS rank
+  FROM {edges}_nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+    FROM {edges} e JOIN {prev} r ON r.node = e.src JOIN {deg} d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+
+
+def _incr_pagerank_oracle() -> str:
+    num, den, scale, H = 85, 100, 10**12, 50
+    sql = f"""
+WITH l1 AS (
+  SELECT doc_id % {H} AS src, (doc_id * 7 + 1) % {H} AS dst
+  FROM documents WHERE doc_id % 4 = 0),
+e1 AS (SELECT DISTINCT src, dst FROM l1 WHERE src <> dst),
+e1_nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+d1 AS (SELECT src, count(*) AS outdeg FROM e1 GROUP BY src),
+base1 AS (SELECT CAST({scale} // (SELECT count(*) FROM e1_nodes) AS BIGINT) AS r0),
+a0 AS (SELECT node, (SELECT r0 FROM base1) AS rank FROM e1_nodes)"""
+    for i in range(1, 5):
+        sql += "," + _pr_round(f"a{i}", f"a{i - 1}", "e1", "d1", "base1", den, num)
+    sql += f""",
+l2 AS (
+  SELECT doc_id % {H} AS src, (doc_id * 7 + 1) % {H} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % {H}, (doc_id * 13 + 2) % {H} FROM documents WHERE doc_id % 3 = 0),
+e2 AS (SELECT DISTINCT src, dst FROM l2 WHERE src <> dst),
+e2_nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+d2 AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+base2 AS (SELECT CAST({scale} // (SELECT count(*) FROM e2_nodes) AS BIGINT) AS r0),
+b0 AS (
+  SELECT n.node, CAST(coalesce(a4.rank, (SELECT r0 FROM base2)) AS BIGINT) AS rank
+  FROM e2_nodes n LEFT JOIN a4 ON a4.node = n.node)"""
+    for i in range(1, 3):
+        sql += "," + _pr_round(f"b{i}", f"b{i - 1}", "e2", "d2", "base2", den, num)
+    sql += """
+SELECT CAST(node AS BIGINT) AS host, rank AS rank_scaled FROM b2
+"""
+    return sql
+
+
+@query("incremental_pagerank", _incr_pagerank_oracle())
+def incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started PageRank after a crawl delta: batch 1 (every 4th doc's
+    rule-1 links) ranks for 4 supersteps; the full graph then arrives and
+    ranks refine for just 2 more rounds FROM the previous fixed point —
+    newly discovered hosts fall back to the new graph's uniform r0 via
+    coalesce. Identical BIGINT recurrence (graph.py::pagerank_integer
+    init path), so the oracle unrolls both phases — 4 cold + 2 warm CTE
+    rounds with the edge set swapped between them — and matches bit for
+    bit. The scale win mirrors the other incremental operators: per
+    delta you pay 2 rounds (4 shuffles) instead of a full cold restart."""
+    from chatbot_spark.operators.graph import pagerank_integer
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 50
+    e1 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 1) % 50).alias("dst")
+    )
+    warm = pagerank_integer(e1, iterations=4)
+    e2 = docs.select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 1) % 50).alias("dst")
+    ).union(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            h.alias("src"), ((F.col("doc_id") * 13 + 2) % 50).alias("dst")
+        )
+    )
+    final = pagerank_integer(e2, iterations=2, init=warm)
+    return final.select(
+        F.col("node").cast("long").alias("host"), F.col("rank").alias("rank_scaled")
+    )

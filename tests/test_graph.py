@@ -69,3 +69,33 @@ def test_pagerank_total_mass_conserved_no_dangling(spark):
         .collect()[0]["t"]
     )
     assert 0.995 * 10**12 < total <= 10**12
+
+
+def test_pagerank_warm_start_matches_recurrence_on_coalesced_init(spark):
+    # warm-start == applying the recurrence with init = coalesce(prev, r0'):
+    # node 4 is new in the delta graph and must start from the NEW r0.
+    base_edges = [(0, 1), (1, 2), (2, 0)]
+    delta_edges = base_edges + [(3, 4), (4, 0), (2, 3)]
+    b = spark.createDataFrame(base_edges, "src long, dst long")
+    d = spark.createDataFrame(delta_edges, "src long, dst long")
+    warm = pagerank_integer(b, iterations=3)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(d, iterations=2, init=warm).collect()
+    }
+
+    prev = _ref_pagerank(base_edges, iterations=3)
+    scale, num, den = 10**12, 85, 100
+    nodes = {0, 1, 2, 3, 4}
+    r0 = scale // len(nodes)
+    rank = {v: prev.get(v, r0) for v in nodes}
+    e = sorted(set(delta_edges))
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for _ in range(2):
+        inc = {v: 0 for v in nodes}
+        for s, t in e:
+            inc[t] += rank[s] // outdeg[s]
+        rank = {v: ((den - num) * r0) // den + (num * inc[v]) // den for v in nodes}
+    assert got == rank
