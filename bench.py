@@ -49,6 +49,7 @@ HEADLINE = [
     "phrase_search",
     "alpha_source_mixture",
     "incremental_pagerank",
+    "web_curation_pipeline",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

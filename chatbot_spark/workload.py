@@ -8563,3 +8563,147 @@ def incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         F.col("node").cast("long").alias("host"), F.col("rank").alias("rank_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed web-curation pipeline (flagship composition of the r6 web ops):
+# boilerplate removal → CCNet LM bucketing over the EXTRACTED text → keep
+# head+middle → per-host rollup joined with PageRank authority. Mirrors the
+# RefinedWeb/CCNet curation chain end-to-end; every stage is individually
+# oracle-pinned (html_main_content, lm_quality_buckets, host_pagerank), and
+# the composition is replayed in full here.
+
+
+def _web_curation_oracle() -> str:
+    num, den, scale, H = 85, 100, 10**12, 50
+    sql = f"""
+WITH raw AS (
+  SELECT doc_id,
+         '{_HTML_NAV}'
+         || '<p>' || substr(text, 1, 120) || '</p>'
+         || '<p>ok</p>'
+         || '<p>' || substr(text, 121, 120)
+         || ' see <a href="/x">docs</a></p>'
+         || '{_HTML_FOOT}' AS html
+  FROM documents),
+blocks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(html, '<(?:p|div)>.*?</(?:p|div)>'), b ->
+           length(regexp_replace(b, '<[^>]*>', '', 'g')) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                 x -> length(x))), 0)
+               < length(regexp_replace(b, '<[^>]*>', '', 'g'))) AS keep
+  FROM raw),
+clean AS (
+  SELECT doc_id,
+         replace(array_to_string(list_transform(keep,
+           b -> regexp_replace(b, '<[^>]*>', '', 'g')), chr(10)),
+           chr(10), ' ') AS text
+  FROM blocks),
+toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM clean),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS w2
+  FROM toks),
+train AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt
+  FROM big WHERE doc_id % 10 < 3 GROUP BY w1, w2),
+pre AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS pre_cnt FROM train GROUP BY w1),
+model AS (SELECT t.w1, t.w2, t.bg_cnt, p.pre_cnt FROM train t JOIN pre p USING (w1)),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN m.bg_cnt IS NULL THEN 20
+                  ELSE length(bin(m.pre_cnt)) - length(bin(m.bg_cnt)) END) AS total_bits
+  FROM big b LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+  GROUP BY b.doc_id),
+kept AS (
+  SELECT doc_id, total_bits FROM scored
+  WHERE total_bits * 1000 // n_bigrams < 5300),
+links AS (
+  SELECT doc_id % {H} AS src, (doc_id * 7 + 1) % {H} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % {H}, (doc_id * 13 + 2) % {H} FROM documents WHERE doc_id % 3 = 0),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+edges_nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+basepr AS (SELECT CAST({scale} // (SELECT count(*) FROM edges_nodes) AS BIGINT) AS r0),
+it0 AS (SELECT node, (SELECT r0 FROM basepr) AS rank FROM edges_nodes)"""
+    for i in range(1, 6):
+        sql += "," + _pr_round(f"it{i}", f"it{i - 1}", "edges", "deg", "basepr", den, num)
+    sql += """
+SELECT CAST(k.doc_id % 50 AS BIGINT) AS host,
+       r.rank AS rank_scaled,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.total_bits) AS BIGINT) AS sum_bits
+FROM kept k JOIN it5 r ON r.node = k.doc_id % 50
+GROUP BY k.doc_id % 50, r.rank
+"""
+    return sql
+
+
+@query("web_curation_pipeline", _web_curation_oracle())
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web curation in ONE lazy DAG: (1) jusText boilerplate
+    removal over the synthesized pages, (2) CCNet bigram-LM scoring of
+    the EXTRACTED text (model trained on the clean residue slice of the
+    same extracted corpus — the stage order matters and the oracle
+    replays it), (3) keep head+middle, (4) per-host rollup joined with
+    5-round PageRank authority. Stage shapes are each the individually
+    pinned plans (narrow regex map; broadcast model join + doc groupBy;
+    Pregel rounds; broadcast rank join) — composing them adds no new
+    wide shuffle beyond the per-host aggregate."""
+    from chatbot_spark.operators.graph import pagerank_integer
+    from chatbot_spark.operators.html import extract_main_content
+    from chatbot_spark.operators.lm import score_lm_bits, train_bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_NAV),
+            F.lit("<p>"), F.substring("text", 1, 120), F.lit("</p>"),
+            F.lit("<p>ok</p>"),
+            F.lit("<p>"), F.substring("text", 121, 120),
+            F.lit(' see <a href="/x">docs</a></p>'),
+            F.lit(_HTML_FOOT),
+        ).alias("html"),
+    )
+    clean = raw.select(
+        "doc_id",
+        F.regexp_replace(
+            extract_main_content(F.col("html"))["content"], "\n", " "
+        ).alias("text"),
+    )
+    model = train_bigram_counts(clean.filter(F.col("doc_id") % 10 < 3))
+    scored = score_lm_bits(clean, model)
+    kept = scored.filter(F.col("score_milli") < 5300).select(
+        "doc_id", "total_bits"
+    )
+    h = F.col("doc_id") % 50
+    links = docs.select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 1) % 50).alias("dst")
+    ).union(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            h.alias("src"), ((F.col("doc_id") * 13 + 2) % 50).alias("dst")
+        )
+    )
+    ranks = pagerank_integer(links, iterations=5)
+    per_host = (
+        kept.select((F.col("doc_id") % 50).alias("host"), "total_bits")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("total_bits").cast("long").alias("sum_bits"),
+        )
+    )
+    return per_host.join(
+        F.broadcast(ranks.withColumnRenamed("node", "host")), "host"
+    ).select(
+        F.col("host").cast("long").alias("host"),
+        F.col("rank").alias("rank_scaled"),
+        "n_kept",
+        "sum_bits",
+    )
