@@ -50,6 +50,7 @@ HEADLINE = [
     "alpha_source_mixture",
     "incremental_pagerank",
     "web_curation_pipeline",
+    "sft_pair_assembly",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

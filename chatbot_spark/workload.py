@@ -8707,3 +8707,65 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         "sum_bits",
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT pair assembly (§2.J beyond-reference — operators/sft.py): replay the
+# event log into (context, completion) instruction-tuning pairs.
+
+
+@query(
+    "sft_pair_assembly",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'assistant' ELSE 'user' END AS role,
+         event_type || '#' || (props->>'k') AS content
+  FROM events),
+ctxed AS (
+  SELECT user_id, ts, event_id, role, content,
+         list(role || ': ' || content)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM t),
+pairs AS (
+  SELECT user_id, ts, event_id,
+         len(ctx) AS n_context,
+         array_to_string(ctx, chr(10)) AS context,
+         content AS completion
+  FROM ctxed WHERE role = 'assistant' AND len(ctx) >= 1)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS pair_idx,
+       CAST(n_context AS BIGINT) AS n_context, context, completion
+FROM pairs
+""",
+)
+def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair assembly from the event log: purchases are
+    assistant turns, everything else user turns, content carries the
+    JSON payload; each assistant turn yields one training pair whose
+    context is the last 4 turns formatted 'role: content'. ONE frame
+    window per user (ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING collected
+    in sort order — unique (ts, event_id) key) + the pair-numbering
+    window reusing the same partitioning: per-row state is bounded by K
+    lines however long the conversation, the property that keeps this
+    safe on 100 TB of logs. First-event purchases (empty frame) are
+    skipped identically on both engines (NULL frame list vs empty
+    array both fail len >= 1)."""
+    from chatbot_spark.operators.sft import assemble_sft_pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.concat(
+            "event_type", F.lit("#"), F.get_json_object("props", "$.k")
+        ).alias("content"),
+    )
+    return assemble_sft_pairs(
+        ev, "user_id", ["ts", "event_id"], context_turns=4
+    )
