@@ -51,6 +51,7 @@ HEADLINE = [
     "incremental_pagerank",
     "web_curation_pipeline",
     "sft_pair_assembly",
+    "equi_depth_histogram",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

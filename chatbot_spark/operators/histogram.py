@@ -1,0 +1,68 @@
+"""Exact equi-depth histogram (ANALYZE-family, beyond-reference §2.K
+scope — the optimizer statistic `collect_table_stats` doesn't cover:
+selectivity-calibrated bucket boundaries).
+
+Exact quantiles normally mean a global sort or a single-reducer exact
+percentile — both scale traps. This operator computes EXACT equi-depth
+boundaries with no global window and no driver-side value list:
+
+  1. value-frequency table (groupBy value — shuffle on value, map-side
+     combinable; ties collapse so the stream length is #distinct),
+  2. distributed prefix sum of the counts in value order
+     (`sampling.prefix_sum` — the two-phase range-bucket scan),
+  3. boundary extraction as a RANGE JOIN: target rank r_i = i·N div n
+     falls in exactly one value's (cum−cnt, cum] interval, so a
+     broadcast of the n−1 target ranks joined on that interval yields
+     the i-th boundary — the discrete ("lower") quantile, integer-exact.
+
+Every quantity is BIGINT, so the result is bit-identical on any engine
+and any partitioning, and the DuckDB oracle replays it with a window
+cumsum. The reference's OceanBase backend keeps equi-depth histograms
+internally for costing; here the statistic is a first-class queryable
+operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.sampling import prefix_sum
+
+__all__ = ["equi_depth_boundaries"]
+
+
+def equi_depth_boundaries(
+    df: DataFrame, value_col: str, n_buckets: int, prefix_buckets: int = 64
+) -> DataFrame:
+    """(i, rank_target, boundary, cum_at_boundary) for i = 1..n_buckets−1.
+
+    boundary_i is the smallest value whose cumulative count reaches
+    r_i = i·N div n_buckets — the discrete lower quantile. ``value_col``
+    must be integral (exactness contract; scale floats to cents first).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    counts = df.groupBy(value_col).agg(F.count("*").alias("__cnt"))
+    cum = prefix_sum(
+        counts, order_col=value_col, value_col="__cnt", n_buckets=prefix_buckets
+    )
+    tot = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
+    ranks = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_buckets - 1))).alias("i"), "__n"
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.expr(f"i * __n div {n_buckets}").alias("rank_target"),
+    )
+    hit = (F.col("cum") - F.col("__cnt") < F.col("rank_target")) & (
+        F.col("rank_target") <= F.col("cum")
+    )
+    return (
+        cum.join(F.broadcast(ranks), hit)
+        .select(
+            "i",
+            "rank_target",
+            F.col(value_col).alias("boundary"),
+            F.col("cum").alias("cum_at_boundary"),
+        )
+    )

@@ -8769,3 +8769,43 @@ def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_sft_pairs(
         ev, "user_id", ["ts", "event_id"], context_turns=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth histogram (§2.K ANALYZE family — operators/histogram.py):
+# optimizer-grade bucket boundaries with no global sort and no driver value
+# list; bit-exact because every quantity is BIGINT.
+
+
+@query(
+    "equi_depth_histogram",
+    """
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+c AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY cents),
+cum AS (SELECT cents, cnt, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM c),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+ranks AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(i * (SELECT n FROM tot) // 8 AS BIGINT) AS rank_target
+  FROM generate_series(1, 7) t(i))
+SELECT r.i, r.rank_target, c.cents AS boundary, c.cum AS cum_at_boundary
+FROM cum c JOIN ranks r ON c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
+""",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket exact equi-depth histogram over order totals (scaled to
+    exact cents): value-frequency groupBy → distributed prefix sum (the
+    two-phase range-bucket scan, never a one-task global window) → each
+    target rank i*N div 8 extracted by a broadcast range join on its
+    (cum-cnt, cum] interval — the discrete lower quantile, integer-exact
+    on both engines. The oracle replays it with a window cumsum; at
+    scale the only wide exchanges are the value groupBy and the
+    prefix-sum bucket shuffle."""
+    from chatbot_spark.operators.histogram import equi_depth_boundaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    return equi_depth_boundaries(src, "cents", n_buckets=8)
