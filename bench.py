@@ -52,6 +52,7 @@ HEADLINE = [
     "web_curation_pipeline",
     "sft_pair_assembly",
     "equi_depth_histogram",
+    "corpus_drift_monitor",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -8809,3 +8809,91 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
     )
     return equi_depth_boundaries(src, "cents", n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor (§2.J beyond-reference — the PSI-shaped snapshot
+# comparison a recurring crawl pipeline gates on). Integer discipline: the
+# classic PSI needs ln(); this stat compares per-cell MILLI-proportIONS
+# (n_i*1000 div N) and reports their exact squared-difference sum — order-
+# independent BIGINT arithmetic, same monotone signal, zero transcendentals.
+
+
+@query(
+    "corpus_drift_monitor",
+    """
+WITH labeled AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS snapshot,
+         source,
+         CASE WHEN n_chars < 200 THEN 'short'
+              WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS len_bucket
+  FROM documents),
+cells AS (
+  SELECT snapshot, source, len_bucket, CAST(count(*) AS BIGINT) AS n
+  FROM labeled GROUP BY snapshot, source, len_bucket),
+tots AS (SELECT snapshot, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY snapshot),
+props AS (
+  SELECT c.source, c.len_bucket, c.snapshot,
+         CAST(c.n * 1000 // t.tot AS BIGINT) AS p_milli
+  FROM cells c JOIN tots t ON t.snapshot = c.snapshot),
+wide AS (
+  SELECT source, len_bucket,
+         CAST(coalesce(sum(CASE WHEN snapshot = 'A' THEN p_milli END), 0) AS BIGINT) AS p_a,
+         CAST(coalesce(sum(CASE WHEN snapshot = 'B' THEN p_milli END), 0) AS BIGINT) AS p_b
+  FROM props GROUP BY source, len_bucket)
+SELECT source, len_bucket, p_a, p_b,
+       CAST((p_a - p_b) * (p_a - p_b) AS BIGINT) AS sq_milli_diff
+FROM wide
+""",
+)
+def corpus_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: the corpus split into snapshots A/B (even/
+    odd ids standing in for crawl t and t+1), feature cells = source x
+    length bucket, per-cell milli-proportions by integer division, and
+    the exact squared milli-difference per cell (sum it for the
+    PSI-shaped scalar gate). Two map-side-combinable aggregates + a
+    broadcast totals join; cells absent from one snapshot coalesce to 0
+    — the case real drift gates most need to catch. All BIGINT, oracle
+    replayed verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "snapshot"
+        ),
+        "source",
+        F.when(F.col("n_chars") < 200, F.lit("short"))
+        .when(F.col("n_chars") < 350, F.lit("mid"))
+        .otherwise(F.lit("long"))
+        .alias("len_bucket"),
+    )
+    cells = labeled.groupBy("snapshot", "source", "len_bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tots = cells.groupBy("snapshot").agg(F.sum("n").cast("long").alias("tot"))
+    props = cells.join(F.broadcast(tots), "snapshot").select(
+        "source",
+        "len_bucket",
+        "snapshot",
+        F.expr("n * 1000 div tot").alias("p_milli"),
+    )
+    wide = props.groupBy("source", "len_bucket").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("snapshot") == "A", F.col("p_milli"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("p_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("snapshot") == "B", F.col("p_milli"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("p_b"),
+    )
+    return wide.select(
+        "source",
+        "len_bucket",
+        "p_a",
+        "p_b",
+        ((F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b")))
+        .cast("long")
+        .alias("sq_milli_diff"),
+    )
