@@ -53,6 +53,7 @@ HEADLINE = [
     "sft_pair_assembly",
     "equi_depth_histogram",
     "corpus_drift_monitor",
+    "mlm_example_build",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -8897,3 +8897,92 @@ def corpus_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sq_milli_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Masked-LM example construction (§2.J beyond-reference): BERT-style
+# pretraining pairs built deterministically — the mask decision is a pure
+# function of (doc_id, position) through md5, so both engines construct
+# the identical example and the verdict hashes input AND targets.
+
+
+@query(
+    "mlm_example_build",
+    f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+built AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         list_transform(generate_series(1, len(tk)), i ->
+           CASE WHEN CAST({_DUCK_HEX8.format(h="substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)")} AS BIGINT) % 1000 < 150
+                THEN '<mask>' ELSE tk[i] END) AS pieces,
+         list_filter(list_transform(generate_series(1, len(tk)), i ->
+           CASE WHEN CAST({_DUCK_HEX8.format(h="substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)")} AS BIGINT) % 1000 < 150
+                THEN CAST(i - 1 AS VARCHAR) || '=' || tk[i] END),
+           x -> x IS NOT NULL) AS targets
+  FROM toks)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(targets) AS BIGINT) AS n_masked,
+       md5(coalesce(array_to_string(pieces, ' '), '')) AS input_md5,
+       -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       md5(coalesce(array_to_string(targets, ' '), '')) AS targets_md5
+FROM built
+""",
+)
+def mlm_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM example construction: position i is masked iff the
+    first 32 bits of md5(doc_id:i) mod 1000 < 150 (a deterministic 15%
+    — reproducible example sets are what make pretraining runs
+    comparable; swap the hash threshold per epoch seed string for fresh
+    masks). Input = tokens with masked slots replaced by <mask>;
+    targets = 'pos=token' pairs in position order. ONE narrow
+    transform/filter pass over the token array — no explode, no
+    shuffle, embarrassingly parallel at 100 TB — and the verdict hashes
+    both the corrupted input and the target list."""
+    docs = load_table(spark, sf_dir, "documents")
+    from chatbot_spark.operators.textstats import tokens
+
+    tk = tokens(F.col("text"))
+
+    def mask_hash(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            < 150
+        )
+
+    pieces = F.transform(
+        tk, lambda x, i: F.when(mask_hash(i), F.lit("<mask>")).otherwise(x)
+    )
+    targets = F.filter(
+        F.transform(
+            tk,
+            lambda x, i: F.when(
+                mask_hash(i), F.concat(i.cast("string"), F.lit("="), x)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(targets).cast("long").alias("n_masked"),
+        F.md5(F.array_join(pieces, " ")).alias("input_md5"),
+        F.md5(F.array_join(targets, " ")).alias("targets_md5"),
+    )
