@@ -54,6 +54,7 @@ HEADLINE = [
     "equi_depth_histogram",
     "corpus_drift_monitor",
     "mlm_example_build",
+    "t5_span_corrupt",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

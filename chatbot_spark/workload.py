@@ -8986,3 +8986,96 @@ def mlm_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(pieces, " ")).alias("input_md5"),
         F.md5(F.array_join(targets, " ")).alias("targets_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption (§2.J beyond-reference — operators/spancorrupt.py).
+
+_T5_HASH = _DUCK_HEX8.format(
+    h="substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8)"
+)
+
+
+@query(
+    "t5_span_corrupt",
+    f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+post AS (
+  SELECT doc_id, len(tk) AS n,
+         unnest(list_transform(generate_series(1, len(tk)), i -> i - 1)) AS pos,
+         unnest(tk) AS tok
+  FROM toks),
+hashed AS (
+  SELECT doc_id, n, pos, CAST({_T5_HASH} AS BIGINT) AS h FROM post),
+masked_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, CAST(least(h % 3, n - 1 - pos) AS BIGINT)),
+                               j -> pos + j)) AS mpos
+  FROM hashed WHERE h % 1000 < 60),
+masked AS (SELECT DISTINCT doc_id, mpos FROM masked_raw),
+maskt AS (
+  SELECT m.doc_id, m.mpos, p.tok
+  FROM masked m JOIN post p ON p.doc_id = m.doc_id AND p.pos = m.mpos),
+runs AS (
+  SELECT doc_id, mpos, tok,
+         mpos - row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS grp
+  FROM maskt),
+spans AS (
+  SELECT doc_id, grp, min(mpos) AS span_start, count(*) AS span_len,
+         array_to_string(list(tok ORDER BY mpos), ' ') AS span_text
+  FROM runs GROUP BY doc_id, grp),
+spansx AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY span_start) AS span_idx
+  FROM spans),
+pieces AS (
+  SELECT p.doc_id, p.pos, p.n,
+         CASE WHEN sx.span_idx IS NOT NULL
+                THEN '<extra_id_' || CAST(sx.span_idx - 1 AS VARCHAR) || '>'
+              WHEN m.mpos IS NOT NULL THEN NULL
+              ELSE p.tok END AS piece
+  FROM post p
+  LEFT JOIN masked m ON m.doc_id = p.doc_id AND m.mpos = p.pos
+  LEFT JOIN spansx sx ON sx.doc_id = p.doc_id AND sx.span_start = p.pos),
+inputs AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         coalesce(array_to_string(
+           list(piece ORDER BY pos) FILTER (WHERE piece IS NOT NULL), ' '), '')
+           AS input
+  FROM pieces GROUP BY doc_id),
+targets AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS n_masked,
+         array_to_string(
+           list('<extra_id_' || CAST(span_idx - 1 AS VARCHAR) || '> ' || span_text
+                ORDER BY span_idx), ' ') AS target
+  FROM spansx GROUP BY doc_id)
+SELECT i.doc_id, i.n_tokens,
+       CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(t.n_masked, 0) AS BIGINT) AS n_masked,
+       md5(i.input) AS input_md5,
+       md5(coalesce(t.target, '')) AS target_md5
+FROM inputs i LEFT JOIN targets t USING (doc_id)
+""",
+)
+def t5_span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising example construction: deterministic md5-seeded spans
+    (6% of positions seed a 1-3 token span; overlapping seeds merge into
+    ONE sentinel island — exactly T5's contiguous-span contract, pinned
+    by the gaps-and-islands window), input with <extra_id_k> sentinels,
+    target with the cut spans after their sentinels. Every window and
+    join is keyed by doc/(doc,pos); per-doc strings reassemble through
+    sorted struct collects, never shuffle order. The verdict hashes the
+    exact input AND target text of all 500 examples."""
+    from chatbot_spark.operators.spancorrupt import t5_span_corrupt
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = t5_span_corrupt(docs)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_masked",
+        F.md5("input").alias("input_md5"),
+        F.md5("target").alias("target_md5"),
+    )

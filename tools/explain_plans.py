@@ -246,6 +246,37 @@ COMMENT = {
         "head/middle/tail CASE is a projection — no global sort, no "
         "single-partition window anywhere."
     ),
+    "web_curation_pipeline": (
+        "The composed RefinedWeb/CCNet chain in one DAG: the extraction "
+        "stage is a pure codegen'd regex/array projection feeding BOTH "
+        "the model-training branch and the scoring branch; the model "
+        "joins back as a BroadcastExchange, PageRank's five supersteps "
+        "ride broadcast joins at this node count, and the only wide "
+        "exchanges are the bigram groupBys and the final per-host "
+        "aggregate — composition added no new shuffle class."
+    ),
+    "sft_pair_assembly": (
+        "Two windows, ONE hash exchange: the ROWS-frame context collect "
+        "and the pair-numbering row_number share the user_id "
+        "partitioning (the second Window reuses the first's exchange and "
+        "only re-sorts in place). Per-row state is bounded by the "
+        "4-line frame regardless of conversation length; no per-user "
+        "history array, no self-join, no Python."
+    ),
+    "equi_depth_histogram": (
+        "Exact quantiles without a global sort: value-frequency "
+        "groupBy (map-side combined), the two-phase prefix-sum (bucket "
+        "exchange + per-bucket window + broadcast offsets — every "
+        "windowspec carries the bucket key), then the n−1 target ranks "
+        "broadcast into a range join. No single-task window, no "
+        "driver-side value list, no exact-percentile reducer."
+    ),
+    "mlm_example_build": (
+        "Example construction as a single codegen'd projection: the "
+        "mask decision, <mask> substitution and target assembly are all "
+        "higher-order array expressions over the token array — zero "
+        "exchanges, zero Python, scales with the scan."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
