@@ -76,6 +76,10 @@ PINNED = [
     "stream_static_join",
     "table_stats_orders",
     "zorder_layout_pruning",
+    # appended r6 (new heavy entries; list is append-only by contract)
+    "t5_span_corrupt",
+    "web_curation_pipeline",
+    "lm_quality_buckets",
 ]
 
 
