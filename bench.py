@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_drift_monitor",
     "mlm_example_build",
     "t5_span_corrupt",
+    "fim_example_build",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

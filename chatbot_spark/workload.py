@@ -9079,3 +9079,88 @@ def t5_span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("input").alias("input_md5"),
         F.md5("target").alias("target_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle example construction (§2.J beyond-reference — the
+# FIM transform of Bavarian et al. 2022 applied at corpus scale; the PSM
+# reordering that code models pretrain on). Deterministic: both cut points
+# derive from md5(doc_id), so engines build identical examples.
+
+
+@query(
+    "fim_example_build",
+    f"""
+WITH cuts AS (
+  SELECT doc_id, text, length(text) AS n,
+         1 + CAST({_DUCK_HEX8.format(h="substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8)")} AS BIGINT)
+             % greatest(length(text) - 1, 1) AS c1r,
+         1 + CAST({_DUCK_HEX8.format(h="substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8)")} AS BIGINT)
+             % greatest(length(text) - 1, 1) AS c2r
+  FROM documents),
+ordered AS (
+  SELECT doc_id, text, n,
+         least(c1r, c2r) AS c1, greatest(c1r, c2r) AS c2
+  FROM cuts),
+built AS (
+  SELECT doc_id, n, c1, c2,
+         '<PRE>' || substr(text, 1, c1)
+         || '<SUF>' || substr(text, c2 + 1)
+         || '<MID>' || substr(text, c1 + 1, c2 - c1) AS fim
+  FROM ordered)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+       md5(fim) AS fim_md5
+FROM built
+""",
+)
+def fim_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM/PSM example construction: two md5-derived cut points split
+    each document into prefix/middle/suffix and the example is emitted
+    in prefix-suffix-middle order with sentinel markers — the exact
+    reordering code models pretrain on, deterministic per document so
+    example sets reproduce across runs and engines (per-epoch variety =
+    swap the ':a'/':b' seed strings). One narrow projection: no explode,
+    no shuffle, scales with the scan. Degenerate cuts (c1 = c2, empty
+    middle) are kept — matching FIM training where ~some examples have
+    empty spans."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cut(seed: str):
+        return 1 + F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % F.greatest(F.length("text") - 1, F.lit(1))
+
+    cuts = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        cut(":a").alias("c1r"),
+        cut(":b").alias("c2r"),
+    )
+    ordered = cuts.select(
+        "doc_id",
+        "text",
+        "n",
+        F.least("c1r", "c2r").alias("c1"),
+        F.greatest("c1r", "c2r").alias("c2"),
+    )
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substr(text, 1, c1)"),
+        F.lit("<SUF>"),
+        F.expr("substr(text, c2 + 1)"),
+        F.lit("<MID>"),
+        F.expr("substr(text, c1 + 1, c2 - c1)"),
+    )
+    return ordered.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.col("c1").cast("long").alias("cut1"),
+        F.col("c2").cast("long").alias("cut2"),
+        F.md5(fim).alias("fim_md5"),
+    )
