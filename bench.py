@@ -56,6 +56,7 @@ HEADLINE = [
     "mlm_example_build",
     "t5_span_corrupt",
     "fim_example_build",
+    "ngram_novelty",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -9164,3 +9164,75 @@ def fim_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("long").alias("cut2"),
         F.md5(fim).alias("fim_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring (§2.J beyond-reference): per-document fraction of
+# corpus-unique word 8-grams — the cheap data-valuation signal ("how much
+# text does this doc contribute that nothing else has") that complements
+# dedup (which REMOVES repeats) by SCORING originality for mixture/pruning
+# decisions. Self-repetition counts against novelty by design (a doc
+# repeating its own 8-gram makes the corpus count >= 2).
+
+
+@query(
+    "ngram_novelty",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)), i ->
+           md5(array_to_string(list_transform(generate_series(i, i + 7), j -> tk[j]), ' ')))) AS h
+  FROM toks),
+cnt AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh s JOIN cnt c ON c.h = s.h
+  GROUP BY s.doc_id)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(n_unique * 1000 // n_shingles AS BIGINT) AS novelty_milli
+FROM per_doc
+""",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the milli-fraction of its word 8-grams that occur
+    exactly once corpus-wide. Shingles hash to md5 IN the narrow stage,
+    so the two wide exchanges (corpus count keyed by hash, per-doc
+    reduce keyed by doc) move 32-byte hashes + ids, never text — the
+    same exchange discipline as the dedup family. Docs under 8 tokens
+    drop identically on both engines (empty shingle list)."""
+    from chatbot_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 7, F.lit(0))),
+                lambda x, i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 8))),
+            )
+        ).alias("h"),
+    )
+    cnt = sh.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        sh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("n_unique * 1000 div n_shingles").alias("novelty_milli"),
+        )
+    )
