@@ -67,6 +67,15 @@ DEFAULT_QUERIES = [
     "capped_class_sample",
     "salted_event_counts",
     "events_hopping_window",
+    # r6 web-curation / training-example family
+    "host_pagerank",
+    "phrase_search",
+    "lm_quality_buckets",
+    "web_curation_pipeline",
+    "t5_span_corrupt",
+    "ngram_novelty",
+    "sft_pair_assembly",
+    "equi_depth_histogram",
 ]
 
 
@@ -94,6 +103,40 @@ JUSTIFIED = {
         "fact join shuffle (lineitem+orders on orderkey) + the "
         "two-count-distinct Expand (x2 partials) - the TPC-H Q21 cost; "
         "one lineitem scan since r6"
+    ),
+    "lm_quality_buckets": (
+        "the scoring grain is the bigram: O(tokens) rows cross the model "
+        "join and the doc reduce vs a doc-count input denominator; rows "
+        "are (w1, w2, ids), never documents"
+    ),
+    "web_curation_pipeline": (
+        "composition of the LM bigram grain (see lm_quality_buckets) "
+        "with the Pregel edge exchanges; no stage exceeds its "
+        "individually audited shape"
+    ),
+    "t5_span_corrupt": (
+        "example assembly is per-token by definition: the (doc, pos) "
+        "postings exchange and mask/island joins carry token-position "
+        "tuples, bounded by O(tokens) with ~6% masked"
+    ),
+    "ngram_novelty": (
+        "one md5 per 8-gram position crosses the corpus-count exchange "
+        "(the dedup-family discipline: hashes + ids, never text); "
+        "denominator is doc rows"
+    ),
+    "phrase_search": (
+        "postings explode is join-filtered by the broadcast phrase side "
+        "BEFORE any exchange; the wide shuffles carry only matched "
+        "anchor votes (tokens x phrase terms that hit)"
+    ),
+    "host_pagerank": (
+        "five supersteps re-exchange the O(edges) contribution stream "
+        "(2 link rules per doc) plus the O(nodes) rank table - the "
+        "Pregel contract; per-round volume is flat, never compounding"
+    ),
+    "sft_pair_assembly": (
+        "one keyed exchange of the event stream for the frame window "
+        "(ratio ~1); the pair-numbering window reuses the partitioning"
     ),
 }
 
