@@ -524,3 +524,89 @@ def test_html_classifier_matches_python_reference(spark):
         for r in df.select("doc_id", cols["content"].alias("content")).collect()
     }
     assert got == {i: ref_content(h) for i, h in pages}
+
+
+def test_fim_reconstructs_original(spark):
+    # <PRE>p<SUF>s<MID>m must satisfy p + m + s == text for every doc.
+    import re
+
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .limit(40)
+        .collect()
+    }
+    # recompute with full strings (the query ships md5 only)
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+
+    def cut(seed):
+        return 1 + F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % F.greatest(F.length("text") - 1, F.lit(1))
+
+    rows = (
+        df.select(
+            "doc_id",
+            "text",
+            F.least(cut(":a"), cut(":b")).alias("c1"),
+            F.greatest(cut(":a"), cut(":b")).alias("c2"),
+        )
+        .selectExpr(
+            "doc_id",
+            "text",
+            "concat('<PRE>', substr(text, 1, c1), '<SUF>', substr(text, c2 + 1),"
+            " '<MID>', substr(text, c1 + 1, c2 - c1)) AS fim",
+        )
+        .collect()
+    )
+    for r in rows:
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r["fim"], re.S)
+        assert m, r["doc_id"]
+        pre, suf, mid = m.group(1), m.group(2), m.group(3)
+        assert pre + mid + suf == docs[r["doc_id"]]
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    # brute-force the same corpus the query uses at smoke scale
+    from chatbot_spark.io.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+    }
+    counts = Counter()
+    per_doc = {}
+    for did, tk in docs.items():
+        sh = [" ".join(tk[i : i + 8]) for i in range(len(tk) - 7)]
+        per_doc[did] = sh
+        counts.update(sh)
+    expect = {
+        did: (
+            len(sh),
+            sum(1 for s in sh if counts[s] == 1),
+        )
+        for did, sh in per_doc.items()
+        if sh
+    }
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"])
+        for r in SPARK_QUERIES["ngram_novelty"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
