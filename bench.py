@@ -57,6 +57,7 @@ HEADLINE = [
     "t5_span_corrupt",
     "fim_example_build",
     "ngram_novelty",
+    "dpo_pair_mining",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

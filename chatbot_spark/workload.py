@@ -9236,3 +9236,92 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_unique * 1000 div n_shingles").alias("novelty_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair mining (§2.J beyond-reference): construct (chosen,
+# rejected) training pairs from a ranking — the preference-data side of
+# alignment pipelines, composing the bit-exact BM25 ranking the same way
+# sft_pair_assembly composes the event log.
+
+
+@query(
+    "dpo_pair_mining",
+    """
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM c),
+post AS (
+  SELECT doc_id AS id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM c) s
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY id),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS token
+  FROM c WHERE doc_id < 3),
+contrib AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token,
+         (((SELECT n_docs FROM n) - d.df + 0.5) / (d.df + 0.5))
+         * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM ad)))) AS w
+  FROM qterms q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token
+  JOIN dl l ON l.id = p.id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored),
+top10 AS (SELECT * FROM ranked WHERE rank <= 10)
+SELECT c1.query_id, CAST(c1.rank AS BIGINT) AS pair_idx,
+       c1.neighbor_id AS chosen_id, c2.neighbor_id AS rejected_id,
+       round(c1.score - c2.score, 6) AS margin
+FROM top10 c1 JOIN top10 c2
+  ON c2.query_id = c1.query_id AND c2.rank = 11 - c1.rank
+WHERE c1.rank <= 3
+""",
+)
+def dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF reward data: from each
+    query's bit-exact BM25 top-10, pair rank r with rank 11-r for
+    r = 1..3 — strong positives against the weakest retrieved
+    candidates, the standard margin-maximizing mining heuristic (true
+    random negatives compose with mlm/fim-style hash sampling instead).
+    The margin is a difference of two sorted-fold scores, so it is
+    bit-identical before the display rounding. One extra self-join on
+    the tiny ranked table beyond the audited BM25 plan."""
+    from chatbot_spark.operators.lexical import bm25_topk as _bm25
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    res = _bm25(queries_df, docs, k=10, idf_mode="rational")
+    chosen = res.filter(F.col("rank") <= 3).select(
+        "query_id",
+        F.col("rank").cast("long").alias("pair_idx"),
+        F.col("neighbor_id").alias("chosen_id"),
+        F.col("score").alias("__cs"),
+    )
+    rejected = res.filter(F.col("rank") >= 8).select(
+        F.col("query_id").alias("__rq"),
+        (11 - F.col("rank")).cast("long").alias("__ri"),
+        F.col("neighbor_id").alias("rejected_id"),
+        F.col("score").alias("__rs"),
+    )
+    return chosen.join(
+        rejected,
+        (F.col("query_id") == F.col("__rq")) & (F.col("pair_idx") == F.col("__ri")),
+    ).select(
+        "query_id",
+        "pair_idx",
+        "chosen_id",
+        "rejected_id",
+        F.round(F.col("__cs") - F.col("__rs"), 6).alias("margin"),
+    )
