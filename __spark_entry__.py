@@ -55,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order, so with 161 registered queries the window must rotate across
+# dict order, so with 176 registered queries the window must rotate across
 # rounds for every query to get a hard driver-oracle check. Rotation is
 # automatic: count how many past CORRECTNESS_r*.json rounds each query was
 # fully GREEN in (rows+schema+hash all matched, no err — an errored or
