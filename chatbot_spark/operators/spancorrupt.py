@@ -65,11 +65,17 @@ def t5_span_corrupt(
     document drew no span). Deterministic md5 seeding as per module doc.
     """
     tk = tokens(F.col(text_col))
+    # The postings feed THREE consumers (seed scan, mask-token join,
+    # final assembly) and the span table two; without persisting, each
+    # branch re-scans and re-explodes the corpus — 7 parquet scans in
+    # the physical plan (measured). Persist the shared subtrees so the
+    # corpus is read ONCE however many branches compose downstream —
+    # the same shared-subtree discipline as plans/dataprep.
     post = docs.select(
         F.col(id_col).alias("__id"),
         F.size(tk).alias("n"),
         F.posexplode(tk).alias("pos", "tok"),
-    )
+    ).persist()
     h = _pos_hash("__id")
     seeded = post.withColumn("__h", h).filter(
         F.col("__h") % 1000 < start_permille
@@ -91,7 +97,7 @@ def t5_span_corrupt(
     )
     maskt = masked.join(
         post.select("__id", F.col("pos").alias("mpos"), "tok"), ["__id", "mpos"]
-    )
+    ).persist()
     w_run = Window.partitionBy("__id").orderBy("mpos")
     runs = maskt.withColumn("__grp", F.col("mpos") - F.row_number().over(w_run))
     spans = runs.groupBy("__id", "__grp").agg(
@@ -106,7 +112,7 @@ def t5_span_corrupt(
         ).alias("span_text"),
     )
     w_span = Window.partitionBy("__id").orderBy("span_start")
-    spans = spans.withColumn("span_idx", F.row_number().over(w_span))
+    spans = spans.withColumn("span_idx", F.row_number().over(w_span)).persist()
     flags = maskt.select(
         F.col("__id").alias("__fid"), F.col("mpos").alias("__fpos"), F.lit(1).alias("__m")
     )
