@@ -132,7 +132,9 @@ def bm25_topk(
     token (never a dense matrix), map-side-combinable aggs, sorted-term
     fold, two-phase top-k window. dl/avgdl adds one tiny (doc_id → dl)
     broadcast-sized side input derived from the postings themselves."""
-    postings = term_frequencies(corpus_df, corpus_id, corpus_text)
+    # postings feed FOUR consumers (df, dl, the contrib join, total_dl);
+    # persisted so the corpus tokenize/explode runs once, not per branch
+    postings = term_frequencies(corpus_df, corpus_id, corpus_text).persist()
     dfreq = document_frequencies(postings)
     doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     # corpus stats folded in as a broadcast 1-row side input (crossJoin

@@ -61,14 +61,21 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def train_bigram_counts(train_docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+def train_bigram_counts(
+    train_docs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
     """The model: (w1, w2, bg_cnt, pre_cnt) over the clean slice.
 
     pre_cnt is the prefix total Σ_w2 bg_cnt — derived from the bigram
     table itself so P(w2|w1) mass is consistent by construction.
+    Pass ``bigrams`` (a pre-built — typically persisted — doc_bigrams
+    stream) to share ONE corpus explode between training and scoring
+    instead of re-scanning the source per consumer.
     """
-    bg = doc_bigrams(train_docs, text_col, id_col)
+    bg = bigrams if bigrams is not None else doc_bigrams(train_docs, text_col, id_col)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("bg_cnt"))
     pre = counts.groupBy("w1").agg(F.sum("bg_cnt").alias("pre_cnt"))
     return counts.join(pre, "w1")
@@ -79,18 +86,20 @@ def _bitlen(c: Column) -> Column:
 
 
 def score_lm_bits(
-    docs: DataFrame,
+    docs: DataFrame | None,
     model: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     backoff_bits: int = BACKOFF_BITS,
     broadcast_model: bool = True,
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document integer LM score: (id, n_bigrams, total_bits,
     score_milli) where score_milli = total_bits*1000 div n_bigrams —
     avg bits/bigram in exact milli-units. Lower = more fluent under the
-    clean-slice model."""
-    bg = doc_bigrams(docs, text_col, id_col)
+    clean-slice model. ``bigrams`` shares a pre-built stream as in
+    train_bigram_counts."""
+    bg = bigrams if bigrams is not None else doc_bigrams(docs, text_col, id_col)
     m = F.broadcast(model) if broadcast_model else model
     joined = bg.join(m, ["w1", "w2"], "left")
     bits = F.when(

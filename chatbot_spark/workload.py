@@ -8351,11 +8351,18 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring = one transient bigram explode + broadcast join + one groupBy
     on doc_id. Every quantity is BIGINT: the oracle replays training and
     scoring verbatim and must match hash-for-hash."""
-    from chatbot_spark.operators.lm import score_lm_bits, train_bigram_counts
+    from chatbot_spark.operators.lm import (
+        doc_bigrams,
+        score_lm_bits,
+        train_bigram_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    model = train_bigram_counts(docs.filter(F.col("doc_id") % 10 < 3))
-    scored = score_lm_bits(docs, model)
+    # one persisted bigram explode shared by training and scoring — the
+    # corpus is scanned once, not once per consumer
+    bg = doc_bigrams(docs).persist()
+    model = train_bigram_counts(None, bigrams=bg.filter(F.col("__id") % 10 < 3))
+    scored = score_lm_bits(None, model, bigrams=bg)
     return scored.select(
         "doc_id",
         "n_bigrams",
@@ -8657,7 +8664,11 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide shuffle beyond the per-host aggregate."""
     from chatbot_spark.operators.graph import pagerank_integer
     from chatbot_spark.operators.html import extract_main_content
-    from chatbot_spark.operators.lm import score_lm_bits, train_bigram_counts
+    from chatbot_spark.operators.lm import (
+        doc_bigrams,
+        score_lm_bits,
+        train_bigram_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.select(
@@ -8677,8 +8688,9 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             extract_main_content(F.col("html"))["content"], "\n", " "
         ).alias("text"),
     )
-    model = train_bigram_counts(clean.filter(F.col("doc_id") % 10 < 3))
-    scored = score_lm_bits(clean, model)
+    bg = doc_bigrams(clean).persist()
+    model = train_bigram_counts(None, bigrams=bg.filter(F.col("__id") % 10 < 3))
+    scored = score_lm_bits(None, model, bigrams=bg)
     kept = scored.filter(F.col("score_milli") < 5300).select(
         "doc_id", "total_bits"
     )
@@ -9302,7 +9314,9 @@ def dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = docs.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
-    res = _bm25(queries_df, docs, k=10, idf_mode="rational")
+    # res feeds both pair sides; persist so the BM25 plan (and its
+    # corpus scans) executes once, not once per side
+    res = _bm25(queries_df, docs, k=10, idf_mode="rational").persist()
     chosen = res.filter(F.col("rank") <= 3).select(
         "query_id",
         F.col("rank").cast("long").alias("pair_idx"),
