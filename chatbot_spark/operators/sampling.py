@@ -129,6 +129,11 @@ def prefix_sum(
     the deterministic order)."""
     from pyspark.sql import Window
 
+    # The input feeds the quantile-bounds pass AND the bucketed scan, and
+    # the within-bucket cumsum feeds the offsets aggregate AND the final
+    # join — persist both so the upstream plan executes once instead of
+    # once per branch (weighted_sample measured 8 source scans without).
+    df = df.persist()
     if n_buckets <= 1:
         src = df.withColumn("__bkt", F.lit(0))
     else:
@@ -146,7 +151,7 @@ def prefix_sum(
             ),
         ).drop("bs")
     w_in = Window.partitionBy("__bkt").orderBy(F.col(order_col).asc())
-    within = src.withColumn("__cum_in", F.sum(value_col).over(w_in))
+    within = src.withColumn("__cum_in", F.sum(value_col).over(w_in)).persist()
     w_off = Window.orderBy(F.col("__bkt").asc())
     offsets = (
         within.groupBy("__bkt")
