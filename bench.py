@@ -58,6 +58,7 @@ HEADLINE = [
     "fim_example_build",
     "ngram_novelty",
     "dpo_pair_mining",
+    "incremental_minhash_neardup",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -227,31 +227,25 @@ def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_buckets(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 12,
-    bands: int = 4,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    verify: bool = True,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH: shingle → signature → band →
-    bucket-join → (optional) exact-Jaccard verification.
+    """(__id, __bucket) LSH band-bucket table — the joinable index form.
 
-    Returns (id_a, id_b[, jaccard]) with id_a < id_b. The bucket join is the
-    only shuffle over full data and is keyed by (band, hash) — at 100 TB the
-    candidate set, not the corpus square, bounds the work.
+    Signatures via explode + groupBy(min), NOT the array-expression form
+    (minhash_signature): the inlined higher-order tree is O(num_hashes ×
+    shingling) per reference and, duplicated across the join sides,
+    blows up optimizer/codegen time. Here the per-row expression is six
+    md5s of a scalar; the groupBy min is map-side-combinable (at 100 TB
+    the shuffle carries one 6×32-byte row per document). Hash family and
+    banding are bit-identical to minhash_signature/band_hashes.
     """
     rows_per_band = num_hashes // bands
-    # Signatures via explode + groupBy(min), NOT the array-expression form
-    # (minhash_signature): the inlined higher-order tree is O(num_hashes ×
-    # shingling) per reference and, duplicated across the self-join below,
-    # blows up optimizer/codegen time. Here the per-row expression is six
-    # md5s of a scalar; the groupBy min is map-side-combinable (at 100 TB
-    # the shuffle carries one 6×32-byte row per document). Hash family and
-    # banding are bit-identical to minhash_signature/band_hashes.
     post = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
@@ -262,7 +256,7 @@ def minhash_lsh_pairs(
             for j in range(num_hashes)
         ]
     )
-    buckets = sigs.select(
+    return sigs.select(
         "__id",
         F.explode(
             F.array(
@@ -282,6 +276,26 @@ def minhash_lsh_pairs(
             )
         ).alias("__bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH: shingle → signature → band →
+    bucket-join → (optional) exact-Jaccard verification.
+
+    Returns (id_a, id_b[, jaccard]) with id_a < id_b. The bucket join is the
+    only shuffle over full data and is keyed by (band, hash) — at 100 TB the
+    candidate set, not the corpus square, bounds the work.
+    """
+    buckets = _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -739,3 +753,62 @@ def remove_duplicated_spans(
     if keep_spans_col is not None:
         out = out.withColumn(keep_spans_col, F.col("__spans"))
     return out.drop("__toks", "__spans", "__sid")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch only — the incremental twin of
+    ``minhash_lsh_pairs`` (and the near-dup sibling of
+    ``incremental_exact_dedup``): candidates are new×seen ∪ new×new via
+    the same band-bucket join; the seen corpus is NEVER re-paired with
+    itself.
+
+    The seen side enters as its (bucket, id) index — exactly what
+    ``_lsh_buckets`` emits and what a snapshot pipeline stores per run
+    (append new buckets via the A9 upsert path): each arriving batch
+    pays O(batch) signature work plus one bucket join against the stored
+    index, so per-delta cost scales with the delta, not the corpus. The
+    pair set equals the full-corpus operator's output filtered to pairs
+    touching the batch (bucket joins are symmetric), which is the
+    oracle's statement of correctness. Ids must be unique across
+    new ∪ seen (the snapshot contract); id_a < id_b as in the family.
+    """
+    bn = _lsh_buckets(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    ).persist()
+    bs = _lsh_buckets(seen_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    cross = (
+        bn.alias("a")
+        .join(
+            bs.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+        )
+    )
+    within = (
+        bn.alias("a")
+        .join(
+            bn.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    cand = cross.unionByName(within).distinct()
+    corpus = new_docs.select(id_col, text_col).unionByName(
+        seen_docs.select(id_col, text_col)
+    )
+    j = jaccard_pairs_for(cand, corpus, id_col, text_col, shingle_n)
+    return j.filter(F.col("jaccard") >= jaccard_threshold)

@@ -9339,3 +9339,60 @@ def dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected_id",
         F.round(F.col("__cs") - F.col("__rs"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup (§2.J — the near-dup sibling of
+# incremental_exact_dedup; operators/dedup.py::incremental_minhash_pairs).
+
+
+@query(
+    "incremental_minhash_neardup",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM documents WHERE doc_id < 250),
+sigs AS (
+  SELECT doc_id,
+         [ {', '.join(f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(_DUCK_MINHASH_K))} ] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, unnest([ {', '.join(f"md5(concat_ws('|', '{b}', sig[{2 * b + 1}], sig[{2 * b + 2}]))" for b in range(_DUCK_MINHASH_K // 2))} ]) AS bh
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified
+WHERE jaccard >= 0.1 AND id_b >= 150  -- pairs touching the new batch
+""",
+)
+def incremental_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: docs 150-249 arrive as a new crawl batch and
+    dedup against the 0-149 snapshot WITHOUT re-pairing the snapshot —
+    new×seen candidates come from joining the batch's band buckets
+    against the stored (bucket, id) index, new×new from the batch's
+    self-join; per-delta cost scales with the delta, not the corpus.
+    The oracle states the semantics: the full-corpus LSH pipeline's
+    verified pairs restricted to those touching the batch (id_b >= 150
+    suffices since id_a < id_b and the seen ids are all lower) — bucket
+    joins are symmetric, so the incremental candidate set provably
+    equals that restriction."""
+    from chatbot_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 150)
+    new = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    res = incremental_minhash_pairs(
+        new, seen, id_col="doc_id", text_col="text",
+        num_hashes=_DUCK_MINHASH_K, bands=_DUCK_MINHASH_K // 2, shingle_n=3,
+        jaccard_threshold=0.1,
+    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -506,3 +506,38 @@ def test_kmv_estimate_zero_hash_degenerate_guard(spark):
     )
     rows = df.select(kmv_estimate(F.col("kmv"), k).alias("e")).collect()
     assert [r.e for r in rows] == [4.0, 4.0]
+
+
+def test_incremental_minhash_equals_restricted_full(spark):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark execution engines"),
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (11, "completely different text about spark execution engines ok"),
+        (12, "some fresh unseen content with no relatives at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs(
+            new, seen, jaccard_threshold=0.1
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.1).collect()
+    }
+    restricted = {(a, b) for a, b in full if a >= 10 or b >= 10}
+    assert inc == restricted
+    assert (1, 10) in inc  # new dup of a seen doc is caught
+    assert all((a >= 10 or b >= 10) for a, b in inc)  # never seen x seen
