@@ -59,6 +59,7 @@ HEADLINE = [
     "ngram_novelty",
     "dpo_pair_mining",
     "incremental_minhash_neardup",
+    "per_lang_neardup",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -234,8 +234,16 @@ def _lsh_buckets(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """(__id, __bucket) LSH band-bucket table — the joinable index form.
+
+    ``scope_col`` prepends a partition key (language, domain, source) to
+    every bucket id, so the downstream bucket JOIN can only meet
+    candidates inside one scope — per-language dedup as CCNet/RefinedWeb
+    run it, enforced in the join key rather than by filtering pairs
+    after the fact (cross-scope rows never co-bucket, never shuffle
+    together).
 
     Signatures via explode + groupBy(min), NOT the array-expression form
     (minhash_signature): the inlined higher-order tree is O(num_hashes ×
@@ -248,27 +256,37 @@ def _lsh_buckets(
     rows_per_band = num_hashes // bands
     post = df.select(
         F.col(id_col).alias("__id"),
+        *([F.col(scope_col).alias("__scope")] if scope_col else []),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    sigs = post.groupBy("__id").agg(
+    sigs = post.groupBy(
+        "__id", *(["__scope"] if scope_col else [])
+    ).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh")))).alias(f"__s{j}")
             for j in range(num_hashes)
         ]
+    )
+    scoped = (
+        (lambda c: F.concat(F.col("__scope"), F.lit("|"), c))
+        if scope_col
+        else (lambda c: c)
     )
     return sigs.select(
         "__id",
         F.explode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(b)),
-                            *[
-                                F.col(f"__s{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
+                    scoped(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(b)),
+                                *[
+                                    F.col(f"__s{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         )
                     )
                     for b in range(bands)
@@ -287,15 +305,21 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     verify: bool = True,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: shingle → signature → band →
     bucket-join → (optional) exact-Jaccard verification.
 
     Returns (id_a, id_b[, jaccard]) with id_a < id_b. The bucket join is the
     only shuffle over full data and is keyed by (band, hash) — at 100 TB the
-    candidate set, not the corpus square, bounds the work.
+    candidate set, not the corpus square, bounds the work. ``scope_col``
+    scopes dedup inside a partition key (per-language / per-domain — the
+    CCNet recipe) by folding the scope into the bucket id: cross-scope
+    rows never co-bucket, so the restriction costs nothing.
     """
-    buckets = _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    buckets = _lsh_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, scope_col
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

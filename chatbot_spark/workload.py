@@ -9396,3 +9396,53 @@ def incremental_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.1,
     )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Language-scoped near-dup (§2.J — per-language dedup as CCNet/RefinedWeb
+# run it; the scope rides the LSH bucket id, so cross-language rows never
+# co-bucket and the restriction costs nothing at the join).
+
+
+@query(
+    "per_lang_neardup",
+    f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_DUCK_SHINGLES.format(t=_DUCK_TOKENS.format(c='text'))} AS shingles
+  FROM documents),
+sigs AS (
+  SELECT doc_id, lang,
+         [ {', '.join(f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(_DUCK_MINHASH_K))} ] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, unnest([ {', '.join(f"lang || '|' || md5(concat_ws('|', '{b}', sig[{2 * b + 1}], sig[{2 * b + 2}]))" for b in range(_DUCK_MINHASH_K // 2))} ]) AS bh
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.1
+""",
+)
+def per_lang_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language near-dup (the CCNet scoping): identical MinHash/LSH
+    pipeline with the language folded into the bucket id — cross-language
+    rows never co-bucket, never meet in the join, never pay a Jaccard;
+    the scope restriction is free at the shuffle rather than a post-hoc
+    pair filter. The oracle replays the scoped bucket ids verbatim."""
+    from chatbot_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=_DUCK_MINHASH_K, bands=_DUCK_MINHASH_K // 2, shingle_n=3,
+        jaccard_threshold=0.1, scope_col="lang",
+    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -541,3 +541,33 @@ def test_incremental_minhash_equals_restricted_full(spark):
     assert inc == restricted
     assert (1, 10) in inc  # new dup of a seen doc is caught
     assert all((a >= 10 or b >= 10) for a, b in inc)  # never seen x seen
+
+
+def test_scoped_minhash_equals_same_scope_restriction(spark):
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.dedup import minhash_lsh_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "en", dup),
+        (2, "en", dup + " tonight"),
+        (3, "de", dup),          # cross-lang dup of 1 -> must NOT pair scoped
+        (4, "de", dup + " tonight"),
+        (5, "en", "entirely different text with no duplicate partner here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scoped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.1, scope_col="lang"
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.1).collect()
+    }
+    lang = {i: l for i, l, _ in rows}
+    assert scoped == {(a, b) for a, b in full if lang[a] == lang[b]}
+    assert (1, 3) in full and (1, 3) not in scoped  # cross-lang dup excluded
+    assert (1, 2) in scoped and (3, 4) in scoped
