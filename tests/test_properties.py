@@ -530,8 +530,9 @@ def test_fim_reconstructs_original(spark):
     # <PRE>p<SUF>s<MID>m must satisfy p + m + s == text for every doc.
     import re
 
+    from pyspark.sql import functions as F
+
     from chatbot_spark.io.tables import load_table
-    from chatbot_spark.workload import SPARK_QUERIES
 
     docs = {
         r["doc_id"]: r["text"]
@@ -540,7 +541,6 @@ def test_fim_reconstructs_original(spark):
         .collect()
     }
     # recompute with full strings (the query ships md5 only)
-    from pyspark.sql import functions as F
 
     df = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
 
@@ -578,12 +578,8 @@ def test_fim_reconstructs_original(spark):
 def test_ngram_novelty_matches_bruteforce(spark):
     from collections import Counter
 
-    from pyspark.sql import functions as F
-
-    from chatbot_spark.workload import SPARK_QUERIES
-
-    # brute-force the same corpus the query uses at smoke scale
     from chatbot_spark.io.tables import load_table
+    from chatbot_spark.workload import SPARK_QUERIES
 
     docs = {
         r["doc_id"]: r["text"].lower().split()

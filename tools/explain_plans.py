@@ -277,6 +277,20 @@ COMMENT = {
         "higher-order array expressions over the token array — zero "
         "exchanges, zero Python, scales with the scan."
     ),
+    "per_lang_neardup": (
+        "Scoped LSH: the language is concatenated into every band-bucket "
+        "id inside the narrow signature stage, so the candidate "
+        "self-join's single wide exchange is keyed by (lang | band-hash) "
+        "— cross-language rows land in different buckets and the "
+        "restriction costs zero extra operators, joins or filters."
+    ),
+    "incremental_minhash_neardup": (
+        "Incremental near-dup: the batch's bucket table (persisted, "
+        "built once) joins the seen corpus's bucket index for new×seen "
+        "and itself for new×new; no seen×seen pair is ever generated. "
+        "Per-delta exchanges scale with the batch — the stored-index "
+        "contract that makes snapshot dedup affordable at 100 TB."
+    ),
     "incremental_exact_dedup": (
         "Snapshot-incremental dedup: the seen side collapses to DISTINCT "
         "fingerprints, one distributed agg builds the Bloom filter, the "
