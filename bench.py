@@ -60,6 +60,7 @@ HEADLINE = [
     "dpo_pair_mining",
     "incremental_minhash_neardup",
     "per_lang_neardup",
+    "stream_heavy_hitters",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",

@@ -118,3 +118,80 @@ def run_stream_once_append(stream_df: DataFrame, checkpoint: str) -> list:
     rows = spark.sql(f"SELECT * FROM {sink}").collect()
     spark.catalog.dropTempView(sink)
     return rows
+
+
+# --------------------------------------------------------------------- J6+
+# Streaming heavy hitters (SpaceSaving per shard). Batch CMS heavy hitters
+# exist (workload cms_heavy_hitters); this is the STREAMING counter form:
+# capacity-bounded per-shard counter tables maintained across micro-batches
+# with custom state — O(shards × capacity) state however long the stream.
+#
+# Correctness regimes:
+#  * capacity >= distinct keys per shard → counters are EXACT (no eviction
+#    ever fires), so a plain GROUP BY oracle pins the operator bit-for-bit
+#    — the same full-probe-≡-exact trick the ANN family uses.
+#  * capacity below distinct → classic SpaceSaving error bound (count
+#    overestimate ≤ N/capacity); eviction is deterministic (min count,
+#    ties → largest key) and unit-tested against a serial reference.
+#
+# Emission contract: every batch re-emits the shard's full counter table
+# stamped with n_seen (monotone per shard); "the final table" = rows with
+# each shard's max n_seen — deterministic regardless of micro-batch count
+# or boundaries.
+
+HH_OUTPUT_SCHEMA = "shard BIGINT, n_seen BIGINT, key BIGINT, cnt BIGINT"
+HH_STATE_SCHEMA = "keys ARRAY<BIGINT>, counts ARRAY<BIGINT>, n_seen BIGINT"
+
+
+def heavy_hitters_stream(
+    keyed: DataFrame,
+    capacity: int = 16,
+) -> DataFrame:
+    """SpaceSaving heavy hitters over a stream of (shard, ts, event_id,
+    key) rows, keyed by shard. Rows fold in (ts, event_id) order within
+    each batch so eviction order (when capacity binds) is deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        (shard,) = key
+        if state.exists:
+            keys, counts, n_seen = state.get
+            table = dict(zip(keys, counts))
+        else:
+            table, n_seen = {}, 0
+        for k in batch["key"].to_numpy():
+            k = int(k)
+            if k in table:
+                table[k] += 1
+            elif len(table) < capacity:
+                table[k] = 1
+            else:
+                evict = min(table.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                c = table.pop(evict)
+                table[k] = c + 1
+            n_seen += 1
+        ks = sorted(table)
+        state.update((ks, [int(table[k]) for k in ks], int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(ks),
+                "n_seen": [n_seen] * len(ks),
+                "key": ks,
+                "cnt": [table[k] for k in ks],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -9446,3 +9446,69 @@ def per_lang_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.1, scope_col="lang",
     )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (J6+ — streaming/stateful.py::heavy_hitters_stream):
+# capacity-bounded SpaceSaving counters per shard across micro-batches, run
+# in the exact regime (capacity >= distinct keys per shard) so the plain
+# GROUP BY oracle pins the whole stateful pipeline bit-for-bit.
+
+
+@query(
+    "stream_heavy_hitters",
+    """
+SELECT CAST(CAST(props->>'k' AS BIGINT) % 8 AS BIGINT) AS shard,
+       CAST(props->>'k' AS BIGINT) AS key,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY CAST(props->>'k' AS BIGINT) % 8, CAST(props->>'k' AS BIGINT)
+""",
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SpaceSaving: the event payload key (0-99) sharded mod 8,
+    counter tables of capacity 16 maintained with applyInPandasWithState
+    across 4 time-sliced micro-batches. 12-13 distinct keys per shard <
+    capacity, so no eviction fires and the final counters are EXACT —
+    the GROUP BY oracle checks the complete stateful pipeline (state
+    carry, re-emission contract, final-table selection by max n_seen)
+    hash-for-hash; the eviction path itself is unit-tested against a
+    serial reference at capacity 2. State is O(shards × capacity)
+    however long the stream runs."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import read_event_stream
+    from chatbot_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        run_stream_once_append,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_hh_q_")
+    inpath = os.path.join(base, "in")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    stream = read_event_stream(spark, inpath, max_files_per_trigger=1).select(
+        (F.get_json_object("props", "$.k").cast("long") % 8).alias("shard"),
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("key"),
+    )
+    rows = run_stream_once_append(
+        heavy_hitters_stream(stream, capacity=16), os.path.join(base, "ckpt")
+    )
+    df = spark.createDataFrame(
+        rows, schema="shard BIGINT, n_seen BIGINT, key BIGINT, cnt BIGINT"
+    )
+    final = df.groupBy("shard").agg(F.max("n_seen").alias("__f"))
+    return (
+        df.join(final, "shard")
+        .filter(F.col("n_seen") == F.col("__f"))
+        .select("shard", "key", "cnt")
+    )

@@ -512,3 +512,59 @@ def test_energy_segments_islands_and_silence(spark):
     assert [r["energy_sum"] for r in segs] == [
         int(e[0:2].sum()), int(e[4:6].sum()), int(e[8:10].sum())
     ]
+
+
+def test_heavy_hitters_eviction_matches_serial_spacesaving(spark, tmp_path):
+    # capacity 2 over 4 distinct keys: eviction fires; compare the final
+    # counter table against a serial SpaceSaving with the same tie-break
+    # (min count, ties -> largest key), folded in (ts, event_id) order.
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        run_stream_once_append,
+    )
+
+    seq = [3, 3, 1, 2, 1, 3, 4, 4, 4, 2, 2, 2]
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i), 0, k)
+        for i, k in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, shard long, key long"
+    )
+    inpath = str(tmp_path / "in")
+    # two micro-batches to exercise cross-batch counter state
+    df.filter(F.col("event_id") < 6).coalesce(1).write.mode("append").parquet(inpath)
+    df.filter(F.col("event_id") >= 6).coalesce(1).write.mode("append").parquet(inpath)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, shard long, key long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+        .select("shard", "ts", "event_id", "key")
+    )
+    out = run_stream_once_append(
+        heavy_hitters_stream(stream, capacity=2), str(tmp_path / "ckpt")
+    )
+    final_n = max(r["n_seen"] for r in out)
+    got = {r["key"]: r["cnt"] for r in out if r["n_seen"] == final_n}
+
+    table = {}
+    for k in seq:
+        if k in table:
+            table[k] += 1
+        elif len(table) < 2:
+            table[k] = 1
+        else:
+            evict = min(table.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            table[k] = table.pop(evict) + 1
+    assert got == table
+    assert final_n == len(seq)
+    # SpaceSaving overestimate bound: every kept count <= true + N/capacity
+    true = {k: seq.count(k) for k in set(seq)}
+    for k, c in got.items():
+        assert true[k] <= c <= true[k] + len(seq) // 2
