@@ -60,7 +60,9 @@ HEADLINE = [
     "dpo_pair_mining",
     "incremental_minhash_neardup",
     "per_lang_neardup",
-    "stream_heavy_hitters",
+    # stream_heavy_hitters: parity-gated; excluded like the other
+    # multi-batch streaming drains (wall-clock measures the replay
+    # harness, not the plan)
     "minhash_lsh_neardup",
     "simhash_neardup",
     "dedup_clusters",
