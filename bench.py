@@ -60,6 +60,7 @@ HEADLINE = [
     "dpo_pair_mining",
     "incremental_minhash_neardup",
     "per_lang_neardup",
+    "incremental_embed",
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

@@ -9512,3 +9512,99 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("__f"))
         .select("shard", "key", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding maintenance (§2.I I1 + the incremental family): the
+# embedding cache — re-embed ONLY changed/new documents, reuse stored
+# vectors by content fingerprint. At production scale the embed UDF is the
+# pipeline's dominant cost (a GPU model, not md5); content-hash reuse is
+# what makes recurrent snapshots affordable.
+
+
+@query(
+    "incremental_embed",
+    f"""
+WITH snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS txt
+  FROM documents WHERE doc_id < 400),
+bytes AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), b -> {_DUCK_HASHBYTE.format(t='txt')}) AS bs
+  FROM snap),
+raws AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_E2E_DIM - 1}),
+           k -> (bs[4*k+1] + bs[4*k+2]*256 + bs[4*k+3]*65536 + bs[4*k+4]*16777216)
+                / 2147483648.0 - 1.0) AS r
+  FROM bytes),
+emb AS (
+  SELECT doc_id,
+         list_transform(r, x -> CAST(CAST(x / sqrt({_DUCK_NP16_SUMSQ}) AS FLOAT) AS DOUBLE)) AS e
+  FROM raws)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id < 300 AND doc_id % 7 != 0 THEN 1 ELSE 0 END AS BIGINT) AS reused,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, {_E2E_DIM}),
+                  k -> CAST(floor(e[k] * 1000000) AS BIGINT) * k)),
+              (a, x) -> a + x) AS BIGINT) AS emb_digest
+FROM emb
+""",
+)
+def incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cache: the seen snapshot (docs 0-299, original text) has
+    stored (fingerprint → vector) rows; the new snapshot (0-399, every
+    7th doc's text changed) embeds ONLY cache misses — changed + brand-
+    new docs — and reuses the rest by md5 fingerprint join. Because the
+    embedder is content-deterministic, the merged table must equal a
+    full recompute of the new snapshot: the oracle recomputes every
+    vector from scratch and the position-weighted integer digest
+    matches bit-for-bit, while the reused flag pins WHICH docs skipped
+    the embed kernel (the dominant cost at production scale, where the
+    kernel is a GPU model rather than md5)."""
+    from chatbot_spark.operators.embed import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seen = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    cache = (
+        embed_documents(
+            seen.select(F.md5("text").alias("fp"), "text"),
+            text_col="text", backend="hash", dim=_E2E_DIM,
+        )
+        .select("fp", F.col("embedding").alias("__cached"))
+        .dropDuplicates(["fp"])
+    )
+    snap_fp = snap.withColumn("fp", F.md5("text"))
+    joined = snap_fp.join(F.broadcast(cache), "fp", "left").persist()
+    hits = joined.filter(F.col("__cached").isNotNull()).select(
+        "doc_id", F.col("__cached").alias("embedding"), F.lit(1).alias("reused")
+    )
+    fresh = embed_documents(
+        joined.filter(F.col("__cached").isNull()).select("doc_id", "text"),
+        text_col="text", backend="hash", dim=_E2E_DIM,
+    ).select("doc_id", "embedding", F.lit(0).alias("reused"))
+    final = hits.unionByName(fresh)
+    digest = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(1), F.lit(_E2E_DIM)),
+            lambda x, k: F.floor(x * 1000000).cast("long") * k.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return final.select(
+        "doc_id",
+        F.col("reused").cast("long").alias("reused"),
+        digest.cast("long").alias("emb_digest"),
+    )
