@@ -80,6 +80,7 @@ PINNED = [
     "t5_span_corrupt",
     "web_curation_pipeline",
     "lm_quality_buckets",
+    "ngram_novelty",
 ]
 
 
