@@ -9608,3 +9608,91 @@ def incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reused").cast("long").alias("reused"),
         digest.cast("long").alias("emb_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (streaming twin of corpus_drift_monitor — the
+# live data-quality gate: streaming cell counts vs a static baseline).
+
+
+@query(
+    "stream_drift_monitor",
+    """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid' ELSE 'high' END
+           AS val_bucket,
+         CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15') AS BIGINT) AS n_base,
+         CAST(count(*) AS BIGINT) AS n_live
+  FROM events GROUP BY 1, 2),
+tots AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS t_base, CAST(sum(n_live) AS BIGINT) AS t_live
+  FROM cells)
+SELECT event_type, val_bucket,
+       CAST(n_base * 1000 // (SELECT t_base FROM tots) AS BIGINT) AS p_base,
+       CAST(n_live * 1000 // (SELECT t_live FROM tots) AS BIGINT) AS p_live,
+       CAST((n_base * 1000 // (SELECT t_base FROM tots)
+             - n_live * 1000 // (SELECT t_live FROM tots))
+            * (n_base * 1000 // (SELECT t_base FROM tots)
+               - n_live * 1000 // (SELECT t_live FROM tots)) AS BIGINT)
+         AS sq_milli_diff
+FROM cells
+""",
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift gate: the event stream's (event_type × value-bucket)
+    cell counts — a complete-mode streaming aggregation drained with
+    AvailableNow — compared against the static pre-2024-01-15 baseline
+    via the same integer milli-proportion math as the batch drift
+    monitor. At deployment the streaming side emits per micro-batch and
+    the comparison join is against a broadcast baseline table; the
+    drained end-state is exact, so the batch GROUP BY oracle pins the
+    streaming aggregation, the baseline join and the drift arithmetic
+    hash-for-hash."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import (
+        read_event_stream,
+        run_stream_once_complete,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 5, F.lit("low"))
+        .when(F.col("value") < 20, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    base_cells = (
+        ev.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-15'"))
+        .groupBy("event_type", bucket.alias("val_bucket"))
+        .agg(F.count("*").cast("long").alias("n_base"))
+    )
+    staging = tempfile.mkdtemp(prefix="cbs_drift_q_")
+    inpath = os.path.join(staging, "in")
+    ev.write.mode("overwrite").parquet(inpath)
+    live = read_event_stream(spark, inpath).groupBy(
+        "event_type", bucket.alias("val_bucket")
+    ).agg(F.count("*").cast("long").alias("n_live"))
+    rows = run_stream_once_complete(live, os.path.join(staging, "ckpt"))
+    live_df = spark.createDataFrame(rows, "event_type string, val_bucket string, n_live long")
+    cells = live_df.join(F.broadcast(base_cells), ["event_type", "val_bucket"], "left").select(
+        "event_type", "val_bucket",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        "n_live",
+    )
+    tots = cells.agg(
+        F.sum("n_base").cast("long").alias("t_base"),
+        F.sum("n_live").cast("long").alias("t_live"),
+    )
+    with_p = cells.crossJoin(F.broadcast(tots)).select(
+        "event_type", "val_bucket",
+        F.expr("n_base * 1000 div t_base").alias("p_base"),
+        F.expr("n_live * 1000 div t_live").alias("p_live"),
+    )
+    return with_p.select(
+        "event_type", "val_bucket", "p_base", "p_live",
+        ((F.col("p_base") - F.col("p_live")) * (F.col("p_base") - F.col("p_live")))
+        .cast("long")
+        .alias("sq_milli_diff"),
+    )
