@@ -61,6 +61,7 @@ HEADLINE = [
     "incremental_minhash_neardup",
     "per_lang_neardup",
     "incremental_embed",
+    "join_cardinality_estimate",
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

@@ -9696,3 +9696,67 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sq_milli_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join cardinality estimation (§2.K capstone — what the ANALYZE statistics
+# are FOR: the textbook System-R estimate |A ⋈ B| ≈ |A|·|B| / max(ndv_A,
+# ndv_B) computed from per-column stats, checked against the true join
+# count in the same query. Pure integers — the estimate, the actual and
+# their ratio are all BIGINT).
+
+
+@query(
+    "join_cardinality_estimate",
+    """
+WITH s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS ndv_o,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+         (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS ndv_c,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) AS actual)
+SELECT n_o, ndv_o, n_c, ndv_c,
+       CAST(n_o * n_c // greatest(ndv_o, ndv_c) AS BIGINT) AS estimate,
+       actual,
+       CAST(n_o * n_c // greatest(ndv_o, ndv_c) * 1000 // actual AS BIGINT)
+         AS ratio_milli
+FROM s
+""",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The System-R selectivity formula driven by the engine's own
+    statistics: |orders ⋈ customer| estimated as n_o·n_c / max(ndv)
+    from exactly the quantities collect_table_stats gathers, then
+    compared to the true join count in the same result row (ratio in
+    exact milli-units — 1000 means the estimate is perfect, which holds
+    here because o_custkey is a proper FK). Three tiny aggregates + one
+    counted join; at scale the stats come from the stored ANALYZE table
+    and the formula costs nothing — this query exists to pin the
+    arithmetic the planner-facing stats feed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = (
+        o.agg(
+            F.count("*").cast("long").alias("n_o"),
+            F.count_distinct("o_custkey").cast("long").alias("ndv_o"),
+        )
+        .crossJoin(
+            c.agg(
+                F.count("*").cast("long").alias("n_c"),
+                F.count_distinct("c_custkey").cast("long").alias("ndv_c"),
+            )
+        )
+        .crossJoin(
+            o.join(c, o.o_custkey == c.c_custkey)
+            .agg(F.count("*").cast("long").alias("actual"))
+        )
+    )
+    return stats.select(
+        "n_o", "ndv_o", "n_c", "ndv_c",
+        F.expr("n_o * n_c div greatest(ndv_o, ndv_c)").alias("estimate"),
+        "actual",
+        F.expr("n_o * n_c div greatest(ndv_o, ndv_c) * 1000 div actual").alias(
+            "ratio_milli"
+        ),
+    )
