@@ -62,6 +62,9 @@ HEADLINE = [
     "per_lang_neardup",
     "incremental_embed",
     "join_cardinality_estimate",
+    "frequent_pairs",
+    "host_triangles",
+    "event_transitions",
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

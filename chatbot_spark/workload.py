@@ -9760,3 +9760,165 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_milli"
         ),
     )
+
+
+@query(
+    "frequent_pairs",
+    """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 100 AS item FROM lineitem),
+ic AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS item_count FROM b
+  GROUP BY item HAVING count(*) >= 40),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM b),
+fq AS (SELECT b.basket, b.item FROM b JOIN ic USING (item)),
+p AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM fq a JOIN fq c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.item_a, p.item_b, p.pair_count,
+       CAST(p.pair_count * 1000000 // ca.item_count AS BIGINT) AS conf_ab_ppm,
+       CAST(p.pair_count * 1000000 // cb.item_count AS BIGINT) AS conf_ba_ppm,
+       CAST(p.pair_count * 1000000 * (SELECT n FROM nb)
+            // (ca.item_count * cb.item_count) AS BIGINT) AS lift_ppm
+FROM p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b
+""",
+)
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (operators/basket.py): orders
+    are baskets, part-category (l_partkey % 100) the item — the a-priori
+    pruned pair generator with exact integer confidence and lift in ppm.
+    The item-support prune (>= 40) removes infrequent items BEFORE the
+    within-basket self-join materializes any pair (at 100 TB that prune
+    is most of the volume); the pair join shuffles on the basket id only.
+    All outputs are BIGINT counts or BIGINT floor-divisions, so the
+    DuckDB oracle replays the identical algebra bit-for-bit."""
+    from chatbot_spark.operators.basket import frequent_pairs as fp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item_cat")
+    )
+    return fp(
+        baskets,
+        basket_col="l_orderkey",
+        item_col="item_cat",
+        min_item_support=40,
+        min_pair_support=5,
+    )
+
+
+@query(
+    "host_triangles",
+    """
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+  UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+  UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+""",
+)
+def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts (operators/graph.py::triangle_count) over
+    a deterministic ring-with-chords link graph on 120 hosts — triangle
+    density is a standard web-graph spam/community signal. The operator
+    runs the degree-ordered orientation algorithm (wedges enumerated only
+    at the lowest-order corner, closed against the oriented edge set —
+    out-degree bounded O(sqrt(m)) so celebrity hosts cannot explode the
+    wedge join); the oracle enumerates triangles the naive a<b<c way.
+    Same triangle set either way, exact BIGINT counts, bit-exact hash."""
+    from chatbot_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+    raw = (
+        docs.select(h.alias("u"), ((F.col("doc_id") + 1) % 120).alias("v"))
+        .union(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                h.alias("u"), ((F.col("doc_id") + 2) % 120).alias("v")
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                ((F.col("doc_id") + 1) % 120).alias("u"),
+                ((F.col("doc_id") + 2) % 120).alias("v"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                h.alias("u"), ((F.col("doc_id") * 7 + 13) % 120).alias("v")
+            )
+        )
+    )
+    return triangle_count(raw, src="u", dst="v")
+
+
+@query(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(t.n_trans * 1000000 // tot.n_from AS BIGINT) AS p_ppm
+FROM t JOIN tot USING (from_type)
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the standard behavioral-model / next-event-prediction feature. One
+    lead() window per user (shuffle on user_id, ordered by (ts,
+    event_id) so timestamp ties never flip engines), one transition
+    count agg, and the per-source normalizer a window-sum
+    OVER the counts themselves (rides the same DAG: events is scanned
+    exactly once, no shared-subtree recompute).
+    Probabilities in exact integer ppm (BIGINT div) — bit-exact oracle.
+    At 100 TB the state is O(|types|^2), the window is per-user local
+    ordering (no global sort), and the normalizer window runs on the
+    already-aggregated |types|^2-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    wt = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans") * 1000000).alias("__num"),
+        F.sum("n_trans").over(wt).cast("long").alias("__n_from"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("__num div __n_from").alias("p_ppm"),
+    )

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from itertools import combinations
+
+from chatbot_spark.operators.basket import frequent_pairs
+
+
+def _ref_pairs(baskets, min_item, min_pair, scale=10**6):
+    by_basket = {}
+    for b, i in baskets:
+        by_basket.setdefault(b, set()).add(i)
+    n = len(by_basket)
+    ic = {}
+    for items in by_basket.values():
+        for i in items:
+            ic[i] = ic.get(i, 0) + 1
+    keep = {i for i, c in ic.items() if c >= min_item}
+    pc = {}
+    for items in by_basket.values():
+        for a, b in combinations(sorted(items & keep), 2):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    out = {}
+    for (a, b), c in pc.items():
+        if c >= min_pair:
+            out[(a, b)] = (
+                c,
+                c * scale // ic[a],
+                c * scale // ic[b],
+                c * scale * n // (ic[a] * ic[b]),
+            )
+    return out
+
+
+def test_frequent_pairs_matches_serial_reference(spark):
+    baskets = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "a"), (4, "c"),
+        (5, "b"), (5, "c"), (5, "c"),  # dup item collapses
+        (6, "d"),
+    ]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_count"], r["conf_ab_ppm"], r["conf_ba_ppm"], r["lift_ppm"]
+        )
+        for r in frequent_pairs(
+            df, "basket", "item", min_item_support=2, min_pair_support=2
+        ).collect()
+    }
+    assert got == _ref_pairs(baskets, 2, 2)
+    # spot value: (a,b) in baskets 1,2,3 of 6; ca=4, cb=4
+    assert got[("a", "b")] == (3, 750000, 750000, 3 * 10**6 * 6 // 16)
+
+
+def test_frequent_pairs_apriori_prune_blocks_rare_items(spark):
+    # 'z' appears once -> pruned even though (a,z) co-occurs twice...
+    # impossible by apriori; construct (y) support 1 with pair support 1.
+    baskets = [(1, "a"), (1, "y"), (2, "a"), (3, "a")]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    rows = frequent_pairs(
+        df, "basket", "item", min_item_support=2, min_pair_support=1
+    ).collect()
+    assert rows == []  # the only pair involves pruned 'y'
+
+
+def test_frequent_pairs_min_pair_support_filters(spark):
+    baskets = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    got = frequent_pairs(
+        df, "basket", "item", min_item_support=1, min_pair_support=2
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["pair_count"]) for r in got] == [
+        ("a", "b", 2)
+    ]

@@ -99,3 +99,54 @@ def test_pagerank_warm_start_matches_recurrence_on_coalesced_init(spark):
             inc[t] += rank[s] // outdeg[s]
         rank = {v: ((den - num) * r0) // den + (num * inc[v]) // den for v in nodes}
     assert got == rank
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from chatbot_spark.operators.graph import triangle_count
+
+
+def _ref_triangles(edges):
+    """Serial reference: enumerate all a<b<c corner triples."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = sorted({x for p in e for x in p})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in e and (b, c) in e and (a, c) in e:
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_serial_reference(spark):
+    # K4 plus a pendant and a duplicate/reversed/self-loop noise set.
+    edges = (
+        [(a, b) for a, b in combinations(range(4), 2)]
+        + [(3, 4), (4, 3), (0, 0), (1, 0), (2, 1)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    ref = _ref_triangles(edges)
+    assert got == ref
+    # K4: each of the 4 corners sits in C(3,2)=3 triangles; pendant in 0.
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_triangle_free_graph_empty(spark):
+    # a path and a star are triangle-free
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_skewed_hub(spark):
+    # hub 0 connected to all of 1..20, plus edges (1,2) and (3,4):
+    # exactly two triangles, hub in both.
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
