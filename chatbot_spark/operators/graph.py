@@ -159,6 +159,9 @@ def triangle_count(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
+        # referenced by both degree sides and the orientation join —
+        # persisted so the raw edge source is scanned once, not per ref
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -204,4 +207,5 @@ def triangle_count(
     )
     counts = counts.localCheckpoint(eager=True)
     oriented.unpersist()
+    e.unpersist()
     return counts
