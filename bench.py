@@ -65,6 +65,9 @@ HEADLINE = [
     "frequent_pairs",
     "host_triangles",
     "event_transitions",
+    "cohort_retention",
+    # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
+    # the per-round job floor like bpe_train; excluded for the same reason
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

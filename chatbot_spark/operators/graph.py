@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer", "triangle_count"]
+__all__ = ["pagerank_integer", "peel_layers", "triangle_count"]
 
 
 def pagerank_integer(
@@ -209,3 +209,89 @@ def triangle_count(
     oriented.unpersist()
     e.unpersist()
     return counts
+
+
+def peel_layers(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-core peeling ('onion') decomposition: repeatedly delete every
+    node whose CURRENT degree is < k, labeling each node with the round
+    it was peeled — the standard web-graph community/spam coreness
+    signal (Batagelj–Zaveršnik semantics, synchronized-round variant:
+    all sub-k nodes of a round drop together, so the layer number is
+    deterministic regardless of partitioning). Nodes surviving all
+    rounds (the k-core itself) get layer 0.
+
+    Engine shape: each round is one degree aggregation over the current
+    edge set LEFT-JOINed onto the current node set (a node whose last
+    neighbor vanished has degree 0 — it must still be peeled) and one
+    semi-join shrinking the edge set. The loop is driver-coordinated
+    with a 1-row count per round — rounds cost coordination, never a
+    corpus rescan: the edge set lives in cache, shrinks monotonically,
+    and peeling converges in O(graph diameter)-ish rounds on real web
+    graphs. State is O(current edges); the removed-layer output
+    accumulates as a union of per-round slivers, each O(peeled nodes).
+
+    Exact BIGINT counts only, so the DuckDB oracle — the same recurrence
+    unrolled as a fixed CTE chain (idempotent after convergence, so an
+    unroll longer than the true round count is harmless) — must agree
+    bit for bit.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    layers = spark.createDataFrame([], "node long, layer long")
+    retired = [e, nodes]
+    for r in range(1, max_rounds + 1):
+        # localCheckpoint each round: the edge/node tables are REDEFINED
+        # from their previous selves, and without lineage truncation the
+        # logical plan doubles per round (measured: driver heap OOM just
+        # PRINTING the round-15 tree). Checkpointing caps every round's
+        # plan at one join over materialized inputs.
+        deg = (
+            nodes.join(
+                e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("long").alias("c")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("c", F.lit(0)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        removed = deg.filter(F.col("c") < k).select(
+            "node", F.lit(r).cast("long").alias("layer")
+        )
+        if removed.count() == 0:
+            break
+        layers = layers.unionByName(removed)
+        nodes = deg.filter(F.col("c") >= k).select("node")
+        e = (
+            e.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    survivors = nodes.select("node", F.lit(0).cast("long").alias("layer"))
+    out = layers.unionByName(survivors).localCheckpoint(eager=True)
+    for df in retired:
+        df.unpersist()
+    return out

@@ -9922,3 +9922,139 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.expr("__num div __n_from").alias("p_ppm"),
     )
+
+
+@query(
+    "cohort_retention",
+    """
+WITH w AS (
+  SELECT user_id, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_ts
+  FROM events),
+j AS (
+  SELECT user_id,
+         CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+         datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                  CAST(date_trunc('week', ts) AS DATE)) // 7 AS week_offset
+  FROM w WHERE first_ts IS NOT NULL AND ts >= first_ts)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users cohorted by the ISO week of their FIRST PURCHASE, counted
+    distinct in every later week they show any activity (never-purchasers
+    and pre-acquisition activity drop out). The per-user first
+    timestamp is a window-min riding the same shuffle as the event rows
+    (ONE events scan — no self-join back to the source, which is how
+    the textbook SQL does it and what the oracle replays via the same
+    window). Week offset is exact day arithmetic div 7 (both endpoints
+    week-truncated, so the division is always exact). At 100 TB:
+    one shuffle on user_id, then one count-distinct agg on the
+    (cohort, offset) pairs — state O(weeks^2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    j = ev.select(
+        "user_id",
+        "ts",
+        first_ts.alias("first_ts"),
+        F.to_date(F.date_trunc("week", first_ts)).alias("cohort_week"),
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col("ts"))),
+                F.to_date(F.date_trunc("week", first_ts)),
+            )
+            / 7
+        ).cast("long").alias("week_offset"),
+    ).filter(F.col("first_ts").isNotNull() & (F.col("ts") >= F.col("first_ts")))
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+
+
+def _peel_oracle(rounds: int, k: int) -> str:
+    """Unrolled CTE chain replaying peel_layers' synchronized-round
+    recurrence; idempotent after convergence, so ``rounds`` only needs
+    to exceed the true peel depth (15 on this graph at both SFs)."""
+    ctes = [
+        "d AS (SELECT doc_id FROM documents)",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+    UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
+    UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0
+    UNION ALL SELECT doc_id % 120, (doc_id * 11 + 29) % 120 FROM d WHERE doc_id % 7 = 0
+    UNION ALL SELECT doc_id % 120, (doc_id * 13 + 37) % 120 FROM d WHERE doc_id % 4 = 0
+  ) WHERE u <> v)""",
+        "n0 AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""deg{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(c.c, 0) AS c FROM n{p} n LEFT JOIN (
+    SELECT node, count(*) AS c FROM (
+      SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY node
+  ) c USING (node))"""
+        )
+        ctes.append(f"rm{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE c < {k})")
+        ctes.append(f"n{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE c >= {k})")
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{p}
+  WHERE a IN (SELECT node FROM n{r}) AND b IN (SELECT node FROM n{r}))"""
+        )
+    removed = "\nUNION ALL ".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS layer FROM rm{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n{removed}"
+        + f"\nUNION ALL SELECT node, CAST(0 AS BIGINT) AS layer FROM n{rounds}"
+    )
+
+
+@query("host_peel_layers", _peel_oracle(18, 4))
+def host_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core onion decomposition (operators/graph.py::peel_layers) of a
+    dense deterministic host graph (six chord generators on 120 hosts):
+    every host labeled with the synchronized peel round at which its
+    degree fell below k=4 — a 15-round cascade at both SFs, so the
+    driver-coordinated loop, the degree-0-by-attrition edge case, and
+    the lineage-truncation discipline (localCheckpoint per round; the
+    unbounded plan OOMed the driver before) are all exercised. The
+    oracle unrolls the same recurrence as a fixed CTE chain (idempotent
+    past convergence). Exact BIGINT layers, bit-exact hash."""
+    from chatbot_spark.operators.graph import peel_layers
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+
+    def gen(pred, ucol, vcol):
+        base = docs.filter(pred) if pred is not None else docs
+        return base.select(ucol.alias("u"), vcol.alias("v"))
+
+    raw = (
+        gen(None, h, (F.col("doc_id") + 1) % 120)
+        .union(gen(F.col("doc_id") % 2 == 0, h, (F.col("doc_id") + 2) % 120))
+        .union(
+            gen(
+                F.col("doc_id") % 3 == 0,
+                (F.col("doc_id") + 1) % 120,
+                (F.col("doc_id") + 2) % 120,
+            )
+        )
+        .union(gen(F.col("doc_id") % 5 == 0, h, (F.col("doc_id") * 7 + 13) % 120))
+        .union(gen(F.col("doc_id") % 7 == 0, h, (F.col("doc_id") * 11 + 29) % 120))
+        .union(gen(F.col("doc_id") % 4 == 0, h, (F.col("doc_id") * 13 + 37) % 120))
+    )
+    return peel_layers(raw, k=4, src="u", dst="v")

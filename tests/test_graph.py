@@ -150,3 +150,63 @@ def test_triangle_count_skewed_hub(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# peel_layers (k-core onion decomposition)
+# ---------------------------------------------------------------------------
+
+from chatbot_spark.operators.graph import peel_layers
+
+
+def _ref_peel(edges, k):
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = {x for p in e for x in p}
+    layer = {}
+    r = 0
+    while True:
+        r += 1
+        deg = {n: 0 for n in nodes}
+        for a, b in e:
+            deg[a] += 1
+            deg[b] += 1
+        removed = {n for n in nodes if deg[n] < k}
+        if not removed:
+            break
+        for n in removed:
+            layer[n] = r
+        nodes -= removed
+        e = {(a, b) for a, b in e if a in nodes and b in nodes}
+    for n in nodes:
+        layer[n] = 0
+    return layer
+
+
+def test_peel_layers_matches_serial_reference(spark):
+    # K5 core with a chain of pendants hanging off: peeling cascades.
+    from itertools import combinations
+
+    edges = list(combinations(range(5), 2)) + [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["layer"] for r in peel_layers(df, k=2).collect()}
+    assert got == _ref_peel(edges, 2)
+    # chain peels outside-in: 7 first, then 6, then 5; K5 survives (layer 0)
+    assert got[7] == 1 and got[6] == 2 and got[5] == 3
+    assert all(got[n] == 0 for n in range(5))
+
+
+def test_peel_layers_k_larger_than_any_degree_peels_everything_round1(spark):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["layer"] for r in peel_layers(df, k=5).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_peel_layers_isolated_by_peeling_gets_its_own_round(spark):
+    # star: center deg 3, leaves deg 1. k=2 -> leaves peel round 1,
+    # center (degree drops to 0) peels round 2.
+    edges = [(0, 1), (0, 2), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["layer"] for r in peel_layers(df, k=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 0: 2}
+    assert got == _ref_peel(edges, 2)
