@@ -66,6 +66,7 @@ HEADLINE = [
     "host_triangles",
     "event_transitions",
     "cohort_retention",
+    "retrieval_eval",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # stream_heavy_hitters: parity-gated; excluded like the other

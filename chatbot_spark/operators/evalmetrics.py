@@ -1,0 +1,105 @@
+"""Retrieval ranking-quality metrics (beyond-reference §2.I scope).
+
+The reference ships a RAG retrieval stack but no way to MEASURE it
+(src/rag/doc_embedder.py returns top-k and hopes). Ranking evaluation —
+average precision, reciprocal rank, precision@k of a system ranking
+against a relevance set — is what turns "the index returns something"
+into "the index is 0.97 as good as exact search", and it is the metric
+layer the ANN-family recall SLOs in this repo report through.
+
+Float discipline: AP and MRR are textbook-defined as rational numbers
+(hits/rank fractions). Computed in DOUBLE their sum order would be
+engine-dependent; computed in exact integer parts-per-million (BIGINT
+floor division, then BIGINT sums — order-independent) the whole metric
+is bit-reproducible, and the DuckDB oracle must agree hash-for-hash.
+The ppm floor loses < 1e-6 per term — far below any decision threshold
+a retrieval eval feeds.
+
+Scale shape (100 TB): the operator itself only ever touches ranked
+RESULT lists — Q×k rows, never the corpus. The expensive inputs
+(system = an ANN index search, truth = an exact scan or a held-out
+judgment table) are produced upstream by the search operators; the
+metric join is (query_id, doc_id) equi-join plus one per-query window
+over ≤ k rows. Nothing here is corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ranking_metrics"]
+
+
+def ranking_metrics(
+    system: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    ppm_scale: int = 10**6,
+) -> DataFrame:
+    """Per-query AP / MRR / hit metrics of ``system`` against ``truth``.
+
+    ``system``: (query, doc, rank) ranked retrieval lists, rank 1-based
+    dense per query. ``truth``: (query, doc) relevance sets (ranks in
+    ``truth`` are ignored; membership defines relevance). Queries absent
+    from ``truth`` contribute nothing (inner-join semantics on the
+    normalizer); system rows for them are dropped.
+
+    Returns one row per query:
+
+      n_hits     relevant docs retrieved (BIGINT)
+      ap_ppm     (sum over hit ranks i of ppm*hits<=i div i) div n_rel
+      mrr_ppm    ppm div first-hit rank, 0 when nothing relevant returned
+      p_at_k_ppm ppm * n_hits div n_returned
+
+    All floor divisions on BIGINT — exact, order-independent,
+    bit-identical on any engine and partitioning.
+    """
+    scale = int(ppm_scale)
+    rel = truth.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    ).distinct()
+    n_rel = rel.groupBy("__q").agg(F.count("*").cast("long").alias("__n_rel"))
+    sys_rows = system.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("long").alias("__r"),
+    )
+    joined = sys_rows.join(
+        rel.withColumn("__rel", F.lit(1)), ["__q", "__d"], "left"
+    ).select("__q", "__r", F.coalesce("__rel", F.lit(0)).cast("long").alias("__rel"))
+    w = Window.partitionBy("__q").orderBy("__r")
+    scored = joined.select(
+        "__q",
+        "__r",
+        "__rel",
+        F.sum("__rel").over(w).alias("__cum"),
+    ).select(
+        "__q",
+        "__rel",
+        "__r",
+        F.when(
+            F.col("__rel") == 1, F.expr(f"__cum * {scale} div __r")
+        ).otherwise(F.lit(0)).alias("__prec_ppm"),
+        F.when(F.col("__rel") == 1, F.col("__r")).alias("__hit_rank"),
+    )
+    agg = scored.groupBy("__q").agg(
+        F.sum("__rel").cast("long").alias("n_hits"),
+        F.sum("__prec_ppm").cast("long").alias("__ap_num"),
+        F.min("__hit_rank").alias("__first_hit"),
+        F.count("*").cast("long").alias("__n_ret"),
+    )
+    return (
+        agg.join(n_rel, "__q")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_hits",
+            F.expr("__ap_num div __n_rel").alias("ap_ppm"),
+            F.coalesce(
+                F.expr(f"{scale} div __first_hit"), F.lit(0).cast("long")
+            ).alias("mrr_ppm"),
+            F.expr(f"n_hits * {scale} div __n_ret").alias("p_at_k_ppm"),
+        )
+    )

@@ -10058,3 +10058,70 @@ def host_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(gen(F.col("doc_id") % 4 == 0, h, (F.col("doc_id") * 13 + 37) % 120))
     )
     return peel_layers(raw, k=4, src="u", dst="v")
+
+
+@query(
+    "retrieval_eval",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS doc,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS dl2,
+         {_DUCK_DOT.format(a='q.qe', b='c.embedding')} AS dotv
+  FROM q, embeddings c),
+truth AS (
+  SELECT query_id, doc FROM (
+    SELECT query_id, doc,
+           row_number() OVER (PARTITION BY query_id ORDER BY dl2 ASC, doc ASC) AS r
+    FROM pairs) WHERE r <= 10),
+sys AS (
+  SELECT query_id, doc, r AS rank FROM (
+    SELECT query_id, doc,
+           row_number() OVER (PARTITION BY query_id ORDER BY dotv DESC, doc ASC) AS r
+    FROM pairs) WHERE r <= 10),
+j AS (
+  SELECT s.query_id, s.rank,
+         CASE WHEN t.doc IS NULL THEN 0 ELSE 1 END AS rel
+  FROM sys s LEFT JOIN truth t ON t.query_id = s.query_id AND t.doc = s.doc),
+sc AS (
+  SELECT query_id, rank, rel,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+  FROM j),
+per AS (
+  SELECT query_id,
+         CAST(sum(rel) AS BIGINT) AS n_hits,
+         CAST(sum(CASE WHEN rel = 1 THEN cum * 1000000 // rank ELSE 0 END) AS BIGINT) AS ap_num,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         CAST(count(*) AS BIGINT) AS n_ret
+  FROM sc GROUP BY query_id)
+SELECT query_id, n_hits,
+       CAST(ap_num // 10 AS BIGINT) AS ap_ppm,
+       CAST(coalesce(1000000 // first_hit, 0) AS BIGINT) AS mrr_ppm,
+       CAST(n_hits * 1000000 // n_ret AS BIGINT) AS p_at_k_ppm
+FROM per
+""",
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (operators/evalmetrics.py): the
+    inner-product top-10 ranking scored against the exact-L2 top-10
+    relevance set — per-query average precision, reciprocal rank, and
+    precision@k in exact integer ppm (BIGINT floor algebra, so the
+    metric layer itself is bit-reproducible; the oracle replays both
+    rankings and the same integer algebra). n_rel is exactly 10 per
+    query here (truth k=10 over a >=10-row corpus), which the oracle's
+    //10 mirrors. The metric operator only touches ranked result lists
+    (Q x k rows) — at 100 TB the corpus cost lives in the upstream
+    search operators, not the eval."""
+    from chatbot_spark.operators.evalmetrics import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    truth = knn_join(
+        q, emb, k=10, metric="l2", corpus_id="vec_id",
+        corpus_vec="embedding", include_distance=False,
+    ).select("query_id", "neighbor_id")
+    system = knn_join(
+        q, emb, k=10, metric="inner_product", corpus_id="vec_id",
+        corpus_vec="embedding", include_distance=False,
+    )
+    return ranking_metrics(system, truth)

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from chatbot_spark.operators.evalmetrics import ranking_metrics
+
+
+def _mk(spark, sys_rows, truth_rows):
+    s = spark.createDataFrame(sys_rows, "query_id long, neighbor_id long, rank long")
+    t = spark.createDataFrame(truth_rows, "query_id long, neighbor_id long")
+    return ranking_metrics(s, t)
+
+
+def test_perfect_ranking_scores_full_marks(spark):
+    sys_rows = [(1, d, r) for r, d in enumerate([10, 20, 30], 1)]
+    truth = [(1, 10), (1, 20), (1, 30)]
+    got = _mk(spark, sys_rows, truth).collect()[0]
+    assert got["n_hits"] == 3
+    assert got["ap_ppm"] == 10**6  # (1/1 + 2/2 + 3/3) / 3
+    assert got["mrr_ppm"] == 10**6
+    assert got["p_at_k_ppm"] == 10**6
+
+
+def test_partial_hits_exact_integer_algebra(spark):
+    # system: ranks 1..4 = [miss, hit, miss, hit]; truth has 2 relevant
+    sys_rows = [(1, 99, 1), (1, 10, 2), (1, 98, 3), (1, 20, 4)]
+    truth = [(1, 10), (1, 20)]
+    got = _mk(spark, sys_rows, truth).collect()[0]
+    # precision at hit ranks: 1/2 -> 500000, 2/4 -> 500000; AP = 1000000 div 2
+    assert got["n_hits"] == 2
+    assert got["ap_ppm"] == 500000
+    assert got["mrr_ppm"] == 500000  # first hit at rank 2
+    assert got["p_at_k_ppm"] == 500000  # 2 of 4
+
+
+def test_no_hits_zero_mrr_and_ap(spark):
+    sys_rows = [(1, 99, 1), (1, 98, 2)]
+    truth = [(1, 10)]
+    got = _mk(spark, sys_rows, truth).collect()[0]
+    assert got["n_hits"] == 0 and got["ap_ppm"] == 0
+    assert got["mrr_ppm"] == 0 and got["p_at_k_ppm"] == 0
+
+
+def test_queries_absent_from_truth_dropped(spark):
+    sys_rows = [(1, 10, 1), (2, 10, 1)]
+    truth = [(1, 10)]
+    rows = _mk(spark, sys_rows, truth).collect()
+    assert [r["query_id"] for r in rows] == [1]
+
+
+def test_floor_division_not_rounding(spark):
+    # 1 hit at rank 3 of 3 returned, 1 relevant: AP = 333333 (floor), not 333334
+    sys_rows = [(1, 99, 1), (1, 98, 2), (1, 10, 3)]
+    truth = [(1, 10)]
+    got = _mk(spark, sys_rows, truth).collect()[0]
+    assert got["ap_ppm"] == 333333
+    assert got["mrr_ppm"] == 333333
+    assert got["p_at_k_ppm"] == 333333

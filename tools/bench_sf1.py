@@ -81,6 +81,8 @@ PINNED = [
     "web_curation_pipeline",
     "lm_quality_buckets",
     "ngram_novelty",
+    "frequent_pairs",
+    "host_triangles",
 ]
 
 
