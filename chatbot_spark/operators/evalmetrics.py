@@ -25,10 +25,21 @@ over ≤ k rows. Nothing here is corpus-sized.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ranking_metrics"]
+
+def ndcg_gain_ppm(rank: int, scale: int = 10**6) -> int:
+    """The binary-relevance DCG gain at ``rank`` as an exact integer:
+    floor(scale / log2(rank+1)). Computed ONCE driver-side (math.log2 on
+    small ints is correctly rounded and platform-stable) and embedded in
+    the plan as a literal — the oracle embeds the same constants, so the
+    NDCG algebra downstream is pure BIGINT and bit-reproducible."""
+    return int(scale / math.log2(rank + 1))
+
+__all__ = ["ndcg_gain_ppm", "ranking_metrics"]
 
 
 def ranking_metrics(
@@ -38,6 +49,7 @@ def ranking_metrics(
     doc_col: str = "neighbor_id",
     rank_col: str = "rank",
     ppm_scale: int = 10**6,
+    ndcg_k: int | None = None,
 ) -> DataFrame:
     """Per-query AP / MRR / hit metrics of ``system`` against ``truth``.
 
@@ -53,6 +65,9 @@ def ranking_metrics(
       ap_ppm     (sum over hit ranks i of ppm*hits<=i div i) div n_rel
       mrr_ppm    ppm div first-hit rank, 0 when nothing relevant returned
       p_at_k_ppm ppm * n_hits div n_returned
+      ndcg_ppm   (when ``ndcg_k`` is set) ppm * DCG div IDCG with binary
+                 gains g(i) = floor(ppm/log2(i+1)) embedded as integer
+                 literals; IDCG sums g(1..min(n_rel, ndcg_k))
 
     All floor divisions on BIGINT — exact, order-independent,
     bit-identical on any engine and partitioning.
@@ -85,21 +100,54 @@ def ranking_metrics(
         ).otherwise(F.lit(0)).alias("__prec_ppm"),
         F.when(F.col("__rel") == 1, F.col("__r")).alias("__hit_rank"),
     )
-    agg = scored.groupBy("__q").agg(
+    aggs = [
         F.sum("__rel").cast("long").alias("n_hits"),
         F.sum("__prec_ppm").cast("long").alias("__ap_num"),
         F.min("__hit_rank").alias("__first_hit"),
         F.count("*").cast("long").alias("__n_ret"),
-    )
-    return (
-        agg.join(n_rel, "__q")
-        .select(
-            F.col("__q").alias(query_col),
-            "n_hits",
-            F.expr("__ap_num div __n_rel").alias("ap_ppm"),
-            F.coalesce(
-                F.expr(f"{scale} div __first_hit"), F.lit(0).cast("long")
-            ).alias("mrr_ppm"),
-            F.expr(f"n_hits * {scale} div __n_ret").alias("p_at_k_ppm"),
+    ]
+    if ndcg_k is not None:
+        k = int(ndcg_k)
+        # gain lookup as a literal CASE over rank — integer constants
+        # identical to the oracle's (ndcg_gain_ppm is deterministic)
+        gain = F.lit(0).cast("long")
+        for r in range(k, 0, -1):
+            gain = F.when(F.col("__r") == r, F.lit(ndcg_gain_ppm(r, scale))).otherwise(gain)
+        scored = scored.withColumn(
+            "__gain",
+            F.when((F.col("__rel") == 1) & (F.col("__r") <= k), gain).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
-    )
+        aggs.append(F.sum("__gain").cast("long").alias("__dcg"))
+    agg = scored.groupBy("__q").agg(*aggs)
+    out_cols = [
+        F.col("__q").alias(query_col),
+        "n_hits",
+        F.expr("__ap_num div __n_rel").alias("ap_ppm"),
+        F.coalesce(
+            F.expr(f"{scale} div __first_hit"), F.lit(0).cast("long")
+        ).alias("mrr_ppm"),
+        F.expr(f"n_hits * {scale} div __n_ret").alias("p_at_k_ppm"),
+    ]
+    joined_agg = agg.join(n_rel, "__q")
+    if ndcg_k is not None:
+        k = int(ndcg_k)
+        # IDCG = cumulative ideal gain at min(n_rel, k): literal lookup
+        cum = 0
+        idcg = F.lit(0).cast("long")
+        prefix = []
+        for r in range(1, k + 1):
+            cum += ndcg_gain_ppm(r, scale)
+            prefix.append(cum)
+        for r in range(k, 0, -1):
+            idcg = F.when(
+                F.least(F.col("__n_rel"), F.lit(k)) == r, F.lit(prefix[r - 1])
+            ).otherwise(idcg)
+        joined_agg = joined_agg.withColumn("__idcg", idcg)
+        out_cols.append(
+            F.when(F.col("__idcg") > 0, F.expr(f"__dcg * {scale} div __idcg"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("ndcg_ppm")
+        )
+    return joined_agg.select(*out_cols)

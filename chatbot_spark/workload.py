@@ -10085,19 +10085,22 @@ j AS (
   FROM sys s LEFT JOIN truth t ON t.query_id = s.query_id AND t.doc = s.doc),
 sc AS (
   SELECT query_id, rank, rel,
-         sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum,
+         CASE WHEN rel = 1 THEN CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029 WHEN 10 THEN 289064 ELSE 0 END ELSE 0 END AS gain
   FROM j),
 per AS (
   SELECT query_id,
          CAST(sum(rel) AS BIGINT) AS n_hits,
          CAST(sum(CASE WHEN rel = 1 THEN cum * 1000000 // rank ELSE 0 END) AS BIGINT) AS ap_num,
          min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
-         CAST(count(*) AS BIGINT) AS n_ret
+         CAST(count(*) AS BIGINT) AS n_ret,
+         CAST(sum(gain) AS BIGINT) AS dcg
   FROM sc GROUP BY query_id)
 SELECT query_id, n_hits,
        CAST(ap_num // 10 AS BIGINT) AS ap_ppm,
        CAST(coalesce(1000000 // first_hit, 0) AS BIGINT) AS mrr_ppm,
-       CAST(n_hits * 1000000 // n_ret AS BIGINT) AS p_at_k_ppm
+       CAST(n_hits * 1000000 // n_ret AS BIGINT) AS p_at_k_ppm,
+       CAST(dcg * 1000000 // 4543554 AS BIGINT) AS ndcg_ppm
 FROM per
 """,
 )
@@ -10111,7 +10114,9 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query here (truth k=10 over a >=10-row corpus), which the oracle's
     //10 mirrors. The metric operator only touches ranked result lists
     (Q x k rows) — at 100 TB the corpus cost lives in the upstream
-    search operators, not the eval."""
+    search operators, not the eval. NDCG@10 uses floor(1e6/log2(r+1))
+    gain constants embedded identically in plan and oracle (n_rel is 10,
+    so the oracle's IDCG is the matching constant prefix sum)."""
     from chatbot_spark.operators.evalmetrics import ranking_metrics
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -10124,4 +10129,4 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, k=10, metric="inner_product", corpus_id="vec_id",
         corpus_vec="embedding", include_distance=False,
     )
-    return ranking_metrics(system, truth)
+    return ranking_metrics(system, truth, ndcg_k=10)

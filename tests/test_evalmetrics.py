@@ -54,3 +54,27 @@ def test_floor_division_not_rounding(spark):
     assert got["ap_ppm"] == 333333
     assert got["mrr_ppm"] == 333333
     assert got["p_at_k_ppm"] == 333333
+
+
+def test_ndcg_perfect_and_partial(spark):
+    from chatbot_spark.operators.evalmetrics import ndcg_gain_ppm, ranking_metrics
+
+    # perfect: hits at ranks 1..3, n_rel=3, k=3 -> ndcg = 1e6
+    s = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 20, 30], 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    t = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30)], "query_id long, neighbor_id long"
+    )
+    got = ranking_metrics(s, t, ndcg_k=3).collect()[0]
+    assert got["ndcg_ppm"] == 10**6
+
+    # single relevant doc at rank 3 of k=3: dcg = g(3), idcg = g(1)
+    s2 = spark.createDataFrame(
+        [(1, 99, 1), (1, 98, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    t2 = spark.createDataFrame([(1, 10)], "query_id long, neighbor_id long")
+    got2 = ranking_metrics(s2, t2, ndcg_k=3).collect()[0]
+    assert got2["ndcg_ppm"] == ndcg_gain_ppm(3) * 10**6 // ndcg_gain_ppm(1)

@@ -299,6 +299,33 @@ COMMENT = {
         "only Bloom positives take the left-semi verify join. Shuffles "
         "move fingerprints+ids, never documents."
     ),
+    "frequent_pairs": (
+        "A-priori pair mining: the distinct basket table is persisted (one "
+        "lineitem scan feeds all six references — item counts, basket "
+        "total, prune, both self-join sides); the item-support prune rides "
+        "a BROADCAST semi-join before any pair exists; the pair generator "
+        "is ONE exchange on the basket id; confidence/lift attach via two "
+        "broadcast joins of the small item-count table."
+    ),
+    "host_triangles": (
+        "Degree-orientation triangle counting: canonical edges persisted "
+        "once; orientation bounds out-degree O(sqrt m) so the wedge "
+        "self-join (exchange on the pivot) cannot blow up on hub nodes; "
+        "the closing join exchanges on the wedge endpoints; per-node "
+        "counts from one explode+agg over discovered triangles."
+    ),
+    "event_transitions": (
+        "Markov transitions in ONE events scan: the lead() window and the "
+        "transition-count agg share the user_id exchange; the per-source "
+        "normalizer is a second window over the already-aggregated "
+        "|types|^2-row table — no rescan, no driver state."
+    ),
+    "retrieval_eval": (
+        "Ranking eval: two broadcast-query knn scans (truth + system) feed "
+        "a Q*k-row metric join; every exchange after the scans moves "
+        "ranked-list-sized data only. The integer-ppm metric algebra is "
+        "pure projection — no Python, no floats."
+    ),
 }
 
 
