@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer", "peel_layers", "triangle_count"]
+__all__ = ["bfs_layers", "pagerank_integer", "peel_layers", "triangle_count"]
 
 
 def pagerank_integer(
@@ -294,4 +294,63 @@ def peel_layers(
     out = layers.unionByName(survivors).localCheckpoint(eager=True)
     for df in retired:
         df.unpersist()
+    return out
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected graph — the
+    "hops from trusted hosts" signal (TrustRank-style seed distance is a
+    standard web-spam prior: pages far from every trusted seed are
+    downweighted). Returns (node, dist) for every node REACHED within
+    ``max_depth``; unreachable nodes are absent by design.
+
+    Engine shape: level-synchronous frontier expansion — per round one
+    join of the (bidirectional) adjacency against the current frontier,
+    one anti-join against the visited set, localCheckpoint to keep the
+    iterative plan O(1) deep. The frontier and visited tables are
+    O(nodes); the adjacency is O(edges) and persisted once — each round
+    shuffles only frontier-adjacent edges, and the loop runs graph-
+    diameter rounds (tiny for web graphs: ~6-20). Exact BIGINT
+    distances; the DuckDB oracle unrolls the same recurrence as
+    MATERIALIZED CTEs and must agree bit for bit.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in seeds], "node long"
+    ).distinct().localCheckpoint(eager=True)
+    visited = frontier
+    out = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        out = out.unionByName(
+            nxt.select("node", F.lit(depth).cast("long").alias("dist"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
     return out

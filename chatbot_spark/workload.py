@@ -10130,3 +10130,75 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_vec="embedding", include_distance=False,
     )
     return ranking_metrics(system, truth, ndcg_k=10)
+
+
+def _bfs_oracle(rounds: int, seeds: tuple[int, ...]) -> str:
+    """Unrolled MATERIALIZED-CTE replay of bfs_layers' level-synchronous
+    recurrence on the ring-chord host graph (true depth 9 from seeds
+    {0,77} at both SFs; ``rounds`` only needs to exceed it)."""
+    seed_rows = " UNION ALL ".join(f"SELECT {s} AS node" for s in seeds)
+    ctes = [
+        "d AS (SELECT doc_id FROM documents)",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+    UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
+    UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0
+  ) WHERE u <> v)""",
+        """adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e)""",
+        f"f0 AS MATERIALIZED ({seed_rows})",
+        "v0 AS MATERIALIZED (SELECT node FROM f0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT adj.v AS node FROM adj JOIN f{p} ON f{p}.node = adj.u
+  WHERE adj.v NOT IN (SELECT node FROM v{p}))"""
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT node FROM v{p} UNION SELECT node FROM f{r})"
+        )
+    layers = "\nUNION ALL ".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS dist FROM f{r}"
+        for r in range(0, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{layers}"
+
+
+@query("host_hops_from_seeds", _bfs_oracle(12, (0, 77)))
+def host_hops_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py::bfs_layers)
+    from trusted seed hosts {0, 77} over the ring-chord host graph — the
+    TrustRank-style seed-distance prior (pages far from every trusted
+    seed get downweighted in web curation). Level-synchronous frontier
+    expansion, one adjacency⋈frontier join + one anti-join per round,
+    localCheckpoint lineage truncation; 9 real rounds at both SFs, all
+    120 hosts reached (layer histogram 2/7/12/16/22/21/23/11/5/1).
+    Exact BIGINT distances; oracle unrolls 12 MATERIALIZED CTE rounds."""
+    from chatbot_spark.operators.graph import bfs_layers
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+    raw = (
+        docs.select(h.alias("u"), ((F.col("doc_id") + 1) % 120).alias("v"))
+        .union(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                h.alias("u"), ((F.col("doc_id") + 2) % 120).alias("v")
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                ((F.col("doc_id") + 1) % 120).alias("u"),
+                ((F.col("doc_id") + 2) % 120).alias("v"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                h.alias("u"), ((F.col("doc_id") * 7 + 13) % 120).alias("v")
+            )
+        )
+    )
+    return bfs_layers(raw, seeds=[0, 77], src="u", dst="v")

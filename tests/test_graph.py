@@ -210,3 +210,54 @@ def test_peel_layers_isolated_by_peeling_gets_its_own_round(spark):
     got = {r["node"]: r["layer"] for r in peel_layers(df, k=2).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 0: 2}
     assert got == _ref_peel(edges, 2)
+
+
+# ---------------------------------------------------------------------------
+# bfs_layers
+# ---------------------------------------------------------------------------
+
+from chatbot_spark.operators.graph import bfs_layers
+
+
+def _ref_bfs(edges, seeds):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        x = q.popleft()
+        for y in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def test_bfs_layers_matches_serial_reference(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (4, 10), (5, 0), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=[0]).collect()}
+    assert got == _ref_bfs(edges, [0])
+
+
+def test_bfs_layers_multi_source_takes_nearest_seed(spark):
+    # path 0-1-2-3-4 with seeds at both ends: middle node at dist 2
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=[0, 4]).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_layers_unreachable_absent_and_depth_cap(spark):
+    edges = [(0, 1), (1, 2), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=[0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # component {5,6} absent
+    capped = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=[0], max_depth=1).collect()}
+    assert capped == {0: 0, 1: 1}
