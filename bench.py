@@ -70,6 +70,7 @@ HEADLINE = [
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class
+    # host_signals: composes the peel + BFS driver loops — same class
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

@@ -10202,3 +10202,186 @@ def host_hops_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bfs_layers(raw, seeds=[0, 77], src="u", dst="v")
+
+
+def _host_signals_oracle(
+    pr_iters: int = 5,
+    scale: int = 10**12,
+    num: int = 85,
+    den: int = 100,
+    peel_k: int = 3,
+    peel_rounds: int = 4,
+    bfs_rounds: int = 12,
+    seeds: tuple[int, ...] = (0, 77),
+) -> str:
+    """One-graph composite oracle: the pagerank linear unroll, the naive
+    triangle join, the MATERIALIZED peel unroll and the MATERIALIZED BFS
+    unroll, all over the same raw edge CTE, joined on the node id."""
+    ctes = [
+        "d AS (SELECT doc_id FROM documents)",
+        """raw AS MATERIALIZED (
+  SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+  UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+  UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0)""",
+        # --- pagerank over the DIRECTED dedup (pagerank_integer contract)
+        "pe AS MATERIALIZED (SELECT DISTINCT u AS src, v AS dst FROM raw WHERE u <> v)",
+        "pn AS MATERIALIZED (SELECT src AS node FROM pe UNION SELECT dst FROM pe)",
+        "pdeg AS (SELECT src, count(*) AS outdeg FROM pe GROUP BY src)",
+        f"pbase AS (SELECT CAST({scale} // (SELECT count(*) FROM pn) AS BIGINT) AS r0)",
+        "it0 AS (SELECT node, (SELECT r0 FROM pbase) AS rank FROM pn)",
+    ]
+    for i in range(1, pr_iters + 1):
+        ctes.append(
+            f"""it{i} AS (
+  SELECT n.node,
+         CAST((({den - num}) * (SELECT r0 FROM pbase)) // {den}
+              + ({num} * coalesce(s.inc, 0)) // {den} AS BIGINT) AS rank
+  FROM pn n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+    FROM pe e JOIN it{i - 1} r ON r.node = e.src JOIN pdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    ctes += [
+        # --- canonical undirected edges for triangles / peel / BFS
+        """ce AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v)""",
+        """tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)""",
+        """tcnt AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)""",
+        "pl_n0 AS MATERIALIZED (SELECT a AS node FROM ce UNION SELECT b FROM ce)",
+        "pl_e0 AS MATERIALIZED (SELECT a, b FROM ce)",
+    ]
+    for r in range(1, peel_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""pl_deg{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(c.c, 0) AS c FROM pl_n{p} n LEFT JOIN (
+    SELECT node, count(*) AS c FROM (
+      SELECT a AS node FROM pl_e{p} UNION ALL SELECT b FROM pl_e{p}) GROUP BY node
+  ) c USING (node))"""
+        )
+        ctes.append(
+            f"pl_rm{r} AS MATERIALIZED (SELECT node FROM pl_deg{r} WHERE c < {peel_k})"
+        )
+        ctes.append(
+            f"pl_n{r} AS MATERIALIZED (SELECT node FROM pl_deg{r} WHERE c >= {peel_k})"
+        )
+        ctes.append(
+            f"""pl_e{r} AS MATERIALIZED (
+  SELECT a, b FROM pl_e{p}
+  WHERE a IN (SELECT node FROM pl_n{r}) AND b IN (SELECT node FROM pl_n{r}))"""
+        )
+    peel_union = "\n  UNION ALL ".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS layer FROM pl_rm{r}"
+        for r in range(1, peel_rounds + 1)
+    )
+    ctes.append(
+        f"""peel AS MATERIALIZED (
+  {peel_union}
+  UNION ALL SELECT node, CAST(0 AS BIGINT) AS layer FROM pl_n{peel_rounds})"""
+    )
+    seed_rows = " UNION ALL ".join(f"SELECT {s} AS node" for s in seeds)
+    ctes += [
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM ce UNION SELECT b, a FROM ce)",
+        f"bf0 AS MATERIALIZED ({seed_rows})",
+        "bv0 AS MATERIALIZED (SELECT node FROM bf0)",
+    ]
+    for r in range(1, bfs_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""bf{r} AS MATERIALIZED (
+  SELECT DISTINCT adj.v AS node FROM adj JOIN bf{p} ON bf{p}.node = adj.u
+  WHERE adj.v NOT IN (SELECT node FROM bv{p}))"""
+        )
+        ctes.append(
+            f"bv{r} AS MATERIALIZED (SELECT node FROM bv{p} UNION SELECT node FROM bf{r})"
+        )
+    bfs_union = "\n  UNION ALL ".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS dist FROM bf{r}"
+        for r in range(0, bfs_rounds + 1)
+    )
+    ctes.append(f"bfs AS MATERIALIZED (\n  {bfs_union})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(p.node AS BIGINT) AS host,
+       p.rank AS rank_scaled,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       pl.layer AS core_layer,
+       coalesce(b.dist, -1) AS seed_dist
+FROM it{pr_iters} p
+LEFT JOIN tcnt t ON t.node = p.node
+LEFT JOIN peel pl ON pl.node = p.node
+LEFT JOIN bfs b ON b.node = p.node
+"""
+    )
+
+
+@query("host_signals", _host_signals_oracle())
+def host_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-curation capstone: ONE host link graph, FOUR authority /
+    structure signals joined into the per-host curation table a FineWeb-
+    style web pipeline feeds into its keep/drop policy — BIGINT-fixed-
+    point PageRank (authority), triangle count (community density),
+    k-core onion layer (coreness; spam farms are high-degree but
+    low-core), and BFS hop distance from trusted seeds (TrustRank
+    prior). All four run over the SAME persisted edge derivation —
+    documents is scanned once for the graph, each operator persists or
+    checkpoints its own state, and every signal is exact-integer so the
+    composed 50-CTE oracle (linear pagerank unroll + naive triangle
+    join + MATERIALIZED peel and BFS unrolls) matches bit for bit."""
+    from chatbot_spark.operators.graph import (
+        bfs_layers,
+        pagerank_integer,
+        peel_layers,
+        triangle_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+    raw = (
+        docs.select(h.alias("u"), ((F.col("doc_id") + 1) % 120).alias("v"))
+        .union(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                h.alias("u"), ((F.col("doc_id") + 2) % 120).alias("v")
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                ((F.col("doc_id") + 1) % 120).alias("u"),
+                ((F.col("doc_id") + 2) % 120).alias("v"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                h.alias("u"), ((F.col("doc_id") * 7 + 13) % 120).alias("v")
+            )
+        )
+        .persist()
+    )
+    pr = pagerank_integer(raw, iterations=5, scale=10**12, src="u", dst="v")
+    tc = triangle_count(raw, src="u", dst="v")
+    pl = peel_layers(raw, k=3, src="u", dst="v")
+    bf = bfs_layers(raw, seeds=[0, 77], src="u", dst="v")
+    out = (
+        pr.select(F.col("node").cast("long").alias("host"), F.col("rank").alias("rank_scaled"))
+        .join(tc.withColumnRenamed("node", "host"), "host", "left")
+        .join(pl.select(F.col("node").alias("host"), F.col("layer").alias("core_layer")), "host", "left")
+        .join(bf.select(F.col("node").alias("host"), F.col("dist").alias("seed_dist")), "host", "left")
+        .select(
+            "host",
+            "rank_scaled",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+            "core_layer",
+            F.coalesce("seed_dist", F.lit(-1).cast("long")).alias("seed_dist"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    raw.unpersist()
+    return out
