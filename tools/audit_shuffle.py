@@ -76,6 +76,12 @@ DEFAULT_QUERIES = [
     "ngram_novelty",
     "sft_pair_assembly",
     "equi_depth_histogram",
+    # r6b graph/analytics family
+    "frequent_pairs",
+    "host_triangles",
+    "event_transitions",
+    "cohort_retention",
+    "retrieval_eval",
 ]
 
 
@@ -137,6 +143,16 @@ JUSTIFIED = {
     "sft_pair_assembly": (
         "one keyed exchange of the event stream for the frame window "
         "(ratio ~1); the pair-numbering window reuses the partitioning"
+    ),
+    "frequent_pairs": (
+        "the within-basket pair self-join IS the operator: C(k,2) pair "
+        "rows per basket after the a-priori item prune; rows are "
+        "(basket, item, item) ids, never payloads"
+    ),
+    "host_triangles": (
+        "wedge enumeration at the oriented pivot: out-degree bounded "
+        "O(sqrt m) by the degree orientation, wedges close immediately "
+        "against the edge set — the Suri–Vassilvitskii contract"
     ),
 }
 
