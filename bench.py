@@ -67,6 +67,7 @@ HEADLINE = [
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
+    "active_user_stickiness",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

@@ -10385,3 +10385,66 @@ def host_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     raw.unpersist()
     return out
+
+
+@query(
+    "active_user_stickiness",
+    """
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day
+  GROUP BY d.day)
+SELECT dau.day, dau.dau, wau.wau, mau.mau,
+       CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+""",
+)
+def active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics — trailing DAU / WAU(7d) / MAU(30d)
+    per day plus the DAU/MAU stickiness ratio in exact ppm. Engine
+    shape: dedup to (day, user) grain once, EXPLODE each row to the
+    trailing window days it contributes to (offsets 0..29 — the
+    window-expansion trick), then ONE groupBy(day) with three
+    conditional count-distincts — no per-horizon range join, one
+    count-distinct exchange total. Expansion factor = the largest
+    window (30×) on the deduped day grain, the standard exact-windowed-
+    distinct cost; for 365-day windows switch to the KMV/HLL sketch
+    family this repo ships. Target days restricted to observed days via
+    a broadcast semi-join (trailing windows past the last day would
+    otherwise fabricate rows). Oracle replays with per-horizon range
+    joins — different plan, identical exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"), "day", "user_id"
+    ).select(
+        F.date_add("day", F.col("off")).alias("t_day"), "off", "user_id"
+    ).join(F.broadcast(days.withColumnRenamed("day", "t_day")), "t_day", "left_semi")
+    agg = expanded.groupBy("t_day").agg(
+        F.count_distinct(F.when(F.col("off") == 0, F.col("user_id")))
+        .cast("long").alias("dau"),
+        F.count_distinct(F.when(F.col("off") <= 6, F.col("user_id")))
+        .cast("long").alias("wau"),
+        F.count_distinct("user_id").cast("long").alias("mau"),
+    )
+    return agg.select(
+        F.col("t_day").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+    )
