@@ -10448,3 +10448,60 @@ def active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
     )
+
+
+@query(
+    "conversion_time_quartiles",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+  FROM events GROUP BY user_id),
+src AS (
+  SELECT CAST(first_purchase_us - first_click_us AS BIGINT) AS dur_us
+  FROM per_user
+  WHERE first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+    AND first_purchase_us >= first_click_us),
+c AS (SELECT dur_us, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY dur_us),
+cum AS (SELECT dur_us, cnt, CAST(sum(cnt) OVER (ORDER BY dur_us) AS BIGINT) AS cum FROM c),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+ranks AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(i * (SELECT n FROM tot) // 4 AS BIGINT) AS rank_target
+  FROM generate_series(1, 3) t(i))
+SELECT r.i, r.rank_target, c.dur_us AS boundary, c.cum AS cum_at_boundary
+FROM cum c JOIN ranks r ON c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
+""",
+)
+def conversion_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion quartiles: per user, microseconds from first
+    click to first purchase (users converting after their first click),
+    quartile boundaries extracted by the EXACT distributed equi-depth
+    machinery (operators/histogram.py) — value-frequency groupBy,
+    two-phase prefix sum (no one-task global window), broadcast
+    range-join rank extraction. One events scan for the per-user
+    min-pair agg; durations in exact BIGINT epoch_us so both engines
+    agree bit for bit. The funnel-latency question every product
+    pipeline asks, answered without a global sort."""
+    from chatbot_spark.operators.histogram import equi_depth_boundaries
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).alias("first_click_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    src = per_user.filter(
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_click_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_click_us"))
+        .cast("long")
+        .alias("dur_us")
+    )
+    return equi_depth_boundaries(src, "dur_us", n_buckets=4)
