@@ -69,6 +69,7 @@ HEADLINE = [
     "retrieval_eval",
     "active_user_stickiness",
     "conversion_time_quartiles",
+    "source_overlap_matrix",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

@@ -10505,3 +10505,97 @@ def conversion_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_us")
     )
     return equi_depth_boundaries(src, "dur_us", n_buckets=4)
+
+
+@query(
+    "source_overlap_matrix",
+    """
+WITH m AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents),
+fp AS (
+  SELECT CAST(0 AS BIGINT) AS source, f FROM m WHERE doc_id % 10 < 6
+  UNION ALL SELECT CAST(1 AS BIGINT), f FROM m WHERE doc_id % 10 >= 4
+  UNION ALL SELECT CAST(2 AS BIGINT), f FROM m WHERE doc_id % 3 = 0
+  UNION ALL SELECT CAST(3 AS BIGINT), f FROM m WHERE doc_id % 5 = 0),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY source),
+ix AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT ix.source_a, ix.source_b, sa.n AS n_a, sb.n AS n_b, ix.n_common,
+       CAST(ix.n_common * 1000000 // (sa.n + sb.n - ix.n_common) AS BIGINT)
+         AS jaccard_ppm,
+       CAST(ix.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT)
+         AS containment_ppm
+FROM ix
+JOIN sz sa ON sa.source = ix.source_a
+JOIN sz sb ON sb.source = ix.source_b
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dataset-overlap matrix — the mixing-table question every
+    multi-source training corpus asks before weighting sources: exact
+    Jaccard and containment (of the smaller side) between every source
+    pair — four overlapping membership selections of the corpus
+    (60%/60%/third/fifth slices) — computed on the md5 fingerprint grain
+    (the exact-dedup key: the shuffle moves 16-byte hashes + source
+    ids, never text). One fingerprint dedup, one fp-keyed self-join
+    emitting only same-hash cross-source rows, union sizes by
+    inclusion-exclusion — no S-way cross join, and at 100 TB the join
+    input is |distinct fingerprints|, already the dedup working set.
+    All counts and ppm ratios exact BIGINT."""
+    from chatbot_spark.operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    members = [
+        (0, F.col("doc_id") % 10 < 6),
+        (1, F.col("doc_id") % 10 >= 4),
+        (2, F.col("doc_id") % 3 == 0),
+        (3, F.col("doc_id") % 5 == 0),
+    ]
+    parts = [
+        m.filter(pred).select(F.lit(s).cast("long").alias("source"), "f")
+        for s, pred in members
+    ]
+    fp = parts[0]
+    for p_ in parts[1:]:
+        fp = fp.unionByName(p_)
+    fp = fp.distinct().persist()
+    sz = fp.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    ix = (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        ix.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)").alias(
+                "jaccard_ppm"
+            ),
+            F.expr("n_common * 1000000 div least(n_a, n_b)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out
