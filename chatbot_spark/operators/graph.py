@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_layers", "pagerank_integer", "peel_layers", "triangle_count"]
+__all__ = ["bfs_layers", "hits_integer", "pagerank_integer", "peel_layers", "triangle_count"]
 
 
 def pagerank_integer(
@@ -353,4 +353,86 @@ def bfs_layers(
         frontier = nxt
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
+    return out
+
+
+def hits_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS hubs-and-authorities in exact BIGINT fixed-point —
+    the directed-graph complement of pagerank_integer (authority = being
+    pointed AT by good hubs; hub = pointing at good authorities — the
+    link-analysis pair that separates directories from content). Classic
+    HITS renormalizes with an L2 norm (sqrt — float); this variant
+    renormalizes each vector to SUM = ``scale`` with integer floor
+    division, which preserves the eigen-direction the iteration
+    converges to while keeping every quantity BIGINT, order-independent
+    and bit-reproducible — the DuckDB oracle unrolls the same recurrence
+    and must agree hash-for-hash.
+
+    Overflow headroom: after normalization every score <= scale and each
+    raw sum <= scale (scores sum to scale), so score*scale <= scale^2 =
+    1e16 << 2^63; the edge-sum total needs |E|*scale < 2^63, i.e. up to
+    ~9e10 edges at the default — at larger E lower ``scale``.
+
+    Per round: two Pregel-style passes (edges ⋈ scores on one endpoint,
+    map-side-combinable sum on the other, left join back to nodes) plus
+    a 1-row total broadcast for the renormalization. State O(nodes).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_row = nodes.agg(F.count("*").alias("__n")).select(
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__h0")
+    ).persist()
+    h = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.col("__h0").alias("score")
+    )
+
+    def _pass(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("node", from_col), from_col)
+            .groupBy(to_col)
+            .agg(F.sum("score").alias("__raw"))
+        )
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        return (
+            nodes.join(raw.withColumnRenamed(to_col, "node"), "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(__raw, CAST(0 AS BIGINT)) * {scale} div __tot"
+                ).alias("score"),
+            )
+        )
+
+    a = None
+    for _ in range(iterations):
+        a = _pass(h, "src", "dst").localCheckpoint(eager=True)
+        h = _pass(a, "dst", "src").localCheckpoint(eager=True)
+    if a is None:  # iterations == 0
+        a = h
+    out = (
+        h.withColumnRenamed("score", "hub")
+        .join(a.withColumnRenamed("score", "authority"), "node")
+        .localCheckpoint(eager=True)
+    )
+    for df in (e, nodes, n_row):
+        df.unpersist()
     return out

@@ -10599,3 +10599,77 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     fp.unpersist()
     return out
+
+
+def _hits_oracle(iterations: int, n_hosts: int, scale: int) -> str:
+    """Linear MATERIALIZED unroll of hits_integer's sum-normalized
+    recurrence on the host_pagerank link graph."""
+    ctes = [
+        f"""links AS (
+  SELECT doc_id % {n_hosts} AS src, (doc_id * 7 + 1) % {n_hosts} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % {n_hosts}, (doc_id * 13 + 2) % {n_hosts} FROM documents WHERE doc_id % 3 = 0)""",
+        "pe AS MATERIALIZED (SELECT DISTINCT src, dst FROM links WHERE src <> dst)",
+        "nds AS MATERIALIZED (SELECT src AS node FROM pe UNION SELECT dst FROM pe)",
+        f"""h0 AS MATERIALIZED (
+  SELECT node, CAST({scale} // (SELECT count(*) FROM nds) AS BIGINT) AS score FROM nds)""",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.score) AS raw
+  FROM pe e JOIN h{p} h ON h.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.raw, 0) * {scale} // (SELECT sum(raw) FROM ar{i}) AS BIGINT) AS score
+  FROM nds n LEFT JOIN ar{i} r ON r.node = n.node)"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.score) AS raw
+  FROM pe e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(r.raw, 0) * {scale} // (SELECT sum(raw) FROM hr{i}) AS BIGINT) AS score
+  FROM nds n LEFT JOIN hr{i} r ON r.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(h.node AS BIGINT) AS host, h.score AS hub, a.score AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node
+"""
+    )
+
+
+@query("host_hits", _hits_oracle(5, 50, 10**8))
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the host_pagerank link graph
+    (operators/graph.py::hits_integer): hubs (link out to good
+    authorities) vs authorities (linked from good hubs) — the directed
+    complement PageRank can't express (a directory page is a great hub
+    and a worthless authority). Sum-normalized integer fixed point
+    (scale 1e8; L2 norm would need sqrt) so the 5-round unrolled oracle
+    matches bit for bit. Two Pregel passes per round, 1-row total
+    broadcast for the renormalization, state O(hosts)."""
+    from chatbot_spark.operators.graph import hits_integer
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 50
+    links = docs.select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 1) % 50).alias("dst")
+    ).union(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            h.alias("src"), ((F.col("doc_id") * 13 + 2) % 50).alias("dst")
+        )
+    )
+    res = hits_integer(links, iterations=5, scale=10**8)
+    return res.select(
+        F.col("node").cast("long").alias("host"), "hub", "authority"
+    )

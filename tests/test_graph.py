@@ -261,3 +261,54 @@ def test_bfs_layers_unreachable_absent_and_depth_cap(spark):
     assert got == {0: 0, 1: 1, 2: 2}  # component {5,6} absent
     capped = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=[0], max_depth=1).collect()}
     assert capped == {0: 0, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# hits_integer
+# ---------------------------------------------------------------------------
+
+from chatbot_spark.operators.graph import hits_integer
+
+
+def _ref_hits(edges, iterations=5, scale=10**8):
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    h = {v: scale // len(nodes) for v in nodes}
+
+    def one_pass(scores, from_i):
+        raw = {v: 0 for v in nodes}
+        for s, d in e:
+            if from_i == 0:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        tot = sum(raw.values())
+        return {v: raw[v] * scale // tot for v in nodes}
+
+    a = None
+    for _ in range(iterations):
+        a = one_pass(h, 0)
+        h = one_pass(a, 1)
+    return h, a
+
+
+def test_hits_matches_serial_reference(spark):
+    edges = [(0, 2), (1, 2), (3, 2), (3, 4), (2, 4), (0, 1), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits_integer(df, iterations=5).collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["authority"] for r in rows}
+    ref_h, ref_a = _ref_hits(edges)
+    assert got_h == ref_h
+    assert got_a == ref_a
+
+
+def test_hits_star_hub_and_authority(spark):
+    # 0 points at 1..4: 0 is the only hub, authorities split evenly
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits_integer(df, iterations=3).collect()
+    h = {r["node"]: r["hub"] for r in rows}
+    a = {r["node"]: r["authority"] for r in rows}
+    assert h[0] == 10**8 and all(h[i] == 0 for i in range(1, 5))
+    assert a[0] == 0 and len({a[i] for i in range(1, 5)}) == 1
