@@ -606,3 +606,86 @@ def test_ngram_novelty_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_triangle_count_random_graph_matches_serial(spark):
+    import random
+
+    from chatbot_spark.operators.graph import triangle_count
+    from tests.test_graph import _ref_triangles
+
+    rng = random.Random(29)
+    edges = [(rng.randrange(14), rng.randrange(14)) for _ in range(70)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == _ref_triangles(edges)
+
+
+def test_peel_layers_random_graph_matches_serial(spark):
+    import random
+
+    from chatbot_spark.operators.graph import peel_layers
+    from tests.test_graph import _ref_peel
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(16), rng.randrange(16)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3):
+        got = {r["node"]: r["layer"] for r in peel_layers(df, k=k).collect()}
+        assert got == _ref_peel(edges, k)
+
+
+def test_bfs_layers_random_graph_matches_serial(spark):
+    import random
+
+    from chatbot_spark.operators.graph import bfs_layers
+    from tests.test_graph import _ref_bfs
+
+    rng = random.Random(37)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [0, 7]
+    got = {r["node"]: r["dist"] for r in bfs_layers(df, seeds=seeds).collect()}
+    ref = _ref_bfs(edges, seeds)
+    # seeds that never appear as an endpoint still count as dist 0 in the
+    # operator output; mirror that in the reference
+    for s in seeds:
+        ref.setdefault(s, 0)
+    assert got == ref
+
+
+def test_hits_random_graph_matches_serial(spark):
+    import random
+
+    from chatbot_spark.operators.graph import hits_integer
+    from tests.test_graph import _ref_hits
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(10), rng.randrange(10)) for _ in range(45)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits_integer(df, iterations=4).collect()
+    ref_h, ref_a = _ref_hits(edges, iterations=4)
+    assert {r["node"]: r["hub"] for r in rows} == ref_h
+    assert {r["node"]: r["authority"] for r in rows} == ref_a
+
+
+def test_frequent_pairs_random_baskets_match_serial(spark):
+    import random
+
+    from chatbot_spark.operators.basket import frequent_pairs
+    from tests.test_basket import _ref_pairs
+
+    rng = random.Random(43)
+    baskets = [
+        (rng.randrange(25), f"i{rng.randrange(8)}") for _ in range(200)
+    ]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_count"], r["conf_ab_ppm"], r["conf_ba_ppm"], r["lift_ppm"]
+        )
+        for r in frequent_pairs(
+            df, "basket", "item", min_item_support=3, min_pair_support=2
+        ).collect()
+    }
+    assert got == _ref_pairs(baskets, 3, 2)
