@@ -70,6 +70,8 @@ HEADLINE = [
     "active_user_stickiness",
     "conversion_time_quartiles",
     "source_overlap_matrix",
+    "snapshot_diff",
+    "revenue_wow_growth",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

@@ -10673,3 +10673,114 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("node").cast("long").alias("host"), "hub", "authority"
     )
+
+
+@query(
+    "snapshot_diff",
+    """
+WITH old AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 300 AND doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 11 <> 0),
+j AS (
+  SELECT coalesce(o.id, n.id) AS id, o.text AS o_text, n.text AS n_text
+  FROM old o FULL OUTER JOIN new n ON n.id = o.id)
+SELECT id,
+       CASE WHEN o_text IS NULL THEN 'I'
+            WHEN n_text IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       md5(coalesce(n_text, o_text)) AS text_md5
+FROM j
+WHERE o_text IS NULL OR n_text IS NULL OR o_text <> n_text
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed GENERATION — the inverse of cdc_apply_changes: diff
+    two table snapshots into the minimal I/U/D feed (insert when the key
+    is new, delete when it vanished, update only when the payload
+    actually changed — unchanged rows emit nothing). One full-outer join
+    on the key; at scale both snapshots bucket on the key so the diff is
+    a co-partitioned zip, and the emitted feed is the DELTA, which is
+    what makes downstream incremental consumers (the repo's apply_cdc,
+    upsert writers, index maintenance) affordable. Deterministic
+    synthetic divergence (%5 rewrites, %7/%11 membership) exercises all
+    three op classes plus the suppressed-no-op class."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("v2:"), "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    j = old.withColumnRenamed("text", "o_text").join(
+        new.withColumnRenamed("text", "n_text"), "id", "full_outer"
+    )
+    return (
+        j.filter(
+            F.col("o_text").isNull()
+            | F.col("n_text").isNull()
+            | (F.col("o_text") != F.col("n_text"))
+        )
+        .select(
+            "id",
+            F.when(F.col("o_text").isNull(), F.lit("I"))
+            .when(F.col("n_text").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.md5(F.coalesce("n_text", "o_text")).alias("text_md5"),
+        )
+    )
+
+
+@query(
+    "revenue_wow_growth",
+    """
+WITH wk AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT week, rev_cents,
+         lag(rev_cents) OVER (ORDER BY week) AS prev_cents
+  FROM wk)
+SELECT week, rev_cents, prev_cents,
+       CAST((rev_cents - prev_cents) * 1000000 // prev_cents AS BIGINT)
+         AS growth_ppm
+FROM lagged WHERE prev_cents IS NOT NULL
+""",
+)
+def revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth in exact signed ppm — the
+    period-over-period report every revenue dashboard leads with.
+    Revenue in exact cents (floor(x*100+0.5): round-on-double is
+    engine-dependent), one week rollup, one ordered lag over the tiny
+    week table (the global window runs on |weeks| rows, never the fact
+    table), growth as signed integer division — Spark `div`
+    and DuckDB `//` BOTH truncate toward zero on BIGINT (verified on
+    172 negative non-exact weeks in this data), so shrinking weeks
+    agree exactly too."""
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("week")
+    lagged = wk.select(
+        "week", "rev_cents", F.lag("rev_cents").over(w).alias("prev_cents")
+    ).filter(F.col("prev_cents").isNotNull())
+    return lagged.select(
+        "week",
+        "rev_cents",
+        "prev_cents",
+        F.expr("(rev_cents - prev_cents) * 1000000 div prev_cents").alias(
+            "growth_ppm"
+        ),
+    )
