@@ -77,6 +77,8 @@ HEADLINE = [
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class
     # host_signals: composes the peel + BFS driver loops — same class
     # host_hits: 5 rounds x 2 checkpointed Pregel passes — same class
+    # stream_event_transitions: multi-batch streaming drain — excluded
+    # like the other replay-harness streaming queries
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

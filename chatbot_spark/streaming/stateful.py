@@ -195,3 +195,58 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, from_type STRING, to_type STRING, n BIGINT"
+)
+TRANSITION_STATE_SCHEMA = "last_type STRING"
+
+
+def transition_counter(events: DataFrame) -> DataFrame:
+    """Streaming first-order transition counter (applyInPandasWithState):
+    per user, count consecutive (event_type -> next event_type) pairs
+    across micro-batches — the carry is ONE string (the user's last
+    observed type), so state is O(users) regardless of stream length.
+    Emits per-(user, batch) aggregated transition counts (<= |types|^2
+    tiny rows per user per batch); the drained union aggregated batch-
+    side equals the batch lead()-window transition matrix EXACTLY when
+    micro-batches respect event-time order per user (the time-sliced
+    replay harness contract used by every stateful query here).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        types = batch["event_type"].to_numpy()
+        (user_id,) = key
+        prev = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for t in types:
+            if prev is not None:
+                counts[(prev, t)] = counts.get((prev, t), 0) + 1
+            prev = t
+        state.update((str(prev),))
+        if counts:
+            ks = list(counts)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(ks),
+                    "from_type": [a for a, _ in ks],
+                    "to_type": [b for _, b in ks],
+                    "n": [counts[k] for k in ks],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -10784,3 +10784,77 @@ def revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_ppm"
         ),
     )
+
+
+@query(
+    "stream_event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(t.n_trans * 1000000 // tot.n_from AS BIGINT) AS p_ppm
+FROM t JOIN tot USING (from_type)
+""",
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_transitions: the custom stateful operator
+    (streaming/stateful.py::transition_counter) carries ONE string per
+    user across micro-batches and emits per-batch transition-count
+    slivers; drained over 4 time-sliced micro-batches (cross-batch
+    state carry exercised at every slice boundary) and aggregated
+    batch-side, the matrix must equal the batch lead()-window oracle
+    EXACTLY — the state contract, not just the plan, is what the hash
+    pins. State O(users); emission O(|types|^2) per user-batch."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import read_event_stream
+    from chatbot_spark.streaming.stateful import (
+        run_stream_once_append,
+        transition_counter,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cbs_trans_q_")
+    inpath = os.path.join(base, "in")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    rows = run_stream_once_append(
+        transition_counter(read_event_stream(spark, inpath, max_files_per_trigger=1)),
+        os.path.join(base, "ckpt"),
+    )
+    df = spark.createDataFrame(
+        rows, schema="user_id BIGINT, from_type STRING, to_type STRING, n BIGINT"
+    )
+    t = df.groupBy("from_type", "to_type").agg(
+        F.sum("n").cast("long").alias("n_trans")
+    )
+    wt = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans") * 1000000).alias("__num"),
+        F.sum("n_trans").over(wt).cast("long").alias("__n_from"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("__num div __n_from").alias("p_ppm"),
+    )
