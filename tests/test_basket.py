@@ -74,3 +74,13 @@ def test_frequent_pairs_min_pair_support_filters(spark):
     assert [(r["item_a"], r["item_b"], r["pair_count"]) for r in got] == [
         ("a", "b", 2)
     ]
+
+
+def test_frequent_pairs_empty_and_null_inputs(spark):
+    empty = spark.createDataFrame([], "basket long, item string")
+    assert frequent_pairs(empty, "basket", "item").count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (None, "a"), (2, "b")], "basket long, item string"
+    )
+    # null basket/item rows are dropped; a single (2,b) yields no pairs
+    assert frequent_pairs(nulls, "basket", "item", 1, 1).count() == 0

@@ -312,3 +312,19 @@ def test_hits_star_hub_and_authority(spark):
     a = {r["node"]: r["authority"] for r in rows}
     assert h[0] == 10**8 and all(h[i] == 0 for i in range(1, 5))
     assert a[0] == 0 and len({a[i] for i in range(1, 5)}) == 1
+
+
+def test_graph_operators_empty_input(spark):
+    from chatbot_spark.operators.graph import (
+        bfs_layers,
+        hits_integer,
+        peel_layers,
+        triangle_count,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).count() == 0
+    assert peel_layers(empty, k=2).count() == 0
+    # BFS from seeds over no edges: the seeds themselves at dist 0
+    got = {r["node"]: r["dist"] for r in bfs_layers(empty, seeds=[5]).collect()}
+    assert got == {5: 0}
