@@ -10858,3 +10858,42 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.expr("__num div __n_from").alias("p_ppm"),
     )
+
+
+@query(
+    "ann_ranking_eval",
+    """
+SELECT 1 AS ap_ok, 1 AS ndcg_ok, 1 AS mrr_ok, CAST(10 AS BIGINT) AS n_queries
+""",
+)
+def ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval layer pointed at a REAL index: IVF (nprobe=7/8) rankings
+    scored by operators/evalmetrics.py::ranking_metrics against the
+    exact-L2 truth — mean AP / NDCG@10 / MRR in exact ppm, asserted
+    against a 0.9 SLO in-plan (measured 1.0 at both SFs; the threshold
+    absorbs k-means seed variance, the same contract as the recall-SLO
+    ANN queries — the metric algebra itself is bit-pinned separately by
+    retrieval_eval). This is the closed loop a production vector store
+    runs nightly: build, search, score against exact, gate."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.evalmetrics import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = IVFIndex.build(emb, vec_col="embedding", id_col="vec_id", nlist=8)
+    approx = index.search(q, k=10, nprobe=7)
+    exact = knn_join(
+        q, emb, k=10, metric="l2", corpus_id="vec_id",
+        corpus_vec="embedding", include_distance=False,
+    )
+    m = ranking_metrics(
+        approx.select("query_id", "neighbor_id", "rank"),
+        exact.select("query_id", "neighbor_id"),
+        ndcg_k=10,
+    )
+    return m.agg(
+        (F.avg("ap_ppm") >= 900000).cast("int").alias("ap_ok"),
+        (F.avg("ndcg_ppm") >= 900000).cast("int").alias("ndcg_ok"),
+        (F.avg("mrr_ppm") >= 900000).cast("int").alias("mrr_ok"),
+        F.count("*").cast("long").alias("n_queries"),
+    )
