@@ -36,6 +36,14 @@ SCAN_BUDGET = {
     "mlm_example_build": 2,
     "phrase_search": 2,
     "incremental_embed": 4,
+    # r6b analytics family (measured + 1 headroom; frequent_pairs and the
+    # iterative graph queries checkpoint eagerly, so their declared plans
+    # are cache scans — nothing to pin there)
+    "event_transitions": 2,
+    "cohort_retention": 2,
+    "active_user_stickiness": 3,
+    "revenue_wow_growth": 2,
+    "snapshot_diff": 3,
 }
 
 
