@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frequent_pairs"]
+__all__ = ["frequent_pairs", "frequent_triples"]
 
 
 def frequent_pairs(
@@ -123,5 +123,73 @@ def frequent_pairs(
     # be released without the caller's later action re-deriving them.
     out = out.localCheckpoint(eager=True)
     item_counts.unpersist()
+    b.unpersist()
+    return out
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Level-wise a-priori frequent TRIPLES: candidates are generated
+    from the frequent-PAIR lattice (a triple can only be frequent if all
+    three sub-pairs are — the downward-closure property), so the cubic
+    within-basket join never materializes a candidate whose sub-pairs
+    already failed support. Plan: basket-pair rows semi-join the
+    broadcast frequent-pair set BEFORE the third item attaches, and the
+    (a,c)/(b,c) sub-pairs are semi-checked broadcast-side too — the
+    wide exchange carries only pair-supported candidates. Exact BIGINT
+    counts; the oracle counts triples the naive HAVING way (equal by
+    downward closure)."""
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
+        .distinct()
+        .persist()
+    )
+    left = b.select("basket", F.col("item").alias("a"))
+    right = b.select("basket", F.col("item").alias("b"))
+    pair_rows = left.join(right, "basket").filter(F.col("a") < F.col("b"))
+    fp = (
+        pair_rows.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("pc"))
+        .filter(F.col("pc") >= int(min_support))
+        .select("a", "b")
+        .persist()
+    )
+    # candidate (basket, a, b) restricted to frequent pairs, then attach c
+    bp = pair_rows.join(F.broadcast(fp), ["a", "b"], "left_semi")
+    third = b.select("basket", F.col("item").alias("c"))
+    cand = (
+        bp.join(third, "basket")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            F.broadcast(fp.select(F.col("a"), F.col("b").alias("c"))),
+            ["a", "c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp.select(F.col("a").alias("b"), F.col("b").alias("c"))),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    out = (
+        cand.groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("triple_count"))
+        .filter(F.col("triple_count") >= int(min_support))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+            "triple_count",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
     b.unpersist()
     return out

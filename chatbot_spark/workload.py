@@ -10897,3 +10897,33 @@ def ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("mrr_ppm") >= 900000).cast("int").alias("mrr_ok"),
         F.count("*").cast("long").alias("n_queries"),
     )
+
+
+@query(
+    "frequent_triples",
+    """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 100 AS item FROM lineitem),
+t AS (
+  SELECT a.item AS item_a, c.item AS item_b, d.item AS item_c,
+         CAST(count(*) AS BIGINT) AS triple_count
+  FROM b a
+  JOIN b c ON a.basket = c.basket AND a.item < c.item
+  JOIN b d ON a.basket = d.basket AND c.item < d.item
+  GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+SELECT item_a, item_b, item_c, triple_count FROM t
+""",
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 a-priori (operators/basket.py::frequent_triples): frequent
+    item triples generated from the frequent-PAIR lattice — downward
+    closure means no candidate whose sub-pairs failed support ever
+    reaches the wide exchange (the naive cubic join the oracle runs
+    would be the 100 TB killer; the level-wise plan semi-joins the
+    broadcast pair set before and after the third item attaches).
+    Counts exact BIGINT, result provably equal to the naive HAVING."""
+    from chatbot_spark.operators.basket import frequent_triples as ft
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", (F.col("l_partkey") % 100).alias("item_cat"))
+    return ft(baskets, basket_col="l_orderkey", item_col="item_cat", min_support=3)

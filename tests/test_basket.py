@@ -84,3 +84,35 @@ def test_frequent_pairs_empty_and_null_inputs(spark):
     )
     # null basket/item rows are dropped; a single (2,b) yields no pairs
     assert frequent_pairs(nulls, "basket", "item", 1, 1).count() == 0
+
+
+def test_frequent_triples_matches_serial_reference(spark):
+    from chatbot_spark.operators.basket import frequent_triples
+
+    baskets = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "d"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "a"), (4, "c"), (4, "d"),
+        (5, "b"), (5, "c"), (5, "d"),
+    ]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["triple_count"]
+        for r in frequent_triples(df, "basket", "item", min_support=2).collect()
+    }
+    # serial reference: count all triples, keep >= 2
+    by_basket = {}
+    for bk, i in baskets:
+        by_basket.setdefault(bk, set()).add(i)
+    ref = {}
+    for items in by_basket.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                for z in range(y + 1, len(s)):
+                    k = (s[x], s[y], s[z])
+                    ref[k] = ref.get(k, 0) + 1
+    ref = {k: v for k, v in ref.items() if v >= 2}
+    assert got == ref
+    assert got[("a", "b", "c")] == 2  # baskets 1 and 2
