@@ -74,6 +74,7 @@ HEADLINE = [
     "revenue_wow_growth",
     "ann_ranking_eval",
     "frequent_triples",
+    "rfm_segments",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

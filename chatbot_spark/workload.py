@@ -10927,3 +10927,106 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", (F.col("l_partkey") % 100).alias("item_cat"))
     return ft(baskets, basket_col="l_orderkey", item_col="item_cat", min_support=3)
+
+
+@query(
+    "rfm_segments",
+    """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '2026-01-01') AS BIGINT) AS r_v,
+         CAST(count(*) AS BIGINT) AS f_v,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_v
+  FROM orders GROUP BY o_custkey),
+rc AS (SELECT r_v AS v, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+rcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM rc),
+rb AS (
+  SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
+  FROM (SELECT c.v, r.i FROM rcum c
+        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM rc) // 3 AS BIGINT) AS t
+              FROM generate_series(1, 2) s(i)) r
+          ON c.cum - c.cnt < r.t AND r.t <= c.cum)),
+fc AS (SELECT f_v AS v, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+fcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM fc),
+fb AS (
+  SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
+  FROM (SELECT c.v, r.i FROM fcum c
+        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM fc) // 3 AS BIGINT) AS t
+              FROM generate_series(1, 2) s(i)) r
+          ON c.cum - c.cnt < r.t AND r.t <= c.cum)),
+mc AS (SELECT m_v AS v, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+mcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM mc),
+mb AS (
+  SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
+  FROM (SELECT c.v, r.i FROM mcum c
+        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM mc) // 3 AS BIGINT) AS t
+              FROM generate_series(1, 2) s(i)) r
+          ON c.cum - c.cnt < r.t AND r.t <= c.cum))
+SELECT CAST(
+         (CASE WHEN r_v <= (SELECT b1 FROM rb) THEN 1
+               WHEN r_v <= (SELECT b2 FROM rb) THEN 2 ELSE 3 END) * 100
+       + (CASE WHEN f_v <= (SELECT b1 FROM fb) THEN 1
+               WHEN f_v <= (SELECT b2 FROM fb) THEN 2 ELSE 3 END) * 10
+       + (CASE WHEN m_v <= (SELECT b1 FROM mb) THEN 1
+               WHEN m_v <= (SELECT b2 FROM mb) THEN 2 ELSE 3 END)
+       AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cust GROUP BY 1
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation at scale: recency (days to a fixed
+    anchor), frequency (orders), monetary (exact cents) terciled NOT by
+    a global ntile — a one-task global sort at 10^9 customers — but by
+    the exact equi-depth boundary machinery (value-frequency groupBy +
+    two-phase prefix sum + broadcast rank extraction), then a pure CASE
+    assignment against the two broadcast boundary values per metric.
+    Segment code = 100r + 10f + m; exact BIGINT counts per segment.
+    Boundary semantics are the discrete lower quantile, so heavy ties
+    (frequency is small-integer-valued) land deterministically on both
+    engines — the oracle replays the identical boundary algebra."""
+    from chatbot_spark.operators.histogram import equi_depth_boundaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2026-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).cast("long").alias("r_v"),
+        F.count("*").cast("long").alias("f_v"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long").alias("m_v"),
+    ).persist()
+
+    def bounds(col: str):
+        eb = equi_depth_boundaries(cust.select(col), col, n_buckets=3)
+        return eb.agg(
+            F.max(F.when(F.col("i") == 1, F.col("boundary"))).alias(f"{col}_b1"),
+            F.max(F.when(F.col("i") == 2, F.col("boundary"))).alias(f"{col}_b2"),
+        )
+
+    withb = (
+        cust.crossJoin(F.broadcast(bounds("r_v")))
+        .crossJoin(F.broadcast(bounds("f_v")))
+        .crossJoin(F.broadcast(bounds("m_v")))
+    )
+
+    def bucket(col: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{col}_b1"), F.lit(1))
+            .when(F.col(col) <= F.col(f"{col}_b2"), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+
+    out = (
+        withb.select(
+            (bucket("r_v") * 100 + bucket("f_v") * 10 + bucket("m_v"))
+            .cast("long")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    out = out.localCheckpoint(eager=True)
+    cust.unpersist()
+    return out
