@@ -19,8 +19,9 @@ version:
  * The pair generator is a self-equi-join on the basket id — shuffle on
    basket, pairs emitted stream-wise by the join, never collected. A
    basket holding k frequent items emits C(k,2) pairs; pathological
-   mega-baskets should be capped upstream (the same guard class as
-   dedup.py's duplicate-storm collapse).
+   mega-baskets are capped by ``max_basket_items`` (deterministic
+   keep-smallest — the same guard class as dedup.py's duplicate-storm
+   collapse).
  * Confidence and lift are emitted in exact integer parts-per-million
    (BIGINT `div`), so the result is bit-reproducible on any engine and
    any partitioning. Headroom precondition: ppm_scale * pair_count *
@@ -40,6 +41,25 @@ from pyspark.sql import functions as F
 __all__ = ["frequent_pairs", "frequent_triples"]
 
 
+def _capped(b: DataFrame, max_basket_items: int | None) -> DataFrame:
+    """Mega-basket guard: keep each basket's ``max_basket_items``
+    smallest items (deterministic order — items are comparable), so a
+    pathological basket holding 10^5 items emits C(cap,2) pairs instead
+    of 5·10^9. The same guard class as dedup.py's duplicate-storm
+    collapse; None disables. Applied AFTER dedup so multiplicity never
+    affects which items survive."""
+    if max_basket_items is None:
+        return b
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("basket").orderBy("item")
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_basket_items))
+        .drop("__rn")
+    )
+
+
 def frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
@@ -47,6 +67,7 @@ def frequent_pairs(
     min_item_support: int = 2,
     min_pair_support: int = 2,
     ppm_scale: int = 10**6,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """A-priori frequent item pairs with exact-integer confidence/lift.
 
@@ -76,8 +97,8 @@ def frequent_pairs(
         )
         .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
         .distinct()
-        .persist()
     )
+    b = _capped(b, max_basket_items).persist()
     # a-priori prune: only items frequent on their own can appear in a
     # frequent pair — shrinks the self-join input before pairs exist.
     item_counts = (
@@ -132,6 +153,7 @@ def frequent_triples(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """Level-wise a-priori frequent TRIPLES: candidates are generated
     from the frequent-PAIR lattice (a triple can only be frequent if all
@@ -149,8 +171,8 @@ def frequent_triples(
         )
         .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
         .distinct()
-        .persist()
     )
+    b = _capped(b, max_basket_items).persist()
     left = b.select("basket", F.col("item").alias("a"))
     right = b.select("basket", F.col("item").alias("b"))
     pair_rows = left.join(right, "basket").filter(F.col("a") < F.col("b"))

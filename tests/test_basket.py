@@ -116,3 +116,26 @@ def test_frequent_triples_matches_serial_reference(spark):
     ref = {k: v for k, v in ref.items() if v >= 2}
     assert got == ref
     assert got[("a", "b", "c")] == 2  # baskets 1 and 2
+
+
+def test_mega_basket_cap_is_deterministic(spark):
+    from chatbot_spark.operators.basket import frequent_pairs, frequent_triples
+
+    # basket 1 holds 30 items; cap keeps the 5 smallest, so the only
+    # surviving pairs are among i00..i04 (with basket 2 providing support)
+    rows = [(1, f"i{j:02d}") for j in range(30)] + [
+        (2, f"i{j:02d}") for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = frequent_pairs(
+        df, "basket", "item", min_item_support=1, min_pair_support=2,
+        max_basket_items=5,
+    ).collect()
+    pairs = {(r["item_a"], r["item_b"]) for r in got}
+    assert pairs == {
+        (f"i{a:02d}", f"i{b:02d}") for a in range(5) for b in range(a + 1, 5)
+    }
+    trip = frequent_triples(
+        df, "basket", "item", min_support=2, max_basket_items=5
+    ).collect()
+    assert len(trip) == 10  # C(5,3)
