@@ -568,3 +568,69 @@ def test_heavy_hitters_eviction_matches_serial_spacesaving(spark, tmp_path):
     true = {k: seq.count(k) for k in set(seq)}
     for k, c in got.items():
         assert true[k] <= c <= true[k] + len(seq) // 2
+
+
+def test_transition_counter_state_survives_checkpointed_restart(spark, tmp_path):
+    """Two stream lifecycles against ONE checkpoint: the per-user
+    last-type state committed by lifecycle 1 must seed lifecycle 2, so
+    the transition spanning the restart boundary is counted exactly
+    once. Proves checkpoint durability, not just within-run carry."""
+    import pandas as pd
+
+    from chatbot_spark.streaming.events import read_event_stream
+    from chatbot_spark.streaming.stateful import transition_counter
+
+    inpath = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outpath = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: the memory sink refuses checkpoint recovery, and
+        # the whole point here is the second lifecycle recovering state
+        q = (
+            transition_counter(
+                read_event_stream(spark, inpath, max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", outpath)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_wave(rows):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type"]
+            ).assign(ts=lambda d: pd.to_datetime(d.ts))
+        )
+        df.coalesce(1).write.mode("append").parquet(inpath)
+
+    # wave 1: u1 [view, click], u2 [view]
+    write_wave(
+        [
+            (1, "2024-01-01 10:00", 1, "view"),
+            (2, "2024-01-01 10:01", 1, "click"),
+            (3, "2024-01-01 10:00", 2, "view"),
+        ]
+    )
+    drain()
+    # wave 2 (fresh lifecycle, same checkpoint): u1 [purchase], u2 [click]
+    # -> the click->purchase and view->click RESTART-BOUNDARY transitions
+    write_wave(
+        [
+            (4, "2024-01-01 10:05", 1, "purchase"),
+            (5, "2024-01-01 10:06", 2, "click"),
+        ]
+    )
+    drain()
+    counts: dict[tuple[str, str], int] = {}
+    for r in spark.read.parquet(outpath).collect():
+        k = (r["from_type"], r["to_type"])
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    assert counts == {
+        ("view", "click"): 2,       # u1 in-wave + u2 across the restart
+        ("click", "purchase"): 1,   # u1 across the restart
+    }
