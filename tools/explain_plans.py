@@ -326,6 +326,27 @@ COMMENT = {
         "ranked-list-sized data only. The integer-ppm metric algebra is "
         "pure projection — no Python, no floats."
     ),
+    "rfm_segments": (
+        "Scale-safe terciles: NO global ntile (a one-task sort at 1e9 "
+        "customers) — three equi-depth boundary extractions (two-phase "
+        "prefix sum each) collapse to 1-row broadcast bounds, and the "
+        "segment assignment is a pure CASE projection over the customer "
+        "aggregate."
+    ),
+    "frequent_triples": (
+        "Level-2 a-priori: candidate (basket, a, b) rows semi-join the "
+        "BROADCAST frequent-pair set before the third item attaches, and "
+        "the remaining sub-pairs are broadcast-semi-checked too — only "
+        "pair-supported candidates reach the wide basket exchange; the "
+        "naive cubic join exists only in the oracle."
+    ),
+    "active_user_stickiness": (
+        "Windowed distinct without a range join: the (day,user) grain "
+        "explodes to the trailing days it contributes to (30x on the "
+        "deduped grain), then ONE groupBy(day) computes DAU/WAU/MAU as "
+        "three conditional count-distincts — a single count-distinct "
+        "exchange for all horizons."
+    ),
 }
 
 
