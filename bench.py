@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_ranking_eval",
     "frequent_triples",
     "rfm_segments",
+    "event_trigrams",
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

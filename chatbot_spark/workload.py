@@ -11030,3 +11030,37 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cust.unpersist()
     return out
+
+
+@query(
+    "event_trigrams",
+    """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 10
+""",
+)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequential patterns: contiguous event-type trigrams
+    per user (the Markov-2 features next to event_transitions' first-
+    order matrix) — two lead() offsets riding ONE user_id window
+    exchange (same sort, zero extra shuffles), exact counts with a
+    support floor. The (ts, event_id) tie-break keeps engines
+    identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 10)
+    )

@@ -83,6 +83,8 @@ PINNED = [
     "ngram_novelty",
     "frequent_pairs",
     "host_triangles",
+    "frequent_triples",
+    "rfm_segments",
 ]
 
 
