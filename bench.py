@@ -83,6 +83,8 @@ HEADLINE = [
     # host_hits: 5 rounds x 2 checkpointed Pregel passes — same class
     # stream_event_transitions: multi-batch streaming drain — excluded
     # like the other replay-harness streaming queries
+    # stream_approx_distinct_hourly: streaming drain + exact-side
+    # comparison — same exclusion class
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

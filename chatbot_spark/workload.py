@@ -11064,3 +11064,72 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+@query(
+    "stream_approx_distinct_hourly",
+    """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(exact_users) AS BIGINT) AS sum_exact,
+       1 AS all_within_slo
+FROM h
+""",
+)
+def stream_approx_distinct_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly approx-distinct users: HLL++ inside a watermarked
+    streaming aggregation (state O(hours x sketch), never O(users) — the
+    cardinality-in-motion problem exact distinct cannot afford on an
+    unbounded stream), drained AvailableNow and compared hour-by-hour to
+    the exact batch distinct. Sketch estimates are engine-specific, so —
+    the approx_distinct_users contract — the oracle pins the exact
+    per-hour counts (portable) plus an ALL-hours error flag computed
+    in-plan: relative error <= 15% OR absolute error <= 3 users. The
+    absolute floor matters because hourly cardinalities here are tiny
+    (~13 users) and Spark's HLL++ is not exact at small n (measured
+    up to 20% relative = 3 users absolute at rsd=0.05); at production
+    cardinalities the relative bound is the binding one."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import read_event_stream, run_stream_once_complete
+
+    base = tempfile.mkdtemp(prefix="cbs_hllstream_q_")
+    inpath = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(inpath)
+    stream = read_event_stream(spark, inpath)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"))
+    )
+    rows = run_stream_once_complete(agg, os.path.join(base, "ckpt"))
+    approx = spark.createDataFrame(rows)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    )
+    j = exact.join(approx, "hour")
+    return j.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("exact_users").cast("long").alias("sum_exact"),
+        F.min(
+            (
+                (
+                    F.abs(
+                        F.col("approx_users").cast("double")
+                        - F.col("exact_users").cast("double")
+                    )
+                    / F.col("exact_users")
+                    <= 0.15
+                )
+                | (
+                    F.abs(F.col("approx_users") - F.col("exact_users")) <= 3
+                )
+            ).cast("int")
+        ).alias("all_within_slo"),
+    )
