@@ -54,7 +54,10 @@ def ranking_metrics(
     """Per-query AP / MRR / hit metrics of ``system`` against ``truth``.
 
     ``system``: (query, doc, rank) ranked retrieval lists, rank 1-based
-    dense per query. ``truth``: (query, doc) relevance sets (ranks in
+    dense per query; PRECONDITION: (query, doc) unique and ranks unique
+    per query (the contract every search operator here emits — a doc
+    listed twice would double-count its relevance and a duplicated rank
+    would make the cumulative-hits window order-ambiguous). ``truth``: (query, doc) relevance sets (ranks in
     ``truth`` are ignored; membership defines relevance). Queries absent
     from ``truth`` contribute nothing (inner-join semantics on the
     normalizer); system rows for them are dropped.
