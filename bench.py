@@ -449,6 +449,21 @@ def main() -> None:
                 payload[key] = {k: rec[k] for k in fields if k in rec}
             except (OSError, ValueError, KeyError):
                 pass
+    graph_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_GRAPH.json"
+    )
+    if os.path.exists(graph_path):
+        try:
+            with open(graph_path) as f:
+                recs = json.load(f)
+            payload["graph_scale"] = {
+                "n_edges": [r["n_edges"] for r in recs],
+                "triangle_sec": [r["triangle_sec"] for r in recs],
+                "bfs_sec": [r["bfs_sec"] for r in recs],
+                "hits_sec": [r["hits_sec"] for r in recs],
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     full_line = json.dumps(payload, separators=(",", ":"))
     # full per-query detail goes to a file (the driver's capture window is
     # ~2 KB of tail; a ~100-entry queries map does not reliably fit)
