@@ -24,6 +24,9 @@ HEADLINE = [
     "knn_exact_cosine",
     "radius_search",
     "hard_negatives",
+    "mmr_diversified",
+    "coreset_kcenter",
+    "rm3_expanded_search",
     "knn_per_label_quota",
     "embedding_neardup",
     "text_stats",

@@ -184,6 +184,170 @@ def bm25_topk(
     )
 
 
+def bm25_rm3_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    n_fb: int = 5,
+    m_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models; the Anserini-style BM25+RM3 pipeline): retrieve n_fb feedback
+    docs, estimate the relevance model
+
+        RM1(t) = Σ_{d ∈ fb} (tf(t,d) / dl_d) · score(d)
+
+    keep the top m_terms by RM1 weight (ties on token), normalize over the
+    kept set, interpolate with the original query's term distribution
+    (qtf/|q|) at weight ``alpha``, and re-score the corpus with the
+    weighted expanded query: score₂(d) = Σ_t weight(t) · bm25_w(t, d).
+
+    One DAG, two posting-list join passes over the SAME persisted postings
+    (tokenize runs once); everything else is map-side-combinable aggs and
+    broadcast-sized side inputs keyed by query. Rational idf (no
+    transcendentals) and sorted folds everywhere — pass-1 scores, RM1 sums
+    (folded over feedback rank), the normalizer and the final scores all
+    replay bit-for-bit in the DuckDB oracle.
+    """
+    one_minus_alpha = 1.0 - alpha  # mirrored as (1.0 - alpha) in the oracle
+    postings = term_frequencies(corpus_df, corpus_id, corpus_text).persist()
+    dfreq = document_frequencies(postings)
+    doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = corpus_df.agg(F.count_distinct(F.col(corpus_id)).alias("__n_docs")).crossJoin(
+        doclen.agg(F.sum("dl").alias("__total_dl"))
+    )
+
+    n_docs_d = F.col("__n_docs").cast("double")
+    avgdl = F.col("__total_dl").cast("double") / n_docs_d
+    idf = (n_docs_d - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tfd = F.col("tf").cast("double")
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+
+    def contribs(qterms: DataFrame, extra: list[str]) -> DataFrame:
+        return (
+            qterms.join(dfreq, "token")
+            .join(postings, "token")
+            .join(doclen, "id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "__qid",
+                F.col("id").alias("neighbor_id"),
+                "token",
+                (idf * sat).alias("w"),
+                *extra,
+            )
+        )
+
+    def fold_scores(contrib: DataFrame, w_col: str) -> DataFrame:
+        return contrib.groupBy("__qid", "neighbor_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", F.col(w_col).alias("w")))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["w"],
+            ).alias("score")
+        )
+
+    # ---- pass 1: plain rational-idf BM25, keep the n_fb feedback docs ----
+    qterms1 = queries_df.select(
+        F.col(query_id).alias("__qid"),
+        F.explode(F.array_distinct(tokens(F.col(query_text)))).alias("token"),
+    )
+    scored1 = fold_scores(contribs(qterms1, []), "w")
+    wfb = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    fb = (
+        scored1.withColumn("fb_rank", F.row_number().over(wfb))
+        .filter(F.col("fb_rank") <= n_fb)
+        .select("__qid", F.col("neighbor_id").alias("fb_id"), "fb_rank",
+                F.col("score").alias("fb_score"))
+    )
+
+    # ---- RM1 over the feedback set, folded over feedback rank ----
+    rm1 = (
+        fb.join(postings, fb.fb_id == postings.id)
+        .join(doclen, "id")
+        .select(
+            "__qid", "token", "fb_rank",
+            (tfd / F.col("dl").cast("double") * F.col("fb_score")).alias("c"),
+        )
+        .groupBy("__qid", "token")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("fb_rank", "c"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["c"],
+            ).alias("rm1w")
+        )
+    )
+    wterm = Window.partitionBy("__qid").orderBy(F.col("rm1w").desc(), F.col("token").asc())
+    kept = rm1.withColumn("__tr", F.row_number().over(wterm)).filter(
+        F.col("__tr") <= m_terms
+    )
+    norm = kept.groupBy("__qid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "rm1w"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["rm1w"],
+        ).alias("__z")
+    )
+    expansion = kept.join(norm, "__qid").select(
+        "__qid", "token", (F.col("rm1w") / F.col("__z")).alias("rm1n")
+    )
+
+    # ---- original query term distribution: qtf / |q| ----
+    qtoks = queries_df.select(
+        F.col(query_id).alias("__qid"), F.explode(tokens(F.col(query_text))).alias("token")
+    )
+    qlen = qtoks.groupBy("__qid").agg(F.count("*").alias("__qlen"))
+    orig = (
+        qtoks.groupBy("__qid", "token")
+        .agg(F.count("*").alias("__qtf"))
+        .join(qlen, "__qid")
+        .select(
+            "__qid", "token",
+            (F.col("__qtf").cast("double") / F.col("__qlen").cast("double")).alias("ow"),
+        )
+    )
+
+    # ---- interpolate: alpha·orig + (1-alpha)·RM1-normalized ----
+    weights = (
+        orig.join(expansion, ["__qid", "token"], "full_outer")
+        .select(
+            "__qid", "token",
+            (
+                F.lit(alpha) * F.coalesce(F.col("ow"), F.lit(0.0))
+                + F.lit(one_minus_alpha) * F.coalesce(F.col("rm1n"), F.lit(0.0))
+            ).alias("qw"),
+        )
+        # zero-weight terms (possible at the alpha extremes) retrieve docs
+        # they cannot score — drop them BEFORE the posting join, where they
+        # would otherwise multiply the pass-2 shuffle for nothing
+        .filter(F.col("qw") != 0.0)
+    )
+
+    # ---- pass 2: weighted BM25 over the expanded query ----
+    contrib2 = contribs(weights, ["qw"]).withColumn("ww", F.col("qw") * F.col("w"))
+    scored2 = fold_scores(contrib2, "ww")
+    wfin = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id), "neighbor_id", "rank", "score")
+    )
+
+
 def positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, token) positional posting list — the phrase-search index.
 

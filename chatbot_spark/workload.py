@@ -11133,3 +11133,285 @@ def stream_approx_distinct_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("int")
         ).alias("all_within_slo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Diversity-aware selection (operators/diversify.py): MMR rerank and greedy
+# k-center coreset — the retrieval-diversity and dataset-pruning shapes.
+# Both greedy loops replay EXACTLY in SQL (rounds unrolled, MATERIALIZED
+# per the iterative-oracle discipline), so the driver check is bit-exact.
+# --------------------------------------------------------------------------
+
+_MMR_K = 8
+_MMR_N = 20
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR greedy: round i's argmax over the remaining candidates
+    of 0.7*rel - (1.0-0.7)*max_sim_to_selected, ties on ascending cid —
+    the exact expression shape the pandas kernel computes (same IEEE ops,
+    same order), so doubles agree bit-for-bit."""
+    dot_qc = _DUCK_DOT.format(a="q.qe", b="c.embedding")
+    norm_q = _DUCK_NORM.format(a="q.qe")
+    norm_c = _DUCK_NORM.format(a="c.embedding")
+    dot_ab = _DUCK_DOT.format(a="ea.embedding", b="eb.embedding")
+    norm_a = _DUCK_NORM.format(a="ea.embedding")
+    norm_b = _DUCK_NORM.format(a="eb.embedding")
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cid,
+         {dot_qc} / (sqrt({norm_q}) * sqrt({norm_c})) AS rel
+  FROM q, embeddings c),
+cands AS MATERIALIZED (
+  SELECT query_id, cid, rel FROM (
+    SELECT query_id, cid, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid ASC) AS rn
+    FROM scored) WHERE rn <= {_MMR_N}),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+         {dot_ab} / (sqrt({norm_a}) * sqrt({norm_b})) AS s
+  FROM cands a
+  JOIN cands b ON b.query_id = a.query_id AND b.cid <> a.cid
+  JOIN embeddings ea ON ea.vec_id = a.cid
+  JOIN embeddings eb ON eb.vec_id = b.cid),
+sel_1 AS MATERIALIZED (
+  SELECT query_id, cid, 1 AS rank, 0.7 * rel - (1.0 - 0.7) * 0.0 AS score, rel
+  FROM (SELECT query_id, cid, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, cid ASC) AS rn
+        FROM cands) WHERE rn = 1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        parts.append(
+            f""",
+sel_{i} AS MATERIALIZED (
+  SELECT * FROM sel_{p}
+  UNION ALL
+  SELECT query_id, cid, {i} AS rank, score, rel FROM (
+    SELECT c.query_id, c.cid,
+           0.7 * c.rel - (1.0 - 0.7) * m.ms AS score, c.rel,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY 0.7 * c.rel - (1.0 - 0.7) * m.ms DESC, c.cid ASC) AS rn
+    FROM cands c
+    JOIN (SELECT s.query_id, s.ca AS cid, max(s.s) AS ms
+          FROM sims s JOIN sel_{p} pr ON pr.query_id = s.query_id AND pr.cid = s.cb
+          GROUP BY s.query_id, s.ca) m
+      ON m.query_id = c.query_id AND m.cid = c.cid
+    WHERE NOT EXISTS (SELECT 1 FROM sel_{p} x
+                      WHERE x.query_id = c.query_id AND x.cid = c.cid)
+  ) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+       round(score, 6) AS mmr_score, round(rel, 6) AS rel
+FROM sel_{_MMR_K}
+"""
+    )
+    return "".join(parts)
+
+
+@query("mmr_diversified", _mmr_oracle())
+def mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank (operators/diversify.py::mmr_select) over
+    the standard 5-query workload: stage 1 is the exact distributed
+    top-20 by cosine (two-phase WindowGroupLimit like every knn query);
+    stage 2 builds the within-shortlist pair sims JVM-side and runs the
+    greedy (lam=0.7, k=8) in ONE applyInPandas pass keyed by query — the
+    shape that parallelizes over millions of queries. Bit-exact oracle:
+    all 8 rounds unrolled."""
+    from chatbot_spark.operators.diversify import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir, n=5)
+    sims = cosine_topk_join(
+        q, emb, k=_MMR_N, query_id="query_id", query_vec="query_embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    cands = sims.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "embedding", F.col("sim").alias("rel"))
+    res = mmr_select(cands, k=_MMR_K, lam=0.7)
+    return res.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("mmr_score", 6).alias("mmr_score"),
+        F.round("rel", 6).alias("rel"),
+    )
+
+
+_KC_K = 5
+_KC_MAX_ID = 250
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled Gonzalez farthest-first: seed = smallest vec_id per label,
+    each round adds the argmax of min-distance-to-selected (ties on
+    ascending id). Distances are the same list-order L2 fold as every
+    vector oracle, so the replay is bit-exact."""
+    l2_ab = _DUCK_L2.format(a="a.embedding", b="b.embedding")
+    parts = [
+        f"""
+WITH pts AS (SELECT CAST(label AS BIGINT) AS label, vec_id, embedding
+             FROM embeddings WHERE vec_id < {_KC_MAX_ID}),
+d AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS pa, b.vec_id AS pb, {l2_ab} AS dist
+  FROM pts a JOIN pts b ON b.label = a.label AND b.vec_id <> a.vec_id),
+sel_1 AS MATERIALIZED (
+  SELECT label, min(vec_id) AS cid, 1 AS rank, 0.0 AS radius
+  FROM pts GROUP BY label)"""
+    ]
+    for i in range(2, _KC_K + 1):
+        p = i - 1
+        parts.append(
+            f""",
+sel_{i} AS MATERIALIZED (
+  SELECT * FROM sel_{p}
+  UNION ALL
+  SELECT label, cid, {i} AS rank, radius FROM (
+    SELECT m.label, m.cid, m.md AS radius,
+           row_number() OVER (PARTITION BY m.label ORDER BY m.md DESC, m.cid ASC) AS rn
+    FROM (SELECT d.label, d.pa AS cid, min(d.dist) AS md
+          FROM d JOIN sel_{p} s ON s.label = d.label AND s.cid = d.pb
+          WHERE NOT EXISTS (SELECT 1 FROM sel_{p} x
+                            WHERE x.label = d.label AND x.cid = d.pa)
+          GROUP BY d.label, d.pa) m
+  ) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT label, CAST(rank AS BIGINT) AS rank, cid AS vec_id,
+       round(radius, 6) AS radius
+FROM sel_{_KC_K}
+"""
+    )
+    return "".join(parts)
+
+
+@query("coreset_kcenter", _kcenter_oracle())
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/diversify.py::k_center_select):
+    per label, the Gonzalez farthest-first sweep picks k=5 maximally
+    spread exemplars — the dataset-pruning step that keeps coverage while
+    dropping redundant mass. Pool-blocked (label here, a k-means cell at
+    100 TB — the semantic_dedup machinery), so the pair block stays N²
+    per pool, never all-pairs. Bit-exact oracle: all rounds unrolled."""
+    from chatbot_spark.operators.diversify import k_center_select
+
+    pts = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _KC_MAX_ID)
+    res = k_center_select(pts, k=_KC_K, pool_col="label", id_col="vec_id",
+                          vec_col="embedding")
+    return res.select(
+        "label", "rank", "vec_id", F.round("radius", 6).alias("radius")
+    )
+
+
+_RM3_W = (
+    "(((SELECT n_docs FROM n) - d.df + 0.5) / (d.df + 0.5))"
+    " * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))"
+    " / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM ad))))"
+)
+
+@query(
+    "rm3_expanded_search",
+    f"""
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM c),
+post AS (
+  SELECT doc_id AS id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM c) s
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY id),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qraw AS (SELECT doc_id AS query_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+         FROM c WHERE doc_id < 3),
+qterms AS (SELECT DISTINCT query_id, token FROM qraw),
+contrib AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token, {_RM3_W} AS w
+  FROM qterms q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token
+  JOIN dl l ON l.id = p.id),
+scored1 AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib GROUP BY query_id, neighbor_id),
+fb AS MATERIALIZED (
+  SELECT query_id, neighbor_id AS fb_id, score AS fb_score, fb_rank FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS fb_rank
+    FROM scored1) WHERE fb_rank <= 5),
+rm1 AS (
+  SELECT f.query_id, p.token,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(p.tf AS DOUBLE) / CAST(l.dl AS DOUBLE) * f.fb_score ORDER BY f.fb_rank)),
+           (acc, x) -> acc + x) AS rm1w
+  FROM fb f JOIN post p ON p.id = f.fb_id JOIN dl l ON l.id = p.id
+  GROUP BY f.query_id, p.token),
+kept AS MATERIALIZED (
+  SELECT query_id, token, rm1w FROM (
+    SELECT query_id, token, rm1w,
+           row_number() OVER (PARTITION BY query_id ORDER BY rm1w DESC, token ASC) AS tr
+    FROM rm1) WHERE tr <= 10),
+nrm AS (
+  SELECT query_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rm1w ORDER BY token)),
+                     (acc, x) -> acc + x) AS z
+  FROM kept GROUP BY query_id),
+expansion AS (
+  SELECT k2.query_id, k2.token, k2.rm1w / n2.z AS rm1n
+  FROM kept k2 JOIN nrm n2 ON n2.query_id = k2.query_id),
+qlen AS (SELECT query_id, count(*) AS qlen FROM qraw GROUP BY query_id),
+qtf AS (SELECT query_id, token, count(*) AS qtf FROM qraw GROUP BY query_id, token),
+orig AS (
+  SELECT t.query_id, t.token, CAST(t.qtf AS DOUBLE) / CAST(ql.qlen AS DOUBLE) AS ow
+  FROM qtf t JOIN qlen ql ON ql.query_id = t.query_id),
+weights AS MATERIALIZED (
+  SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+         COALESCE(o.token, e.token) AS token,
+         0.5 * COALESCE(o.ow, 0.0) + (1.0 - 0.5) * COALESCE(e.rm1n, 0.0) AS qw
+  FROM orig o FULL OUTER JOIN expansion e
+    ON e.query_id = o.query_id AND e.token = o.token),
+contrib2 AS (
+  SELECT q.query_id, p.id AS neighbor_id, q.token, q.qw * ({_RM3_W}) AS ww
+  FROM weights q
+  JOIN dfreq d ON d.token = q.token
+  JOIN post p ON p.token = q.token
+  JOIN dl l ON l.id = p.id),
+scored2 AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ww ORDER BY token)),
+                     (acc, x) -> acc + x) AS score
+  FROM contrib2 GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored2)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback
+    (operators/lexical.py::bm25_rm3_topk) over the same 200-doc corpus /
+    3-query workload as bm25_topk: 5 feedback docs, 10 expansion terms,
+    alpha=0.5 interpolation, rational idf. The oracle replays BOTH
+    retrieval passes, the RM1 estimation (folded over feedback rank), the
+    top-term cut, the normalizer and the interpolation — bit-exact."""
+    from chatbot_spark.operators.lexical import bm25_rm3_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    queries_df = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    res = bm25_rm3_topk(queries_df, docs, k=10, n_fb=5, m_terms=10, alpha=0.5)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
