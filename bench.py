@@ -162,6 +162,7 @@ HEADLINE = [
     "stratified_sample",
     "capped_class_sample",
     "incremental_rollup",
+    "incremental_join_view",
     "incremental_distinct_hll",
     "incremental_kmv_distinct",
     "forecast_revenue",

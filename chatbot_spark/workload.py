@@ -11415,3 +11415,56 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@query(
+    "incremental_join_view",
+    """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_checksum
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (operators/ivm.py::delta_join_view):
+    orders arrive in 3 date-sliced batches while customer grows in 3
+    keyed batches; the view is maintained purely from the delta algebra
+    ΔA⋈B_prev ∪ A_prev⋈ΔB ∪ ΔA⋈ΔB — no rebuild, no rescan of the
+    previously-materialized view. The oracle is the full join recompute:
+    exact equality (count + integer checksums per segment) IS the
+    maintenance invariant — it proves the 3-term tiling covers every
+    (order, customer) pair exactly once."""
+    from chatbot_spark.operators.ivm import delta_join_view
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cuts = [
+        ("1970-01-01", "1994-01-01"),
+        ("1994-01-01", "1996-06-01"),
+        ("1996-06-01", "2099-01-01"),
+    ]
+    o_slices = [
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+        )
+        for lo, hi in cuts
+    ]
+    c_slices = [
+        c.filter(F.col("c_custkey") % 3 == i).select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        for i in range(3)
+    ]
+    view = delta_join_view(o_slices, c_slices, on="custkey")
+    return view.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
