@@ -50,21 +50,31 @@ def _pool_pairs(
 ) -> DataFrame:
     """All ordered within-pool pairs (a, b) INCLUDING the a == b self-row
     (sim NULL) so single-candidate pools still reach the kernel. One
-    shuffle on the pool key; N² rows per pool by the small-pool contract."""
-    a = cands.select(
+    shuffle on the pool key; N² rows per pool by the small-pool contract.
+
+    The candidate set fans out to both pair sides — persisted once so an
+    upstream retrieval subtree (e.g. the MMR shortlist's top-k window)
+    isn't computed twice. Small by the shortlist/cell contract."""
+    base = cands.select(
         F.col(pool_col).cast("long").alias("__pool"),
-        F.col(id_col).cast("long").alias("__a"),
-        F.col(vec_col).alias("__va"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
         *(
-            [F.col(rel_col).cast("double").alias("__rel_a")]
+            [F.col(rel_col).cast("double").alias("__rel")]
             if rel_col is not None
-            else [F.lit(0.0).alias("__rel_a")]
+            else [F.lit(0.0).alias("__rel")]
         ),
+    ).persist()
+    a = base.select(
+        "__pool",
+        F.col("__id").alias("__a"),
+        F.col("__v").alias("__va"),
+        F.col("__rel").alias("__rel_a"),
     )
-    b = cands.select(
-        F.col(pool_col).cast("long").alias("__pool_b"),
-        F.col(id_col).cast("long").alias("__b"),
-        F.col(vec_col).alias("__vb"),
+    b = base.select(
+        F.col("__pool").alias("__pool_b"),
+        F.col("__id").alias("__b"),
+        F.col("__v").alias("__vb"),
     )
     pairs = a.join(b, a["__pool"] == b["__pool_b"])
     measure = (
