@@ -67,6 +67,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "frequent_pairs",
     "host_triangles",
+    "lpa_communities",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
@@ -192,6 +193,7 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "pii_redact",
+    "k_anonymity_audit",
     "cms_heavy_hitters",
     "kmv_distinct_users",
     "kmv_jaccard_userdays",

@@ -25,7 +25,7 @@ O(edges). No driver-side state beyond the plan itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_layers", "hits_integer", "pagerank_integer", "peel_layers", "triangle_count"]
@@ -436,3 +436,52 @@ def hits_integer(
     for df in (e, nodes, n_row):
         df.unpersist()
     return out
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    deterministic: every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbors, ties broken
+    by the SMALLEST label — so the run is a pure function of the edge
+    set (classic LPA's random tie-breaks and visit order are not
+    engine-reproducible; this variant is, and the workload oracle
+    replays all rounds exactly).
+
+    Returns (node, label) after ``rounds`` synchronous updates.
+
+    Scale shape: the graph is symmetrized once; each round is ONE join
+    (labels onto edge destinations, shuffled on node) + ONE grouped
+    count + a per-node argmax window — all keyed by node id, no driver
+    state, plan growth linear in rounds (each round references the
+    previous labels exactly once, the pagerank chain discipline).
+    Dangling nodes (no neighbors after de-duplication) keep their own
+    label via the left join.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        best = (
+            nbr.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+        )
+    return labels

@@ -11468,3 +11468,129 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+WITH cls AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS class_size,
+         count(DISTINCT c_mktsegment) AS n_sensitive
+  FROM customer GROUP BY c_nationkey, bal_band)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_below_k,
+       CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+       CAST(sum(CASE WHEN n_sensitive < 2 THEN class_size ELSE 0 END) AS BIGINT) AS rows_below_l,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(min(n_sensitive) AS BIGINT) AS min_l
+FROM cls
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit
+    (operators/privacy.py::k_anonymity_report): quasi-identifiers are
+    (nation, account-balance band), the sensitive attribute is market
+    segment, k=5, l=2 — the pre-release re-identification risk gate that
+    complements the pii_redact scrub. One shuffle on the QI tuple, one
+    summary fold, exact integers end to end."""
+    from chatbot_spark.operators.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", k=5, l=2
+    )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled deterministic LPA: each round every node adopts its
+    neighbors' most frequent label (count DESC, label ASC). Each round
+    references the previous one twice (carry + join) → MATERIALIZED per
+    the iterative-oracle discipline."""
+    parts = [
+        """
+WITH d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+  UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+  UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u <> v
+    UNION ALL
+    SELECT v, u FROM raw WHERE u <> v)),
+lab_0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM e0)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+lab_{r} AS MATERIALIZED (
+  SELECT n.node, COALESCE(b.label, n.label) AS label
+  FROM lab_{p} n
+  LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e.u AS node, l.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.u
+               ORDER BY count(*) DESC, l.label ASC) AS rn
+      FROM e0 e JOIN lab_{p} l ON l.node = e.v
+      GROUP BY e.u, l.label) WHERE rn = 1) b
+  ON b.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS size,
+       CAST(sum(node) AS BIGINT) AS member_checksum
+FROM lab_{_LPA_ROUNDS} GROUP BY label
+"""
+    )
+    return "".join(parts)
+
+
+@query("lpa_communities", _lpa_oracle())
+def lpa_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.py::lpa_communities, 4 rounds) over the same
+    120-host ring-with-chords graph as host_triangles — the community
+    detection signal of web-graph curation (link farms / topical
+    clusters). Ties go to the smallest label so the run is a pure
+    function of the edge set; the oracle replays all 4 synchronous
+    rounds exactly. Per round: one shuffle-join keyed by node + one
+    grouped count + per-node argmax — linear plan growth."""
+    from chatbot_spark.operators.graph import lpa_communities
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+    raw = (
+        docs.select(h.alias("src"), ((F.col("doc_id") + 1) % 120).alias("dst"))
+        .union(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                h.alias("src"), ((F.col("doc_id") + 2) % 120).alias("dst")
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                ((F.col("doc_id") + 1) % 120).alias("src"),
+                ((F.col("doc_id") + 2) % 120).alias("dst"),
+            )
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                h.alias("src"), ((F.col("doc_id") * 7 + 13) % 120).alias("dst")
+            )
+        )
+    )
+    labels = lpa_communities(raw, rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

