@@ -194,6 +194,7 @@ HEADLINE = [
     "repetition_stats",
     "pii_redact",
     "k_anonymity_audit",
+    "constraint_audit",
     "cms_heavy_hitters",
     "kmv_distinct_users",
     "kmv_jaccard_userdays",

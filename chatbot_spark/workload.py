@@ -11594,3 +11594,63 @@ def lpa_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@query(
+    "constraint_audit",
+    """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+t AS (
+  SELECT 'complete(o_orderdate)' AS check_name,
+         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS v
+  UNION ALL
+  SELECT 'complete(o_custkey)',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'range(o_totalprice,[0,200000])',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_totalprice NOT BETWEEN 0 AND 200000)
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F'))
+  UNION ALL
+  SELECT 'fk(o_custkey)',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)))
+SELECT t.check_name, CAST(n.n_rows AS BIGINT) AS n_rows,
+       CAST(t.v AS BIGINT) AS n_violations,
+       CAST(CASE WHEN t.v = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM t, n
+""",
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.py): five
+    in-table constraints compiled into ONE aggregation scan of orders
+    (completeness, uniqueness, a range band chosen to actually catch
+    rows, and a membership set that flags the rare 'P' status) plus
+    referential integrity to customer as a broadcast anti-join — the
+    Deequ-shaped pre-publish audit. Exact integer violation counts."""
+    from chatbot_spark.operators.quality import (
+        audit_table,
+        fk_violations,
+        union_audits,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    table_part = audit_table(
+        o,
+        completeness=["o_orderdate", "o_custkey"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0, 200000)},
+        memberships={"o_orderstatus": ["O", "F"]},
+    )
+    return union_audits([table_part, fk_violations(o, "o_custkey", c, "c_custkey")])
