@@ -104,6 +104,7 @@ HEADLINE = [
     "customer_ntile",
     "events_lag_lead",
     "rolling_zscore_anomalies",
+    "ols_daily_trend",
     "orders_cube",
     "revenue_grouping_sets",
     "range_join_price_bands",

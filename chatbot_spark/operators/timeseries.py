@@ -89,3 +89,60 @@ def resample_forward_fill(
     return filled.filter(F.col(value_col).isNotNull()).select(
         key_col, "grid_epoch", value_col
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression by sufficient statistics — the
+    closed-form distributed OLS every scalable-ML stack reduces to:
+    ONE map-side-combinable aggregation collects (n, Σx, Σy, Σxy, Σx²,
+    Σy²) as EXACT BIGINTs (``x_col``/``y_col`` must be integer-valued —
+    quantize upstream, the repo's cents/e4 discipline), then
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    are a handful of IEEE double ops on those integers — deterministic
+    on any engine, one shuffle total, no iteration. The combination
+    casts each statistic to double BEFORE multiplying (n·Σxy can exceed
+    BIGINT at petabyte scale; the cast of an exact BIGINT is the same
+    IEEE value everywhere, so parity survives even past 2^53 where the
+    cast itself rounds). Degenerate groups (a single distinct x, or
+    constant y for r²) return NULL rather than ±inf.
+
+    Output: group_cols + (n, slope, intercept, r2).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n_d = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n_d * sxy - sx * sy
+    denx = n_d * sxx - sx * sx
+    deny = n_d * syy - sy * sy
+    slope = F.when(denx > 0, num / denx)
+    intercept = F.when(denx > 0, (sy - (num / denx) * sx) / n_d)
+    r2 = F.when((denx > 0) & (deny > 0), num * num / (denx * deny))
+    return stats.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

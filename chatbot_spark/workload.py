@@ -11654,3 +11654,65 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         memberships={"o_orderstatus": ["O", "F"]},
     )
     return union_audits([table_part, fk_violations(o, "o_custkey", c, "c_custkey")])
+
+
+@query(
+    "ols_daily_trend",
+    """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x,
+         sum(CAST(round(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY event_type, x),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM daily GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS slope,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             THEN (CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6) AS intercept,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r2
+FROM s
+""",
+)
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS (operators/timeseries.py::groupwise_ols):
+    per event type, regress daily revenue-cents on the day index via
+    exact-BIGINT sufficient statistics — two shuffles total (daily
+    rollup, then the per-group fold), no iteration, the distributed
+    regression primitive of metric trending/forecasting at 100 TB. The
+    oracle replays the identical double-expression shape on the same
+    integer statistics — bit-exact at round(6)."""
+    from chatbot_spark.operators.timeseries import groupwise_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    )
+    res = groupwise_ols(daily, ["event_type"], "x", "y")
+    return res.select(
+        "event_type", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
