@@ -85,6 +85,14 @@ PINNED = [
     "host_triangles",
     "frequent_triples",
     "rfm_segments",
+    # appended r6c (the new operator family; sf-scaling entries only —
+    # rm3/coreset are bounded-candidate by contract and sf-invariant)
+    "mmr_diversified",
+    "incremental_join_view",
+    "lpa_communities",
+    "k_anonymity_audit",
+    "constraint_audit",
+    "ols_daily_trend",
 ]
 
 
