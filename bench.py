@@ -187,6 +187,7 @@ HEADLINE = [
     "scd2_user_state",
     "source_mixture",
     "asof_forward_next_purchase",
+    "point_in_time_features",
     "resample_forward_fill",
     "rrf_hybrid",
     "user_segments_setops",

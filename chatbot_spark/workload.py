@@ -11716,3 +11716,73 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+@query(
+    "point_in_time_features",
+    """
+WITH feed AS (
+  SELECT user_id, ts, event_type, event_id FROM (
+    SELECT user_id, ts, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rr
+    FROM events) WHERE rr = 1),
+chg AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM feed) WHERE rn = 1 OR event_type <> prev),
+iv AS (
+  SELECT user_id, event_type AS state, ts AS valid_from FROM chg),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+pit AS (
+  SELECT event_id, user_id, value, state FROM (
+    SELECT p.event_id, p.user_id, p.value, iv.state,
+           row_number() OVER (PARTITION BY p.event_id ORDER BY iv.valid_from DESC) AS rn
+    FROM p LEFT JOIN iv ON iv.user_id = p.user_id AND iv.valid_from < p.ts)
+  WHERE rn = 1)
+SELECT COALESCE(state, '__none') AS prior_state,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pit GROUP BY prior_state
+""",
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: every purchase is enriched with
+    the user's SCD2 state version valid STRICTLY BEFORE the purchase
+    instant — the label-leakage guard of training-set assembly (a
+    feature computed AT the label's own timestamp may already contain
+    the label). Composes scd2_intervals (one exchange) with the strict
+    backward as-of join (operators/joins.py:28 — one union+window pass,
+    never a per-row range probe); the change feed is deduped to one row
+    per (user, ts) with the max event id so interval starts are unique
+    and the as-of match is deterministic. At 100 TB both passes shuffle
+    on user_id only."""
+    from chatbot_spark.operators.joins import asof_join
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    feed = (
+        ev.withColumn("__rr", F.row_number().over(wdup))
+        .filter(F.col("__rr") == 1)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    iv = scd2_intervals(feed, key_col="user_id", attr_col="event_type", ts_col="ts").select(
+        "user_id", F.col("event_type").alias("state"), "valid_from"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pit = asof_join(
+        purchases, iv, on="user_id", left_ts="ts", right_ts="valid_from",
+        right_cols=["state"], strict=True,
+    )
+    return pit.groupBy(
+        F.coalesce(F.col("state"), F.lit("__none")).alias("prior_state")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
