@@ -347,6 +347,55 @@ COMMENT = {
         "three conditional count-distincts — a single count-distinct "
         "exchange for all horizons."
     ),
+    "mmr_diversified": (
+        "Diversified rerank: query side broadcast into the corpus scan, "
+        "two-phase WindowGroupLimit top-20 shortlist (persisted once — "
+        "both pair sides reuse the InMemoryRelation, the retrieval "
+        "subtree is NOT computed twice), N² pair sims JVM-side, then ONE "
+        "FlatMapGroupsInPandas keyed by query for the greedy — the "
+        "kernel only compares doubles, so millions of queries "
+        "parallelize with no driver state."
+    ),
+    "rm3_expanded_search": (
+        "Two BM25 posting passes over the SAME persisted posting list "
+        "(InMemoryTableScan on pass 2 — tokenize/explode runs once); "
+        "every stage is a token- or query-keyed hash aggregate or "
+        "broadcast side input; the RM1 estimation touches only "
+        "n_fb x |fb-doc vocab| rows per query."
+    ),
+    "incremental_join_view": (
+        "The delta-join tiling: nine slice-pair joins, every one "
+        "BroadcastHashJoin at this SF (customer side dimension-sized), "
+        "so the ONLY exchange in the whole maintenance DAG is the final "
+        "per-segment aggregate. Each base-side rescan carries its batch "
+        "predicate — at scale those are partition-pruned reads, and the "
+        "refresh shuffles |delta| + matched keys, never |A|+|B|."
+    ),
+    "lpa_communities": (
+        "Four synchronous rounds, each ONE node-keyed shuffle (labels "
+        "join onto edge destinations) + a map-side-combinable label "
+        "count + a per-node argmax window; plan growth is linear in "
+        "rounds (the pagerank chain discipline), no driver state."
+    ),
+    "constraint_audit": (
+        "Five in-table checks fused into ONE scan: conditional sums + "
+        "count-distinct in a single partial/final aggregate, exploded to "
+        "constraint rows; the FK leg is a BroadcastHashJoin LeftAnti "
+        "against the parent key set — two scans total for a six-"
+        "constraint release gate."
+    ),
+    "ols_daily_trend": (
+        "Closed-form regression: daily rollup (one exchange on "
+        "(type, day)) then the sufficient-statistics fold (one exchange "
+        "on type) — slope/intercept/r² are pure projection arithmetic on "
+        "exact BIGINTs; no iteration, no window, no Python."
+    ),
+    "point_in_time_features": (
+        "Leakage-safe feature lookup: SCD2 collapse and the strict "
+        "backward as-of join share user_id-keyed exchanges (union + "
+        "window, never a per-row range probe); the purchase scan pushes "
+        "the event_type filter into parquet."
+    ),
 }
 
 
