@@ -82,6 +82,15 @@ DEFAULT_QUERIES = [
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
+    # r6c diversity/quality/maintenance family
+    "mmr_diversified",
+    "rm3_expanded_search",
+    "incremental_join_view",
+    "lpa_communities",
+    "k_anonymity_audit",
+    "constraint_audit",
+    "ols_daily_trend",
+    "point_in_time_features",
 ]
 
 
