@@ -165,6 +165,7 @@ HEADLINE = [
     "capped_class_sample",
     "incremental_rollup",
     "incremental_join_view",
+    "retractable_rollup",
     "incremental_distinct_hll",
     "incremental_kmv_distinct",
     "forecast_revenue",

@@ -34,6 +34,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def delta_join_view(
@@ -65,3 +66,49 @@ def delta_join_view(
         l_prev = dl if l_prev is None else l_prev.unionByName(dl)
         r_prev = dr if r_prev is None else r_prev.unionByName(dr)
     return reduce(lambda a, b: a.unionByName(b), deltas)
+
+
+def retractable_rollup(
+    batches: list[DataFrame],
+    group_cols: list[str],
+    mult_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Retraction-aware incremental aggregate — the signed-multiplicity
+    algebra of retract streams (Flink's retract mode, Materialize/DBSP
+    z-sets): a correction arrives as a (-1) retraction of the previously
+    reported row plus a (+1) reissue, and the maintained state is just
+    per-batch SIGNED partials re-aggregated:
+
+        n      = Σ mult            (corrections net to zero)
+        total  = Σ mult · value    (old value cancels, new value lands)
+
+    This is what `incremental_rollup` (append-only partials) cannot do:
+    aggregates move DOWN as well as up, with no rescan of earlier
+    batches and no keyed state lookup — the partials stay mergeable.
+    One map-side-combinable agg per batch, one tiny merge; exact
+    integers throughout (``value_col`` must be integer-quantized, the
+    repo's cents discipline).
+
+    Output: group_cols + (n, total, n_retractions) where n_retractions
+    counts retracted multiplicity — the audit trail that corrections
+    actually flowed (an upsert-style rewrite would report zero).
+    """
+    if not batches:
+        raise ValueError("need at least one batch")
+    m = F.col(mult_col).cast("long")
+    v = F.col(value_col).cast("long")
+    parts = [
+        b.groupBy(*group_cols).agg(
+            F.sum(m).alias("__p_n"),
+            F.sum(m * v).alias("__p_sum"),
+            F.sum(F.when(m < 0, -m).otherwise(F.lit(0))).alias("__p_retr"),
+        )
+        for b in batches
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(*group_cols).agg(
+        F.sum("__p_n").cast("long").alias("n"),
+        F.sum("__p_sum").cast("long").alias("total"),
+        F.sum("__p_retr").cast("long").alias("n_retractions"),
+    )

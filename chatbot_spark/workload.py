@@ -11786,3 +11786,47 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "retractable_rollup",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 100 = 0 THEN CAST(round(value * 100) AS BIGINT) + 13
+                     WHEN event_id % 10 = 0 THEN CAST(round(value * 100) AS BIGINT) + 7
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 2
+                     WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retractions
+FROM events GROUP BY event_type
+""",
+)
+def retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware aggregate maintenance
+    (operators/ivm.py::retractable_rollup): batch 1 reports every event;
+    batch 2 CORRECTS every 10th event (+7 cents) as a (-1, old)/(+1, new)
+    retraction pair; batch 3 re-corrects every 100th (+13 over the
+    original, retracting the +7 version). The maintained signed partials
+    must equal the direct recompute of the final corrected state — and
+    n_retractions pins that corrections flowed through the retract
+    algebra (an upsert rewrite would report zero). This is the z-set /
+    Flink-retract shape that append-only incremental_rollup cannot
+    express: aggregates move DOWN without rescanning earlier batches."""
+    from chatbot_spark.operators.ivm import retractable_rollup as _rr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b1 = ev.select("event_type", F.lit(1).alias("mult"), F.col("cents").alias("v"))
+    c10 = ev.filter(F.col("event_id") % 10 == 0)
+    b2 = c10.select("event_type", F.lit(-1).alias("mult"), F.col("cents").alias("v")).unionByName(
+        c10.select("event_type", F.lit(1).alias("mult"), (F.col("cents") + 7).alias("v"))
+    )
+    c100 = ev.filter(F.col("event_id") % 100 == 0)
+    b3 = c100.select(
+        "event_type", F.lit(-1).alias("mult"), (F.col("cents") + 7).alias("v")
+    ).unionByName(
+        c100.select("event_type", F.lit(1).alias("mult"), (F.col("cents") + 13).alias("v"))
+    )
+    return _rr([b1, b2, b3], ["event_type"], "mult", "v")
