@@ -392,3 +392,40 @@ def read_upsert_state(spark, state_dir: str, version: str | int | None = None) -
     else:
         cur = version if version.startswith("v") else f"v{version}"
     return spark.read.parquet(os.path.join(state_dir, cur))
+
+
+def signed_partials_writer(
+    out_path: str,
+    group_cols: list[str],
+    mult_col: str,
+    value_col: str,
+):
+    """foreachBatch for retract-stream aggregate maintenance (the
+    streaming twin of operators/ivm.py::retractable_rollup): each
+    micro-batch of a signed changelog collapses to per-group SIGNED
+    partials (n = Σmult, sum = Σmult·value, retr = Σ|mult<0|) BEFORE
+    touching the sink — what crosses to storage is groups × batches
+    rows, never the changelog itself. Partials land in a ``batch_id=N``
+    partition with dynamic overwrite, so an at-least-once replay
+    rewrites its own attempt (the idempotent_batch_writer contract).
+    The maintained aggregate is then ONE re-aggregation of the partial
+    log — mergeable, restart-safe, and able to move DOWN on
+    retractions."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = F.col(mult_col).cast("long")
+        v = F.col(value_col).cast("long")
+        partials = batch_df.groupBy(*group_cols).agg(
+            F.sum(m).alias("p_n"),
+            F.sum(m * v).alias("p_sum"),
+            F.sum(F.when(m < 0, -m).otherwise(F.lit(0))).alias("p_retr"),
+        )
+        (
+            partials.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch

@@ -11830,3 +11830,73 @@ def retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c100.select("event_type", F.lit(1).alias("mult"), (F.col("cents") + 13).alias("v"))
     )
     return _rr([b1, b2, b3], ["event_type"], "mult", "v")
+
+
+@query(
+    "stream_retract_rollup",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 100 = 0 THEN CAST(round(value * 100) AS BIGINT) + 13
+                     WHEN event_id % 10 = 0 THEN CAST(round(value * 100) AS BIGINT) + 7
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 2
+                     WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retractions
+FROM events GROUP BY event_type
+""",
+)
+def stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retract-stream maintenance (streaming/events.py::
+    signed_partials_writer): the same three-batch correction changelog as
+    retractable_rollup, delivered as micro-batches (maxFilesPerTrigger=1)
+    through a foreachBatch sink that collapses each batch to SIGNED
+    partials under a batch_id partition (dynamic overwrite — replay
+    rewrites its own attempt). The drained partial log re-aggregates to
+    the exact twice-corrected state: streaming delivery + restart
+    idempotency + the retract algebra, oracle identical to the batch
+    twin — stream/batch parity for corrections, not just appends."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.events import signed_partials_writer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b1 = ev.select("event_type", F.lit(1).alias("mult"), F.col("cents").alias("v"))
+    c10 = ev.filter(F.col("event_id") % 10 == 0)
+    b2 = c10.select("event_type", F.lit(-1).alias("mult"), F.col("cents").alias("v")).unionByName(
+        c10.select("event_type", F.lit(1).alias("mult"), (F.col("cents") + 7).alias("v"))
+    )
+    c100 = ev.filter(F.col("event_id") % 100 == 0)
+    b3 = c100.select(
+        "event_type", F.lit(-1).alias("mult"), (F.col("cents") + 7).alias("v")
+    ).unionByName(
+        c100.select("event_type", F.lit(1).alias("mult"), (F.col("cents") + 13).alias("v"))
+    )
+    base = tempfile.mkdtemp(prefix="cbs_sretract_q_")
+    inpath = os.path.join(base, "in")
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(inpath)
+    stream = (
+        spark.readStream.schema("event_type string, mult int, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    partials_dir = os.path.join(base, "partials")
+    q = (
+        stream.writeStream.foreachBatch(
+            signed_partials_writer(partials_dir, ["event_type"], "mult", "v")
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(partials_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("p_n").cast("long").alias("n"),
+        F.sum("p_sum").cast("long").alias("total"),
+        F.sum("p_retr").cast("long").alias("n_retractions"),
+    )
