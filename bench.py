@@ -461,6 +461,23 @@ def main() -> None:
                 payload[key] = {k: rec[k] for k in fields if k in rec}
             except (OSError, ValueError, KeyError):
                 pass
+    ivm_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_IVM.json"
+    )
+    if os.path.exists(ivm_path):
+        try:
+            with open(ivm_path) as f:
+                rec = json.load(f)
+            payload["ivm_scale"] = {
+                k: rec[k]
+                for k in (
+                    "n_orders", "n_batches",
+                    "delta_refresh_sec", "full_rebuild_sec",
+                )
+                if k in rec
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     graph_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_GRAPH.json"
     )

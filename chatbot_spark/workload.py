@@ -11444,9 +11444,9 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cuts = [
-        ("1970-01-01", "1994-01-01"),
-        ("1994-01-01", "1996-06-01"),
-        ("1996-06-01", "2099-01-01"),
+        ("1970-01-01", "1997-04-01"),
+        ("1997-04-01", "1999-07-01"),
+        ("1999-07-01", "2099-01-01"),
     ]
     o_slices = [
         o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
