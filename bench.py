@@ -225,6 +225,7 @@ HEADLINE = [
 
     # *_fullprobe / *_append correctness queries bundle index builds —
     # the per-index build/search legs below measure those paths
+    # graph_knn_deleted: bundles build + two full-probe phases — same class
     # graph_knn / graph_knn_fullprobe: correctness queries bundle build +
     # recall/exact checks — measured by nsw_build/nsw_search below
 ]

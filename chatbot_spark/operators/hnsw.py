@@ -382,12 +382,20 @@ class NSWGraphIndex:
         centers_np,
         vec_col: str,
         id_col: str,
+        tombstones: frozenset = frozenset(),
     ):
         self.centroids = centroids  # (shard INT, centroid ARRAY<DOUBLE>)
         self.graph = graph  # (shard, pos, id, vec, neighbors ARRAY<INT>)
         self.centers = centers_np  # (nlist, d) float64 on the driver
         self.vec_col = vec_col
         self.id_col = id_col
+        # deleted ids awaiting compaction (the FAISS/HNSW tombstone
+        # contract): tombstoned nodes stay in the graph as ROUTING nodes
+        # — removing them would cut beam paths — but never appear in
+        # results; compact_deletes() rebuilds the affected shards without
+        # them and clears the set. Bounded driver/task memory by the
+        # deletes-between-compactions contract.
+        self.tombstones = frozenset(tombstones)
         # broadcast-path query batches, freed by release(): without it,
         # repeated searches in benches / long-lived sessions accumulate
         # broadcast blocks on driver and executors
@@ -462,11 +470,19 @@ class NSWGraphIndex:
 
     def write(self, path: str) -> None:
         """Persist shard-partitioned: a search reads only its probed
-        shards' files (parquet PartitionFilters on shard)."""
+        shards' files (parquet PartitionFilters on shard). Pending
+        tombstones persist beside the graph so a loaded index keeps the
+        delete set."""
         self.graph.write.mode("overwrite").partitionBy("shard").parquet(
             f"{path}/graph"
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        spark = self.graph.sparkSession
+        tomb = spark.createDataFrame(
+            [(t,) for t in sorted(self.tombstones)],
+            f"{self.id_col} {self.graph.schema[self.id_col].dataType.simpleString()}",
+        )
+        tomb.write.mode("overwrite").parquet(f"{path}/tombstones")
 
     @classmethod
     def load(
@@ -485,7 +501,87 @@ class NSWGraphIndex:
             graph = graph.withColumn(
                 "layer_adj", F.lit(None).cast("array<array<int>>")
             )
-        return cls(centroids, graph, centers, vec_col, id_col)
+        tombstones: frozenset = frozenset()
+        try:
+            tombstones = frozenset(
+                r[0] for r in spark.read.parquet(f"{path}/tombstones").collect()
+            )
+        except Exception:  # pre-tombstone index layout
+            pass
+        return cls(centroids, graph, centers, vec_col, id_col, tombstones)
+
+    def delete(self, ids) -> "NSWGraphIndex":
+        """Tombstone-delete vectors — the CRUD leg append/rebalance don't
+        cover. A pure metadata operation: the ids join the tombstone set
+        (graph untouched, O(|ids|) driver memory), search keeps walking
+        them as routing nodes but never emits them, and
+        ``compact_deletes()`` later rebuilds only the affected shards
+        without them. Deletes of absent ids are harmless no-ops (the
+        standard idempotent-delete contract)."""
+        return NSWGraphIndex(
+            self.centroids, self.graph, self.centers, self.vec_col, self.id_col,
+            self.tombstones | {int(i) for i in ids},
+        )
+
+    def compact_deletes(
+        self, m: int = 16, ef_construction: int = 256, method: str = "knn",
+        path: str | None = None,
+    ) -> "NSWGraphIndex":
+        """Physically remove tombstoned rows: ONLY shards containing a
+        tombstone are rebuilt (the same deterministic per-shard kernel
+        build/rebalance use); untouched shards keep their graphs
+        byte-for-byte. Returns an index with an empty tombstone set.
+        With ``path``, the compacted graph is written through the same
+        temp-dir + dynamic-partition-overwrite commit as append()."""
+        if not self.tombstones:
+            return self
+        vec_col, id_col = self.vec_col, self.id_col
+        tomb = sorted(self.tombstones)
+        affected = sorted(
+            r[0]
+            for r in self.graph.filter(F.col(id_col).isin(tomb))
+            .select("shard").distinct().collect()
+        )
+        if not affected:
+            return NSWGraphIndex(
+                self.centroids, self.graph, self.centers, vec_col, id_col
+            )
+        build_kernel = _make_graph_build_kernel(
+            id_col, vec_col, m, ef_construction, method
+        )
+        id_type = self.graph.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"shard INT, pos INT, {id_col} {id_type}, "
+            f"{vec_col} ARRAY<DOUBLE>, neighbors ARRAY<INT>, "
+            f"layer_adj ARRAY<ARRAY<INT>>"
+        )
+        rebuilt = (
+            self.graph.filter(F.col("shard").isin(affected))
+            .filter(~F.col(id_col).isin(tomb))
+            .select("shard", id_col, vec_col)
+            .groupBy("shard")
+            .applyInPandas(build_kernel, out_schema)
+        )
+        compacted = self.graph.filter(~F.col("shard").isin(affected)).unionByName(
+            rebuilt
+        )
+        if path is not None:
+            import shutil
+
+            spark = self.graph.sparkSession
+            tmp = f"{path}/graph_compact_tmp"
+            compacted.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+                "shard"
+            ).parquet(f"{path}/graph")
+            shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+            spark.createDataFrame([], f"{id_col} {id_type}").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/tombstones")
+            compacted = spark.read.parquet(f"{path}/graph")
+        return NSWGraphIndex(
+            self.centroids, compacted, self.centers, vec_col, id_col
+        )
 
     def append(
         self,
@@ -620,9 +716,12 @@ class NSWGraphIndex:
                 self.centers,
                 vec_col,
                 id_col,
+                self.tombstones,
             )
         grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
-        return NSWGraphIndex(self.centroids, grown, self.centers, vec_col, id_col)
+        return NSWGraphIndex(
+            self.centroids, grown, self.centers, vec_col, id_col, self.tombstones
+        )
 
     def rebalance(
         self,
@@ -805,7 +904,9 @@ class NSWGraphIndex:
             # index's release() contract like search batches.
             for p in persisted[:-1]:
                 p.unpersist(blocking=False)
-            out = NSWGraphIndex(centroids, graph, centers_np, vec_col, id_col)
+            out = NSWGraphIndex(
+                centroids, graph, centers_np, vec_col, id_col, self.tombstones
+            )
             out._live_broadcasts.extend(round_broadcasts)
             return out
 
@@ -842,6 +943,7 @@ class NSWGraphIndex:
             centers_np,
             vec_col,
             id_col,
+            self.tombstones,
         )
 
     def search(
@@ -902,6 +1004,10 @@ class NSWGraphIndex:
             f"{query_id} {qid_field.dataType.simpleString()}, "
             f"neighbor_id {id_field.dataType.simpleString()}, __rdist DOUBLE"
         )
+        # tombstoned nodes route but never emit (see delete()); the set is
+        # closure-captured — bounded by the deletes-between-compactions
+        # contract, it ships once per task like any closure constant
+        tomb = self.tombstones
 
         def walk_shard(pdf, Q, qis, qid_values):
             """Beam-walk one shard's graph for its routed queries: greedy
@@ -933,10 +1039,16 @@ class NSWGraphIndex:
                     Xs, adj, Q[qi], ef=ef, entry=entry,
                     extra_entries=(0,) if entry != 0 else (),
                 )
-                for d, pos in found[: min(k, len(found))]:
+                emitted = 0
+                for d, pos in found:
+                    if int(ids[pos]) in tomb:
+                        continue  # routing node only — deleted
                     out_q.append(qid_values[qi])
                     out_n.append(ids[pos])
                     out_d.append(max(d, 0.0))
+                    emitted += 1
+                    if emitted == k:
+                        break
             return pd.DataFrame(
                 {query_id: out_q, "neighbor_id": out_n, "__rdist": out_d}
             )

@@ -11900,3 +11900,56 @@ def stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_sum").cast("long").alias("total"),
         F.sum("p_retr").cast("long").alias("n_retractions"),
     )
+
+
+@query(
+    "graph_knn_deleted",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+rem AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, rem c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs),
+topk AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+  FROM ranked WHERE rank <= 10)
+SELECT ph.phase, t.query_id, t.neighbor_id, t.rank, t.dist
+FROM topk t CROSS JOIN (SELECT 'tombstoned' AS phase UNION ALL SELECT 'compacted') ph
+""",
+)
+def graph_knn_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector deletes on the graph index (hnsw.py::delete /
+    compact_deletes) — the CRUD leg build/append/rebalance don't cover:
+    every 7th vector is tombstoned (stays a ROUTING node, never a
+    result), then the affected shards are compacted away. BOTH phases
+    are full-probed and must equal the exact scan over the REMAINING
+    corpus bit-for-bit — the tombstone filter and the shard-local
+    rebuild each preserve exactness, proven independently in one query."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(spark, sf_dir)
+    index = NSWGraphIndex.build(
+        emb, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
+        ef_construction=64,
+    )
+    del_ids = [
+        int(r[0])
+        for r in emb.filter(F.col("vec_id") % 7 == 0).select("vec_id").collect()
+    ]
+    deleted = index.delete(del_ids)
+    def run(ix, phase):
+        res = ix.search(q, k=10, nprobe=4, ef_search=1_000_000)
+        return res.select(
+            F.lit(phase).alias("phase"), "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+    compacted = deleted.compact_deletes(m=8, ef_construction=64)
+    return run(deleted, "tombstoned").unionByName(run(compacted, "compacted"))

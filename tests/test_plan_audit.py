@@ -28,6 +28,7 @@ EAGER = {
     "markdown_scan", "media_features", "audio_features", "video_frames",
     "catalog_roundtrip", "ivf_knn", "ivf_append_fullprobe", "lsh_knn",
     "pq_knn", "ivfpq_knn", "graph_knn", "graph_knn_fullprobe",
+    "graph_knn_deleted",
     "rag_pipeline_e2e",
 }
 
