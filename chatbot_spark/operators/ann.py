@@ -142,6 +142,18 @@ class IVFIndex:
         self.vec_col = vec_col
         self.id_col = id_col
 
+    def delete(self, ids) -> "IVFIndex":
+        """Delete vectors by id — the flat-storage counterpart of the
+        graph index's tombstones (hnsw.py::delete): IVF rows carry no
+        routing structure, so the delete IS a filter on the cell-
+        assignment table (lazy, no rebuild, cell layout untouched).
+        Search over the returned index is exactly search over the
+        remaining corpus. Absent ids are no-ops."""
+        keep = self.indexed.filter(
+            ~F.col(self.id_col).isin([int(i) for i in ids])
+        )
+        return IVFIndex(self.centroids, keep, self.vec_col, self.id_col)
+
     @classmethod
     def build(
         cls,
@@ -336,6 +348,14 @@ class BRPIndex:
         self.indexed = indexed
         self.vec_col = vec_col
         self.id_col = id_col
+
+    def delete(self, ids) -> "BRPIndex":
+        """Delete vectors by id (see IVFIndex.delete — same filter
+        semantics on the hashed-bucket table)."""
+        keep = self.indexed.filter(
+            ~F.col(self.id_col).isin([int(i) for i in ids])
+        )
+        return BRPIndex(self.model, keep, self.vec_col, self.id_col)
 
     @classmethod
     def build(

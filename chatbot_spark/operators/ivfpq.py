@@ -92,6 +92,15 @@ class IVFPQIndex:
         self.id_col = id_col
         self._live_broadcasts: list = []
 
+    def delete(self, ids) -> "IVFPQIndex":
+        """Delete vectors by id (see IVFIndex.delete — same filter
+        semantics on the encoded-codes table; codebooks untouched)."""
+        keep = self.encoded.filter(
+            ~F.col(self.id_col).isin([int(i) for i in ids])
+        )
+        out = IVFPQIndex(self.centers, self.books, keep, self.vec_col, self.id_col)
+        return out
+
     def release(self) -> None:
         """Free past broadcast-path query batches (see NSWGraphIndex.release)."""
         for bc in self._live_broadcasts:

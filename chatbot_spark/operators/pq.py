@@ -102,6 +102,15 @@ class PQIndex:
         self.id_col = id_col
         self._live_broadcasts: list = []
 
+    def delete(self, ids) -> "PQIndex":
+        """Delete vectors by id (see IVFIndex.delete — same filter
+        semantics on the encoded-codes table; codebooks untouched)."""
+        keep = self.encoded.filter(
+            ~F.col(self.id_col).isin([int(i) for i in ids])
+        )
+        out = PQIndex(self.books, keep, self.vec_col, self.id_col)
+        return out
+
     def release(self) -> None:
         """Free past query-batch broadcasts (see NSWGraphIndex.release):
         call after their result DataFrames are materialized."""

@@ -57,6 +57,15 @@ class SQIndex:
         self.id_col = id_col
         self._live_broadcasts: list = []
 
+    def delete(self, ids) -> "SQIndex":
+        """Delete vectors by id (see IVFIndex.delete — same filter
+        semantics on the encoded-codes table; codebooks untouched)."""
+        keep = self.encoded.filter(
+            ~F.col(self.id_col).isin([int(i) for i in ids])
+        )
+        out = SQIndex(self.mins, self.spans, keep, self.vec_col, self.id_col)
+        return out
+
     def release(self) -> None:
         """Free past query-batch broadcasts once their result DataFrames
         are materialized (see PQIndex.release)."""
