@@ -85,6 +85,7 @@ HEADLINE = [
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class
     # host_signals: composes the peel + BFS driver loops — same class
     # host_hits: 5 rounds x 2 checkpointed Pregel passes — same class
+    # stream_point_in_time: multi-batch streaming drain — same class
     # stream_retract_rollup: multi-batch streaming drain — excluded like
     # its siblings (wall-clock measures the replay harness, not the plan)
     # stream_event_transitions: multi-batch streaming drain — excluded

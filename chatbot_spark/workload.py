@@ -11953,3 +11953,110 @@ def graph_knn_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     compacted = deleted.compact_deletes(m=8, ef_construction=64)
     return run(deleted, "tombstoned").unionByName(run(compacted, "compacted"))
+
+
+@query(
+    "stream_point_in_time",
+    """
+WITH feed AS (
+  SELECT user_id, ts, event_type, event_id FROM (
+    SELECT user_id, ts, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rr
+    FROM events) WHERE rr = 1),
+chg AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM feed) WHERE rn = 1 OR event_type <> prev),
+iv AS (
+  SELECT user_id, event_type AS state, ts AS valid_from FROM chg),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+pit AS (
+  SELECT event_id, user_id, value, state FROM (
+    SELECT p.event_id, p.user_id, p.value, iv.state,
+           row_number() OVER (PARTITION BY p.event_id ORDER BY iv.valid_from DESC) AS rn
+    FROM p LEFT JOIN iv ON iv.user_id = p.user_id AND iv.valid_from < p.ts)
+  WHERE rn = 1)
+SELECT COALESCE(state, '__none') AS prior_state,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pit GROUP BY prior_state
+""",
+)
+def stream_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature materialization: the purchase stream replays as
+    3 time-sliced micro-batches; EACH batch runs the strict backward
+    as-of against the static SCD2 dimension inside foreachBatch (the
+    feature-store online-materialization pattern — Spark's stream-static
+    join is equi-only, so the temporal lookup runs batch-side per
+    trigger) and lands in the batch_id-partitioned idempotent sink. The
+    drained enriched rows aggregate to EXACTLY the batch
+    point_in_time_features answer — stream/batch parity for the
+    leakage-safe temporal join."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.joins import asof_join
+    from chatbot_spark.operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    feed = (
+        ev.withColumn("__rr", F.row_number().over(wdup))
+        .filter(F.col("__rr") == 1)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    iv = scd2_intervals(feed, key_col="user_id", attr_col="event_type", ts_col="ts").select(
+        "user_id", F.col("event_type").alias("state"), "valid_from"
+    ).persist()
+    iv.count()  # the static dimension is materialized once, before the stream
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="cbs_spit_q_")
+    inpath = os.path.join(base, "in")
+    cuts = ["2024-01-11", "2024-01-21", "2099-01-01"]
+    lo = "1970-01-01"
+    for hi in cuts:
+        purchases.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(inpath)
+        lo = hi
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    out_path = os.path.join(base, "enriched")
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pit = asof_join(
+            batch_df, iv, on="user_id", left_ts="ts", right_ts="valid_from",
+            right_cols=["state"], strict=True,
+        )
+        (
+            pit.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    enriched = spark.read.parquet(out_path)
+    return enriched.groupBy(
+        F.coalesce(F.col("state"), F.lit("__none")).alias("prior_state")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

@@ -22,6 +22,7 @@ EAGER = {
     "stream_hourly_rollup", "stream_sessionize", "stream_boundary_sessionize",
     "stream_dedup", "stream_static_join", "stream_interval_join",
     "stream_left_outer_join", "stream_upsert", "stream_retract_rollup",
+    "stream_point_in_time",
     "ingest_pipeline",
     "compact_small_files",
     "range_layout_pruning", "json_roundtrip", "csv_orc_roundtrip",
