@@ -46,13 +46,17 @@ def k_anonymity_report(
     cls = equivalence_classes(df, qi_cols, sensitive_col)
     risky_k = (F.col("class_size") < k).cast("long")
     risky_l = (F.col("n_sensitive") < l).cast("long")
+
+    def z(c: Column) -> Column:  # empty table → 0 counts, not NULL
+        return F.coalesce(c, F.lit(0)).cast("long")
+
     return cls.agg(
         F.count("*").cast("long").alias("n_classes"),
-        F.sum("class_size").cast("long").alias("n_rows"),
-        F.sum(risky_k).cast("long").alias("classes_below_k"),
-        F.sum(F.col("class_size") * risky_k).cast("long").alias("rows_below_k"),
-        F.sum(risky_l).cast("long").alias("classes_below_l"),
-        F.sum(F.col("class_size") * risky_l).cast("long").alias("rows_below_l"),
+        z(F.sum("class_size")).alias("n_rows"),
+        z(F.sum(risky_k)).alias("classes_below_k"),
+        z(F.sum(F.col("class_size") * risky_k)).alias("rows_below_k"),
+        z(F.sum(risky_l)).alias("classes_below_l"),
+        z(F.sum(F.col("class_size") * risky_l)).alias("rows_below_l"),
         F.min("class_size").cast("long").alias("min_class_size"),
         F.min("n_sensitive").cast("long").alias("min_l"),
     )
