@@ -168,6 +168,7 @@ HEADLINE = [
     "capped_class_sample",
     "incremental_rollup",
     "incremental_join_view",
+    "incremental_join_view_stored",
     "retractable_rollup",
     "incremental_distinct_hll",
     "incremental_kmv_distinct",

@@ -835,4 +835,9 @@ def incremental_minhash_pairs(
         seen_docs.select(id_col, text_col)
     )
     j = jaccard_pairs_for(cand, corpus, id_col, text_col, shingle_n)
-    return j.filter(F.col("jaccard") >= jaccard_threshold)
+    out = j.filter(F.col("jaccard") >= jaccard_threshold)
+    # materialize the (small) pair set, then release the batch-signature
+    # cache instead of pinning it for the session (round-6 ADVICE)
+    out = out.localCheckpoint(eager=True)
+    bn.unpersist()
+    return out

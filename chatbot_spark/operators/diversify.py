@@ -47,14 +47,17 @@ def _pool_pairs(
     vec_col: str,
     rel_col: str | None,
     sim: str,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """All ordered within-pool pairs (a, b) INCLUDING the a == b self-row
     (sim NULL) so single-candidate pools still reach the kernel. One
     shuffle on the pool key; N² rows per pool by the small-pool contract.
 
     The candidate set fans out to both pair sides — persisted once so an
     upstream retrieval subtree (e.g. the MMR shortlist's top-k window)
-    isn't computed twice. Small by the shortlist/cell contract."""
+    isn't computed twice. Small by the shortlist/cell contract. Returns
+    (pairs, persisted_base); the CALLER owns the cache lifetime and must
+    unpersist the base after materializing its result (round-6 ADVICE:
+    no session-lifetime cache pinning)."""
     base = cands.select(
         F.col(pool_col).cast("long").alias("__pool"),
         F.col(id_col).cast("long").alias("__id"),
@@ -82,12 +85,15 @@ def _pool_pairs(
         if sim == "cosine"
         else l2_distance(F.col("__va"), F.col("__vb"))
     )
-    return pairs.select(
-        "__pool",
-        "__a",
-        "__b",
-        "__rel_a",
-        F.when(F.col("__a") != F.col("__b"), measure).alias("__s"),
+    return (
+        pairs.select(
+            "__pool",
+            "__a",
+            "__b",
+            "__rel_a",
+            F.when(F.col("__a") != F.col("__b"), measure).alias("__s"),
+        ),
+        base,
     )
 
 
@@ -112,7 +118,9 @@ def mmr_select(
     any IEEE engine (the workload oracle unrolls all k rounds).
     """
     one_minus_lam = 1.0 - lam  # evaluated once, mirrored as (1.0 - lam) in SQL
-    pairs = _pool_pairs(cands, pool_col, id_col, vec_col, rel_col, sim="cosine")
+    pairs, base = _pool_pairs(
+        cands, pool_col, id_col, vec_col, rel_col, sim="cosine"
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pool = pdf["__pool"].iloc[0]
@@ -152,14 +160,17 @@ def mmr_select(
     out = pairs.groupBy("__pool").applyInPandas(
         kernel,
         "__pool LONG, rank INT, __id LONG, mmr_score DOUBLE, rel DOUBLE",
-    )
-    return out.select(
+    ).select(
         F.col("__pool").alias(pool_col),
         F.col("rank").cast("long").alias("rank"),
         F.col("__id").alias(id_col),
         "mmr_score",
         "rel",
     )
+    # k rows per pool — materialize, then release the candidate cache
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def k_center_select(
@@ -182,7 +193,7 @@ def k_center_select(
     N² pair block bounded — the same blocked-never-all-pairs discipline
     as the dedup family.
     """
-    pairs = _pool_pairs(points, pool_col, id_col, vec_col, None, sim="l2")
+    pairs, base = _pool_pairs(points, pool_col, id_col, vec_col, None, sim="l2")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pool = pdf["__pool"].iloc[0]
@@ -224,10 +235,13 @@ def k_center_select(
 
     out = pairs.groupBy("__pool").applyInPandas(
         kernel, "__pool LONG, rank INT, __id LONG, radius DOUBLE"
-    )
-    return out.select(
+    ).select(
         F.col("__pool").alias(pool_col),
         F.col("rank").cast("long").alias("rank"),
         F.col("__id").alias(id_col),
         "radius",
     )
+    # k rows per pool — materialize, then release the candidate cache
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

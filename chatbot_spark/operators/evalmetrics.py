@@ -59,8 +59,13 @@ def ranking_metrics(
     listed twice would double-count its relevance and a duplicated rank
     would make the cumulative-hits window order-ambiguous). ``truth``: (query, doc) relevance sets (ranks in
     ``truth`` are ignored; membership defines relevance). Queries absent
-    from ``truth`` contribute nothing (inner-join semantics on the
-    normalizer); system rows for them are dropped.
+    from ``truth`` contribute nothing (semi-join semantics on the
+    truth-side normalizer); system rows for them are dropped. The
+    converse — queries present in ``truth`` with ZERO system rows (the
+    retriever answered nothing) — emit an all-zero metric row (n_hits
+    0, ap/mrr/p@k/ndcg 0 ppm), so macro-averages correctly penalize
+    unanswered queries instead of silently dropping them (round-6
+    ADVICE).
 
     Returns one row per query:
 
@@ -124,16 +129,22 @@ def ranking_metrics(
         )
         aggs.append(F.sum("__gain").cast("long").alias("__dcg"))
     agg = scored.groupBy("__q").agg(*aggs)
+    # LEFT join from the truth-side normalizer: a truth query with no
+    # system rows still gets a row (all aggregates NULL → coalesced 0)
     out_cols = [
         F.col("__q").alias(query_col),
-        "n_hits",
-        F.expr("__ap_num div __n_rel").alias("ap_ppm"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.coalesce(
+            F.expr("__ap_num div __n_rel"), F.lit(0).cast("long")
+        ).alias("ap_ppm"),
         F.coalesce(
             F.expr(f"{scale} div __first_hit"), F.lit(0).cast("long")
         ).alias("mrr_ppm"),
-        F.expr(f"n_hits * {scale} div __n_ret").alias("p_at_k_ppm"),
+        F.coalesce(
+            F.expr(f"n_hits * {scale} div __n_ret"), F.lit(0).cast("long")
+        ).alias("p_at_k_ppm"),
     ]
-    joined_agg = agg.join(n_rel, "__q")
+    joined_agg = n_rel.join(agg, "__q", "left")
     if ndcg_k is not None:
         k = int(ndcg_k)
         # IDCG = cumulative ideal gain at min(n_rel, k): literal lookup
@@ -149,8 +160,11 @@ def ranking_metrics(
             ).otherwise(idcg)
         joined_agg = joined_agg.withColumn("__idcg", idcg)
         out_cols.append(
-            F.when(F.col("__idcg") > 0, F.expr(f"__dcg * {scale} div __idcg"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("ndcg_ppm")
+            F.coalesce(
+                F.when(
+                    F.col("__idcg") > 0, F.expr(f"__dcg * {scale} div __idcg")
+                ).otherwise(F.lit(0).cast("long")),
+                F.lit(0).cast("long"),  # truth-only query: __dcg is NULL
+            ).alias("ndcg_ppm")
         )
     return joined_agg.select(*out_cols)

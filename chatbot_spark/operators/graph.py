@@ -25,10 +25,72 @@ O(edges). No driver-side state beyond the plan itself.
 
 from __future__ import annotations
 
+from typing import Any, Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_layers", "hits_integer", "pagerank_integer", "peel_layers", "triangle_count"]
+__all__ = [
+    "bfs_layers",
+    "hits_integer",
+    "incremental_lpa",
+    "iterate",
+    "lpa_communities",
+    "lpa_with_history",
+    "pagerank_integer",
+    "peel_layers",
+    "triangle_count",
+]
+
+
+def iterate(
+    state: Any,
+    step: Callable[[Any, int], Any],
+    rounds: int,
+    checkpoint_every: int = 1,
+) -> Any:
+    """Driver-coordinated iteration with mandatory lineage truncation —
+    the shared loop discipline for every iterative graph operator here
+    (pagerank, k-core peeling, BFS, HITS, LPA).
+
+    ``state`` is a DataFrame or a tuple whose DataFrame members are the
+    carried loop state. Each round runs ``state = step(state, i)``; a
+    ``None`` return stops early (convergence — the previous state is
+    kept). Every ``checkpoint_every`` rounds, each DataFrame in the new
+    state that step actually REPLACED (not identical-by-``is`` to the
+    old component) is ``localCheckpoint(eager=True)``-ed.
+
+    Why this is not optional: a lazy loop whose round references the
+    previous state MORE THAN ONCE (a join plus a carry-forward, the LPA
+    shape) doubles the logical plan per round — exponential analysis
+    cost, driver OOM just printing the round-15 tree (this repo measured
+    exactly that in k-core peeling). ``persist()`` alone does NOT help:
+    it caches data but keeps the full lineage. ``localCheckpoint``
+    truncates lineage, capping every round's plan at one join over
+    materialized inputs, so plan size is O(1) per round regardless of
+    how many times step references the carried state. Routing all
+    iterative operators through this helper is what keeps the next one
+    from reintroducing the doubling bug.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+
+    def _ckpt(new: Any, old: Any) -> Any:
+        if isinstance(new, DataFrame):
+            return new.localCheckpoint(eager=True) if new is not old else new
+        if isinstance(new, tuple):
+            olds = old if isinstance(old, tuple) and len(old) == len(new) else (None,) * len(new)
+            return tuple(_ckpt(n, o) for n, o in zip(new, olds))
+        return new
+
+    for i in range(rounds):
+        nxt = step(state, i)
+        if nxt is None:
+            break
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            nxt = _ckpt(nxt, state)
+        state = nxt
+    return state
 
 
 def pagerank_integer(
@@ -102,12 +164,12 @@ def pagerank_integer(
             .crossJoin(F.broadcast(base))
             .select("node", F.coalesce("__prev", "__r0").alias("rank"))
         )
-    for _ in range(iterations):
+    def _superstep(rank: DataFrame, _i: int) -> DataFrame:
         contrib = ew.join(
             rank.withColumnRenamed("node", "src"), "src"
         ).select("dst", F.expr("rank div outdeg").alias("contrib"))
         inc = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
-        rank = (
+        return (
             nodes.join(inc.withColumnRenamed("dst", "node"), "node", "left")
             .crossJoin(F.broadcast(base))
             .select(
@@ -121,6 +183,15 @@ def pagerank_integer(
                 ).alias("rank"),
             )
         )
+
+    # iterate checkpoints the final rank eagerly, so the staging caches
+    # can be released here instead of pinning four tables per call for
+    # the rest of the session (round-6 ADVICE).
+    rank = iterate(rank, _superstep, iterations)
+    if iterations == 0:
+        rank = rank.localCheckpoint(eager=True)
+    for df in (e, nodes, ew, base):
+        df.unpersist()
     return rank
 
 
@@ -259,16 +330,18 @@ def peel_layers(
     spark = edges.sparkSession
     layers = spark.createDataFrame([], "node long, layer long")
     retired = [e, nodes]
-    for r in range(1, max_rounds + 1):
-        # localCheckpoint each round: the edge/node tables are REDEFINED
-        # from their previous selves, and without lineage truncation the
-        # logical plan doubles per round (measured: driver heap OOM just
-        # PRINTING the round-15 tree). Checkpointing caps every round's
-        # plan at one join over materialized inputs.
+
+    # iterate() localCheckpoints each round's (edges, nodes, layers):
+    # without lineage truncation the logical plan doubles per round
+    # (measured: driver heap OOM just PRINTING the round-15 tree). deg
+    # is additionally checkpointed inside the step because it is read
+    # three times in one round (removed / early-exit count / survivors).
+    def _round(state: tuple, i: int) -> tuple | None:
+        cur_e, cur_nodes, cur_layers = state
         deg = (
-            nodes.join(
-                e.select(F.col("a").alias("node"))
-                .unionAll(e.select(F.col("b").alias("node")))
+            cur_nodes.join(
+                cur_e.select(F.col("a").alias("node"))
+                .unionAll(cur_e.select(F.col("b").alias("node")))
                 .groupBy("node")
                 .agg(F.count("*").cast("long").alias("c")),
                 "node",
@@ -278,18 +351,19 @@ def peel_layers(
             .localCheckpoint(eager=True)
         )
         removed = deg.filter(F.col("c") < k).select(
-            "node", F.lit(r).cast("long").alias("layer")
+            "node", F.lit(i + 1).cast("long").alias("layer")
         )
         if removed.count() == 0:
-            break
-        layers = layers.unionByName(removed)
-        nodes = deg.filter(F.col("c") >= k).select("node")
-        e = (
-            e.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+            return None
+        nxt_nodes = deg.filter(F.col("c") >= k).select("node")
+        nxt_e = (
+            cur_e.join(nxt_nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(nxt_nodes.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
+        return (nxt_e, nxt_nodes, cur_layers.unionByName(removed))
+
+    e, nodes, layers = iterate((e, nodes, layers), _round, max_rounds)
     survivors = nodes.select("node", F.lit(0).cast("long").alias("layer"))
     out = layers.unionByName(survivors).localCheckpoint(eager=True)
     for df in retired:
@@ -336,21 +410,27 @@ def bfs_layers(
     ).distinct().localCheckpoint(eager=True)
     visited = frontier
     out = frontier.select("node", F.lit(0).cast("long").alias("dist"))
-    for depth in range(1, max_depth + 1):
+
+    def _expand(state: tuple, i: int) -> tuple | None:
+        cur_frontier, cur_visited, cur_out = state
         nxt = (
-            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            adj.join(cur_frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(cur_visited, "node", "left_anti")
+            .localCheckpoint(eager=True)  # read 3×: count / out / visited
         )
         if nxt.count() == 0:
-            break
-        out = out.unionByName(
-            nxt.select("node", F.lit(depth).cast("long").alias("dist"))
+            return None
+        return (
+            nxt,
+            cur_visited.unionByName(nxt),
+            cur_out.unionByName(
+                nxt.select("node", F.lit(i + 1).cast("long").alias("dist"))
+            ),
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+
+    _, _, out = iterate((frontier, visited, out), _expand, max_depth)
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
@@ -377,7 +457,11 @@ def hits_integer(
     Overflow headroom: after normalization every score <= scale and each
     raw sum <= scale (scores sum to scale), so score*scale <= scale^2 =
     1e16 << 2^63; the edge-sum total needs |E|*scale < 2^63, i.e. up to
-    ~9e10 edges at the default — at larger E lower ``scale``.
+    ~9e10 edges at the default — at larger E lower ``scale``. The LOWER
+    bound is n_nodes <= scale: with more nodes than scale units the
+    initial score ``scale div n`` floors to 0, the renormalization total
+    is 0, and integer ``div 0`` would silently NULL every score — that
+    degenerate case raises here instead (round-6 ADVICE).
 
     Per round: two Pregel-style passes (edges ⋈ scores on one endpoint,
     map-side-combinable sum on the other, left join back to nodes) plus
@@ -398,9 +482,19 @@ def hits_integer(
         .persist()
     )
     n_row = nodes.agg(F.count("*").alias("__n")).select(
-        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__h0")
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__h0"),
+        F.col("__n"),
     ).persist()
-    h = nodes.crossJoin(F.broadcast(n_row)).select(
+    first = n_row.first()
+    if first is not None and first["__h0"] == 0:
+        for df in (e, nodes, n_row):
+            df.unpersist()
+        raise ValueError(
+            f"hits_integer requires n_nodes <= scale: got n_nodes="
+            f"{first['__n']} > scale={scale}; the initial score would "
+            "floor to 0 and every hub/authority would silently NULL"
+        )
+    h = nodes.crossJoin(F.broadcast(n_row.select("__h0"))).select(
         "node", F.col("__h0").alias("score")
     )
 
@@ -422,10 +516,16 @@ def hits_integer(
             )
         )
 
-    a = None
-    for _ in range(iterations):
-        a = _pass(h, "src", "dst").localCheckpoint(eager=True)
-        h = _pass(a, "dst", "src").localCheckpoint(eager=True)
+    def _half(state: tuple, i: int) -> tuple:
+        h_cur, a_cur = state
+        if i % 2 == 0:  # authority pass reads hubs
+            return (h_cur, _pass(h_cur, "src", "dst"))
+        return (_pass(a_cur, "dst", "src"), a_cur)
+
+    # two half-rounds per HITS round; iterate checkpoints exactly the
+    # half-round's replaced vector (identity-aware), matching the old
+    # explicit per-pass localCheckpoint discipline
+    h, a = iterate((h, None), _half, 2 * iterations)
     if a is None:  # iterations == 0
         a = h
     out = (
@@ -454,34 +554,194 @@ def lpa_communities(
 
     Returns (node, label) after ``rounds`` synchronous updates.
 
-    Scale shape: the graph is symmetrized once; each round is ONE join
-    (labels onto edge destinations, shuffled on node) + ONE grouped
-    count + a per-node argmax window — all keyed by node id, no driver
-    state, plan growth linear in rounds (each round references the
-    previous labels exactly once, the pagerank chain discipline).
+    Scale shape: the graph is symmetrized once and PERSISTED (it is the
+    loop-invariant input of every round); each round is ONE join (labels
+    onto edge destinations, shuffled on node) + ONE grouped count + a
+    per-node argmax window — all keyed by node id, no driver state.
+    Each round references the previous labels TWICE (the neighbor join
+    and the left-join carry-forward for dangling nodes), so the lazy
+    plan would double per round; routing through :func:`iterate` caps it
+    — every round's labels are localCheckpoint'ed, keeping the plan at
+    one join over materialized inputs regardless of round count.
     Dangling nodes (no neighbors after de-duplication) keep their own
     label via the left join.
     """
+    und = _symmetrize(edges, src, dst).persist()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    labels = iterate(labels, lambda lab, _i: _lpa_round(und, lab), rounds)
+    und.unpersist()
+    return labels
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """De-self-looped, de-duplicated undirected (u, v) edge pairs, both
+    directions present — the shared LPA adjacency form."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA update: every node adopts its neighbors' most
+    frequent label (count DESC, label ASC tie-break); dangling nodes keep
+    their own label via the left join. ``labels`` is referenced twice —
+    callers MUST run this under :func:`iterate` (or otherwise truncate
+    lineage) or the lazy plan doubles per round."""
+    nbr = (
+        und.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    best = (
+        nbr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("u").alias("node"), F.col("label").alias("__new"))
+    )
+    return labels.join(best, "node", "left").select(
+        "node", F.coalesce("__new", "label").alias("label")
+    )
+
+
+def lpa_with_history(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> list[DataFrame]:
+    """:func:`lpa_communities` that also RETURNS the per-round label
+    tables ``[H_0 .. H_rounds]`` (H_0 is the identity labeling) — the
+    snapshot state :func:`incremental_lpa` warm-starts from. Each H_r is
+    localCheckpoint'ed (the iterate discipline), so holding all R+1
+    tables costs O(R * nodes) storage and zero plan depth; a snapshot
+    pipeline persists them next to the converged labels (R is small —
+    the whole history is a few node-sized tables)."""
+    und = _symmetrize(edges, src, dst).persist()
     nodes = und.select(F.col("u").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(rounds):
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    history = [labels]
+
+    def _round(lab: DataFrame, _i: int) -> DataFrame:
+        return _lpa_round(und, lab)
+
+    for r in range(rounds):
+        labels = iterate(labels, _round, 1)
+        history.append(labels)
+    und.unpersist()
+    return history
+
+
+def incremental_lpa(
+    updated_edges: DataFrame,
+    changed_edges: DataFrame,
+    history: list[DataFrame],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental deterministic LPA: labels on the UPDATED graph,
+    bit-equal to :func:`lpa_communities` run from scratch, but
+    recomputing only the FRONTIER — nodes within r hops of a changed
+    edge at round r.
+
+    ``changed_edges``: every edge ADDED or REMOVED (either direction,
+    self-loops/dups fine). ``history``: the previous snapshot's
+    per-round labels from :func:`lpa_with_history` (length = rounds+1).
+
+    Why equality holds (the induction the oracle pins): a node outside
+    the round-r affected set has (1) an unchanged incident edge set —
+    endpoints of changed edges seed the round-0 frontier — and (2) no
+    neighbor inside the round-(r-1) affected set, because the frontier
+    grows by exactly one hop per round. Its round-r label therefore
+    equals the previous run's H_r, by induction on r — so only frontier
+    nodes need recomputation, and H_r supplies every off-frontier
+    neighbor label the recomputation reads.
+
+    Scale shape (the 100 TB argument): per round the work is (a) one
+    hop-expansion semi-join of the frontier against the updated
+    adjacency, (b) one label recomputation over the frontier's INCIDENT
+    edges only, and (c) broadcast-frontier lookups into the stored H_r
+    tables — cost O(frontier + incident edges) per round, not O(E): a
+    local delta on a web-scale graph touches a vanishing fraction of
+    the corpus (measured in BENCH_GRAPH `incremental_lpa`). The final
+    stitch (H_R overridden by recomputed labels, restricted to the
+    updated graph's nodes) is one node-keyed join.
+    """
+    rounds = len(history) - 1
+    if rounds < 0:
+        raise ValueError("history must contain at least H_0")
+    und = _symmetrize(updated_edges, src, dst).persist()
+    ch = changed_edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    aff = (
+        ch.select(F.col("u").alias("node"))
+        .union(ch.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # round-0 recomputed labels: identity (same as scratch), frontier only
+    rec = aff.select("node", F.col("node").alias("label"))
+
+    def _round(state: tuple, i: int) -> tuple:
+        cur_aff, cur_rec = state
+        h_prev = history[i]
+        # (a) frontier grows one hop through the updated adjacency
+        nxt_aff = (
+            cur_aff.union(
+                und.join(cur_aff.withColumnRenamed("node", "u"), "u", "left_semi")
+                .select(F.col("v").alias("node"))
+            )
+            .distinct()
+        )
+        # (b) incident edges of the new frontier; neighbor labels at
+        # round i = recomputed where present, else the stored H_i
+        inc = und.join(
+            nxt_aff.withColumnRenamed("node", "u"), "u", "left_semi"
+        )
+        need = inc.select(F.col("v").alias("node")).distinct()
+        lab_prev = (
+            need.join(cur_rec.withColumnRenamed("label", "__rl"), "node", "left")
+            .join(h_prev.withColumnRenamed("label", "__hl"), "node", "left")
+            .select("node", F.coalesce("__rl", "__hl").alias("label"))
+        )
         nbr = (
-            und.join(labels.withColumnRenamed("node", "v"), "v")
+            inc.join(lab_prev.withColumnRenamed("node", "v"), "v")
             .groupBy("u", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        w = Window.partitionBy("u").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
         best = (
             nbr.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(F.col("u").alias("node"), F.col("label").alias("__new"))
         )
-        labels = (
-            labels.join(best, "node", "left")
-            .select("node", F.coalesce("__new", "label").alias("label"))
+        # carry-forward for frontier nodes with no current neighbors
+        own_prev = (
+            nxt_aff.join(cur_rec.withColumnRenamed("label", "__rl"), "node", "left")
+            .join(h_prev.withColumnRenamed("label", "__hl"), "node", "left")
+            .select("node", F.coalesce("__rl", "__hl").alias("label"))
         )
-    return labels
+        nxt_rec = own_prev.join(best, "node", "left").select(
+            "node", F.coalesce("__new", "label").alias("label")
+        )
+        return (nxt_aff, nxt_rec)
+
+    aff, rec = iterate((aff, rec), _round, rounds)
+    # stitch: updated graph's nodes, recomputed labels override H_rounds
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    out = (
+        nodes.join(rec.withColumnRenamed("label", "__rl"), "node", "left")
+        .join(
+            history[rounds].withColumnRenamed("label", "__hl"), "node", "left"
+        )
+        .select("node", F.coalesce("__rl", "__hl").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

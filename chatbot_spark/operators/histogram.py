@@ -51,11 +51,18 @@ def equi_depth_boundaries(
         counts, order_col=value_col, value_col="__cnt", n_buckets=prefix_buckets
     )
     tot = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
+    # clamp to >= 1: when N < n_buckets the floor i*N div n_buckets is 0
+    # for small i, and rank 0 falls in no (cum-cnt, cum] interval — the
+    # boundary rows would silently vanish; clamped they all resolve to
+    # the smallest value (a no-op whenever N >= n_buckets, since i>=1 ⇒
+    # i*N div n_buckets >= 1). Round-6 ADVICE.
     ranks = tot.select(
         F.explode(F.sequence(F.lit(1), F.lit(n_buckets - 1))).alias("i"), "__n"
     ).select(
         F.col("i").cast("long").alias("i"),
-        F.expr(f"i * __n div {n_buckets}").alias("rank_target"),
+        F.greatest(
+            F.expr(f"i * __n div {n_buckets}"), F.lit(1).cast("long")
+        ).alias("rank_target"),
     )
     hit = (F.col("cum") - F.col("__cnt") < F.col("rank_target")) & (
         F.col("rank_target") <= F.col("cum")

@@ -8799,7 +8799,7 @@ cum AS (SELECT cents, cnt, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
 ranks AS (
   SELECT CAST(i AS BIGINT) AS i,
-         CAST(i * (SELECT n FROM tot) // 8 AS BIGINT) AS rank_target
+         CAST(greatest(i * (SELECT n FROM tot) // 8, 1) AS BIGINT) AS rank_target
   FROM generate_series(1, 7) t(i))
 SELECT r.i, r.rank_target, c.cents AS boundary, c.cum AS cum_at_boundary
 FROM cum c JOIN ranks r ON c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
@@ -10468,7 +10468,7 @@ cum AS (SELECT dur_us, cnt, CAST(sum(cnt) OVER (ORDER BY dur_us) AS BIGINT) AS c
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
 ranks AS (
   SELECT CAST(i AS BIGINT) AS i,
-         CAST(i * (SELECT n FROM tot) // 4 AS BIGINT) AS rank_target
+         CAST(greatest(i * (SELECT n FROM tot) // 4, 1) AS BIGINT) AS rank_target
   FROM generate_series(1, 3) t(i))
 SELECT r.i, r.rank_target, c.dur_us AS boundary, c.cum AS cum_at_boundary
 FROM cum c JOIN ranks r ON c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
@@ -10943,7 +10943,7 @@ rcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM r
 rb AS (
   SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
   FROM (SELECT c.v, r.i FROM rcum c
-        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM rc) // 3 AS BIGINT) AS t
+        JOIN (SELECT i, CAST(greatest(i * (SELECT sum(cnt) FROM rc) // 3, 1) AS BIGINT) AS t
               FROM generate_series(1, 2) s(i)) r
           ON c.cum - c.cnt < r.t AND r.t <= c.cum)),
 fc AS (SELECT f_v AS v, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
@@ -10951,7 +10951,7 @@ fcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM f
 fb AS (
   SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
   FROM (SELECT c.v, r.i FROM fcum c
-        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM fc) // 3 AS BIGINT) AS t
+        JOIN (SELECT i, CAST(greatest(i * (SELECT sum(cnt) FROM fc) // 3, 1) AS BIGINT) AS t
               FROM generate_series(1, 2) s(i)) r
           ON c.cum - c.cnt < r.t AND r.t <= c.cum)),
 mc AS (SELECT m_v AS v, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
@@ -10959,7 +10959,7 @@ mcum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM m
 mb AS (
   SELECT max(CASE WHEN i = 1 THEN v END) AS b1, max(CASE WHEN i = 2 THEN v END) AS b2
   FROM (SELECT c.v, r.i FROM mcum c
-        JOIN (SELECT i, CAST(i * (SELECT sum(cnt) FROM mc) // 3 AS BIGINT) AS t
+        JOIN (SELECT i, CAST(greatest(i * (SELECT sum(cnt) FROM mc) // 3, 1) AS BIGINT) AS t
               FROM generate_series(1, 2) s(i)) r
           ON c.cum - c.cnt < r.t AND r.t <= c.cum))
 SELECT CAST(
@@ -11471,6 +11471,82 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_join_view_stored",
+    """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_checksum
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def incremental_join_view_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-base-table twin of incremental_join_view
+    (operators/ivm.py::delta_join_refresh_stored): both sides are first
+    WRITTEN as parquet tables partitioned by an integer batch column —
+    the state a production maintenance pipeline actually owns — and each
+    refresh reads Δ (batch == t) and the accumulated prev side
+    (batch < t) straight from storage with PARTITION PRUNING, instead of
+    holding every prior in-memory slice in one O(T²)-scan lazy union.
+    The oracle is the full join recompute: exact equality per segment
+    proves the per-refresh tiling over stored partitions covers every
+    (order, customer) pair exactly once. At 100 TB this is the shape
+    that matters: a refresh shuffles |Δ| plus matched base keys, and the
+    scan's PartitionFilters keep it from ever re-reading the whole
+    fact table."""
+    import tempfile
+
+    from chatbot_spark.operators.ivm import delta_join_view_stored
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cuts = [
+        ("1970-01-01", "1997-04-01"),
+        ("1997-04-01", "1999-07-01"),
+        ("1999-07-01", "2099-01-01"),
+    ]
+    batch_expr = F.when(F.col("o_orderdate") < cuts[0][1], 0).when(
+        F.col("o_orderdate") < cuts[1][1], 1
+    ).otherwise(2)
+    base = tempfile.mkdtemp(prefix="cbs_ivm_stored_")
+    o_path, c_path = f"{base}/orders", f"{base}/customer"
+    (
+        o.withColumn("__batch", batch_expr.cast("int"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "__batch",
+        )
+        .write.partitionBy("__batch")
+        .parquet(o_path)
+    )
+    (
+        c.withColumn("__batch", (F.col("c_custkey") % 3).cast("int"))
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment", "__batch")
+        .write.partitionBy("__batch")
+        .parquet(c_path)
+    )
+    view = delta_join_view_stored(
+        spark.read.parquet(o_path),
+        spark.read.parquet(c_path),
+        batch_col="__batch",
+        on="custkey",
+        n_batches=3,
+    )
+    return view.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+
+
+@query(
     "k_anonymity_audit",
     """
 WITH cls AS (
@@ -11565,7 +11641,9 @@ def lpa_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters). Ties go to the smallest label so the run is a pure
     function of the edge set; the oracle replays all 4 synchronous
     rounds exactly. Per round: one shuffle-join keyed by node + one
-    grouped count + per-node argmax — linear plan growth."""
+    grouped count + per-node argmax over a persisted symmetrized edge
+    set, with per-round localCheckpoint (graph.iterate) so the plan
+    stays O(1) deep however many rounds run."""
     from chatbot_spark.operators.graph import lpa_communities
 
     docs = load_table(spark, sf_dir, "documents")

@@ -78,3 +78,22 @@ def test_ndcg_perfect_and_partial(spark):
     t2 = spark.createDataFrame([(1, 10)], "query_id long, neighbor_id long")
     got2 = ranking_metrics(s2, t2, ndcg_k=3).collect()[0]
     assert got2["ndcg_ppm"] == ndcg_gain_ppm(3) * 10**6 // ndcg_gain_ppm(1)
+
+
+def test_truth_only_query_scores_zero_not_dropped(spark):
+    """round-6 ADVICE: a query present in truth but absent from system
+    (the retriever returned nothing) must emit an all-zero row so
+    macro-averages penalize it, instead of disappearing from the output."""
+    s = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    t = spark.createDataFrame(
+        [(1, 100), (2, 200), (2, 201)], "query_id long, neighbor_id long"
+    )
+    rows = {r["query_id"]: r for r in ranking_metrics(s, t, ndcg_k=3).collect()}
+    assert set(rows) == {1, 2}
+    z = rows[2]
+    assert (z["n_hits"], z["ap_ppm"], z["mrr_ppm"], z["p_at_k_ppm"], z["ndcg_ppm"]) == (
+        0, 0, 0, 0, 0
+    )
+    assert rows[1]["n_hits"] == 1  # answered query unchanged

@@ -53,3 +53,16 @@ def test_equi_depth_rejects_one_bucket(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         equi_depth_boundaries(df, "v", 1)
+
+
+def test_equi_depth_fewer_rows_than_buckets_clamps_to_first_value(spark):
+    """round-6 ADVICE: with N < n_buckets the raw rank i*N div n floors
+    to 0 for small i and the interval join silently dropped those
+    boundary rows; clamped to rank 1 every boundary now resolves to the
+    smallest value instead of vanishing."""
+    df = spark.createDataFrame([(10,), (20,)], "v long")  # N=2 < 4 buckets
+    rows = {r["i"]: r for r in equi_depth_boundaries(df, "v", 4).collect()}
+    assert set(rows) == {1, 2, 3}  # no silently-missing boundaries
+    assert rows[1]["rank_target"] == 1 and rows[1]["boundary"] == 10
+    assert rows[2]["rank_target"] == 1 and rows[2]["boundary"] == 10
+    assert rows[3]["rank_target"] == 1 and rows[3]["boundary"] == 10

@@ -56,3 +56,57 @@ def test_misaligned_slices_rejected(spark):
         delta_join_view([one], [], on="k")
     with pytest.raises(ValueError):
         delta_join_view([], [], on="k")
+
+
+def test_stored_path_equals_full_join_and_prunes_partitions(spark, tmp_path):
+    """round-7: the stored-base-table variant — refresh scans must carry
+    partition filters on the batch column, and the union of refreshes
+    must reproduce the full join exactly (same tiling invariant)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.ivm import (
+        delta_join_refresh_stored,
+        delta_join_view_stored,
+    )
+
+    rows_l = [(k, f"l{i}", i % 3) for i, k in enumerate([1, 2, 1, 3, 1, 2, 4])]
+    rows_r = [(k, f"r{i}", i % 3) for i, k in enumerate([1, 1, 2, 3, 4, 2])]
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    spark.createDataFrame(rows_l, "k long, lv string, __batch int").write.partitionBy(
+        "__batch"
+    ).parquet(lp)
+    spark.createDataFrame(rows_r, "k long, rv string, __batch int").write.partitionBy(
+        "__batch"
+    ).parquet(rp)
+    L, R = spark.read.parquet(lp), spark.read.parquet(rp)
+
+    expect = _counted(L.drop("__batch").join(R.drop("__batch"), "k"))
+    got = _counted(delta_join_view_stored(L, R, "__batch", "k", n_batches=3))
+    assert got == expect
+
+    # the single-refresh plan prunes: batch==t and batch<t reach the scan
+    plan = (
+        delta_join_refresh_stored(L, R, "__batch", "k", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(__batch" in plan or "PartitionFilters: [(__batch" in plan
+    # no unpruned read: every scan of the stored tables mentions __batch
+    for frag in plan.split("PartitionFilters: [")[1:]:
+        assert frag.split("]")[0] != "", "found a scan with empty partition filters"
+
+
+def test_stored_refresh_t0_is_delta_self_join_only(spark, tmp_path):
+    from chatbot_spark.operators.ivm import delta_join_refresh_stored
+
+    lp, rp = str(tmp_path / "L0"), str(tmp_path / "R0")
+    spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1)], "k long, lv string, __batch int"
+    ).write.partitionBy("__batch").parquet(lp)
+    spark.createDataFrame(
+        [(1, "x", 0), (1, "y", 1)], "k long, rv string, __batch int"
+    ).write.partitionBy("__batch").parquet(rp)
+    L, R = spark.read.parquet(lp), spark.read.parquet(rp)
+    got = delta_join_refresh_stored(L, R, "__batch", "k", 0).collect()
+    assert len(got) == 1  # only (a, x): prev sides are empty at t=0

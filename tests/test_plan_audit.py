@@ -24,7 +24,7 @@ EAGER = {
     "stream_left_outer_join", "stream_upsert", "stream_retract_rollup",
     "stream_point_in_time",
     "ingest_pipeline",
-    "compact_small_files",
+    "compact_small_files", "incremental_join_view_stored",
     "range_layout_pruning", "json_roundtrip", "csv_orc_roundtrip",
     "markdown_scan", "media_features", "audio_features", "video_frames",
     "catalog_roundtrip", "ivf_knn", "ivf_append_fullprobe", "lsh_knn",

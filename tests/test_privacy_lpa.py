@@ -55,3 +55,66 @@ def test_lpa_tie_breaks_to_smallest_label_and_ignores_self_loops(spark):
     b = sorted((r["node"], r["label"]) for r in lpa_communities(df, rounds=3).collect())
     assert a == b
     assert len(a) == 2  # the self-loop added no phantom node behavior
+
+
+# ---------------------------------------------------------------------------
+# round-7: incremental LPA — frontier refresh must be BIT-EQUAL to the
+# from-scratch run on the updated graph (the induction incremental_lpa's
+# docstring states), including edge removals, additions, and new nodes.
+
+
+def _scratch(spark, edges, rounds):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["label"]
+        for r in lpa_communities(df, rounds=rounds).collect()
+    }
+
+
+def _incr(spark, base_edges, upd_edges, rounds):
+    from chatbot_spark.operators.graph import incremental_lpa, lpa_with_history
+
+    base = spark.createDataFrame(base_edges, "src long, dst long")
+    upd = spark.createDataFrame(upd_edges, "src long, dst long")
+    changed = sorted(
+        (set(map(tuple, base_edges)) ^ set(map(tuple, upd_edges)))
+    )
+    ch = spark.createDataFrame(changed or [(0, 0)], "src long, dst long")
+    hist = lpa_with_history(base, rounds=rounds)
+    got = incremental_lpa(upd, ch, hist)
+    return {r["node"]: r["label"] for r in got.collect()}
+
+
+def test_incremental_lpa_edge_addition_matches_scratch(spark):
+    base = [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (6, 7)]
+    upd = base + [(2, 3)]  # bridge the chain into the triangle
+    assert _incr(spark, base, upd, 3) == _scratch(spark, upd, 3)
+
+
+def test_incremental_lpa_edge_removal_matches_scratch(spark):
+    base = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    upd = [e for e in base if e != (2, 3)]  # cut the bridge
+    assert _incr(spark, base, upd, 4) == _scratch(spark, upd, 4)
+
+
+def test_incremental_lpa_new_nodes_and_vanished_nodes(spark):
+    base = [(0, 1), (1, 2), (10, 11)]
+    # 10-11 removed entirely (nodes vanish); new nodes 20, 21 appear
+    upd = [(0, 1), (1, 2), (20, 21), (2, 20)]
+    assert _incr(spark, base, upd, 3) == _scratch(spark, upd, 3)
+
+
+def test_incremental_lpa_empty_delta_is_identity(spark):
+    base = [(0, 1), (1, 2), (2, 0), (4, 5)]
+    got = _incr(spark, base, base, 3)
+    assert got == _scratch(spark, base, 3)
+
+
+def test_incremental_lpa_two_clique_bridge_flip(spark):
+    # the canonical two-clique graph: moving the bridge must re-resolve
+    # the contested node identically to scratch
+    k1 = [(0, 1), (0, 2), (1, 2)]
+    k2 = [(5, 6), (5, 7), (6, 7)]
+    base = k1 + k2 + [(2, 5)]
+    upd = k1 + k2 + [(0, 7)]
+    assert _incr(spark, base, upd, 4) == _scratch(spark, upd, 4)
