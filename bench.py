@@ -68,6 +68,10 @@ HEADLINE = [
     "frequent_pairs",
     "host_triangles",
     "lpa_communities",
+    "incremental_lpa",
+    "hdr_quantile_sketch",
+    "host_components",
+    "stream_hdr_quantiles",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
@@ -240,6 +244,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # host-load marker (round-6 verdict item 5): a committed artifact that
+    # ran on a busy host reads uniformly ~10% slow; recording loadavg at
+    # start/end lets later rounds tell host drift from a real regression
+    # mechanically instead of re-running suspect entries by hand.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
 
     # no console progress bars: the driver keeps only the last ~2 KB of
     # combined output, and r2's progress spam + one long JSON line left the
@@ -391,12 +403,17 @@ def main() -> None:
     nsw_loaded.release()
 
     total = round(sum(times.values()), 3)
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     payload = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "loadavg": {"start": load_start, "end": load_end},
     }
     # attach the recorded sf1 point (tools/bench_sf1.py: a PINNED entry
     # list re-run at a 10x key-shifted replication of sf0.1 — sf0.1 sits
@@ -494,6 +511,10 @@ def main() -> None:
                 "bfs_sec": [r["bfs_sec"] for r in recs],
                 "hits_sec": [r["hits_sec"] for r in recs],
             }
+            for k in ("lpa12_sec", "lpa_full_sec", "lpa_incr_sec",
+                      "lpa_incr_speedup"):
+                if all(k in r for r in recs):
+                    payload["graph_scale"][k] = [r[k] for r in recs]
         except (OSError, ValueError, KeyError):
             pass
     full_line = json.dumps(payload, separators=(",", ":"))
@@ -516,6 +537,7 @@ def main() -> None:
         "n_queries": len(times),
         "full": "BENCH_FULL.json",
         "sf": sf,
+        "loadavg": {"start": load_start, "end": load_end},
     }
     if "sf1" in payload:
         # tail window is ~2 KB: summary only here, per-query sf1 detail

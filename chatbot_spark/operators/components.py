@@ -1,0 +1,119 @@
+"""Connected components via deterministic hash-to-min with pointer
+jumping — the component primitive a web-curation / dedup pipeline keys
+everything else on (cluster ids for near-duplicate groups, crawl-island
+detection, entity-resolution blocking).
+
+Semantics: undirected connected components; every node's label converges
+to the MINIMUM node id in its component — a pure function of the edge
+set, so the result is engine- and partitioning-independent and a SQL
+oracle can replay it bit-for-bit.
+
+Algorithm (Rastogi et al. 2013's hash-to-min family, the shape GraphX /
+GraphFrames use): per round
+
+    1. neighbor-min:  m(v) = min over (v,u) in A of l(u)
+                      (A is the symmetrized adjacency WITH self-loops,
+                      so m(v) <= l(v) always)
+    2. pointer jump:  l'(v) = min(m(v), m(m(v)))
+                      (labels are node ids, so m(v) names a node; one
+                      label-keyed self-join shortcuts v to its label's
+                      label — doubling the hop reach per round)
+
+Min-propagation alone needs O(diameter) rounds; the jump step makes the
+reached-hop distance roughly double per round, i.e. O(log d) rounds on
+real graphs. Each round is ONE node-keyed aggregation plus ONE
+label-keyed join — both exchanges keyed, state O(nodes), never
+all-pairs. The carried labels are referenced more than once per round,
+so the loop runs under :func:`chatbot_spark.operators.graph.iterate`
+(per-round localCheckpoint) — the lineage-truncation discipline that
+keeps the logical plan O(1) deep at any round count.
+
+100 TB shape: adjacency is symmetrized ONCE and persisted (the loop
+invariant); per round the shuffle volume is O(E) for the neighbor min
+and O(V) for the jump, with map-side combine on both aggregations.
+Round count is the operator's knob: fixed ``rounds`` for the
+oracle-replayable form, ``rounds=None`` to run to the measured fixpoint
+(one O(V) changed-count action per round past ``min_rounds``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+_MAX_FIXPOINT_ROUNDS = 64
+
+
+def connected_components(
+    edges: DataFrame,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, component) — component is the minimum node id reachable
+    from ``node``. Node ids must be integral (cast to long here).
+
+    ``rounds``: run exactly that many synchronous rounds (the
+    SQL-replayable form — after convergence extra rounds are no-ops, so
+    pinning rounds >= convergence gives the true components AND a
+    bit-exact unrolled oracle). ``rounds=None`` iterates to the
+    fixpoint, checking the changed-label count each round (an O(V)
+    action; capped at 64 rounds — 2^64 hops exceeds any graph's
+    diameter)."""
+    from chatbot_spark.operators.graph import _symmetrize, iterate
+
+    und = _symmetrize(edges, src, dst)
+    # node set from the RAW endpoints, not the symmetrized set: a node
+    # whose only edge is a self-loop still exists (as its own component)
+    nodes = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    # self-loops make every node its own neighbor: m(v) <= l(v) without
+    # a separate carry-forward join
+    adj = und.union(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).persist()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+
+    if rounds is not None:
+        if rounds < 0:
+            raise ValueError("rounds must be >= 0")
+        labels = iterate(labels, lambda lab, _i: _cc_round(adj, lab), rounds)
+    else:
+        for _ in range(_MAX_FIXPOINT_ROUNDS):
+            nxt = iterate(labels, lambda lab, _i: _cc_round(adj, lab), 1)
+            changed = (
+                nxt.select("node", F.col("lbl").alias("__new"))
+                .join(labels.select("node", F.col("lbl").alias("__old")), "node")
+                .filter(F.col("__new") != F.col("__old"))
+            )
+            done = changed.isEmpty()
+            labels = nxt
+            if done:
+                break
+    adj.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def _cc_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-to-min + pointer-jump round. ``labels`` is referenced
+    three times (neighbor join + two sides of the jump self-join) —
+    callers MUST run this under iterate() or the lazy plan grows
+    geometrically per round."""
+    m = (
+        adj.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.min("lbl").alias("m"))
+        .select(F.col("u").alias("node"), "m")
+    )
+    jump = m.select(F.col("node").alias("__t"), F.col("m").alias("__tm"))
+    return (
+        m.join(jump, m["m"] == jump["__t"], "left")
+        .select("node", F.least(F.col("m"), F.coalesce("__tm", "m")).alias("lbl"))
+    )

@@ -429,3 +429,36 @@ def signed_partials_writer(
         )
 
     return write_batch
+
+
+def hdr_sketch_writer(
+    out_path: str,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 5,
+):
+    """foreachBatch for streaming percentile maintenance (the streaming
+    twin of operators/hdrsketch.py): each micro-batch collapses to its
+    own fixed-size log-bucket sketch — (group..., qv, cnt), at most
+    groups x ~1900 rows — BEFORE touching the sink; raw events never
+    cross to storage. Sketches land in a ``batch_id=N`` partition with
+    dynamic overwrite (the idempotent_batch_writer contract: an
+    at-least-once replay rewrites its own attempt). Because hdr_merge is
+    a plain groupBy-sum — associative and commutative — the union of all
+    batch partitions re-aggregates to EXACTLY the sketch of all data
+    ever seen: any percentile over any group/time slice is O(buckets)
+    work against the partial log, no event rescan, and the answer is
+    bit-equal to the batch computation."""
+    from chatbot_spark.operators.hdrsketch import hdr_sketch
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hdr_sketch(batch_df, value_col, group_cols, sub_bits=sub_bits)
+        (
+            sk.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch

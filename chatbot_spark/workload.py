@@ -11585,19 +11585,25 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle() -> str:
-    """Unrolled deterministic LPA: each round every node adopts its
-    neighbors' most frequent label (count DESC, label ASC). Each round
-    references the previous one twice (carry + join) → MATERIALIZED per
-    the iterative-oracle discipline."""
-    parts = [
-        """
-WITH d AS (SELECT doc_id FROM documents),
-raw AS (
+_LPA_RAW_SQL = """
   SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
   UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
   UNION ALL SELECT (doc_id + 1) % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 3 = 0
-  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0),
+  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0"""
+
+
+def _lpa_oracle(raw_sql: str = _LPA_RAW_SQL) -> str:
+    """Unrolled deterministic LPA: each round every node adopts its
+    neighbors' most frequent label (count DESC, label ASC). Each round
+    references the previous one twice (carry + join) → MATERIALIZED per
+    the iterative-oracle discipline. ``raw_sql`` selects the (u, v) edge
+    list from the ``d`` doc-id CTE — the incremental variant replays the
+    SAME from-scratch recurrence on its UPDATED edge set, which is
+    exactly the equality incremental_lpa claims."""
+    parts = [
+        f"""
+WITH d AS (SELECT doc_id FROM documents),
+raw AS ({raw_sql}),
 e0 AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
     SELECT u, v FROM raw WHERE u <> v
@@ -11668,6 +11674,52 @@ def lpa_communities_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     labels = lpa_communities(raw, rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+_LPA_UPD_RAW_SQL = """
+  SELECT doc_id % 120 AS u, (doc_id + 1) % 120 AS v FROM d
+  UNION ALL SELECT doc_id % 120, (doc_id + 2) % 120 FROM d WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id % 120, (doc_id * 7 + 13) % 120 FROM d WHERE doc_id % 5 = 0"""
+
+
+@query("incremental_lpa", _lpa_oracle(_LPA_UPD_RAW_SQL))
+def incremental_lpa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental community maintenance
+    (operators/graph.py::incremental_lpa): the previous snapshot ran LPA
+    on ring + %2-chords + %3-chords and stored its per-round label
+    history (lpa_with_history); the crawl delta REMOVES the %3 chord
+    family and ADDS the %5 scramble family. The refresh recomputes only
+    the frontier — nodes within r hops of a changed edge at round r —
+    reading off-frontier neighbor labels from the stored history. The
+    oracle is the FULL from-scratch unrolled recurrence on the updated
+    graph: hash equality is the induction proof that frontier refresh ≡
+    rebuild. changed_edges is passed as the union of both differing
+    families (a superset of the true symmetric difference is always
+    safe — the frontier only widens)."""
+    from chatbot_spark.operators.graph import incremental_lpa, lpa_with_history
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 120
+    ring = docs.select(h.alias("src"), ((F.col("doc_id") + 1) % 120).alias("dst"))
+    two = docs.filter(F.col("doc_id") % 2 == 0).select(
+        h.alias("src"), ((F.col("doc_id") + 2) % 120).alias("dst")
+    )
+    three = docs.filter(F.col("doc_id") % 3 == 0).select(
+        ((F.col("doc_id") + 1) % 120).alias("src"),
+        ((F.col("doc_id") + 2) % 120).alias("dst"),
+    )
+    five = docs.filter(F.col("doc_id") % 5 == 0).select(
+        h.alias("src"), ((F.col("doc_id") * 7 + 13) % 120).alias("dst")
+    )
+    base = ring.union(two).union(three)
+    upd = ring.union(two).union(five)
+    changed = three.union(five)
+    hist = lpa_with_history(base, rounds=_LPA_ROUNDS)
+    labels = incremental_lpa(upd, changed, hist)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
@@ -12138,3 +12190,227 @@ def stream_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HdrHistogram-style quantile sketch (beyond-reference §2.D family —
+# operators/hdrsketch.py): fixed-size log-bucket percentiles with bounded
+# relative error, built per batch and merged at question time.
+
+
+@query(
+    "hdr_quantile_sketch",
+    """
+WITH src AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem),
+q AS (
+  SELECT returnflag,
+         v - v % CAST(pow(2.0, GREATEST(length(bin(v)) - 1 - 5, 0)) AS BIGINT) AS qv
+  FROM src),
+s AS (SELECT returnflag, qv, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY returnflag, qv),
+cum AS (
+  SELECT returnflag, qv, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY returnflag ORDER BY qv) AS BIGINT) AS cum
+  FROM s),
+tot AS (SELECT returnflag, CAST(sum(cnt) AS BIGINT) AS n FROM s GROUP BY returnflag),
+ranks AS (
+  SELECT t.returnflag, CAST(p.q_ppm AS BIGINT) AS q_ppm,
+         CAST(greatest((p.q_ppm * t.n + 999999) // 1000000, 1) AS BIGINT) AS rank_target
+  FROM tot t CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS q_ppm) p)
+SELECT c.returnflag, r.q_ppm, r.rank_target, c.qv AS quantile
+FROM cum c
+JOIN ranks r ON c.returnflag = r.returnflag
+            AND c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
+""",
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem price-in-cents per returnflag via the
+    mergeable log-bucket sketch (operators/hdrsketch.py): ONE map-side-
+    combinable scan builds per-(returnflag, linenumber) sketches — the
+    per-batch store shape a 100 TB pipeline persists — then the batch
+    dimension is merged away (groupBy-sum; associative, any merge tree)
+    and each quantile is the (cum-cnt, cum] interval probe of a
+    broadcast rank table, O(buckets) work. All-BIGINT quantize
+    (binary-length exponent + exact pow-of-two step), so the DuckDB
+    oracle replays it bit-for-bit; the returned quantile is the bucket
+    lower bound, within relative 2^-5 of the true discrete quantile by
+    construction. At 100 TB: raw data is scanned once per ingest batch,
+    every later percentile question touches only (groups x <=1900
+    buckets) stored rows — the rescan-free property is the operator."""
+    from chatbot_spark.operators.hdrsketch import (
+        hdr_merge,
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linenumber").alias("batch"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    per_batch = hdr_sketch(src, "v", ["returnflag", "batch"], sub_bits=5)
+    merged = hdr_merge(per_batch.drop("batch"))
+    return hdr_quantiles(merged, [500000, 900000, 990000], ["returnflag"])
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/components.py): hash-to-min + pointer
+# jumping — the component primitive dedup clustering / crawl-island
+# detection key on, as a first-class graph query.
+
+_CC_ROUNDS = 5
+
+
+def _cc_oracle(rounds: int = _CC_ROUNDS) -> str:
+    """Unrolled hash-to-min + pointer-jump recurrence: per round a
+    neighbor-min aggregation then a label-keyed shortcut self-join. Each
+    round references the previous one multiple times → MATERIALIZED per
+    the iterative-oracle discipline."""
+    parts = [
+        """
+WITH d AS (SELECT doc_id % 500 AS u, doc_id FROM documents),
+raw AS (
+  SELECT u, u - (u % 50) + ((u % 50 + 1) % 50) AS v FROM d
+  UNION ALL
+  SELECT u, u - (u % 50) + ((u % 50 + 7) % 50) FROM d WHERE doc_id % 3 = 0),
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u <> v
+    UNION ALL SELECT v AS u, u AS v FROM raw WHERE u <> v)),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)),
+adj AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT node AS u, node AS v FROM nodes),
+l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+m{r} AS MATERIALIZED (
+  SELECT a.u AS node, min(l.lbl) AS m
+  FROM adj a JOIN l{r - 1} l ON l.node = a.v GROUP BY a.u),
+l{r} AS MATERIALIZED (
+  SELECT s.node, least(s.m, coalesce(t.m, s.m)) AS lbl
+  FROM m{r} s LEFT JOIN m{r} t ON t.node = s.m)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS component, CAST(count(*) AS BIGINT) AS size,
+       CAST(sum(node) AS BIGINT) AS member_checksum
+FROM l{rounds} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("host_components", _cc_oracle())
+def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/components.py) over a
+    deterministic 10-island host graph (500 hosts: per-island 50-node
+    ring + %3-gated +7 chords, no cross-island edges) — the crawl-island
+    / dedup-cluster primitive. Hash-to-min with pointer jumping: per
+    round one neighbor-min aggregation plus one label-keyed shortcut
+    join, so reach doubles per round (O(log diameter) rounds — measured:
+    a 64-node chain converges in 6, this graph in 4; 5 pinned for
+    margin). Labels are min node ids — pure integer function of the edge
+    set, so the unrolled oracle replays all 5 rounds bit-for-bit. Runs
+    under graph.iterate (per-round localCheckpoint): plan stays O(1)
+    deep despite each round referencing the labels three times. At
+    100 TB every exchange is keyed (node or label), state O(V), never
+    all-pairs."""
+    from chatbot_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    labels = connected_components(ring.union(chord), rounds=_CC_ROUNDS)
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+@query(
+    "stream_hdr_quantiles",
+    """
+WITH src AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+q AS (
+  SELECT day,
+         v - v % CAST(pow(2.0, GREATEST(length(bin(v)) - 1 - 5, 0)) AS BIGINT) AS qv
+  FROM src),
+s AS (SELECT day, qv, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY day, qv),
+cum AS (
+  SELECT day, qv, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY day ORDER BY qv) AS BIGINT) AS cum
+  FROM s),
+tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n FROM s GROUP BY day),
+ranks AS (
+  SELECT t.day, CAST(p.q_ppm AS BIGINT) AS q_ppm,
+         CAST(greatest((p.q_ppm * t.n + 999999) // 1000000, 1) AS BIGINT) AS rank_target
+  FROM tot t CROSS JOIN (SELECT unnest([500000, 990000]) AS q_ppm) p)
+SELECT c.day, r.q_ppm, r.rank_target, c.qv AS quantile
+FROM cum c
+JOIN ranks r ON c.day = r.day
+            AND c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
+""",
+)
+def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile maintenance (streaming/events.py::
+    hdr_sketch_writer over operators/hdrsketch.py): the events table is
+    delivered as three date-sliced micro-batches (maxFilesPerTrigger=1);
+    each batch collapses to its own per-day log-bucket sketch under a
+    batch_id partition (dynamic overwrite — restart-idempotent), and the
+    drained partial log merges by plain groupBy-sum to EXACTLY the sketch
+    of the full table — hdr_merge's associativity is what makes
+    stream/batch parity a theorem here, not an approximation SLO. p50 and
+    p99 of per-day spend-cents are then O(buckets) interval probes; the
+    oracle replays the whole quantize+cumsum+rank pipeline on the raw
+    table, so the driver hash pins batch ≡ streaming bit-for-bit. At
+    100 TB the raw stream is touched once per micro-batch and every later
+    percentile question reads days x ~1900 stored rows."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hdrsketch import hdr_merge, hdr_quantiles
+    from chatbot_spark.streaming.events import hdr_sketch_writer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        F.col("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="cbs_shdr_q_")
+    inpath = os.path.join(base, "in")
+    for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")):
+        (
+            ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .drop("ts").coalesce(1).write.mode("append").parquet(inpath)
+        )
+    stream = (
+        spark.readStream.schema("day date, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    partials_dir = os.path.join(base, "partials")
+    q = (
+        stream.writeStream.foreachBatch(
+            hdr_sketch_writer(partials_dir, "v", ["day"])
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = hdr_merge(spark.read.parquet(partials_dir).drop("batch_id"))
+    return hdr_quantiles(merged, [500000, 990000], ["day"])

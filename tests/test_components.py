@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatbot_spark.operators.components import connected_components
+
+
+def _uf_reference(edges):
+    """Union-find ground truth: min node id per component."""
+    nodes = {n for e in edges for n in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def _cc(spark, edges, rounds=None):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, rounds=rounds).collect()
+    }
+
+
+def test_cc_fixpoint_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(260)]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _cc(spark, edges) == _uf_reference(edges)
+
+
+def test_cc_pointer_jump_doubles_reach_chain64_in_6_rounds(spark):
+    # pure min-propagation would need 63 rounds on a 64-node chain; the
+    # shortcut join doubles reach per round -> ceil(log2(63)) = 6
+    chain = [(i, i + 1) for i in range(63)]
+    got = _cc(spark, chain, rounds=6)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_isolated_pair_and_self_loop(spark):
+    # self-loops are inert; disconnected pieces keep distinct min labels
+    edges = [(1, 2), (5, 5), (7, 8), (8, 9)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_fixed_rounds_equals_fixpoint_after_convergence(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _cc(spark, edges, rounds=12) == _cc(spark, edges)
+
+
+def test_cc_rejects_negative_rounds(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        connected_components(df, rounds=-1)
+
+
+def test_cc_plan_depth_constant_in_rounds(spark):
+    # the iterate() discipline: the final plan is one round over
+    # checkpointed inputs however many rounds ran — a rounds=10 tree must
+    # not contain 10x the joins (the pre-r7 LPA bug shape)
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plan = (
+        connected_components(df, rounds=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("ExistingRDD") <= 6  # checkpointed inputs, not 10x

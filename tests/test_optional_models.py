@@ -161,3 +161,75 @@ def test_cross_score_registry_rejects_unknown():
 
     with pytest.raises(ValueError, match="unknown cross scorer"):
         cross_score(F.lit("q"), F.lit("d"), scorer="nope")
+
+
+def _ollama_url() -> str | None:
+    """Reachable Ollama endpoint or None: CBS_OLLAMA_URL overrides the
+    default localhost port; a 1-second /api/tags probe decides."""
+    import json as _json
+    import os
+    import urllib.request
+
+    url = os.environ.get("CBS_OLLAMA_URL", "http://localhost:11434")
+    try:
+        with urllib.request.urlopen(url.rstrip("/") + "/api/tags", timeout=1) as r:
+            _json.loads(r.read())
+        return url
+    except OSError:
+        return None
+
+
+def test_ollama_chat_end_to_end_analyze_intent(spark):
+    """round-6 verdict item 6: drive analyze_intent + the Arrow-batched
+    classify_intents_batch through the REAL Ollama HTTP chat backend when
+    a server is reachable (env-gated like the embedding twin); the stub
+    stays the default everywhere else. Exercises get_llm registry
+    resolution, the JSON-reply parse/retry path, and the executor-side
+    pandas_udf closure over a real network client."""
+    url = _ollama_url()
+    if url is None:
+        pytest.skip("no Ollama server reachable (set CBS_OLLAMA_URL)")
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(url.rstrip("/") + "/api/tags", timeout=5) as r:
+        tags = _json.loads(r.read()).get("models", [])
+    if not tags:
+        pytest.skip("Ollama server has no models pulled")
+    model = tags[0]["name"]
+
+    from chatbot_spark.plans.agents import (
+        analyze_intent,
+        classify_intents_batch,
+        get_llm,
+    )
+
+    llm = get_llm("ollama", base_url=url, model=model)
+    intent = analyze_intent("How do I diagnose a slow observer node?", llm=llm)
+    assert intent.type in {"Chat", "Diagnosis", "Features"}
+    assert intent.rewrite  # never empty: falls back to the query
+
+    df = spark.createDataFrame(
+        [(0, "What features does obproxy support?"),
+         (1, "Why does my backup job fail?")],
+        "qid LONG, query_text STRING",
+    ).repartition(1)
+    out = classify_intents_batch(df, llm=llm).select("qid", "intent.*").collect()
+    assert len(out) == 2
+    assert all(r["type"] in {"Chat", "Diagnosis", "Features"} for r in out)
+
+
+def test_chat_backend_gating_without_server():
+    """The gating contract the container actually exercises: ollama
+    backend with an unreachable endpoint raises the documented
+    NotImplementedError (not something undefined), openai without a
+    base_url likewise; the stub remains the registry default."""
+    from chatbot_spark.plans.agents import get_llm, stub_llm
+
+    dead = get_llm("ollama", base_url="http://127.0.0.1:9", timeout=2)
+    with pytest.raises(NotImplementedError, match="Ollama"):
+        dead("hello")
+    unconfigured = get_llm("openai")
+    with pytest.raises(NotImplementedError, match="base_url"):
+        unconfigured("hello")
+    assert get_llm("stub") is stub_llm

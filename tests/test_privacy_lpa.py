@@ -118,3 +118,51 @@ def test_incremental_lpa_two_clique_bridge_flip(spark):
     base = k1 + k2 + [(2, 5)]
     upd = k1 + k2 + [(0, 7)]
     assert _incr(spark, base, upd, 4) == _scratch(spark, upd, 4)
+
+
+def test_incremental_lpa_stored_matches_scratch_with_pruned_reads(spark, tmp_path):
+    """The bucket-partitioned stored refresh: same recurrence as
+    incremental_lpa (scratch equality on the updated graph), and every
+    adjacency/history scan in the final round's plan carries a __bucket
+    partition filter (the sub-O(E) access path)."""
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.graph import (
+        _symmetrize,
+        incremental_lpa_stored,
+        write_lpa_snapshot,
+    )
+
+    base = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (8, 9)]
+    upd = [e for e in base if e != (2, 3)] + [(0, 8)]
+    base_df = spark.createDataFrame(base, "src long, dst long")
+    upd_df = spark.createDataFrame(upd, "src long, dst long")
+    snap = str(tmp_path / "snap")
+    write_lpa_snapshot(base_df, snap, rounds=3, n_buckets=4)
+    upd_adj = str(tmp_path / "upd_adj")
+    (
+        _symmetrize(upd_df, "src", "dst")
+        .withColumn("__bucket", (F.col("u") % 4).cast("int"))
+        .write.partitionBy("__bucket")
+        .parquet(upd_adj)
+    )
+    changed = spark.createDataFrame(
+        [(2, 3), (0, 8)], "src long, dst long"
+    )
+    delta = incremental_lpa_stored(
+        spark, snap, upd_adj, changed, rounds=3, n_buckets=4
+    )
+    got_delta = {r["node"]: r["label"] for r in delta.collect()}
+    scratch = _scratch(spark, upd, 3)
+    # delta rows must agree with scratch on the updated graph…
+    for node, label in got_delta.items():
+        assert scratch[node] == label, (node, label, scratch.get(node))
+    # …and stitching delta over stored H_3 reproduces scratch exactly
+    h3 = {
+        r["node"]: r["label"]
+        for r in spark.read.parquet(f"{snap}/hist")
+        .filter("__round = 3")
+        .collect()
+    }
+    stitched = {n: got_delta.get(n, h3.get(n)) for n in scratch}
+    assert stitched == scratch

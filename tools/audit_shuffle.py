@@ -87,6 +87,9 @@ DEFAULT_QUERIES = [
     "rm3_expanded_search",
     "incremental_join_view",
     "lpa_communities",
+    # r7 incremental-maintenance family
+    "incremental_join_view_stored",
+    "incremental_lpa",
     "k_anonymity_audit",
     "constraint_audit",
     "ols_daily_trend",

@@ -374,8 +374,27 @@ COMMENT = {
     "lpa_communities": (
         "Four synchronous rounds, each ONE node-keyed shuffle (labels "
         "join onto edge destinations) + a map-side-combinable label "
-        "count + a per-node argmax window; plan growth is linear in "
-        "rounds (the pagerank chain discipline), no driver state."
+        "count + a per-node argmax window over the persisted symmetrized "
+        "edge set; every round localCheckpoints its labels (graph."
+        "iterate), so the printed plan is one join over a materialized "
+        "input — O(1) deep at any round count, no driver state."
+    ),
+    "incremental_lpa": (
+        "Frontier-limited community refresh: the final stitch is two "
+        "node-keyed left joins (recomputed delta overrides stored H_R); "
+        "the per-round frontier work ran under graph.iterate, so the "
+        "plan shows materialized (ExistingRDD) inputs, not a per-round "
+        "re-derivation of the corpus. The stored twin "
+        "(incremental_lpa_stored, pytest-pinned) swaps the in-memory "
+        "probes for bucket-partition-pruned parquet reads."
+    ),
+    "incremental_join_view_stored": (
+        "The delta-join tiling against STORAGE: every scan of the "
+        "orders/customer base tables carries a __batch PartitionFilter "
+        "(== t / < t), so a refresh reads batch t's files "
+        "plus matched prior partitions — no T-way lazy union, no full-"
+        "table rescan; the joins stay BroadcastHashJoin at this SF and "
+        "the only wide exchange is the final per-segment aggregate."
     ),
     "constraint_audit": (
         "Five in-table checks fused into ONE scan: conditional sums + "
