@@ -72,6 +72,8 @@ HEADLINE = [
     "hdr_quantile_sketch",
     "host_components",
     "stream_hdr_quantiles",
+    "pmi_collocations",
+    "incremental_components",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

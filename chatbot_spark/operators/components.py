@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "incremental_components"]
 
 _MAX_FIXPOINT_ROUNDS = 64
 
@@ -117,3 +117,71 @@ def _cc_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
         m.join(jump, m["m"] == jump["__t"], "left")
         .select("node", F.least(F.col("m"), F.coalesce("__tm", "m")).alias("lbl"))
     )
+
+
+def incremental_components(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+) -> DataFrame:
+    """Incremental connected components under EDGE ADDITIONS — the
+    append-only crawl/dedup contract: new links can only MERGE
+    components, never split them, so the refresh runs on the
+    component-CONTRACTED graph instead of the corpus.
+
+    1. contract: each new edge (u, v) becomes (label(u), label(v)) —
+       two label-keyed joins against the previous snapshot; endpoints
+       unseen before keep themselves as their label (coalesce).
+    2. solve: :func:`connected_components` on the contracted graph —
+       sized by TOUCHED COMPONENTS + new nodes, not |V| or |E|.
+    3. stitch: previous labels re-keyed through the contracted
+       solution (one label-keyed join); untouched components pass
+       through unchanged.
+
+    Exactness: contracting a component to its representative preserves
+    connectivity (every pre-existing path stays within one label), so
+    the composed labeling equals from-scratch CC on the union graph —
+    min node id per merged component, since every contracted label IS
+    the min of its old component and step 2 takes the min of those.
+    The workload oracle pins exactly that equality.
+
+    Edge REMOVALS can split components and need full recompute (or
+    spanning-forest maintenance this engine does not carry); callers
+    with deletes rerun :func:`connected_components` — documented, not
+    silently wrong, matching the incremental_lpa superset-frontier
+    contract.
+
+    100 TB: the corpus-sized tables are touched by exactly two
+    label-keyed hash joins (prev snapshot is a stored table — partition
+    pruning applies when it is bucketed by label); the iterative part
+    runs on the delta-sized contraction only."""
+    prev = prev_labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+    e = new_edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    lu = prev.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lv = prev.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("src"),
+            F.coalesce("cv", F.col("v")).alias("dst"),
+        )
+    )
+    solved = connected_components(contracted, rounds=rounds)
+    relab = solved.select(
+        F.col("node").alias("component"), F.col("component").alias("__new")
+    )
+    carried = prev.join(relab, "component", "left").select(
+        "node", F.coalesce("__new", "component").alias("component")
+    )
+    new_nodes = solved.select("node", "component").join(
+        prev.select("node"), "node", "left_anti"
+    )
+    return carried.unionByName(new_nodes)

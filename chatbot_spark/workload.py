@@ -12263,19 +12263,24 @@ def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_ROUNDS = 5
 
+_CC_RAW_SQL = """
+  SELECT u, u - (u % 50) + ((u % 50 + 1) % 50) AS v FROM d
+  UNION ALL
+  SELECT u, u - (u % 50) + ((u % 50 + 7) % 50) FROM d WHERE doc_id % 3 = 0"""
 
-def _cc_oracle(rounds: int = _CC_ROUNDS) -> str:
+
+def _cc_oracle(rounds: int = _CC_ROUNDS, raw_sql: str = _CC_RAW_SQL) -> str:
     """Unrolled hash-to-min + pointer-jump recurrence: per round a
     neighbor-min aggregation then a label-keyed shortcut self-join. Each
     round references the previous one multiple times → MATERIALIZED per
-    the iterative-oracle discipline."""
+    the iterative-oracle discipline. ``raw_sql`` selects the (u, v) edge
+    list from the ``d`` host CTE — the incremental variant replays the
+    SAME from-scratch recurrence on its union edge set, which is exactly
+    the contraction-equality incremental_components claims."""
     parts = [
-        """
+        f"""
 WITH d AS (SELECT doc_id % 500 AS u, doc_id FROM documents),
-raw AS (
-  SELECT u, u - (u % 50) + ((u % 50 + 1) % 50) AS v FROM d
-  UNION ALL
-  SELECT u, u - (u % 50) + ((u % 50 + 7) % 50) FROM d WHERE doc_id % 3 = 0),
+raw AS ({raw_sql}),
 und AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
     SELECT u, v FROM raw WHERE u <> v
@@ -12414,3 +12419,90 @@ def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     merged = hdr_merge(spark.read.parquet(partials_dir).drop("batch_id"))
     return hdr_quantiles(merged, [500000, 990000], ["day"])
+
+
+@query(
+    "pmi_collocations",
+    """
+WITH c AS (SELECT regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+           WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 1),
+uni AS (SELECT unnest(toks) AS w FROM c),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w2
+  FROM c WHERE len(toks) >= 2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi),
+pcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+         FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+strong AS (SELECT w, c_w FROM ucnt WHERE c_w >= 10)
+SELECT p.w1, p.w2, p.c_xy,
+       round(((CAST(p.c_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) / CAST(nb.n_bi AS DOUBLE))
+             * (CAST(n.n_tok AS DOUBLE)
+                / (CAST(x.c_w AS DOUBLE) * CAST(y.c_w AS DOUBLE))), 6) AS pmi_ratio
+FROM pcnt p
+JOIN strong x ON x.w = p.w1
+JOIN strong y ON y.w = p.w2
+CROSS JOIN n CROSS JOIN nb
+""",
+)
+def pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/collocations.py): adjacent-pair
+    association strength over the documents corpus — tokenizer-vocab
+    candidates / boilerplate-phrase discovery. One persisted tokenize
+    pass feeds the unigram and bigram aggregations (map-side combinable,
+    token-keyed — only ADJACENT pairs, never all-pairs, so exchange
+    volume is O(tokens)); support floors (pair >= 5, unigram >= 10) cut
+    the tail before the scoring join; the reported statistic is the PMI
+    ratio p(x,y)/(p(x)p(y)) = exp(PMI) — transcendental-free, computed
+    in a pinned DOUBLE multiply/divide order the oracle replays
+    bit-for-bit (the module float discipline)."""
+    from chatbot_spark.operators.collocations import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_pair=5, min_unigram=10)
+
+
+_CC_UNION_RAW_SQL = _CC_RAW_SQL + """
+  UNION ALL
+  SELECT u, u + 50 AS v FROM d WHERE doc_id % 100 = 0"""
+
+
+@query("incremental_components", _cc_oracle(rounds=8, raw_sql=_CC_UNION_RAW_SQL))
+def incremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components under edge additions
+    (operators/components.py::incremental_components): the previous
+    snapshot solved the 10-island graph; the crawl delta ADDS five
+    bridges (hosts 0-50, 100-150, 200-250, 300-350, 400-450), merging
+    island pairs into five 100-node components. The refresh contracts
+    each new edge to (label(u), label(v)) — two label-keyed joins — and
+    solves CC on the CONTRACTED graph (10 representative nodes, not 500
+    hosts), then stitches through one label-keyed join; untouched
+    components pass through. The oracle is the FULL from-scratch
+    unrolled recurrence on the union graph (8 rounds — the bridged
+    100-node components have diameter ~51, log2-covered): hash equality
+    is the proof that contraction refresh ≡ rebuild. Edge REMOVALS are
+    documented as requiring recompute (splits), the same honest contract
+    as incremental_lpa's superset frontier."""
+    from chatbot_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        u.alias("src"), (u + 50).alias("dst")
+    )
+    prev = connected_components(ring.union(chord), rounds=_CC_ROUNDS)
+    labels = incremental_components(prev, bridges, rounds=3)
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

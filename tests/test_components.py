@@ -85,3 +85,50 @@ def test_cc_plan_depth_constant_in_rounds(spark):
         .toString()
     )
     assert plan.count("ExistingRDD") <= 6  # checkpointed inputs, not 10x
+
+
+def _inc(spark, base_edges, new_edges, rounds=None):
+    from chatbot_spark.operators.components import incremental_components
+
+    prev = connected_components(
+        spark.createDataFrame(base_edges, "src long, dst long")
+    )
+    delta = spark.createDataFrame(new_edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in incremental_components(prev, delta, rounds=rounds).collect()
+    }
+
+
+def test_incremental_equals_scratch_on_union(spark):
+    rng = random.Random(13)
+    base = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    base = [(u, v) for u, v in base if u != v]
+    delta = [(rng.randrange(260), rng.randrange(260)) for _ in range(30)]
+    delta = [(u, v) for u, v in delta if u != v]
+    got = _inc(spark, base, delta)
+    # union ground truth, restricted to nodes that exist in either input
+    assert got == _uf_reference(base + delta)
+
+
+def test_incremental_merge_two_islands_via_one_bridge(spark):
+    base = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    got = _inc(spark, base, [(2, 10)])
+    assert got == {n: 0 for n in (0, 1, 2, 10, 11, 12)}
+
+
+def test_incremental_new_node_smaller_than_old_min_relabels(spark):
+    # new node 3 attaches to the {10,11} component: its id becomes the min
+    got = _inc(spark, [(10, 11)], [(3, 10)])
+    assert got == {3: 3, 10: 3, 11: 3}
+
+
+def test_incremental_intra_component_edge_is_noop(spark):
+    base = [(5, 6), (6, 7)]
+    got = _inc(spark, base, [(5, 7)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_incremental_disjoint_new_subgraph(spark):
+    got = _inc(spark, [(1, 2)], [(100, 101)])
+    assert got == {1: 1, 2: 1, 100: 100, 101: 100}
