@@ -74,6 +74,8 @@ HEADLINE = [
     "stream_hdr_quantiles",
     "pmi_collocations",
     "incremental_components",
+    "mad_outlier_audit",
+    "prefix_jaccard_neardup",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

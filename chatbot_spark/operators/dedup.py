@@ -841,3 +841,96 @@ def incremental_minhash_pairs(
     out = out.localCheckpoint(eager=True)
     bn.unpersist()
     return out
+
+
+# ------------------------------------- prefix-filtered exact Jaccard join
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= t_num/t_den via PREFIX FILTERING
+    (Bayardo et al. WWW'07 All-Pairs / SSJoin family) — the COMPLETE
+    similarity join that is still sub-quadratic.
+
+    Positioning inside the dedup family: minhash_lsh_pairs is
+    probabilistic (a qualifying pair can be missed), and
+    ngram_jaccard_pairs joins on EVERY shared shingle (complete but
+    fan-out-bound: a stopword shingle shared by a million docs explodes
+    the join). Prefix filtering keeps completeness while joining only on
+    PREFIX shingles: order every doc's shingle set by ascending global
+    document frequency (rarest first, ties by shingle), keep the first
+    |s| - ceil(t·|s|) + 1; the classic prefix lemma guarantees any pair
+    with J >= t shares at least one prefix shingle, and because prefixes
+    are rare-first, bucket sizes are driven by the RARE end of the
+    vocabulary — the frequent-shingle explosion never happens.
+
+    Pipeline: one shingle pass → doc-frequency agg → per-doc rank window
+    (partitioned by doc, tiny) → prefix self-join on shingle →
+    DISTINCT candidates → exact verify on the full shingle arrays.
+    Threshold math is all-integer: prefix length uses integer ceil, the
+    final test is inter · t_den >= union · t_num (no float at the
+    boundary), and the reported similarity is jaccard_ppm =
+    inter · 1e6 div union — BIGINT, engine-identical.
+
+    Returns (id_a, id_b, jaccard_ppm) with id_a < id_b, complete at the
+    threshold: the naive all-pairs oracle must produce the identical
+    set (the workload pins that).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__shs"),
+    )
+    post = sh.select("__id", F.explode("__shs").alias("__sh"))
+    sizes = post.groupBy("__id").agg(F.count("*").cast("long").alias("__n"))
+    freq = post.groupBy("__sh").agg(F.count("*").cast("long").alias("__df"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__df").asc(), F.col("__sh").asc()
+    )
+    ordered = (
+        post.join(freq, "__sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    # L = n - ceil(t*n) + 1, integer ceil
+    pref = ordered.filter(
+        F.col("__pos")
+        <= F.col("__n")
+        - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).select("__id", "__sh")
+    cand = (
+        pref.select(F.col("__id").alias("id_a"), "__sh")
+        .join(pref.select(F.col("__id").alias("id_b"), "__sh"), "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("__i"),
+            F.size(F.array_union("__sa", "__sb")).cast("long").alias("__u"),
+        )
+    )
+    return (
+        verify.filter(F.col("__i") * t_den >= F.col("__u") * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(__i * 1000000) div __u").cast("long").alias("jaccard_ppm"),
+        )
+    )

@@ -12506,3 +12506,104 @@ def incremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@query(
+    "mad_outlier_audit",
+    """
+WITH src AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+c AS (SELECT priority, v, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY priority, v),
+cum AS (
+  SELECT priority, v, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY v) AS BIGINT) AS cum
+  FROM c),
+rt AS (SELECT priority, CAST((sum(cnt) + 1) // 2 AS BIGINT) AS rt FROM c GROUP BY priority),
+med AS (
+  SELECT c.priority, c.v AS median
+  FROM cum c JOIN rt ON rt.priority = c.priority
+                    AND c.cum - c.cnt < rt.rt AND rt.rt <= c.cum),
+dev AS (
+  SELECT s.priority, m.median, abs(s.v - m.median) AS dv
+  FROM src s JOIN med m ON m.priority = s.priority),
+dc AS (SELECT priority, dv, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY priority, dv),
+dcum AS (
+  SELECT priority, dv, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY dv) AS BIGINT) AS cum
+  FROM dc),
+drt AS (SELECT priority, CAST((sum(cnt) + 1) // 2 AS BIGINT) AS rt FROM dc GROUP BY priority),
+mad AS (
+  SELECT d.priority, d.dv AS mad
+  FROM dcum d JOIN drt ON drt.priority = d.priority
+                      AND d.cum - d.cnt < drt.rt AND drt.rt <= d.cum)
+SELECT v.priority, v.median, m.mad,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN 1 * v.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN 1 * v.dv > 3 * m.mad THEN v.dv ELSE 0 END) AS BIGINT) AS outlier_dev_sum
+FROM dev v JOIN mad m ON m.priority = v.priority
+GROUP BY v.priority, v.median, m.mad
+""",
+)
+def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit (operators/robust.py::mad_outliers): Hampel
+    flags over order totals (exact cents) per order priority — median
+    and MAD both have 50% breakdown, so a corrupted tail cannot inflate
+    the spread estimate and mask itself (the failure mode of mean/sigma
+    z-scores). Two passes of the equi-depth interval-join median (values,
+    then absolute deviations), flag is the pure-integer comparison
+    den·|x−med| > num·MAD — every quantity BIGINT, both exchanges keyed
+    and map-side combinable, no global sort; the oracle replays both
+    cumsum+rank phases bit-for-bit."""
+    from chatbot_spark.operators.robust import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return mad_outliers(src, "v", ["priority"], k_num=3, k_den=1)
+
+
+@query(
+    "prefix_jaccard_neardup",
+    """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 1)),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+  FROM d),
+post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT t.id_a, t.id_b,
+       CAST((t.i * 1000000) // (x.n + y.n - t.i) AS BIGINT) AS jaccard_ppm
+FROM inter t
+JOIN sizes x ON x.doc_id = t.id_a
+JOIN sizes y ON y.doc_id = t.id_b
+WHERE t.i * 5 >= (x.n + y.n - t.i) * 4
+""",
+)
+def prefix_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete exact near-dup join (operators/dedup.py::
+    prefix_jaccard_pairs): all document pairs with 3-gram-shingle
+    Jaccard >= 4/5, found by prefix filtering — docs' shingle sets
+    ordered rarest-first, only the first |s|−ceil(0.8|s|)+1 shingles
+    enter the self-join, so bucket fan-out is driven by the rare end of
+    the vocabulary while the prefix lemma keeps the pair set COMPLETE
+    (minhash can miss; the naive complete join fans out on stopword
+    shingles). The oracle is the NAIVE all-pairs join — hash equality IS
+    the completeness proof. All threshold math integer (inter·5 >=
+    union·4; jaccard_ppm BIGINT)."""
+    from chatbot_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, t_num=4, t_den=5
+    )

@@ -571,3 +571,65 @@ def test_scoped_minhash_equals_same_scope_restriction(spark):
     assert scoped == {(a, b) for a, b in full if lang[a] == lang[b]}
     assert (1, 3) in full and (1, 3) not in scoped  # cross-lang dup excluded
     assert (1, 2) in scoped and (3, 4) in scoped
+
+
+# ---------------------------- prefix-filtered exact Jaccard join
+
+
+def _pj(spark, texts, t_num=4, t_den=5, n=3):
+    from chatbot_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in prefix_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=n, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+
+
+def test_prefix_jaccard_complete_vs_naive_join(spark):
+    # completeness: prefix filtering must find EXACTLY the naive join's
+    # qualifying pairs (minhash may miss; this operator must not)
+    import random
+
+    from chatbot_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(40):
+        base = " ".join(rng.choice(vocab) for _ in range(12))
+        texts.append(base)
+        if rng.random() < 0.4:  # near-duplicate with a small edit
+            words = base.split()
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+            texts.append(" ".join(words))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = set(_pj(spark, texts, t_num=1, t_den=2))
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_prefix_jaccard_boundary_inclusive(spark):
+    # two docs built to land exactly AT the threshold: 4 shingles each,
+    # 3 shared -> J = 3/5; included at t=3/5, excluded just above
+    a = "a b c d e f"   # shingles: abc bcd cde def (4)
+    b = "a b c d e g"   # shingles: abc bcd cde deg (4), inter=3, union=5
+    assert (0, 1) in _pj(spark, [a, b], t_num=3, t_den=5)
+    assert (0, 1) not in _pj(spark, [a, b], t_num=61, t_den=100)
+    assert _pj(spark, [a, b], t_num=3, t_den=5)[(0, 1)] == 600000
+
+
+def test_prefix_jaccard_identical_docs(spark):
+    got = _pj(spark, ["x y z w v", "x y z w v", "totally different text here"])
+    assert got == {(0, 1): 1000000}

@@ -94,6 +94,13 @@ DEFAULT_QUERIES = [
     "constraint_audit",
     "ols_daily_trend",
     "point_in_time_features",
+    # r7b sketch/graph/text family
+    "hdr_quantile_sketch",
+    "host_components",
+    "incremental_components",
+    "pmi_collocations",
+    "mad_outlier_audit",
+    "prefix_jaccard_neardup",
 ]
 
 
