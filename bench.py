@@ -76,6 +76,7 @@ HEADLINE = [
     "incremental_components",
     "mad_outlier_audit",
     "prefix_jaccard_neardup",
+    "hdr_sketch_slice",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
@@ -516,7 +517,8 @@ def main() -> None:
                 "hits_sec": [r["hits_sec"] for r in recs],
             }
             for k in ("lpa12_sec", "lpa_full_sec", "lpa_incr_sec",
-                      "lpa_incr_speedup"):
+                      "lpa_incr_speedup", "cc_full_sec", "cc_incr_sec",
+                      "cc_rebuild_sec", "cc_incr_speedup"):
                 if all(k in r for r in recs):
                     payload["graph_scale"][k] = [r[k] for r in recs]
         except (OSError, ValueError, KeyError):

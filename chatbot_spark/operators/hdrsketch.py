@@ -112,7 +112,13 @@ def hdr_quantiles(
 
     The returned ``quantile`` is the bucket lower bound — an actual
     grid value <= the true quantile, within relative 2^-sub_bits of it
-    by construction."""
+    by construction.
+
+    Scale note: the cumulative window partitions by ``group_cols``; with
+    no groups it is a single-partition window — over a SKETCH, whose row
+    count is bounded at <= ~1900 buckets by construction, not over data.
+    That bound is the whole point: the unbounded-input work happened in
+    hdr_sketch's map-side-combinable aggregation."""
     group_cols = list(group_cols or [])
     from pyspark.sql import Window
 

@@ -12607,3 +12607,61 @@ def prefix_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, t_num=4, t_den=5
     )
+
+
+@query(
+    "hdr_sketch_slice",
+    """
+WITH src AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-22'),
+q AS (
+  SELECT v - v % CAST(pow(2.0, GREATEST(length(bin(v)) - 1 - 5, 0)) AS BIGINT) AS qv
+  FROM src),
+s AS (SELECT qv, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY qv),
+cum AS (SELECT qv, cnt, CAST(sum(cnt) OVER (ORDER BY qv) AS BIGINT) AS cum FROM s),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM s),
+ranks AS (
+  SELECT CAST(p.q_ppm AS BIGINT) AS q_ppm,
+         CAST(greatest((p.q_ppm * t.n + 999999) // 1000000, 1) AS BIGINT) AS rank_target
+  FROM tot t CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS q_ppm) p)
+SELECT r.q_ppm, r.rank_target, c.qv AS quantile
+FROM cum c JOIN ranks r ON c.cum - c.cnt < r.rank_target AND r.rank_target <= c.cum
+""",
+)
+def hdr_sketch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-sketch-table contract (operators/hdrsketch.py): per-day
+    sketches are WRITTEN as a day-partitioned parquet store (one ingest
+    scan, ~<=1900 rows/day), and a later percentile question over an
+    arbitrary two-week slice reads ONLY that slice's partitions — the
+    day filter prunes at the store listing, the raw corpus is never
+    rescanned. Merge is groupBy-sum over days x buckets rows; p50/p90/p99
+    drop out of the broadcast interval probe. The oracle recomputes from
+    the raw table restricted to the same slice — bit-equality proves the
+    store round-trip (write → prune → merge) is lossless. This is the
+    percentile-dashboard shape at 100 TB: O(buckets) stored rows per
+    (day), every question O(days_in_slice x buckets)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hdrsketch import (
+        hdr_merge,
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    base = tempfile.mkdtemp(prefix="cbs_hdrstore_q_")
+    store = os.path.join(base, "sketch_store")
+    hdr_sketch(ev, "v", ["day"]).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(store)
+    sliced = spark.read.parquet(store).filter(
+        (F.col("day") >= F.lit("2024-01-08")) & (F.col("day") < F.lit("2024-01-22"))
+    )
+    merged = hdr_merge(sliced.drop("day"))
+    return hdr_quantiles(merged, [500000, 900000, 990000])

@@ -113,3 +113,30 @@ def test_bucket_count_is_bounded_regardless_of_volume(spark):
     )
     n_buckets = hdr_sketch(d, "x").count()
     assert n_buckets <= 6 * 32
+
+
+def test_sketch_store_slice_prunes_partitions(spark, tmp_path):
+    # the stored-sketch contract: a day-ranged question must prune at the
+    # store listing (PartitionFilters), never rescan all partitions
+    import random
+
+    rng = random.Random(23)
+    rows = [(f"2024-01-{d:02d}", rng.randrange(1, 10**4))
+            for d in range(1, 11) for _ in range(50)]
+    df = spark.createDataFrame(rows, "day string, x long").select(
+        F.to_date("day").alias("day"), "x"
+    )
+    store = str(tmp_path / "store")
+    hdr_sketch(df, "x", ["day"]).write.partitionBy("day").parquet(store)
+    sliced = spark.read.parquet(store).filter(
+        (F.col("day") >= F.lit("2024-01-03")) & (F.col("day") < F.lit("2024-01-06"))
+    )
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    # and the pruned merge still answers exactly: replay on the raw slice
+    merged = hdr_merge(sliced.drop("day"))
+    got = {r["q_ppm"]: r["quantile"]
+           for r in hdr_quantiles(merged, [500000]).collect()}
+    xs = sorted(x for d, x in rows if "2024-01-03" <= d < "2024-01-06")
+    exact_med = xs[max(1, math.ceil(0.5 * len(xs))) - 1]
+    assert got[500000] <= exact_med and (exact_med - got[500000]) / exact_med < 2**-5

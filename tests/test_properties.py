@@ -689,3 +689,29 @@ def test_frequent_pairs_random_baskets_match_serial(spark):
         ).collect()
     }
     assert got == _ref_pairs(baskets, 3, 2)
+
+
+def _py_hdr_quantize(v: int, sub_bits: int = 5) -> int:
+    """Pure-python mirror of hdrsketch.hdr_quantize (tested equal to the
+    Spark expression in test_hdrsketch.py's grid pin)."""
+    if v <= 0:
+        return v
+    drop = max(v.bit_length() - 1 - sub_bits, 0)
+    return v - v % (1 << drop)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**62 - 1),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_hdr_quantize_bounds_idempotent_monotone(v, sub_bits):
+    q = _py_hdr_quantize(v, sub_bits)
+    # lower bound + relative error bound
+    assert q <= v
+    if v > 0:
+        assert (v - q) / v < 2.0**-sub_bits
+    # idempotent: grid values are fixed points
+    assert _py_hdr_quantize(q, sub_bits) == q
+    # monotone: the next value up never maps below
+    assert _py_hdr_quantize(v + 1, sub_bits) >= q

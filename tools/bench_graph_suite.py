@@ -11,7 +11,10 @@ rounds, no driver blow-up), and incremental_lpa (64 rewired edges
 refreshed from stored history vs full rerun — frontier ≪ rebuild is the
 pass signal). Writes BENCH_GRAPH.json: [{n_nodes, n_edges, triangle_sec,
 n_triangle_nodes, peel_sec, peel_layers, bfs_sec, bfs_reached, hits_sec,
-lpa12_sec, lpa_full_sec, lpa_incr_sec, lpa_incr_speedup}].
+lpa12_sec, lpa_full_sec, lpa_incr_sec, lpa_incr_speedup, cc_full_sec,
+cc_incr_sec, cc_rebuild_sec, cc_incr_speedup}] — the cc_* entries are
+connected components on a 1024-block island graph: full solve, the
+contraction refresh after 64 bridges, and the union rebuild it beats.
 Sub-linear-in-edges growth per operator is the pass signal — every
 exchange is keyed, no operator holds more than O(nodes) driver-visible
 state.
@@ -155,8 +158,55 @@ def main() -> int:
             rec["lpa_full_sec"] / max(rec["lpa_incr_sec"], 1e-9), 2
         )
         upd.unpersist()
-        local.unpersist()
         shutil.rmtree(snap_dir, ignore_errors=True)
+
+        local.unpersist()
+
+        # connected components: island graph (1024-node blocks, intra-
+        # block ring + scramble chord so each island converges in O(log)
+        # rounds), solved from scratch; then 64 bridge edges chain the
+        # first 65 islands and the contraction refresh recomputes — its
+        # cost must track the DELTA (a 65-node contracted chain), not
+        # |E|, while the honest comparison point is the from-scratch
+        # rebuild on the union graph
+        from chatbot_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        blk = (F.col("id") - (F.col("id") % 1024)).alias("blk")
+        off = (F.col("id") % 1024).alias("off")
+        isl_base = spark.range(n_nodes).select(F.col("id").alias("src"), blk, off)
+        islands = (
+            isl_base.select(
+                "src", (F.col("blk") + (F.col("off") + 1) % 1024).alias("dst")
+            )
+            .union(
+                isl_base.select(
+                    "src",
+                    (F.col("blk") + (F.col("off") * 7 + 1) % 1024).alias("dst"),
+                )
+            )
+            .persist()
+        )
+        islands.count()
+        bridges = spark.range(64).select(
+            (F.col("id") * 1024).alias("src"),
+            ((F.col("id") + 1) * 1024 % n_nodes).alias("dst"),
+        )
+        t0 = time.time()
+        prev = connected_components(islands, rounds=8).localCheckpoint(eager=True)
+        rec["cc_full_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        incremental_components(prev, bridges, rounds=6).count()
+        rec["cc_incr_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        connected_components(islands.union(bridges), rounds=8).count()
+        rec["cc_rebuild_sec"] = round(time.time() - t0, 2)
+        rec["cc_incr_speedup"] = round(
+            rec["cc_rebuild_sec"] / max(rec["cc_incr_sec"], 1e-9), 2
+        )
+        islands.unpersist()
 
         e.unpersist()
         out.append(rec)

@@ -388,6 +388,56 @@ COMMENT = {
         "(incremental_lpa_stored, pytest-pinned) swaps the in-memory "
         "probes for bucket-partition-pruned parquet reads."
     ),
+    "hdr_quantile_sketch": (
+        "Mergeable log-bucket percentiles: ONE lineitem scan feeds a "
+        "map-side-combinable (group, qv) aggregation (partial_count "
+        "before the exchange — the sketch build), the batch-dimension "
+        "merge is a second tiny keyed agg, and each quantile is a "
+        "BroadcastHashJoin interval probe of the groups x q rank table. "
+        "No global sort; the only corpus-sized exchange carries "
+        "groups x <=1900 bucket rows."
+    ),
+    "host_components": (
+        "Hash-to-min + pointer jump under graph.iterate: the final plan "
+        "is one neighbor-min agg + one label-keyed shortcut join over "
+        "materialized (ExistingRDD) round inputs — plan depth O(1) in "
+        "rounds, both exchanges keyed by node/label, state O(V)."
+    ),
+    "incremental_components": (
+        "Contraction refresh: two label-keyed joins rewrite the delta "
+        "edges onto component representatives, the iterative solve runs "
+        "on that contracted (touched-components-sized) graph only, and "
+        "ONE label-keyed join stitches the result back over the stored "
+        "labels — the corpus is never re-walked."
+    ),
+    "pmi_collocations": (
+        "One persisted tokenize pass (InMemoryTableScan on the second "
+        "consumer) feeds unigram and adjacent-bigram aggregations — both "
+        "map-side combinable, keyed by token/pair; corpus totals ride "
+        "1-row broadcasts; unigram joins are unhinted so AQE broadcasts "
+        "this vocabulary but web-scale ones sort-merge on the token key."
+    ),
+    "mad_outlier_audit": (
+        "Two interval-join medians (values, then absolute deviations): "
+        "value-frequency aggs collapse ties map-side, per-group cumsum "
+        "windows ride the group key, rank tables broadcast; the flag "
+        "test is integer multiply-compare — no float, no global sort."
+    ),
+    "prefix_jaccard_neardup": (
+        "Prefix filtering: the self-join input is the rare-first prefix "
+        "of each shingle set (|s|-ceil(t|s|)+1 rows/doc), so bucket "
+        "fan-out is bounded by rare-shingle frequency; candidates "
+        "dedup'd before the array-intersect verify. Complete at the "
+        "threshold — the oracle is the naive all-pairs join."
+    ),
+    "hdr_sketch_slice": (
+        "The stored-sketch store answering a slice question: both scans "
+        "of the day-partitioned sketch store carry PartitionFilters "
+        "(day >= 2024-01-08, day < 2024-01-22) — fourteen partitions "
+        "listed, the raw events table appears only in the (already run) "
+        "ingest write, and the question itself touches days x buckets "
+        "rows."
+    ),
     "incremental_join_view_stored": (
         "The delta-join tiling against STORAGE: every scan of the "
         "orders/customer base tables carries a __batch PartitionFilter "
