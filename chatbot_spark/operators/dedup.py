@@ -902,11 +902,23 @@ def prefix_jaccard_pairs(
         <= F.col("__n")
         - F.expr(f"({t_num} * __n + {t_den} - 1) div {t_den}")
         + F.lit(1)
-    ).select("__id", "__sh")
+    ).select("__id", "__sh", "__n")
+    # length filter (the second All-Pairs prune): J >= t forces
+    # t <= min(na,nb)/max(na,nb), so size-incompatible pairs are cut
+    # INSIDE the join before they ever materialize as candidate rows
     cand = (
-        pref.select(F.col("__id").alias("id_a"), "__sh")
-        .join(pref.select(F.col("__id").alias("id_b"), "__sh"), "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select(F.col("__id").alias("id_a"), "__sh", F.col("__n").alias("__na"))
+        .join(
+            pref.select(
+                F.col("__id").alias("id_b"), "__sh", F.col("__n").alias("__nb")
+            ),
+            "__sh",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") * t_den >= F.col("__na") * t_num)
+            & (F.col("__na") * t_den >= F.col("__nb") * t_num)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -107,6 +107,15 @@ DEFAULT_QUERIES = [
 # Per-query justification for row amplification > 2 — the audit fails
 # loud on any NEW flagged query with no entry here (design review gate).
 JUSTIFIED = {
+    "prefix_jaccard_neardup": (
+        "candidate-pair generation IS the operator (the frequent_pairs "
+        "discipline): prefix buckets emit (id_a, id_b) id tuples — never "
+        "text — bounded by sum over PREFIX shingles of df(p)^2 after the "
+        "length prune; this corpus's 31-token synthetic vocabulary makes "
+        "every shingle corpus-frequent (the adversarial worst case — "
+        "natural-corpus prefixes are rare by construction), and the "
+        "complete pair set is the contract the naive-join oracle pins"
+    ),
     "dataprep_pipeline": (
         "n-gram pair generation IS the operator: 5k docs explode to ~1.1M "
         "hashed 3-gram/pair rows (~10 B/row — hashes, never text); "

@@ -411,11 +411,15 @@ COMMENT = {
         "labels — the corpus is never re-walked."
     ),
     "pmi_collocations": (
-        "One persisted tokenize pass (InMemoryTableScan on the second "
-        "consumer) feeds unigram and adjacent-bigram aggregations — both "
-        "map-side combinable, keyed by token/pair; corpus totals ride "
-        "1-row broadcasts; unigram joins are unhinted so AQE broadcasts "
-        "this vocabulary but web-scale ones sort-merge on the token key."
+        "The printed plan is one ExistingRDD scan because the operator "
+        "localCheckpoints its (tiny) result to release the persisted "
+        "tokenize cache — the hits_integer/r6-ADVICE cache-lifetime "
+        "discipline. The interesting shape ran inside: ONE cached "
+        "tokenize pass feeding unigram + adjacent-bigram aggregations "
+        "(map-side combinable, keyed by token/pair), 1-row broadcast "
+        "totals, unhinted unigram joins (AQE broadcasts small vocabs, "
+        "sort-merge at web scale) — measured in SHUFFLE_AUDIT.json: "
+        "0.17x row amplification, 0.03 MB shuffled."
     ),
     "mad_outlier_audit": (
         "Two interval-join medians (values, then absolute deviations): "
