@@ -77,6 +77,7 @@ HEADLINE = [
     "mad_outlier_audit",
     "prefix_jaccard_neardup",
     "hdr_sketch_slice",
+    "neardup_clusters_exact",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

@@ -12665,3 +12665,83 @@ def hdr_sketch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = hdr_merge(sliced.drop("day"))
     return hdr_quantiles(merged, [500000, 900000, 990000])
+
+
+def _neardup_cluster_oracle(cc_rounds: int = 4) -> str:
+    """Naive complete pair join (the prefix-filter oracle) feeding the
+    unrolled hash-to-min + pointer-jump recurrence — the two proofs
+    composed: completeness of the pair set AND exactness of the
+    clustering."""
+    head = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+shs AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 1)),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+  FROM d),
+post AS (SELECT doc_id, unnest(s) AS tok FROM shs),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT t.u, t.v FROM inter t
+  JOIN sizes x ON x.doc_id = t.u JOIN sizes y ON y.doc_id = t.v
+  WHERE t.i * 5 >= (x.n + y.n - t.i) * 4),
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)),
+adj AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT node AS u, node AS v FROM nodes),
+l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)"""
+    rounds = []
+    for r in range(1, cc_rounds + 1):
+        rounds.append(
+            f""",
+m{r} AS MATERIALIZED (
+  SELECT a.u AS node, min(l.lbl) AS m
+  FROM adj a JOIN l{r - 1} l ON l.node = a.v GROUP BY a.u),
+l{r} AS MATERIALIZED (
+  SELECT s.node, least(s.m, coalesce(t.m, s.m)) AS lbl
+  FROM m{r} s LEFT JOIN m{r} t ON t.node = s.m)"""
+        )
+    tail = f"""
+SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(sum(node) AS BIGINT) AS member_checksum
+FROM l{cc_rounds} GROUP BY lbl"""
+    return head + "".join(rounds) + tail
+
+
+@query("neardup_clusters_exact", _neardup_cluster_oracle())
+def neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact near-dup CLUSTER table — the composition a dedup
+    pipeline actually materializes: prefix-filtered complete Jaccard
+    join (operators/dedup.py::prefix_jaccard_pairs, J >= 4/5, no missed
+    pair by the prefix lemma) feeding hash-to-min connected components
+    (operators/components.py, min-doc-id cluster representatives). Each
+    cluster keeps its min doc_id as the canonical survivor — the
+    keep-one policy downstream filters join against. Both stages are
+    individually oracle-pinned (prefix_jaccard_neardup,
+    host_components); this query pins their COMPOSITION: the oracle is
+    the naive all-pairs join + the unrolled CC recurrence, so a missed
+    pair or a wrong merge anywhere breaks the hash."""
+    from chatbot_spark.operators.components import connected_components
+    from chatbot_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, t_num=4, t_den=5
+    )
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        rounds=4,
+    )
+    return labels.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
