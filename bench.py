@@ -78,6 +78,7 @@ HEADLINE = [
     "prefix_jaccard_neardup",
     "hdr_sketch_slice",
     "neardup_clusters_exact",
+    "stream_components",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

@@ -12745,3 +12745,72 @@ def neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cluster_size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@query("stream_components", _cc_oracle(rounds=8, raw_sql=_CC_UNION_RAW_SQL))
+def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph maintenance: the component table kept current as
+    edges ARRIVE — rings, chords, and bridges of the 10-island graph
+    delivered as three micro-batches (maxFilesPerTrigger=1); each batch
+    folds into the stored labels via incremental_components (contract →
+    delta-sized solve → stitch), written as a versioned snapshot keyed
+    by batch_id (replay rewrites its own version — restart-idempotent).
+    Edge ADDITIONS commute for connected components, so the sequential
+    fold is EXACTLY from-scratch CC on everything seen — the oracle is
+    the same 8-round unrolled recurrence on the union graph that pins
+    incremental_components, now reached through three stream steps. At
+    100 TB this is the crawl-frontier contract: each micro-batch costs
+    O(delta + touched components), never a corpus re-walk."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.components import incremental_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        u.alias("src"), (u + 50).alias("dst")
+    )
+    base = tempfile.mkdtemp(prefix="cbs_scc_q_")
+    inpath = os.path.join(base, "in")
+    for b in (ring, chord, bridges):
+        b.coalesce(1).write.mode("append").parquet(inpath)
+    labels_root = os.path.join(base, "labels")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev_path = os.path.join(labels_root, f"v{batch_id - 1}")
+        if batch_id > 0 and os.path.isdir(prev_path):
+            prev = spark.read.parquet(prev_path)
+        else:
+            prev = spark.createDataFrame([], "node long, component long")
+        out = incremental_components(prev, batch_df, rounds=6)
+        out.write.mode("overwrite").parquet(
+            os.path.join(labels_root, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(
+        (d for d in os.listdir(labels_root) if d.startswith("v")),
+        key=lambda s: int(s[1:]),
+    )
+    final = spark.read.parquet(os.path.join(labels_root, latest))
+    return final.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
