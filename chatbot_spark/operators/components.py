@@ -51,6 +51,7 @@ def connected_components(
     rounds: int | None = None,
     src: str = "src",
     dst: str = "dst",
+    assert_converged: bool = False,
 ) -> DataFrame:
     """(node, component) — component is the minimum node id reachable
     from ``node``. Node ids must be integral (cast to long here).
@@ -61,7 +62,13 @@ def connected_components(
     bit-exact unrolled oracle). ``rounds=None`` iterates to the
     fixpoint, checking the changed-label count each round (an O(V)
     action; capped at 64 rounds — 2^64 hops exceeds any graph's
-    diameter)."""
+    diameter).
+
+    ``assert_converged`` (with a fixed ``rounds``): run ONE extra round
+    and raise if any label still changes — the guard for pinned-round
+    callers whose oracle replays the same truncated recurrence and would
+    therefore stay hash-green even after scale growth pushed the true
+    fixpoint past the pin. Costs one O(V) count action."""
     from chatbot_spark.operators.graph import _symmetrize, iterate
 
     und = _symmetrize(edges, src, dst)
@@ -85,6 +92,20 @@ def connected_components(
         if rounds < 0:
             raise ValueError("rounds must be >= 0")
         labels = iterate(labels, lambda lab, _i: _cc_round(adj, lab), rounds)
+        if assert_converged:
+            probe = iterate(labels, lambda lab, _i: _cc_round(adj, lab), 1)
+            moved = (
+                probe.select("node", F.col("lbl").alias("__new"))
+                .join(labels.select("node", F.col("lbl").alias("__old")), "node")
+                .filter(F.col("__new") != F.col("__old"))
+            )
+            if not moved.isEmpty():
+                adj.unpersist()
+                raise RuntimeError(
+                    f"connected_components: rounds={rounds} did not reach the "
+                    "fixpoint (an extra round still changes labels) — raise "
+                    "the pin and its unrolled oracle depth together"
+                )
     else:
         for _ in range(_MAX_FIXPOINT_ROUNDS):
             nxt = iterate(labels, lambda lab, _i: _cc_round(adj, lab), 1)
@@ -125,6 +146,7 @@ def incremental_components(
     src: str = "src",
     dst: str = "dst",
     rounds: int | None = None,
+    assert_converged: bool = False,
 ) -> DataFrame:
     """Incremental connected components under EDGE ADDITIONS — the
     append-only crawl/dedup contract: new links can only MERGE
@@ -174,7 +196,9 @@ def incremental_components(
             F.coalesce("cv", F.col("v")).alias("dst"),
         )
     )
-    solved = connected_components(contracted, rounds=rounds)
+    solved = connected_components(
+        contracted, rounds=rounds, assert_converged=assert_converged
+    )
     relab = solved.select(
         F.col("node").alias("component"), F.col("component").alias("__new")
     )

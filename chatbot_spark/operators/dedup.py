@@ -554,9 +554,10 @@ def resolve_duplicate_clusters(
 
     * **small edge sets** (≤ ``driver_threshold`` pairs — the common case:
       near-dup PAIRS are a tiny fraction of any deduped corpus) collect
-      once and resolve with driver-side union-find: one job, O(E α(E)),
-      no iteration. 2M edges ≈ 32 MB on the driver — far below the
-      budget of the broadcast joins used everywhere else.
+      once VIA ARROW (``toArrow`` → columnar buffers, ~32 MB for 2M long
+      pairs — collecting 2M PySpark ``Row`` objects instead would cost
+      several hundred MB of driver heap) and resolve with driver-side
+      union-find: one job, O(E α(E)), no iteration.
     * **large edge sets** run iterative label propagation with pointer
       jumping: each round (1) relaxes over edges (min of own and
       neighbors' labels) and (2) jumps through the label table
@@ -577,8 +578,10 @@ def resolve_duplicate_clusters(
     )
     n_edges = edges.persist().count()
     if n_edges <= driver_threshold:
-        rows = edges.collect()
+        tbl = edges.toArrow()  # columnar transfer, no per-row Row objects
         edges.unpersist()
+        srcs = tbl.column("src").to_pylist()
+        dsts = tbl.column("dst").to_pylist()
         parent: dict = {}
 
         def find(x):
@@ -589,8 +592,7 @@ def resolve_duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            a, b = r[0], r[1]
+        for a, b in zip(srcs, dsts):
             if a not in parent:
                 parent[a] = a
             if b not in parent:

@@ -25,6 +25,7 @@ O(edges). No driver-side state beyond the plan itself.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, Window
@@ -888,7 +889,11 @@ def incremental_lpa_stored(
     DataFrame is the recomputed frontier label DELTA (node, label) —
     MERGE it into the stored labels downstream.
     """
-    bucket_py = bucket_py or (lambda i: i % n_buckets)
+    # default must replay write_lpa_snapshot's Spark-side `%`, which is
+    # sign-preserving (negative ids -> negative buckets) where Python's
+    # `%` is non-negative — math.fmod keeps the dividend's sign, so a
+    # pruned read of a negative-id frontier opens the right partitions
+    bucket_py = bucket_py or (lambda i: int(math.fmod(i, n_buckets)))
 
     def _bucket_ids(ids) -> list[int]:
         return sorted({int(bucket_py(int(i))) for i in ids})

@@ -47,8 +47,16 @@ def hdr_quantize(col, sub_bits: int = 5):
     grid: keep the top ``sub_bits + 1`` significant bits, zero the rest.
     0 maps to 0. Relative error of the representative (the bucket's
     lower bound) is < 2^-sub_bits. Pure integer Column expression
-    (length-of-binary exponent + variable shiftleft), no floats."""
-    v = col.cast("long")
+    (length-of-binary exponent + variable shiftleft), no floats.
+
+    Negative inputs raise at execution time: bin(v) of a negative long
+    is the 64-char two's-complement string, so the silent alternative
+    would be e=63 → drop=58 → v - v%2^58 = 0 for small negatives —
+    corrupting the 0 bucket forever once a sketch store persists it."""
+    raw = col.cast("long")
+    v = F.when(
+        raw < 0, F.raise_error(F.lit("hdr_quantize: negative input"))
+    ).otherwise(raw)
     # e = floor(log2(v)) for v >= 1, via the binary-string length —
     # float log2 misrounds near powers of two (log2(2^52 - 1) rounds to
     # 52.0 in double), the string length cannot
@@ -107,8 +115,13 @@ def hdr_quantiles(
     500000 = p50): the smallest quantized value whose cumulative count
     reaches rank r = max(1, ceil(q * N / 1e6)), found with the same
     (cum - cnt, cum] interval join the exact equi-depth operator uses —
-    no global sort, no driver state. All-BIGINT: r uses integer ceil
-    ((q*N + 999999) div 1e6), so the result replays bit-for-bit.
+    no global sort, no driver state. All-BIGINT: the integer ceil is
+    decomposed as r = q*(N div 1e6) + ((q*(N mod 1e6) + 999999) div 1e6)
+    — algebraically identical to ceil(q*N/1e6) but the partial products
+    stay < 1e12 and < q*(N div 1e6), so the rank never wraps BIGINT
+    until N itself exceeds ~9.2e18/q rows (vs ~9.3e12 for the naive
+    q*N product — reachable at 100 TB). Replays bit-for-bit; the
+    DuckDB oracle keeps the naive form, pinning the equivalence.
 
     The returned ``quantile`` is the bucket lower bound — an actual
     grid value <= the true quantile, within relative 2^-sub_bits of it
@@ -138,7 +151,10 @@ def hdr_quantiles(
         *group_cols,
         "q_ppm",
         F.greatest(
-            F.expr("(q_ppm * __n + 999999) div 1000000"),
+            F.expr(
+                "q_ppm * (__n div 1000000)"
+                " + ((q_ppm * (__n % 1000000) + 999999) div 1000000)"
+            ),
             F.lit(1).cast("long"),
         ).alias("rank_target"),
     )

@@ -73,7 +73,7 @@ def mad_outliers(
     k_num: int = 3,
     k_den: int = 1,
 ) -> DataFrame:
-    """(group..., median, mad, n_rows, n_outliers, outlier_sum) — Hampel
+    """(group..., median, mad, n_rows, n_outliers, outlier_dev_sum) — Hampel
     outlier audit per group: a row is an outlier iff
     ``k_den * |x − median| > k_num * MAD`` (strict: when MAD is 0 every
     deviating row flags, the degenerate-constant-group behavior you

@@ -12500,8 +12500,12 @@ def incremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
         u.alias("src"), (u + 50).alias("dst")
     )
-    prev = connected_components(ring.union(chord), rounds=_CC_ROUNDS)
-    labels = incremental_components(prev, bridges, rounds=3)
+    prev = connected_components(
+        ring.union(chord), rounds=_CC_ROUNDS, assert_converged=True
+    )
+    labels = incremental_components(
+        prev, bridges, rounds=3, assert_converged=True
+    )
     return labels.groupBy("component").agg(
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
@@ -12740,6 +12744,10 @@ def neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         rounds=4,
+        # the oracle replays the SAME truncated recurrence, so a pin that
+        # stops short of the fixpoint at a larger sf would stay hash-green
+        # while cluster ids quietly stop being component minima — fail loud
+        assert_converged=True,
     )
     return labels.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count("*").cast("long").alias("cluster_size"),
@@ -12788,7 +12796,9 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev = spark.read.parquet(prev_path)
         else:
             prev = spark.createDataFrame([], "node long, component long")
-        out = incremental_components(prev, batch_df, rounds=6)
+        out = incremental_components(
+            prev, batch_df, rounds=6, assert_converged=True
+        )
         out.write.mode("overwrite").parquet(
             os.path.join(labels_root, f"v{batch_id}")
         )
