@@ -79,6 +79,7 @@ HEADLINE = [
     "hdr_sketch_slice",
     "neardup_clusters_exact",
     "stream_components",
+    "decremental_components",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

@@ -41,7 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "incremental_components"]
+__all__ = [
+    "connected_components",
+    "decremental_components",
+    "incremental_components",
+]
 
 _MAX_FIXPOINT_ROUNDS = 64
 
@@ -169,11 +173,9 @@ def incremental_components(
     the min of its old component and step 2 takes the min of those.
     The workload oracle pins exactly that equality.
 
-    Edge REMOVALS can split components and need full recompute (or
-    spanning-forest maintenance this engine does not carry); callers
-    with deletes rerun :func:`connected_components` — documented, not
-    silently wrong, matching the incremental_lpa superset-frontier
-    contract.
+    Edge REMOVALS can split components — route them through
+    :func:`decremental_components`, which re-solves only the touched
+    components; a mixed batch applies removals first, then additions.
 
     100 TB: the corpus-sized tables are touched by exactly two
     label-keyed hash joins (prev snapshot is a stored table — partition
@@ -209,3 +211,86 @@ def incremental_components(
         prev.select("node"), "node", "left_anti"
     )
     return carried.unionByName(new_nodes)
+
+
+def decremental_components(
+    prev_labels: DataFrame,
+    remaining_edges: DataFrame,
+    removed_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    assert_converged: bool = False,
+) -> DataFrame:
+    """Decremental connected components under EDGE REMOVALS — the verb
+    that completes the graph family's CRUD contract the way tombstone
+    deletes completed the ANN family's: removals can only SPLIT the
+    components they touch, never merge or move anything else, so the
+    refresh re-solves ONLY the affected components instead of rerunning
+    the corpus (the previously documented fallback).
+
+    1. locate: each removed edge names the one component it lived in
+       (both endpoints share a label in ``prev_labels`` — edges never
+       cross components); the distinct set of those labels is the
+       AFFECTED set, sized by the delta, broadcast everywhere below.
+    2. cut out: the affected components' nodes (one broadcast-hash
+       filter of the label snapshot) and their induced surviving edges
+       (one broadcast semi-join of ``remaining_edges`` on the src side —
+       sufficient, because every surviving edge of an affected component
+       has BOTH endpoints inside it).
+    3. re-solve: :func:`connected_components` over the induced subgraph
+       plus a self-edge per affected node (so nodes isolated by the
+       removal survive as singletons) — iteration sized by the touched
+       components, not |V| or |E|.
+    4. stitch: untouched labels pass through via one broadcast
+       anti-join; affected nodes take their re-solved labels.
+
+    Exactness: components are vertex-disjoint and ``remaining_edges``
+    (= previous edges minus removals — apply ADDITIONS separately via
+    :func:`incremental_components`; this operator assumes no new edges)
+    never crosses them, so from-scratch CC on the union decomposes into
+    per-component solves; untouched components already hold their
+    fixpoint (min node id), and step 3 computes exactly the fixpoint of
+    the affected ones. The workload oracle pins the composed result
+    against the full from-scratch recurrence on the remaining graph.
+
+    100 TB: the corpus-sized inputs are touched by exactly one
+    broadcast-hash filter (label snapshot) and one broadcast semi-join
+    (edge table) — no corpus-keyed shuffle, no corpus-wide iteration;
+    everything iterative runs on the affected slice. With the snapshot
+    and edge table bucketed by label/src the reads also prune."""
+    prev = prev_labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+    rm_ends = (
+        removed_edges.select(F.col(src).cast("long").alias("node"))
+        .union(removed_edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    aff_labels = (
+        prev.join(rm_ends, "node").select("component").distinct()
+    )
+    aff_nodes = prev.join(
+        F.broadcast(aff_labels), "component"
+    ).select("node")
+    e = remaining_edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sub = e.join(
+        F.broadcast(aff_nodes.select(F.col("node").alias("u"))),
+        "u",
+        "left_semi",
+    )
+    sub_all = sub.union(
+        aff_nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    solved = connected_components(
+        sub_all,
+        rounds=rounds,
+        src="u",
+        dst="v",
+        assert_converged=assert_converged,
+    )
+    untouched = prev.join(F.broadcast(aff_labels), "component", "left_anti")
+    return untouched.unionByName(solved.select("node", "component"))

@@ -12824,3 +12824,59 @@ def stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+_CC_DECR_RAW_SQL = _CC_RAW_SQL + """
+  UNION ALL
+  SELECT u, u + 50 AS v FROM d WHERE doc_id % 100 = 0 AND u % 200 <> 0"""
+
+
+@query("decremental_components", _cc_oracle(rounds=8, raw_sql=_CC_DECR_RAW_SQL))
+def decremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental connected components under edge REMOVALS
+    (operators/components.py::decremental_components) — the delete verb
+    that completes the graph family's CRUD contract (the ANN family got
+    tombstones + compaction in r6; this is the components analog). The
+    previous snapshot solved the fully-bridged 10-island host graph
+    (five 100-node merged components); the delta REMOVES two of the five
+    bridges (hosts 0 and 200), splitting those components back into
+    islands. The refresh: locate the two touched components from the
+    removed edges' labels, broadcast-filter their nodes and surviving
+    edges out of the corpus tables, re-solve CC on that induced slice
+    only (self-edges keep removal-isolated nodes as singletons), and
+    stitch the three untouched merged components through unchanged via a
+    broadcast anti-join. The oracle is the FULL from-scratch unrolled
+    recurrence on the remaining graph: hash equality proves
+    affected-only refresh ≡ rebuild. Both CC calls run with
+    assert_converged so a pinned round count that stops short at a
+    larger sf fails loudly instead of staying hash-green. At 100 TB the
+    corpus tables see one broadcast filter + one broadcast semi-join —
+    no corpus-keyed shuffle, no corpus-wide iteration."""
+    from chatbot_spark.operators.components import (
+        connected_components,
+        decremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        u.alias("src"), (u + 50).alias("dst")
+    )
+    removed = bridges.filter(F.col("src") % 200 == 0)
+    remaining = ring.union(chord).union(
+        bridges.filter(F.col("src") % 200 != 0)
+    )
+    prev = connected_components(
+        ring.union(chord).union(bridges), rounds=8, assert_converged=True
+    )
+    labels = decremental_components(
+        prev, remaining, removed, rounds=8, assert_converged=True
+    )
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

@@ -132,3 +132,82 @@ def test_incremental_intra_component_edge_is_noop(spark):
 def test_incremental_disjoint_new_subgraph(spark):
     got = _inc(spark, [(1, 2)], [(100, 101)])
     assert got == {1: 1, 2: 1, 100: 100, 101: 100}
+
+
+def _dec(spark, base_edges, removed, rounds=None):
+    from chatbot_spark.operators.components import decremental_components
+
+    prev = connected_components(
+        spark.createDataFrame(base_edges, "src long, dst long")
+    )
+    remaining = [e for e in base_edges if e not in set(removed)]
+    rem_df = spark.createDataFrame(remaining, "src long, dst long")
+    del_df = spark.createDataFrame(removed, "src long, dst long")
+    return (
+        {
+            r["node"]: r["component"]
+            for r in decremental_components(
+                prev, rem_df, del_df, rounds=rounds
+            ).collect()
+        },
+        remaining,
+    )
+
+
+def test_decremental_equals_scratch_on_random_graph(spark):
+    rng = random.Random(29)
+    base = [(rng.randrange(150), rng.randrange(150)) for _ in range(110)]
+    base = list({(u, v) for u, v in base if u != v})
+    removed = rng.sample(base, 15)
+    got, remaining = _dec(spark, base, removed)
+    # ground truth: from-scratch on the remaining graph, PLUS every node
+    # of the base graph still exists (removal never deletes nodes)
+    truth = _uf_reference(remaining)
+    for n in {x for e in base for x in e}:
+        truth.setdefault(n, n)
+    assert got == truth
+
+
+def test_decremental_chain_split(spark):
+    # cutting the middle of a chain splits one component into two
+    base = [(i, i + 1) for i in range(8)]
+    got, _ = _dec(spark, base, [(3, 4)])
+    assert got == {**{i: 0 for i in range(4)}, **{i: 4 for i in range(4, 9)}}
+
+
+def test_decremental_isolated_node_becomes_singleton(spark):
+    # node 2's only edge is removed: it must survive as its own component
+    base = [(0, 1), (1, 2)]
+    got, _ = _dec(spark, base, [(1, 2)])
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_decremental_untouched_components_pass_through(spark):
+    base = [(0, 1), (10, 11), (11, 12), (20, 21)]
+    got, _ = _dec(spark, base, [(11, 12)])
+    # components {0,1} and {20,21} untouched; {10,11,12} splits
+    assert got == {0: 0, 1: 0, 10: 10, 11: 10, 12: 12, 20: 20, 21: 20}
+
+
+def test_decremental_redundant_edge_removal_is_noop(spark):
+    # removing one edge of a triangle leaves the component connected
+    base = [(0, 1), (1, 2), (0, 2)]
+    got, _ = _dec(spark, base, [(1, 2)])
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_decremental_unknown_removed_edge_is_harmless(spark):
+    # a removal naming nodes the snapshot never saw must not corrupt labels
+    base = [(0, 1)]
+    prev = connected_components(
+        spark.createDataFrame(base, "src long, dst long")
+    )
+    from chatbot_spark.operators.components import decremental_components
+
+    rem = spark.createDataFrame(base, "src long, dst long")
+    ghost = spark.createDataFrame([(500, 501)], "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in decremental_components(prev, rem, ghost).collect()
+    }
+    assert got == {0: 0, 1: 0}
