@@ -80,6 +80,7 @@ HEADLINE = [
     "neardup_clusters_exact",
     "stream_components",
     "decremental_components",
+    "retrieve_routed",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",
@@ -422,6 +423,13 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "loadavg": {"start": load_start, "end": load_end},
+        # canonicality gate (round-7 verdict item 1): the r7 headline was
+        # minted at loadavg 5.4–9.7 and read 250 s where a solo run read
+        # 231 s — a noisy artifact became the round's number. A run whose
+        # START loadavg exceeds 2.0 on this 32-cpu box is stamped
+        # non-canonical; round-over-round comparisons must prefer the
+        # newest canonical-true artifact (tools/bench_diff.py enforces).
+        "canonical": (load_start is not None and load_start <= 2.0),
     }
     # attach the recorded sf1 point (tools/bench_sf1.py: a PINNED entry
     # list re-run at a 10x key-shifted replication of sf0.1 — sf0.1 sits
@@ -457,6 +465,24 @@ def main() -> None:
                 "sizes": sd["sizes"],
                 "growth_tiled": sd["growth_tiled"],
                 "growth_bucketed": sd["growth_bucketed"],
+            }
+        except (OSError, ValueError, KeyError):
+            pass
+    # attach the prefix-Jaccard scale point (tools/bench_prefixjoin.py:
+    # naive posting-list join vs prefix-filtered join on the Zipf corpus —
+    # the sub-quadratic case the sf0.1 headline fixture can't show)
+    pj_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PREFIXJOIN.json"
+    )
+    if os.path.exists(pj_path):
+        try:
+            with open(pj_path) as f:
+                pj = json.load(f)
+            payload["prefixjoin_scale"] = {
+                "sizes": pj["sizes"],
+                "data_growth": pj["data_growth"],
+                "growth_naive": pj["growth_naive"],
+                "growth_prefix": pj["growth_prefix"],
             }
         except (OSError, ValueError, KeyError):
             pass

@@ -49,6 +49,20 @@ class RetrieveConfig:
     backend_has_rerank: bool = True
     backend: str = "hash"
     dim: int = 64
+    # --- index-aware routing (SURVEY §4's deferred optimizer item) ---
+    # When a written IVF index is REGISTERED for the corpus, universal
+    # mode rewrites the exact knn_join onto it: centroid-routed,
+    # partition-pruned reads instead of a corpus scan — the caller does
+    # not need to know the index exists. recall_slo picks the probe
+    # width: 1.0 demands exactness → FULL probe, which is bit-for-bit
+    # the exact scan (the ivf_knn_fullprobe pin); 0.95 uses the
+    # measured-recall pruned setting (BENCH_ANN_SCALE: recall 1.0 at
+    # nprobe 7/8, 2.9× at 1M vectors); below that, nlist/2.
+    index_path: str | None = None
+    index_nlist: int = 8
+    index_id_col: str = "id"
+    index_vec_col: str = "embedding"
+    recall_slo: float = 1.0
 
 
 def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
@@ -76,6 +90,18 @@ def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> D
     do_rerank = should_rerank(cfg.rerank_enabled, cfg.backend_has_rerank, n_comp)
 
     if cfg.mode == "universal":
+        if cfg.index_path is not None:
+            # index-aware rewrite: the exact knn_join becomes a
+            # centroid-routed IVF search over the written index — only
+            # nprobe/nlist of the corpus files are read (isin →
+            # PartitionFilters on centroid_id). The document payload is
+            # fetched AFTER candidate selection by one id-keyed join
+            # (Q×k rows against the corpus — the late-materialization
+            # shape that matters at 100 TB: the search never carries
+            # text). Full probe (recall_slo >= 1.0) is bit-for-bit the
+            # exact scan — pinned by ivf_knn_fullprobe and the
+            # retrieve_routed workload oracle.
+            return _routed_universal(queries_df, corpus, cfg)
         # §3.2: single global search, k=10, no rerank (rag_graph.py:247-257)
         return knn_join(
             queries_df, corpus, k=cfg.k, metric=cfg.metric,
@@ -98,6 +124,50 @@ def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> D
     return out.select(
         "query_id", "neighbor_id",
         F.col("rerank_rank").alias("rank"), "dist", "document",
+    )
+
+
+def nprobe_for_slo(recall_slo: float, nlist: int) -> int:
+    """Probe width from the recall SLO. 1.0 = exactness demanded → full
+    probe (the index only prunes, never perturbs, so full probe ≡ exact
+    bit-for-bit); 0.95 → the measured-recall setting (BENCH_ANN_SCALE:
+    recall 1.0 @ nprobe ceil(7/8·nlist) on the 1M corpus); looser SLOs
+    probe half the cells."""
+    import math
+
+    if recall_slo >= 1.0:
+        return nlist
+    if recall_slo >= 0.95:
+        return max(1, math.ceil(nlist * 7 / 8))
+    return max(1, nlist // 2)
+
+
+def _routed_universal(
+    queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig
+) -> DataFrame:
+    from chatbot_spark.operators.ann import IVFIndex
+
+    if cfg.metric != "l2":
+        raise ValueError(
+            f"registered index is l2; cfg.metric={cfg.metric!r} — route "
+            "only rewrites metric-compatible searches"
+        )
+    index = IVFIndex.load(
+        queries_df.sparkSession,
+        cfg.index_path,
+        vec_col=cfg.index_vec_col,
+        id_col=cfg.index_id_col,
+    )
+    hits = index.search(
+        queries_df,
+        k=cfg.k,
+        nprobe=nprobe_for_slo(cfg.recall_slo, cfg.index_nlist),
+    )
+    payload = corpus.select(
+        F.col(cfg.index_id_col).alias("neighbor_id"), "document"
+    )
+    return hits.join(payload, "neighbor_id").select(
+        "query_id", "neighbor_id", "rank", "dist", "document"
     )
 
 

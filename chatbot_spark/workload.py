@@ -12570,11 +12570,52 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(src, "v", ["priority"], k_num=3, k_den=1)
 
 
+# Deterministic Zipf-ish synthetic corpus for the prefix-Jaccard family's
+# REALISTIC benchmark path (round-7 verdict: the raw `text` column's
+# 31-token vocabulary is the adversarial worst case — every shingle is
+# corpus-frequent, the prefix filter legitimately cannot prune, and the
+# bench only ever measured that). Natural text is Zipf: a tiny stopword
+# head carries ~half the token mass and the tail is rare — the regime the
+# prefix lemma exploits (rarest-first prefixes hit tail shingles, df≈1).
+# Construction, identical in both engines (pure BIGINT LCG, no RNG):
+# 24 tokens/doc; h(j) = ((seed·24 + j) · 2654435761) mod 2147483647;
+# token = stopword h%5 when h%10 < 5 (5 types, 50% mass — "the/of/and"
+# scale) else tail word 5 + (h div 10) % 100000. Docs with doc_id ≡ 1
+# (mod 10) reuse their predecessor's seed for positions 1..22 (own seed
+# past that): shingle Jaccard 20/24 = 5/6 ≥ 4/5, a 10% planted near-dup
+# rate. The worst case stays pinned by prefix_jaccard_adversarial.
+_ZIPF_D_CTE = """d AS (
+  SELECT doc_id, list_transform(
+    list_transform(generate_series(1, 24), j ->
+      (((CASE WHEN doc_id % 10 = 1 AND j <= 22 THEN doc_id - 1 ELSE doc_id END)
+        * 24 + j) * 2654435761) % 2147483647),
+    h -> 'w' || CAST(CASE WHEN h % 10 < 5 THEN (h // 10) % 5
+                     ELSE 5 + (h // 10) % 100000 END AS VARCHAR)) AS toks
+  FROM documents)"""
+
+_ZIPF_TEXT_EXPR = """array_join(transform(
+  transform(sequence(1, 24), j ->
+    ((if(doc_id % 10 = 1 and j <= 22, doc_id - 1, doc_id)
+      * 24 + j) * 2654435761) % 2147483647),
+  h -> concat('w', cast(if(h % 10 < 5, (h div 10) % 5,
+                           5 + (h div 10) % 100000) as string))), ' ')"""
+
+
+def _zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) — the Zipf synthetic corpus above, as a text column
+    (the shingle operators re-tokenize on whitespace, so array_join here
+    and direct token lists in the oracle meet at identical shingles)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ZIPF_TEXT_EXPR).alias("text")
+    )
+
+
 @query(
     "prefix_jaccard_neardup",
     """
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+WITH """
+    + _ZIPF_D_CTE
+    + """,
 sh AS (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(toks) - 2, 1)),
@@ -12602,9 +12643,53 @@ def prefix_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     enter the self-join, so bucket fan-out is driven by the rare end of
     the vocabulary while the prefix lemma keeps the pair set COMPLETE
     (minhash can miss; the naive complete join fans out on stopword
-    shingles). The oracle is the NAIVE all-pairs join — hash equality IS
-    the completeness proof. All threshold math integer (inter·5 >=
-    union·4; jaccard_ppm BIGINT)."""
+    shingles). Runs on the deterministic Zipf corpus (_zipf_docs above)
+    — natural-vocabulary statistics, the operator's design regime, with
+    a 10% planted near-dup rate; the 31-token worst case stays pinned by
+    prefix_jaccard_adversarial. The oracle is the NAIVE all-pairs join —
+    hash equality IS the completeness proof. All threshold math integer
+    (inter·5 >= union·4; jaccard_ppm BIGINT)."""
+    from chatbot_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _zipf_docs(spark, sf_dir), "doc_id", "text",
+        shingle_n=3, t_num=4, t_den=5,
+    )
+
+
+@query(
+    "prefix_jaccard_adversarial",
+    """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 1)),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+  FROM d),
+post AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT t.id_a, t.id_b,
+       CAST((t.i * 1000000) // (x.n + y.n - t.i) AS BIGINT) AS jaccard_ppm
+FROM inter t
+JOIN sizes x ON x.doc_id = t.id_a
+JOIN sizes y ON y.doc_id = t.id_b
+WHERE t.i * 5 >= (x.n + y.n - t.i) * 4
+""",
+)
+def prefix_jaccard_adversarial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix join's ADVERSARIAL worst case, kept as a small
+    correctness pin (driver-checked at sf0.01; not a headline bench
+    entry): the raw documents.text column has a ~31-token vocabulary, so
+    every 3-gram shingle is corpus-frequent and the prefix filter
+    legitimately cannot prune — completeness must hold anyway. Same
+    operator, same naive all-pairs oracle; the realistic-regime twin is
+    prefix_jaccard_neardup (Zipf corpus), benchmarked in
+    BENCH_PREFIXJOIN.json."""
     from chatbot_spark.operators.dedup import prefix_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -12675,11 +12760,16 @@ def _neardup_cluster_oracle(cc_rounds: int = 4) -> str:
     """Naive complete pair join (the prefix-filter oracle) feeding the
     unrolled hash-to-min + pointer-jump recurrence — the two proofs
     composed: completeness of the pair set AND exactness of the
-    clustering."""
-    head = """
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
-shs AS (
+    clustering. Runs on the Zipf synthetic corpus (_ZIPF_D_CTE) — the
+    realistic prefix-filter regime; the worst case is pinned separately
+    by prefix_jaccard_adversarial."""
+    head = (
+        "\nWITH "
+        + _ZIPF_D_CTE
+        + """,
+shs AS ("""
+    )
+    head += """
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(toks) - 2, 1)),
     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
@@ -12733,13 +12823,16 @@ def neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually oracle-pinned (prefix_jaccard_neardup,
     host_components); this query pins their COMPOSITION: the oracle is
     the naive all-pairs join + the unrolled CC recurrence, so a missed
-    pair or a wrong merge anywhere breaks the hash."""
+    pair or a wrong merge anywhere breaks the hash. Runs on the Zipf
+    synthetic corpus (_zipf_docs) — natural-vocabulary statistics, where
+    the planted 10% predecessor near-dups give size-2 clusters; the
+    31-token worst case stays pinned by prefix_jaccard_adversarial."""
     from chatbot_spark.operators.components import connected_components
     from chatbot_spark.operators.dedup import prefix_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
     pairs = prefix_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, t_num=4, t_den=5
+        _zipf_docs(spark, sf_dir), "doc_id", "text",
+        shingle_n=3, t_num=4, t_den=5,
     )
     labels = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -12879,4 +12972,67 @@ def decremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("component").agg(
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+@query(
+    "retrieve_routed",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+       'doc-' || CAST(neighbor_id AS VARCHAR) AS document
+FROM ranked WHERE rank <= 10
+""",
+)
+def retrieve_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-aware retrieval routing (SURVEY §4's deferred optimizer
+    item; plans/retrieve.py::_routed_universal): when a written IVF
+    index is registered for the corpus, retrieve()'s universal mode
+    rewrites the exact knn_join onto it — centroid-routed,
+    partition-pruned index reads plus ONE id-keyed payload join after
+    candidate selection (late materialization: the search never carries
+    document text) — without the caller knowing the index exists. The
+    recall SLO picks the probe width; this query demands recall_slo=1.0
+    → FULL probe, and the oracle is the EXACT scan: hash equality proves
+    the rewrite is transparent (the index only prunes, never perturbs).
+    The pruned setting's speedup is the measured BENCH_ANN_SCALE point
+    (2.9× at 1M vectors, recall 1.0 at nprobe 7/8)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routed_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_nlist=8,
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
     )

@@ -584,3 +584,59 @@ def test_canonicalize_url_edges(spark):
     assert out[3] == "https://ex.com/"
     assert out[4] == "not a url at all"
     assert out[5] == "http://ex.com/p/?b=1&b=2"
+
+
+def test_retrieve_routed_fullprobe_equals_exact(spark, corpus, tmp_path):
+    """Index-aware routing (SURVEY §4): with a registered IVF index and
+    recall_slo=1.0 (full probe), retrieve() must return EXACTLY the
+    unrouted exact scan — same ids, ranks, distances, payloads."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "deploy oceanbase cluster now"), ("q2", "ocp metrics")],
+        "query_id STRING, query_text STRING",
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=3, index_path=path, index_nlist=2,
+        recall_slo=1.0,
+    )
+    routed = retrieve(queries, emb, cfg)
+    exact = retrieve(queries, emb, RetrieveConfig(mode="universal", k=3))
+    key = lambda r: (r["query_id"], r["rank"])
+    got = sorted(routed.collect(), key=key)
+    want = sorted(exact.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_retrieve_routed_rejects_foreign_metric(spark, corpus, tmp_path):
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "x")], "query_id STRING, query_text STRING"
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", metric="cosine", index_path=path, index_nlist=2
+    )
+    with pytest.raises(ValueError, match="metric"):
+        retrieve(queries, emb, cfg)
+
+
+def test_nprobe_for_slo_tiers():
+    from chatbot_spark.plans.retrieve import nprobe_for_slo
+
+    assert nprobe_for_slo(1.0, 8) == 8       # exactness -> full probe
+    assert nprobe_for_slo(0.95, 8) == 7      # measured-recall setting
+    assert nprobe_for_slo(0.5, 8) == 4
+    assert nprobe_for_slo(0.5, 1) == 1       # floor at 1

@@ -101,6 +101,13 @@ DEFAULT_QUERIES = [
     "pmi_collocations",
     "mad_outlier_audit",
     "prefix_jaccard_neardup",
+    # r7c/r8 composition + streaming + sketch-store family (round-7
+    # verdict item 5: every headline entry above ~2 s is audited)
+    "neardup_clusters_exact",
+    "stream_components",
+    "hdr_sketch_slice",
+    "decremental_components",
+    "prefix_jaccard_adversarial",
 ]
 
 
@@ -111,10 +118,31 @@ JUSTIFIED = {
         "candidate-pair generation IS the operator (the frequent_pairs "
         "discipline): prefix buckets emit (id_a, id_b) id tuples — never "
         "text — bounded by sum over PREFIX shingles of df(p)^2 after the "
-        "length prune; this corpus's 31-token synthetic vocabulary makes "
-        "every shingle corpus-frequent (the adversarial worst case — "
-        "natural-corpus prefixes are rare by construction), and the "
+        "length prune; on the Zipf corpus prefixes hit the rare tail so "
+        "the remaining >2 ratio is the shingle explode + df/rank "
+        "exchanges (O(tokens) rows vs a doc-count denominator), and the "
         "complete pair set is the contract the naive-join oracle pins"
+    ),
+    "prefix_jaccard_adversarial": (
+        "the SAME operator pinned on the 31-token worst-case corpus, "
+        "where every shingle is corpus-frequent and the prefix filter "
+        "legitimately cannot prune (sum df(p)^2 is near-quadratic by "
+        "construction); kept small (sf0.01 correctness pin) — the "
+        "realistic regime is prefix_jaccard_neardup + BENCH_PREFIXJOIN"
+    ),
+    "neardup_clusters_exact": (
+        "composition of prefix_jaccard_neardup (see its entry) with "
+        "4 hash-to-min CC rounds over the pair graph: each round "
+        "re-exchanges O(V+E) (node, label) tuples — ids and labels, "
+        "never text; per-round volume flat (the Pregel contract), and "
+        "the convergence assertion adds one O(V) probe round"
+    ),
+    "stream_components": (
+        "three AvailableNow micro-batches, each folding a delta into "
+        "the stored snapshot via incremental_components: per batch the "
+        "contracted solve re-exchanges its delta-sized graph over 6 "
+        "pinned rounds + the O(V) stitch/write — (node, label) longs "
+        "only; per-batch volume is O(delta + touched), not corpus"
     ),
     "dataprep_pipeline": (
         "n-gram pair generation IS the operator: 5k docs explode to ~1.1M "

@@ -63,7 +63,13 @@ def main() -> int:
     }
     la = (cur.get("loadavg") or {})
     busy = any(v is not None and v > 3.0 for v in la.values())
-    if not flagged:
+    # bench.py stamps canonical=false on loaded-host runs (start loadavg
+    # > 2); a non-canonical CURRENT artifact can never mint a verdict
+    # other than "re-run solo" — that is the r7 lesson mechanized
+    canonical_cur = cur.get("canonical")
+    if canonical_cur is False:
+        verdict = "non-canonical current artifact: re-run on a quiet host"
+    elif not flagged:
         verdict = "clean"
     elif busy or (uniform is not None and uniform > 1 + pct / 200.0):
         verdict = "host-drift-suspect: re-run solo before changing code"
@@ -77,6 +83,8 @@ def main() -> int:
                 "total_base": base.get("value"),
                 "uniform_ratio_median": uniform,
                 "loadavg_cur": la,
+                "canonical_cur": canonical_cur,
+                "canonical_base": base.get("canonical"),
                 "flagged": flagged,
                 "verdict": verdict,
             },

@@ -93,6 +93,16 @@ PINNED = [
     "k_anonymity_audit",
     "constraint_audit",
     "ols_daily_trend",
+    # appended r8 (round-7 verdict item 4: the r7 heavy additions whose
+    # scaling is their whole justification, plus the r8 delete verb)
+    "prefix_jaccard_neardup",
+    "neardup_clusters_exact",
+    "stream_components",
+    "incremental_components",
+    "incremental_lpa",
+    "hdr_quantile_sketch",
+    "hdr_sketch_slice",
+    "decremental_components",
 ]
 
 
