@@ -547,7 +547,8 @@ def main() -> None:
             }
             for k in ("lpa12_sec", "lpa_full_sec", "lpa_incr_sec",
                       "lpa_incr_speedup", "cc_full_sec", "cc_incr_sec",
-                      "cc_rebuild_sec", "cc_incr_speedup"):
+                      "cc_rebuild_sec", "cc_incr_speedup",
+                      "cc_decr_sec", "cc_decr_speedup"):
                 if all(k in r for r in recs):
                     payload["graph_scale"][k] = [r[k] for r in recs]
         except (OSError, ValueError, KeyError):

@@ -111,6 +111,24 @@ def test_resolve_duplicate_clusters(spark):
     assert got == {3: 3, 7: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 2, 2: 2}
 
 
+def test_resolve_duplicate_clusters_cutover_boundary_and_string_ids(spark):
+    """The hybrid cutover pins: exactly AT driver_threshold the edge set
+    still takes the driver union-find (collected via Arrow — r7 verdict
+    item 7), one below forces the distributed recurrence, and both agree;
+    string ids survive the Arrow round-trip (the id-type passthrough
+    contract)."""
+    from chatbot_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a STRING, id_b STRING"
+    )
+    at = resolve_duplicate_clusters(pairs, driver_threshold=3).collect()
+    below = resolve_duplicate_clusters(pairs, driver_threshold=2).collect()
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert {r["doc_id"]: r["canonical_id"] for r in at} == want
+    assert sorted(map(tuple, at)) == sorted(map(tuple, below))
+
+
 def test_backend_registry_matches_reference_dispatch():
     """The BACKENDS registry mirrors the reference's EMBEDDED_TYPE factory
     (base.py:21-66: default/ollama/openai) plus its BGE-M3 model; unknown

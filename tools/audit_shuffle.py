@@ -251,6 +251,14 @@ def main() -> int:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            # the before/after diff is a SUM over retained completed
+            # stages: iterative/streaming queries (localCheckpoint per
+            # round, foreachBatch) run thousands of stages, and default
+            # retention (1000) EVICTS earlier stages mid-audit — the
+            # "after" sum then undercounts and the delta goes negative
+            # (r8: neardup_clusters_exact/stream_components read None)
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     ui = spark.sparkContext.uiWebUrl

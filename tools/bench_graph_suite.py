@@ -201,10 +201,27 @@ def main() -> int:
         incremental_components(prev, bridges, rounds=6).count()
         rec["cc_incr_sec"] = round(time.time() - t0, 2)
         t0 = time.time()
-        connected_components(islands.union(bridges), rounds=8).count()
+        union_labels = connected_components(
+            islands.union(bridges), rounds=8
+        ).localCheckpoint(eager=True)
         rec["cc_rebuild_sec"] = round(time.time() - t0, 2)
         rec["cc_incr_speedup"] = round(
             rec["cc_rebuild_sec"] / max(rec["cc_incr_sec"], 1e-9), 2
+        )
+
+        # decremental CC (the r8 delete verb): remove the 64 bridges from
+        # the union graph — only the one merged 65-island chain (65×1024
+        # nodes, FIXED size) is affected, so the refresh cost must stay
+        # flat while the graph grows; the honest comparison is the
+        # from-scratch solve on the remaining graph (cc_full_sec, measured
+        # above on the identical island graph this run)
+        from chatbot_spark.operators.components import decremental_components
+
+        t0 = time.time()
+        decremental_components(union_labels, islands, bridges, rounds=8).count()
+        rec["cc_decr_sec"] = round(time.time() - t0, 2)
+        rec["cc_decr_speedup"] = round(
+            rec["cc_full_sec"] / max(rec["cc_decr_sec"], 1e-9), 2
         )
         islands.unpersist()
 

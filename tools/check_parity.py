@@ -129,8 +129,17 @@ def floorize_round(sql: str) -> str:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--paranoid-floats"]
-    paranoid = "--paranoid-floats" in sys.argv[1:]
+    # --json PATH: also write a machine-readable sweep artifact (round-7
+    # verdict item 3 — the full-sweep parity run becomes a committed
+    # PARITY_r{N}.json instead of an uncommitted local run)
+    json_path = None
+    raw = sys.argv[1:]
+    if "--json" in raw:
+        i = raw.index("--json")
+        json_path = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
+    argv = [a for a in raw if a != "--paranoid-floats"]
+    paranoid = "--paranoid-floats" in raw
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -155,6 +164,7 @@ def main() -> int:
         )
 
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in SPARK_QUERIES.items():
         if only and name not in only:
             continue
@@ -167,9 +177,11 @@ def main() -> int:
             )
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "FAIL", "detail": f"spark {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in ORACLE_SQL:
+            report[name] = {"status": "SKIP", "rows": len(srows)}
             print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -185,6 +197,7 @@ def main() -> int:
             ).arrow().schema
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "FAIL", "detail": f"duckdb {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
 
@@ -207,11 +220,13 @@ def main() -> int:
                 )
             except Exception as e:
                 failures.append(name)
+                report[name] = {"status": "FAIL", "detail": f"paranoid {type(e).__name__}: {e}"}
                 print(f"FAIL  {name}: paranoid rewrite error {type(e).__name__}: {e}")
                 continue
             if prows != drows:
                 n_bad = sum(1 for a, b in zip(prows, drows) if a != b)
                 failures.append(name)
+                report[name] = {"status": "FAIL", "detail": "tie-sensitive round()"}
                 print(
                     f"FAIL  {name}: TIE-SENSITIVE round(): floor-form oracle "
                     f"differs in {n_bad}/{len(drows)} rows (+{len(prows)-len(drows)} row delta)"
@@ -231,11 +246,34 @@ def main() -> int:
             status.append(f"values {n_bad}/{len(srows)} differ; first: spark={ex[0]} duck={ex[1]}")
         if status:
             failures.append(name)
+            report[name] = {"status": "FAIL", "detail": "; ".join(status)}
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
+            report[name] = {
+                "status": "OK",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             print(f"OK    {name}  ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json as _json
+
+        payload = {
+            "metric": "oracle_parity_sweep",
+            "sf_dir": sf_dir,
+            "engines": {
+                "duckdb": duckdb.__version__,
+                "pyspark": pyspark.__version__,
+            },
+            "n_checked": len(report),
+            "n_ok": sum(1 for r in report.values() if r["status"] == "OK"),
+            "failures": failures,
+            "queries": report,
+        }
+        with open(json_path, "w") as f:
+            f.write(_json.dumps(payload, separators=(",", ":")) + "\n")
     spark.stop()
     return 1 if failures else 0
 
