@@ -12587,16 +12587,21 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_D_CTE = """d AS (
   SELECT doc_id, list_transform(
     list_transform(generate_series(1, 24), j ->
-      (((CASE WHEN doc_id % 10 = 1 AND j <= 22 THEN doc_id - 1 ELSE doc_id END)
-        * 24 + j) * 2654435761) % 2147483647),
+      ((((CASE WHEN doc_id % 10 = 1 AND j <= 22 THEN doc_id - 1 ELSE doc_id END)
+         % 100000007) * 24 + j) * 2654435761) % 2147483647),
     h -> 'w' || CAST(CASE WHEN h % 10 < 5 THEN (h // 10) % 5
                      ELSE 5 + (h // 10) % 100000 END AS VARCHAR)) AS toks
   FROM documents)"""
 
+# the seed is reduced mod the prime 1e8+7 BEFORE the LCG multiply so the
+# partial product stays <= (1e8+7-1)*24*2654435761 ≈ 6.4e18 < 2^63 at ANY
+# doc_id (sf1's 10x replication shifts ids by i*1e8 — the unreduced form
+# overflowed there under ANSI mode); consecutive ids stay distinct mod p,
+# so the predecessor near-dup pairing is unaffected
 _ZIPF_TEXT_EXPR = """array_join(transform(
   transform(sequence(1, 24), j ->
-    ((if(doc_id % 10 = 1 and j <= 22, doc_id - 1, doc_id)
-      * 24 + j) * 2654435761) % 2147483647),
+    (((if(doc_id % 10 = 1 and j <= 22, doc_id - 1, doc_id)
+       % 100000007) * 24 + j) * 2654435761) % 2147483647),
   h -> concat('w', cast(if(h % 10 < 5, (h div 10) % 5,
                            5 + (h div 10) % 100000) as string))), ' ')"""
 
