@@ -81,6 +81,8 @@ HEADLINE = [
     "stream_components",
     "decremental_components",
     "retrieve_routed",
+    "retrieve_routed_pruned",
+    "mixed_edge_batch_components",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

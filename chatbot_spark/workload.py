@@ -12935,13 +12935,13 @@ def decremental_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     that completes the graph family's CRUD contract (the ANN family got
     tombstones + compaction in r6; this is the components analog). The
     previous snapshot solved the fully-bridged 10-island host graph
-    (five 100-node merged components); the delta REMOVES two of the five
-    bridges (hosts 0 and 200), splitting those components back into
-    islands. The refresh: locate the two touched components from the
+    (five 100-node merged components); the delta REMOVES three of the
+    five bridges (hosts 0, 200, 400 — src % 200 = 0), splitting those
+    components back into islands. The refresh: locate the touched components from the
     removed edges' labels, broadcast-filter their nodes and surviving
     edges out of the corpus tables, re-solve CC on that induced slice
     only (self-edges keep removal-isolated nodes as singletons), and
-    stitch the three untouched merged components through unchanged via a
+    stitch the two untouched merged components through unchanged via a
     broadcast anti-join. The oracle is the FULL from-scratch unrolled
     recurrence on the remaining graph: hash equality proves
     affected-only refresh ≡ rebuild. Both CC calls run with
@@ -13041,3 +13041,117 @@ def retrieve_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 6).alias("dist"),
         "document",
     )
+
+
+_CC_MIXED_RAW_SQL = _CC_RAW_SQL + """
+  UNION ALL
+  SELECT u, u + 50 AS v FROM d WHERE doc_id % 100 = 0 AND u % 200 <> 0
+  UNION ALL
+  SELECT 0 AS u, 450 AS v FROM d WHERE doc_id % 500 = 0"""
+
+
+@query(
+    "mixed_edge_batch_components",
+    _cc_oracle(rounds=8, raw_sql=_CC_MIXED_RAW_SQL),
+)
+def mixed_edge_batch_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXED maintenance batch — removals and additions in one delta,
+    composed per the documented contract (components.py: apply removals
+    first via decremental_components, then additions via
+    incremental_components). The snapshot solved the fully-bridged
+    10-island graph; the batch removes the bridges at hosts 0, 200 and
+    400 (splitting three merged pairs) AND adds a new long-range link
+    0→450 (re-merging island 0 with island 9 across the removal). Both CRUD
+    verbs run affected-only — broadcast-filtered slice re-solve, then a
+    contracted-graph solve — and the oracle is the from-scratch unrolled
+    recurrence on the FINAL edge set: hash equality proves the two
+    refreshes compose exactly (ordering matters: an addition landing on a
+    node whose component is about to split would read a stale label if
+    applied first — removals-then-additions is the only exact order, and
+    this pin would break under the other one). Both solves run
+    assert_converged."""
+    from chatbot_spark.operators.components import (
+        connected_components,
+        decremental_components,
+        incremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        u.alias("src"), (u + 50).alias("dst")
+    )
+    removed = bridges.filter(F.col("src") % 200 == 0)
+    remaining = ring.union(chord).union(
+        bridges.filter(F.col("src") % 200 != 0)
+    )
+    additions = docs.filter(F.col("doc_id") % 500 == 0).select(
+        F.lit(0).cast("long").alias("src"), F.lit(450).cast("long").alias("dst")
+    )
+    prev = connected_components(
+        ring.union(chord).union(bridges), rounds=8, assert_converged=True
+    )
+    after_rm = decremental_components(
+        prev, remaining, removed, rounds=8, assert_converged=True
+    )
+    labels = incremental_components(
+        after_rm, additions, rounds=3, assert_converged=True
+    )
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+@query(
+    "retrieve_routed_pruned",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def retrieve_routed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed read path at its PRUNED setting — recall_slo=0.95 maps
+    to nprobe=ceil(7/8·nlist) (plans/retrieve.py::nprobe_for_slo), so the
+    corpus parquet is read 7/8ths at most and the shortlist join sees
+    only probed cells. Cell assignment is seed-dependent (k-means), so
+    like ivf_knn/graph_knn the driver oracle asserts the BASELINE.md SLO
+    (recall@10 >= 0.95 vs the exact scan, recomputed in-plan) plus
+    structural counts; the bit-exact transparency pin is the full-probe
+    twin retrieve_routed. Together they close SURVEY §4's deferred
+    optimizer item: exactness when demanded, measured-recall pruning when
+    allowed, caller-transparent either way."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedp_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+    q = _queries_from_embeddings(spark, sf_dir)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_nlist=8,
+        index_id_col="id", index_vec_col="embedding", recall_slo=0.95,
+    )
+    routed = retrieve(q, corpus, cfg)
+    exact = knn_join(
+        q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding"
+    )
+    return _ann_recall_summary(routed, exact)

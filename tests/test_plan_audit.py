@@ -31,7 +31,7 @@ EAGER = {
     "pq_knn", "ivfpq_knn", "graph_knn", "graph_knn_fullprobe",
     "graph_knn_deleted",
     "rag_pipeline_e2e",
-    "retrieve_routed",
+    "retrieve_routed", "retrieve_routed_pruned",
 }
 
 

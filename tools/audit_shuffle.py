@@ -108,6 +108,8 @@ DEFAULT_QUERIES = [
     "hdr_sketch_slice",
     "decremental_components",
     "prefix_jaccard_adversarial",
+    "mixed_edge_batch_components",
+    "retrieve_routed",
 ]
 
 
@@ -136,6 +138,13 @@ JUSTIFIED = {
         "re-exchanges O(V+E) (node, label) tuples — ids and labels, "
         "never text; per-round volume flat (the Pregel contract), and "
         "the convergence assertion adds one O(V) probe round"
+    ),
+    "mixed_edge_batch_components": (
+        "three composed CC solves (snapshot build + decremental slice "
+        "re-solve + incremental contracted solve), each re-exchanging "
+        "O(V+E) (node, label) longs per pinned round plus a convergence "
+        "probe — the Pregel contract three times over; the denominator "
+        "is one documents scan while the work is graph-round-bound"
     ),
     "stream_components": (
         "three AvailableNow micro-batches, each folding a delta into "

@@ -469,6 +469,33 @@ COMMENT = {
         "window, never a per-row range probe); the purchase scan pushes "
         "the event_type filter into parquet."
     ),
+    "retrieve_routed": (
+        "Index-aware retrieval routing (SURVEY §4): the exact knn_join "
+        "rewritten onto a WRITTEN IVF index. What to notice: the cells "
+        "scan carries PartitionFilters: centroid_id IN (...) — the probed "
+        "set is an explicit isin, so only the routed cells' parquet "
+        "directories are read (nprobe/nlist of the corpus at the pruned "
+        "SLO; this full-probe pin reads all 8 of 8); the centroid table "
+        "and the query shortlist are BroadcastExchange (tiny by "
+        "construction); the per-query ranking reuses the two-phase "
+        "WindowGroupLimit pair; and the document payload joins AFTER "
+        "candidate selection — the text column appears only in the final "
+        "id-keyed join, never in the distance pipeline (late "
+        "materialization: at 100 TB the search moves ids and floats, not "
+        "documents)."
+    ),
+    "decremental_components": (
+        "The graph family's delete verb. What to notice: every touch of "
+        "a corpus-sized input goes through a BroadcastExchange of the "
+        "delta-derived side — the affected-label set filters the label "
+        "snapshot (broadcast hash join), the affected-node set semi-joins "
+        "the remaining edge table (BroadcastExchange + LeftSemi), and the "
+        "untouched labels pass through a broadcast anti-join; the "
+        "iterative re-solve runs over checkpointed RDD scans (the "
+        "iterate() lineage discipline) sized by the affected slice. No "
+        "corpus-keyed shuffle appears anywhere in the plan — the 100 TB "
+        "contract is visible in the exchange types."
+    ),
 }
 
 
