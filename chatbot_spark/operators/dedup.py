@@ -854,6 +854,7 @@ def prefix_jaccard_pairs(
     shingle_n: int = 3,
     t_num: int = 4,
     t_den: int = 5,
+    persist_index: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= t_num/t_den via PREFIX FILTERING
     (Bayardo et al. WWW'07 All-Pairs / SSJoin family) — the COMPLETE
@@ -887,6 +888,17 @@ def prefix_jaccard_pairs(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), shingle_n).alias("__shs"),
     )
+    if persist_index:
+        # the shingle table feeds FIVE consumers (doc sizes, global df,
+        # the ranked prefix pass, and both verify sides): unpersisted,
+        # each re-tokenizes the corpus — 8 corpus scans in the physical
+        # plan (measured; 1 with the cache). O(docs) rows of shingle
+        # arrays, the same footprint ngram_jaccard_pairs' persist_index
+        # caches; default ON because the reuse is structural here, not
+        # situational. Same lifecycle contract as ngram_jaccard_pairs:
+        # the cache must outlive the returned lazy plan, so the caller
+        # (or spark.catalog.clearCache()) owns eviction.
+        sh = sh.persist()
     post = sh.select("__id", F.explode("__shs").alias("__sh"))
     sizes = post.groupBy("__id").agg(F.count("*").cast("long").alias("__n"))
     freq = post.groupBy("__sh").agg(F.count("*").cast("long").alias("__df"))

@@ -103,6 +103,9 @@ PINNED = [
     "hdr_quantile_sketch",
     "hdr_sketch_slice",
     "decremental_components",
+    # appended r8b (the composition + routing additions)
+    "mixed_edge_batch_components",
+    "retrieve_routed",
 ]
 
 
