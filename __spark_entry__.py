@@ -74,6 +74,17 @@ _PRIORITY = frozenset({
     "url_canonicalize", "range_join_price_bands",
 })
 
+# Queries whose SEMANTICS changed after their last green round — past
+# greens certify the old output, so rotation must treat them as never
+# checked until the driver re-verifies the new form. r8: the prefix-
+# Jaccard pair (repointed from the 31-token worst-case corpus onto the
+# Zipf synthetic corpus; both re-verified by the committed PARITY_r08
+# full sweep, but the hard driver check should follow).
+_RECHECK = frozenset({
+    "prefix_jaccard_neardup",
+    "neardup_clusters_exact",
+})
+
 
 def _rotated(names: list[str]) -> list[str]:
     import glob
@@ -100,7 +111,7 @@ def _rotated(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            times_green.get(n, 0),
+            0 if n in _RECHECK else times_green.get(n, 0),
             0 if n in _PRIORITY else 1,
             reg_index[n],
         ),
