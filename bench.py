@@ -83,6 +83,7 @@ HEADLINE = [
     "retrieve_routed",
     "retrieve_routed_pruned",
     "mixed_edge_batch_components",
+    "training_shard_plan",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

@@ -241,3 +241,51 @@ def capped_sample(
         .filter(F.col("__rn") <= cap)
         .drop("__h", "__pid", "__r1", "__rn")
     )
+
+
+def seeded_shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global shuffle + training-shard assignment — the
+    example-order primitive every trainer needs: a restart, a different
+    engine, or a different input layout must all produce the IDENTICAL
+    (shard, pos) for every example, or the run is not resumable and
+    ablations are not comparable.
+
+    shard = h % n_shards and pos = rank of h within the shard (ties by
+    id), where h is the 32-bit integer from the first 8 md5 hex chars of
+    "seed:id" — the same portable content-hash family as
+    deterministic_sample, so any engine replays it. Changing the seed
+    reshuffles everything; changing n_shards only re-buckets.
+
+    100 TB shape: ONE hash exchange keyed by shard plus a per-shard
+    window — never a global sort; shards are the unit of training-time
+    parallelism, so the window partition count is the downstream reader
+    count, not a skew hazard (md5 is uniform)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, (F.col("__h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop(
+        "__h"
+    )

@@ -13155,3 +13155,42 @@ def retrieve_routed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding"
     )
     return _ann_recall_summary(routed, exact)
+
+
+@query(
+    "training_shard_plan",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST({_DUCK_HEXWORD.format(t="'r8:' || CAST(doc_id AS VARCHAR)", off=1)} AS BIGINT) AS h
+  FROM documents),
+pos AS (
+  SELECT CAST(h % 8 AS INT) AS shard, doc_id,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM keyed)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard
+""",
+)
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-shard plan
+    (operators/sampling.py::seeded_shard_plan): a seeded content-hash
+    global shuffle + shard assignment, so a restarted or re-laid-out run
+    reproduces the identical example order — the resumability /
+    ablation-comparability primitive. The summary is position-sensitive
+    (sum of pos·doc_id per shard): ANY swap of two examples anywhere in
+    any shard changes the checksum, so hash equality pins the entire
+    permutation, not just membership. One shard-keyed exchange + one
+    per-shard window — never a global sort; md5 keeps shards uniform at
+    any scale."""
+    from chatbot_spark.operators.sampling import seeded_shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = seeded_shard_plan(docs, "doc_id", n_shards=8, seed="r8")
+    return plan.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias(
+            "order_checksum"
+        ),
+    )

@@ -715,3 +715,26 @@ def test_hdr_quantize_bounds_idempotent_monotone(v, sub_bits):
     assert _py_hdr_quantize(q, sub_bits) == q
     # monotone: the next value up never maps below
     assert _py_hdr_quantize(v + 1, sub_bits) >= q
+
+
+def test_seeded_shard_plan_reproducible_and_seed_sensitive(spark):
+    """The training-order contract: identical plan on re-run and on a
+    different input layout; a different seed permutes; every id appears
+    exactly once; positions are 1..n_shard contiguous per shard."""
+    from chatbot_spark.operators.sampling import seeded_shard_plan
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id LONG")
+    a = seeded_shard_plan(df, "id", n_shards=4, seed="s1")
+    b = seeded_shard_plan(df.repartition(7), "id", n_shards=4, seed="s1")
+    rows_a = sorted(map(tuple, a.select("id", "shard", "pos").collect()))
+    rows_b = sorted(map(tuple, b.select("id", "shard", "pos").collect()))
+    assert rows_a == rows_b  # layout-independent
+    assert len(rows_a) == 500 and len({r[0] for r in rows_a}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for _id, sh, pos in rows_a:
+        by_shard.setdefault(sh, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    c = seeded_shard_plan(df, "id", n_shards=4, seed="s2")
+    rows_c = sorted(map(tuple, c.select("id", "shard", "pos").collect()))
+    assert rows_c != rows_a  # the seed actually reshuffles
