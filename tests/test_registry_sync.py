@@ -62,3 +62,25 @@ def test_bench_headline_names_are_registered():
     unknown = [n for n in HEADLINE if n not in SPARK_QUERIES]
     assert not unknown, f"bench HEADLINE references unregistered queries: {unknown}"
     assert len(set(HEADLINE)) == len(HEADLINE), "duplicate HEADLINE entries"
+
+
+def test_rotation_recheck_and_priority_names_are_registered():
+    """A renamed query would silently drop out of the rotation tiers —
+    the RECHECK tier especially must track the registry, since its whole
+    point is forcing re-verification of semantically-changed queries."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_under_test", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_entry_under_test"] = mod
+    spec.loader.exec_module(mod)
+
+    from chatbot_spark.workload import SPARK_QUERIES
+
+    unknown = [n for n in mod._RECHECK if n not in SPARK_QUERIES]
+    assert not unknown, f"_RECHECK names not in registry: {unknown}"
+    unknown_p = [n for n in mod._PRIORITY if n not in SPARK_QUERIES]
+    assert not unknown_p, f"_PRIORITY names not in registry: {unknown_p}"
