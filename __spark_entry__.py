@@ -76,23 +76,28 @@ _PRIORITY = frozenset({
 
 # Queries whose SEMANTICS changed after their last green round — past
 # greens certify the old output, so rotation must treat them as never
-# checked until the driver re-verifies the new form. r8: the prefix-
-# Jaccard pair (repointed from the 31-token worst-case corpus onto the
-# Zipf synthetic corpus; both re-verified by the committed PARITY_r08
-# full sweep, but the hard driver check should follow).
-_RECHECK = frozenset({
-    "prefix_jaccard_neardup",
-    "neardup_clusters_exact",
-})
+# checked until the driver re-verifies the new form. Maps query name ->
+# the round its semantics changed IN: greens recorded at or BEFORE that
+# round are discounted, greens from any later round count normally — so
+# a post-change driver green naturally releases the query instead of it
+# hogging the rotation forever (r8 ADVICE). r8: the prefix-Jaccard pair
+# (repointed from the 31-token worst-case corpus onto the Zipf corpus).
+_RECHECK: dict[str, int] = {
+    "prefix_jaccard_neardup": 8,
+    "neardup_clusters_exact": 8,
+}
 
 
 def _rotated(names: list[str]) -> list[str]:
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     times_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        file_round = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 for n, row in json.load(f).items():
@@ -103,7 +108,9 @@ def _rotated(names: list[str]) -> list[str]:
                         and bool(row.get("hash_match"))
                         and not row.get("err")
                     )
-                    if green:
+                    # a green at or before the query's semantics-change
+                    # round certified the OLD output — discount it
+                    if green and file_round > _RECHECK.get(n, 0):
                         times_green[n] = times_green.get(n, 0) + 1
         except (OSError, ValueError):
             continue
@@ -111,7 +118,7 @@ def _rotated(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            0 if n in _RECHECK else times_green.get(n, 0),
+            times_green.get(n, 0),
             0 if n in _PRIORITY else 1,
             reg_index[n],
         ),

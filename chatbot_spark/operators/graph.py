@@ -25,7 +25,6 @@ O(edges). No driver-side state beyond the plan itself.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, Window
@@ -891,9 +890,13 @@ def incremental_lpa_stored(
     """
     # default must replay write_lpa_snapshot's Spark-side `%`, which is
     # sign-preserving (negative ids -> negative buckets) where Python's
-    # `%` is non-negative — math.fmod keeps the dividend's sign, so a
-    # pruned read of a negative-id frontier opens the right partitions
-    bucket_py = bucket_py or (lambda i: int(math.fmod(i, n_buckets)))
+    # `%` is non-negative. Exact INTEGER mod with the dividend's sign —
+    # math.fmod would round-trip the id through float64, so any |id| >
+    # 2^53 could land in the wrong bucket and the pruned read would skip
+    # the partitions holding those frontier nodes (r8 ADVICE).
+    bucket_py = bucket_py or (
+        lambda i: i % n_buckets if i >= 0 else -((-i) % n_buckets)
+    )
 
     def _bucket_ids(ids) -> list[int]:
         return sorted({int(bucket_py(int(i))) for i in ids})

@@ -50,19 +50,32 @@ class RetrieveConfig:
     backend: str = "hash"
     dim: int = 64
     # --- index-aware routing (SURVEY §4's deferred optimizer item) ---
-    # When a written IVF index is REGISTERED for the corpus, universal
-    # mode rewrites the exact knn_join onto it: centroid-routed,
+    # When a written ANN index is REGISTERED for the corpus, universal
+    # mode rewrites the exact knn_join onto it: centroid/shard-routed,
     # partition-pruned reads instead of a corpus scan — the caller does
     # not need to know the index exists. recall_slo picks the probe
-    # width: 1.0 demands exactness → FULL probe, which is bit-for-bit
-    # the exact scan (the ivf_knn_fullprobe pin); 0.95 uses the
-    # measured-recall pruned setting (BENCH_ANN_SCALE: recall 1.0 at
-    # nprobe 7/8, 2.9× at 1M vectors); below that, nlist/2.
+    # width: 1.0 demands exactness → FULL probe (and, for the graph
+    # index, a whole-shard beam), which is bit-for-bit the exact scan
+    # (the ivf_knn_fullprobe / graph_knn_fullprobe pins); 0.95 uses the
+    # measured-recall pruned setting (BENCH_ANN_SCALE: IVF recall 1.0 at
+    # nprobe 7/8 and 2.9×, NSW recall 0.99 at 9.9×); below that,
+    # nlist/2. ``index_kind``: "ivf" | "nsw" | "auto" (sniff the written
+    # layout — cells/ is IVF, graph/ is the sharded NSW family).
+    # ``index_nlist`` is OPTIONAL cross-validation only: the probe width
+    # is always derived from the LOADED index's real centroid count (a
+    # config understating nlist would silently under-probe and break the
+    # slo=1.0 exactness guarantee — r8 ADVICE); when set, a mismatch
+    # with the loaded index raises instead of mis-probing.
     index_path: str | None = None
-    index_nlist: int = 8
+    index_kind: str = "auto"
+    index_nlist: int | None = None
     index_id_col: str = "id"
     index_vec_col: str = "embedding"
     recall_slo: float = 1.0
+    # optional per-corpus SLO calibration (r8 verdict item 5): a query
+    # sample to MEASURE recall on at route time instead of trusting the
+    # fixed nprobe_for_slo tiers — see calibrate_nprobe().
+    calibration_queries: DataFrame | None = None
 
 
 def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
@@ -142,27 +155,119 @@ def nprobe_for_slo(recall_slo: float, nlist: int) -> int:
     return max(1, nlist // 2)
 
 
+def _sniff_index_kind(spark, path: str) -> str:
+    """Detect the written index family from its on-disk layout via the
+    Hadoop FS API (works for any scheme, not just local paths):
+    ``cells/`` is the IVF layout (ann.py::IVFIndex.write), ``graph/``
+    the sharded-NSW layout (hnsw.py::NSWGraphIndex.write)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _exists(sub: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        return p.getFileSystem(hconf).exists(p)
+
+    if _exists("cells"):
+        return "ivf"
+    if _exists("graph"):
+        return "nsw"
+    raise ValueError(
+        f"no recognizable index layout under {path!r} (expected cells/ "
+        "for IVF or graph/ for NSW)"
+    )
+
+
+def calibrate_nprobe(
+    index,
+    sample_queries: DataFrame,
+    slo: float,
+    k: int = 10,
+    **search_kwargs,
+) -> int:
+    """Per-corpus SLO calibration (r8 verdict item 5): measure recall@k
+    against the index's OWN full probe (≡ the exact scan — the
+    fullprobe pins) on a query sample and return the MINIMAL nprobe
+    meeting the SLO, instead of the fixed nprobe_for_slo tiers measured
+    on one synthetic corpus. Works for any index exposing
+    ``search(queries, k=, nprobe=)`` and a ``centroids`` DataFrame (IVF
+    and NSW both do). Ascending linear scan — nlist is small and recall
+    is monotone-in-practice in nprobe; the exact baseline is computed
+    once. Cost: one full-probe search + up to nlist pruned searches over
+    the SAMPLE (keep it ~100s of queries, not the workload)."""
+    from chatbot_spark.operators.ann import recall_at_k
+
+    nlist = index.centroids.count()
+    if slo >= 1.0:
+        return nlist
+    exact = index.search(
+        sample_queries, k=k, nprobe=nlist, **search_kwargs
+    ).persist()
+    exact.count()
+    try:
+        for nprobe in range(1, nlist + 1):
+            approx = index.search(
+                sample_queries, k=k, nprobe=nprobe, **search_kwargs
+            )
+            if recall_at_k(approx, exact) >= slo:
+                return nprobe
+    finally:
+        exact.unpersist()
+    return nlist
+
+
 def _routed_universal(
     queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig
 ) -> DataFrame:
     from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
 
     if cfg.metric != "l2":
         raise ValueError(
             f"registered index is l2; cfg.metric={cfg.metric!r} — route "
             "only rewrites metric-compatible searches"
         )
-    index = IVFIndex.load(
-        queries_df.sparkSession,
-        cfg.index_path,
-        vec_col=cfg.index_vec_col,
-        id_col=cfg.index_id_col,
+    spark = queries_df.sparkSession
+    kind = cfg.index_kind
+    if kind == "auto":
+        kind = _sniff_index_kind(spark, cfg.index_path)
+    if kind not in ("ivf", "nsw"):
+        raise ValueError(f"unknown index_kind {kind!r}; have ['ivf', 'nsw', 'auto']")
+
+    loader = IVFIndex if kind == "ivf" else NSWGraphIndex
+    index = loader.load(
+        spark, cfg.index_path, vec_col=cfg.index_vec_col, id_col=cfg.index_id_col,
     )
-    hits = index.search(
-        queries_df,
-        k=cfg.k,
-        nprobe=nprobe_for_slo(cfg.recall_slo, cfg.index_nlist),
-    )
+    # probe width derives from the LOADED index's real centroid count —
+    # never from config: an understated cfg nlist would silently probe a
+    # subset of cells and break the slo=1.0 ≡ exact guarantee (r8
+    # ADVICE). cfg.index_nlist, when given, is validated instead.
+    nlist = index.centroids.count()
+    if cfg.index_nlist is not None and cfg.index_nlist != nlist:
+        raise ValueError(
+            f"cfg.index_nlist={cfg.index_nlist} does not match the loaded "
+            f"index ({nlist} centroids) — drop it or fix the config"
+        )
+    if cfg.calibration_queries is not None and cfg.recall_slo < 1.0:
+        nprobe = calibrate_nprobe(index, cfg.calibration_queries, cfg.recall_slo, k=cfg.k)
+    else:
+        nprobe = nprobe_for_slo(cfg.recall_slo, nlist)
+
+    if kind == "ivf":
+        hits = index.search(queries_df, k=cfg.k, nprobe=nprobe)
+    else:
+        # graph-index exactness needs the beam to walk the WHOLE probed
+        # shard (ef_search ≥ shard size — hnsw.py::search contract); the
+        # max shard size is a partition-column-only aggregate, metadata
+        # cheap. Pruned SLOs use the reference's EF_SEARCH=64 default
+        # (BENCH_ANN_SCALE: recall 0.99, 9.9× at 1M vectors).
+        if cfg.recall_slo >= 1.0:
+            ef = int(
+                index.graph.groupBy("shard").count()
+                .agg(F.max("count")).first()[0]
+            )
+        else:
+            ef = 64
+        hits = index.search(queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef)
     payload = corpus.select(
         F.col(cfg.index_id_col).alias("neighbor_id"), "document"
     )

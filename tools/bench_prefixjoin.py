@@ -65,15 +65,18 @@ def run_one(df, which: str) -> tuple[float, int, int]:
     out = None
     for _ in range(2):  # min-of-two, same policy as bench.py
         t0 = time.time()
+        # same persist_index setting on BOTH sides — prefix defaults it
+        # True, naive False, which made the min-of-two second run warm
+        # only for the prefix join (cache-asymmetric timing, r8 ADVICE)
         if which == "naive":
             out = ngram_jaccard_pairs(
                 df, "doc_id", "text", shingle_n=SHINGLE_N,
-                threshold=T_NUM / T_DEN,
+                threshold=T_NUM / T_DEN, persist_index=True,
             ).select("id_a", "id_b")
         else:
             out = prefix_jaccard_pairs(
                 df, "doc_id", "text", shingle_n=SHINGLE_N,
-                t_num=T_NUM, t_den=T_DEN,
+                t_num=T_NUM, t_den=T_DEN, persist_index=True,
             ).select("id_a", "id_b")
         n_pairs = out.count()
         t = round(time.time() - t0, 3)
@@ -112,9 +115,16 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for n in sizes:
+        # each timed join gets an identically-warm environment: fresh
+        # corpus cache, no leftover shingle-index cache from the other
+        # join or a previous size (clearCache between runs — r8 ADVICE;
+        # the per-join index caches are caller-evicted by contract)
         df = make_corpus(spark, n).persist()
-        df.count()  # materialize: both joins read the same cached input
+        df.count()
         t_naive, p_naive, h_naive = run_one(df, "naive")
+        spark.catalog.clearCache()
+        df = make_corpus(spark, n).persist()
+        df.count()
         t_prefix, p_prefix, h_prefix = run_one(df, "prefix")
         assert (p_naive, h_naive) == (p_prefix, h_prefix), (
             f"pair sets diverge at n={n}: naive=({p_naive},{h_naive}) "
@@ -129,7 +139,7 @@ def main() -> int:
             "prefix_sec": t_prefix,
             "n_pairs": p_prefix,
         }
-        df.unpersist()
+        spark.catalog.clearCache()
         print(f"n={n}: naive {t_naive}s, prefix {t_prefix}s, "
               f"{p_prefix} pairs ({planted} planted)")
 
