@@ -82,7 +82,11 @@ HEADLINE = [
     "decremental_components",
     "retrieve_routed",
     "retrieve_routed_pruned",
+    "retrieve_routed_nsw",
+    "retrieve_routed_nsw_pruned",
     "mixed_edge_batch_components",
+    "decremental_components_stored",
+    "mixed_edge_batch_stored",
     "training_shard_plan",
     "event_transitions",
     "cohort_retention",

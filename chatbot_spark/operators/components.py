@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "decremental_components",
+    "decremental_components_stored",
     "incremental_components",
+    "merge_component_delta",
+    "write_components_snapshot",
 ]
 
 _MAX_FIXPOINT_ROUNDS = 64
@@ -356,3 +359,181 @@ def decremental_components(
         aff_nodes.unpersist()
     untouched = prev.join(F.broadcast(aff_labels), "component", "left_anti")
     return untouched.unionByName(solved.select("node", "component"))
+
+
+def _bucket_col(col, n_buckets: int):
+    """Sign-preserving integer-mod bucket (matches graph._default_bucket
+    and its exact-integer python twin)."""
+    return (col % n_buckets).cast("int")
+
+
+def write_components_snapshot(
+    edges: DataFrame,
+    out_dir: str,
+    rounds: int | None = None,
+    n_buckets: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    assert_converged: bool = False,
+) -> None:
+    """Persist the state the *_stored maintenance verbs refresh from —
+    the components analog of graph.write_lpa_snapshot (r8 verdict item
+    3): a production pipeline keeps its component labels and edge table
+    as STORED tables between crawls, so a maintenance query must read
+    them pruned rather than re-solving the previous snapshot in-query
+    (the three heaviest r8 suite entries spent most of their time on
+    exactly that rebuild).
+
+    Layout (all bucket-partitioned so refreshes prune at the FILE level,
+    each consolidated to one file per partition — the write_lpa_snapshot
+    listing lesson):
+
+    * ``{out}/edges`` partitioned by bucket(src) — the decremental
+      semi-join reads only the affected nodes' buckets;
+    * ``{out}/labels_by_node`` partitioned by bucket(node) — the locate
+      step looks up the removed edges' endpoints (a delta-sized id set);
+    * ``{out}/labels_by_comp`` partitioned by bucket(component) — the
+      cut-out step reads only the affected components' buckets.
+
+    The double label layout is the standard secondary-sort-order trade:
+    labels are O(V) — tiny next to the corpus — and the two access paths
+    key on different columns.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
+    labels = connected_components(
+        e, rounds=rounds, assert_converged=assert_converged
+    )
+    (
+        e.withColumn("__bucket", _bucket_col(F.col("src"), n_buckets))
+        .repartition(n_buckets, F.col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite")
+        .parquet(f"{out_dir}/edges")
+    )
+    labels = labels.persist()
+    (
+        labels.withColumn("__bucket", _bucket_col(F.col("node"), n_buckets))
+        .repartition(n_buckets, F.col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite")
+        .parquet(f"{out_dir}/labels_by_node")
+    )
+    (
+        labels.withColumn("__bucket", _bucket_col(F.col("component"), n_buckets))
+        .repartition(n_buckets, F.col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite")
+        .parquet(f"{out_dir}/labels_by_comp")
+    )
+    labels.unpersist()
+    e.unpersist()
+
+
+def decremental_components_stored(
+    spark,
+    snapshot_dir: str,
+    removed_edges: DataFrame,
+    rounds: int | None = None,
+    n_buckets: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    assert_converged: bool = False,
+    broadcast_node_rows: int = DEFAULT_BROADCAST_NODE_ROWS,
+) -> DataFrame:
+    """Edge-removal refresh against a WRITTEN snapshot — measures (and
+    at 100 TB costs) the refresh itself, not an in-query rebuild of the
+    previous labels. Same semantics as :func:`decremental_components`
+    with ``remaining_edges = stored edges MINUS removed_edges``; the
+    reads prune:
+
+    1. locate: the removed edges' endpoints are a delta-sized id set —
+       collected to the driver (the incremental_lpa_stored precedent),
+       their buckets prune ``labels_by_node`` at the file level, an
+       isin picks the rows; distinct labels = the AFFECTED set.
+    2. cut out: ``labels_by_comp`` read pruned to the affected labels'
+       buckets; ``edges`` read pruned to the affected NODES' buckets
+       (the node set's distinct bucket list is ≤ n_buckets values, one
+       metadata-scale collect off the already-persisted node set).
+    3. re-solve + return the affected labels only — the DELTA. MERGE it
+       into the stored table downstream (upsert on node), exactly like
+       incremental_lpa_stored returns its frontier delta; untouched
+       buckets are never read, never rewritten.
+
+    The affected-node semi-join inherits the giant-component size gate
+    (``broadcast_node_rows``)."""
+    rm = removed_edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).collect()
+    rm_pairs = {(int(r["u"]), int(r["v"])) for r in rm}
+    rm_ids = sorted({n for uv in rm_pairs for n in uv})
+    if not rm_ids:
+        return spark.createDataFrame([], "node long, component long")
+
+    def _py_bucket(i: int) -> int:
+        return i % n_buckets if i >= 0 else -((-i) % n_buckets)
+
+    lbn = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snapshot_dir}/labels_by_node"
+    )
+    aff_labels = (
+        lbn.filter(
+            F.col("__bucket").isin(sorted({_py_bucket(i) for i in rm_ids}))
+        )
+        .filter(F.col("node").isin(rm_ids))
+        .select("component")
+        .distinct()
+    )
+    # delta-sized (≤ 2·|removed| labels): driver-held for bucket pruning
+    aff_label_ids = sorted(int(r[0]) for r in aff_labels.collect())
+    lbc = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snapshot_dir}/labels_by_comp"
+    )
+    aff_nodes = (
+        lbc.filter(
+            F.col("__bucket").isin(sorted({_py_bucket(i) for i in aff_label_ids}))
+        )
+        .filter(F.col("component").isin(aff_label_ids))
+        .select("node")
+        .persist()
+    )
+    n_aff = aff_nodes.count()
+    small = n_aff <= broadcast_node_rows
+    node_buckets = sorted(
+        int(r[0])
+        for r in aff_nodes.select(
+            _bucket_col(F.col("node"), n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    ed = spark.read.schema("src long, dst long, __bucket int").parquet(
+        f"{snapshot_dir}/edges"
+    )
+    # pruned to the affected nodes' buckets, minus the removed pairs
+    # (a delta-sized NOT-IN on the (src,dst) struct — stays a filter,
+    # no anti-join shuffle)
+    rm_structs = [F.struct(F.lit(u).cast("long"), F.lit(v).cast("long")) for u, v in sorted(rm_pairs)]
+    e = (
+        ed.filter(F.col("__bucket").isin(node_buckets))
+        .filter(~F.struct(F.col("src"), F.col("dst")).isin(*rm_structs))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    build = aff_nodes.select(F.col("node").alias("u"))
+    sub = e.join(F.broadcast(build) if small else build, "u", "left_semi")
+    sub_all = sub.union(
+        aff_nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    try:
+        solved = connected_components(
+            sub_all, rounds=rounds, src="u", dst="v",
+            assert_converged=assert_converged,
+        )
+    finally:
+        aff_nodes.unpersist()
+    return solved.select("node", "component")
+
+
+def merge_component_delta(stored_labels: DataFrame, delta: DataFrame) -> DataFrame:
+    """Upsert the refresh delta into the stored label table: delta rows
+    win on node, everything else passes through — one node-keyed
+    anti-join (prunable when both sides share the bucket layout)."""
+    return stored_labels.select("node", "component").join(
+        delta.select("node"), "node", "left_anti"
+    ).unionByName(delta.select("node", "component"))

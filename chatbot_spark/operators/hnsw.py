@@ -520,7 +520,10 @@ class NSWGraphIndex:
         standard idempotent-delete contract)."""
         return NSWGraphIndex(
             self.centroids, self.graph, self.centers, self.vec_col, self.id_col,
-            self.tombstones | {int(i) for i in ids},
+            # normalize numpy integers to python ints (hash-compatible
+            # with the column values either way); string/uuid ids pass
+            # through untouched — the id column's type is the contract
+            self.tombstones | {int(i) if isinstance(i, (int,)) or hasattr(i, "__index__") else i for i in ids},
         )
 
     def compact_deletes(
@@ -1041,7 +1044,14 @@ class NSWGraphIndex:
                 )
                 emitted = 0
                 for d, pos in found:
-                    if int(ids[pos]) in tomb:
+                    # `tomb and` short-circuits the per-hit coercion on
+                    # the (overwhelmingly common) no-deletes path; the
+                    # .item() de-numpys integral ids so set membership
+                    # matches the python values delete() stored, while
+                    # string/uuid ids compare as-is
+                    if tomb and (
+                        ids[pos].item() if hasattr(ids[pos], "item") else ids[pos]
+                    ) in tomb:
                         continue  # routing node only — deleted
                     out_q.append(qid_values[qi])
                     out_n.append(ids[pos])

@@ -13194,3 +13194,242 @@ def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum"
         ),
     )
+
+
+@query(
+    "retrieve_routed_nsw",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+       'doc-' || CAST(neighbor_id AS VARCHAR) AS document
+FROM ranked WHERE rank <= 10
+""",
+)
+def retrieve_routed_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-aware routing onto the sharded-NSW index (r8 verdict item
+    2; plans/retrieve.py::_routed_universal): the reference's ACTUAL
+    index type is HNSW (load.py:26 — M=16/EF_CONSTRUCTION=256), and the
+    repo's fastest at scale (BENCH_ANN_SCALE: 9.9x at 1M vectors), so
+    the declarative read path must reach it, not just the direct index
+    API. retrieve() sniffs the written layout (graph/ -> NSW — this
+    query passes index_kind="auto" deliberately), derives the shard
+    count from the LOADED index (r8 ADVICE — config can only
+    cross-validate, never understate), and at recall_slo=1.0 probes
+    EVERY shard with a whole-shard beam (ef_search >= max shard rows):
+    the NSW graph is connected by construction, so the walk visits every
+    node and the index only prunes, never perturbs — the oracle is the
+    EXACT scan, hash equality proves the rewrite transparent, mirroring
+    retrieve_routed (IVF)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routed_nsw_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4, m=8, ef_construction=64,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="auto",
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
+
+
+@query(
+    "retrieve_routed_nsw_pruned",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def retrieve_routed_nsw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW-routed read path at its PRUNED setting — recall_slo=0.95
+    maps to nprobe=ceil(7/8·nlist) shards with the reference's
+    EF_SEARCH=64 beam (BENCH_ANN_SCALE: recall 0.99 at 9.9x), so only
+    7/8ths of the shard partitions are read and each beam touches
+    O(ef·m) of its shard, not all of it. Like retrieve_routed_pruned the
+    result is seed-dependent (k-means shard assignment), so the driver
+    oracle asserts the BASELINE.md SLO (recall@10 >= 0.95 vs the exact
+    scan, recomputed in-plan) plus structural counts; the bit-exact
+    transparency pin is the full-probe twin retrieve_routed_nsw."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routednp_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8, m=16, ef_construction=256,
+    ).write(path)
+    q = _queries_from_embeddings(spark, sf_dir)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="nsw",
+        index_id_col="id", index_vec_col="embedding", recall_slo=0.95,
+    )
+    routed = retrieve(q, corpus, cfg)
+    exact = knn_join(
+        q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding"
+    )
+    return _ann_recall_summary(routed, exact)
+
+
+def _cc_snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-(process, sf_dir) STORED component snapshot of the
+    fully-bridged 10-island host graph — the state a crawl pipeline
+    would keep between snapshots. The *_stored maintenance queries read
+    it pruned instead of re-solving the previous labels in-query (the
+    r8 verdict's fixture-vs-refresh point: the three heaviest suite
+    entries spent most of their wall-clock rebuilding PREV). Content is
+    a pure function of the immutable sf_dir tables, so the on-disk
+    snapshot is reusable across calls; the version tag guards fixture
+    changes."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"cbs_cc_snap_v1_{tag}")
+    marker = os.path.join(out, "_CBS_READY")
+    if not os.path.exists(marker):
+        from chatbot_spark.operators.components import write_components_snapshot
+
+        docs = load_table(spark, sf_dir, "documents")
+        u = F.col("doc_id") % 500
+        blk = u - (u % 50)
+        ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+        chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+            u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+        )
+        bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+            u.alias("src"), (u + 50).alias("dst")
+        )
+        write_components_snapshot(
+            ring.union(chord).union(bridges), out, rounds=8, n_buckets=16,
+            assert_converged=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@query(
+    "decremental_components_stored",
+    _cc_oracle(rounds=8, raw_sql=_CC_DECR_RAW_SQL),
+)
+def decremental_components_stored_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decremental refresh against a WRITTEN snapshot (r8 verdict
+    item 3; operators/components.py::decremental_components_stored): the
+    non-stored twin re-solves the PREV labels from scratch in-query, so
+    its wall-clock measures mostly the fixture — this one reads the
+    stored label + edge tables PRUNED (removed endpoints' buckets →
+    affected labels; affected labels' buckets → affected nodes; affected
+    nodes' buckets → surviving edges) and re-solves only the affected
+    slice, returning the label DELTA that is then merged over the stored
+    table (one node-keyed anti-join). Oracle: the SAME from-scratch
+    unrolled recurrence on the remaining graph as decremental_components
+    — hash equality proves stored-refresh ≡ rebuild. The affected-node
+    semi-join inherits the giant-component size gate."""
+    from chatbot_spark.operators.components import (
+        decremental_components_stored,
+        merge_component_delta,
+    )
+
+    snap = _cc_snapshot_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    removed = docs.filter(
+        (F.col("doc_id") % 100 == 0) & (u % 200 == 0)
+    ).select(u.alias("src"), (u + 50).alias("dst"))
+    delta = decremental_components_stored(
+        spark, snap, removed, rounds=8, n_buckets=16, assert_converged=True
+    )
+    stored = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snap}/labels_by_node"
+    )
+    labels = merge_component_delta(stored, delta)
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+@query(
+    "mixed_edge_batch_stored",
+    _cc_oracle(rounds=8, raw_sql=_CC_MIXED_RAW_SQL),
+)
+def mixed_edge_batch_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXED maintenance batch against the WRITTEN snapshot —
+    removals refresh via the pruned stored-decremental path (label
+    delta, merged in one node-keyed anti-join), then additions via the
+    contracted-graph incremental verb on the merged labels
+    (removals-then-additions is the only exact order — see
+    mixed_edge_batch_components). Nothing re-solves PREV: the snapshot
+    is read, not rebuilt, so the query measures the refresh itself.
+    Oracle: the from-scratch unrolled recurrence on the FINAL edge set,
+    same as the non-stored twin — hash equality proves the composed
+    stored refresh exact."""
+    from chatbot_spark.operators.components import (
+        decremental_components_stored,
+        incremental_components,
+        merge_component_delta,
+    )
+
+    snap = _cc_snapshot_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    removed = docs.filter(
+        (F.col("doc_id") % 100 == 0) & (u % 200 == 0)
+    ).select(u.alias("src"), (u + 50).alias("dst"))
+    additions = docs.filter(F.col("doc_id") % 500 == 0).select(
+        F.lit(0).cast("long").alias("src"), F.lit(450).cast("long").alias("dst")
+    )
+    delta = decremental_components_stored(
+        spark, snap, removed, rounds=8, n_buckets=16, assert_converged=True
+    )
+    stored = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snap}/labels_by_node"
+    )
+    after_rm = merge_component_delta(stored, delta)
+    labels = incremental_components(
+        after_rm, additions, rounds=3, assert_converged=True
+    )
+    return labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

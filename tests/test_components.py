@@ -278,3 +278,65 @@ def test_decremental_gate_drops_broadcast_hint_from_plan(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "BroadcastHashJoin" in bc_plan
     assert "BroadcastHashJoin" not in plain_plan
+
+
+def test_stored_decremental_equals_nonstored(spark, tmp_path):
+    """write_components_snapshot + decremental_components_stored +
+    merge_component_delta must reproduce decremental_components exactly
+    (stored refresh ≡ in-query rebuild)."""
+    from chatbot_spark.operators.components import (
+        decremental_components,
+        decremental_components_stored,
+        merge_component_delta,
+        write_components_snapshot,
+    )
+
+    rng = random.Random(31)
+    base = list({(rng.randrange(120), rng.randrange(120)) for _ in range(90)})
+    base = [(u, v) for u, v in base if u != v]
+    removed = rng.sample(base, 9)
+    snap = str(tmp_path / "snap")
+    edges_df = spark.createDataFrame(base, "src long, dst long")
+    write_components_snapshot(edges_df, snap, n_buckets=8)
+
+    del_df = spark.createDataFrame(removed, "src long, dst long")
+    delta = decremental_components_stored(spark, snap, del_df, n_buckets=8)
+    stored = spark.read.parquet(f"{snap}/labels_by_node").select(
+        "node", "component"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in merge_component_delta(stored, delta).collect()
+    }
+
+    prev = connected_components(edges_df)
+    remaining = [e for e in base if e not in set(removed)]
+    rem_df = spark.createDataFrame(remaining, "src long, dst long")
+    want = {
+        r["node"]: r["component"]
+        for r in decremental_components(prev, rem_df, del_df).collect()
+    }
+    assert got == want
+
+
+def test_stored_snapshot_reads_prune_at_file_level(spark, tmp_path):
+    """The locate read must carry PartitionFilters on __bucket — the
+    point of the bucketed layout is file-level pruning, not a full-table
+    filter."""
+    from chatbot_spark.operators.components import write_components_snapshot
+
+    edges = [(i, i + 1) for i in range(40)]
+    snap = str(tmp_path / "snap")
+    write_components_snapshot(
+        spark.createDataFrame(edges, "src long, dst long"), snap, n_buckets=8
+    )
+    lbn = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snap}/labels_by_node"
+    )
+    pruned = lbn.filter(F.col("__bucket").isin([3])).filter(F.col("node") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    # one bucket of eight: the pruned scan must touch fewer files than
+    # the full table holds
+    all_files = len(lbn.inputFiles())
+    assert all_files >= 8

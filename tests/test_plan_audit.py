@@ -32,6 +32,8 @@ EAGER = {
     "graph_knn_deleted",
     "rag_pipeline_e2e",
     "retrieve_routed", "retrieve_routed_pruned",
+    "retrieve_routed_nsw", "retrieve_routed_nsw_pruned",
+    "decremental_components_stored", "mixed_edge_batch_stored",
 }
 
 

@@ -640,3 +640,157 @@ def test_nprobe_for_slo_tiers():
     assert nprobe_for_slo(0.95, 8) == 7      # measured-recall setting
     assert nprobe_for_slo(0.5, 8) == 4
     assert nprobe_for_slo(0.5, 1) == 1       # floor at 1
+
+
+def test_retrieve_routed_nsw_fullprobe_equals_exact(spark, corpus, tmp_path):
+    """NSW routing (r8 verdict item 2): with a registered sharded-NSW
+    index, index_kind='auto' must sniff the graph/ layout and
+    recall_slo=1.0 (every shard, whole-shard beam) must return EXACTLY
+    the unrouted exact scan."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "deploy oceanbase cluster now"), ("q2", "ocp metrics")],
+        "query_id STRING, query_text STRING",
+    )
+    path = str(tmp_path / "nsw")
+    NSWGraphIndex.build(
+        emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2, m=4, ef_construction=32,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=3, index_path=path, recall_slo=1.0,
+    )  # index_kind defaults to "auto" — the sniff IS under test
+    routed = retrieve(queries, emb, cfg)
+    exact = retrieve(queries, emb, RetrieveConfig(mode="universal", k=3))
+    key = lambda r: (r["query_id"], r["rank"])
+    # dist rounds to 6 decimals — the numpy beam kernel and the Catalyst
+    # zip_with fold differ in the last ULP (same discipline as the
+    # graph_knn_fullprobe / retrieve_routed_nsw workload pins)
+    norm = lambda r: (
+        r["query_id"], r["neighbor_id"], r["rank"],
+        round(r["dist"], 6), r["document"],
+    )
+    got = [norm(r) for r in sorted(routed.collect(), key=key)]
+    want = [norm(r) for r in sorted(exact.collect(), key=key)]
+    assert got == want
+
+
+def test_retrieve_routed_nlist_mismatch_raises(spark, corpus, tmp_path):
+    """cfg.index_nlist is cross-validation only (r8 ADVICE): a config
+    that disagrees with the loaded index must raise, never mis-probe."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "x")], "query_id STRING, query_text STRING"
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", index_path=path, index_nlist=7, recall_slo=1.0
+    )
+    with pytest.raises(ValueError, match="index_nlist"):
+        retrieve(queries, emb, cfg).collect()
+
+
+def test_sniff_index_kind_unknown_layout_raises(spark, tmp_path):
+    from chatbot_spark.plans.retrieve import _sniff_index_kind
+
+    with pytest.raises(ValueError, match="layout"):
+        _sniff_index_kind(spark, str(tmp_path / "empty"))
+
+
+def _clustered_corpus(spark, centers, n_per, sigma, seed, dim=4):
+    """Deterministic synthetic corpus: n_per points jittered around each
+    center (LCG jitter — no RNG dependency)."""
+    rows = []
+    state = seed
+    for ci, c in enumerate(centers):
+        for i in range(n_per):
+            vec = []
+            for d in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                u = (state >> 11) / float(1 << 52)  # [0, 2)
+                vec.append(c[d] + sigma * (u - 1.0))
+            rows.append((ci * n_per + i, vec))
+    return spark.createDataFrame(rows, "id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_calibrate_nprobe_separates_corpus_shapes(spark):
+    """Per-corpus SLO calibration (r8 verdict item 5): on a
+    well-separated corpus the fixed 7/8 tier OVER-probes (calibration
+    finds nprobe=1 suffices); on an overlapping corpus nprobe=1
+    under-delivers and calibration walks up until the measured recall
+    meets the SLO. Both calibrated settings must actually meet it."""
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
+    from chatbot_spark.plans.retrieve import calibrate_nprobe, nprobe_for_slo
+
+    dim = 4
+    # four tight clusters, far apart: neighbors never cross cells
+    far = [[0.0] * dim, [100.0, 0, 0, 0], [0, 100.0, 0, 0], [0, 0, 100.0, 0]]
+    sep = _clustered_corpus(spark, far, n_per=60, sigma=0.5, seed=7)
+    # one blob: k-means cells are arbitrary cuts, neighbors cross them
+    blob = _clustered_corpus(spark, [[0.0] * dim], n_per=240, sigma=10.0, seed=11)
+
+    slo = 0.95
+    results = {}
+    for name, df in (("sep", sep), ("blob", blob)):
+        index = IVFIndex.build(df, vec_col="embedding", id_col="id", nlist=4)
+        sample = df.limit(25).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        nprobe = calibrate_nprobe(index, sample, slo, k=10)
+        exact = index.search(sample, k=10, nprobe=4)
+        approx = index.search(sample, k=10, nprobe=nprobe)
+        assert recall_at_k(approx, exact) >= slo, name
+        results[name] = nprobe
+    # the separated corpus (cells ≡ clusters) needs ONE probe — the
+    # fixed 7/8 tier would over-probe it 4x; the blob's arbitrary
+    # k-means cuts put neighbors across cell borders, so it needs more —
+    # a fixed tier tuned on either corpus mis-probes the other
+    assert results["sep"] == 1
+    assert results["blob"] > results["sep"]
+    assert results["sep"] < nprobe_for_slo(slo, 4)
+
+
+def test_retrieve_with_calibration_queries_meets_slo(spark, corpus, tmp_path):
+    """retrieve() wiring: calibration_queries re-points the pruned probe
+    width at route time; the routed result must meet the SLO vs exact."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "deploy oceanbase cluster now"), ("q2", "ocp metrics")],
+        "query_id STRING, query_text STRING",
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2,
+    ).write(path)
+    from chatbot_spark.operators.embed import embed_queries
+
+    # calibrate on the query batch itself: the calibrated nprobe then
+    # provably meets the SLO on exactly the workload being routed (a
+    # held-out sample's guarantee is statistical and meaningless on a
+    # 6-vector toy corpus)
+    calib = embed_queries(queries, backend="hash", dim=64)
+    cfg = RetrieveConfig(
+        mode="universal", k=3, index_path=path, recall_slo=0.95,
+        calibration_queries=calib,
+    )
+    routed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in retrieve(queries, emb, cfg).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in retrieve(queries, emb, RetrieveConfig(mode="universal", k=3)).collect()
+    }
+    assert len(routed & exact) / len(exact) >= 0.95
