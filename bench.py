@@ -87,6 +87,7 @@ HEADLINE = [
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",
+    "exact_substring_sa",
     "training_shard_plan",
     "event_transitions",
     "cohort_retention",
@@ -522,6 +523,28 @@ def main() -> None:
                 payload[key] = {k: rec[k] for k in fields if k in rec}
             except (OSError, ValueError, KeyError):
                 pass
+    # attach the BPE per-round flatness point (tools/bench_bpe.py:
+    # incremental pair maintenance + lineage caps — marginal cost per
+    # merge round must not grow with the round number)
+    bpe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BPE.json"
+    )
+    if os.path.exists(bpe_path):
+        try:
+            with open(bpe_path) as f:
+                rec = json.load(f)
+            payload["bpe_scale"] = {
+                k: rec[k]
+                for k in (
+                    "merge_points", "total_sec",
+                    "marginal_sec_per_round_51_100",
+                    "marginal_sec_per_round_101_200",
+                    "late_vs_early_marginal_ratio",
+                )
+                if k in rec
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     ivm_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_IVM.json"
     )

@@ -675,11 +675,13 @@ def duplicated_spans(
     ``window``-token sliding shingle that occurs more than once ANYWHERE
     in the corpus (another document or another offset of the same one)
     marks its token range as duplicated; overlapping/adjacent duplicated
-    windows then merge into maximal per-document spans. This is the
-    fixed-window-anchor surrogate of the paper's suffix-array scan — it
-    finds exactly the substrings duplicated for >= ``window`` tokens,
-    span boundaries quantized to token positions, and unlike the suffix
-    array it is shuffle-parallel.
+    windows then merge into maximal per-document spans. The marked set
+    EQUALS the suffix-array scan's (union of all substrings duplicated
+    for >= ``window`` tokens — see :func:`duplicated_spans_sa` for the
+    proof and the hash-free twin that pins it), with span boundaries in
+    token positions; unlike the suffix array it is one shuffle-parallel
+    hash exchange. The only theoretical divergence is a 128-bit md5
+    collision (over-marking); the sa twin has none.
 
     Finer-grained than paragraph dedup (J1b: whole paragraphs only) and
     exact where MinHash (J2) is probabilistic: the reference outsources
@@ -960,3 +962,136 @@ def prefix_jaccard_pairs(
             F.expr("(__i * 1000000) div __u").cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+# ----------------------------- exact-substring via suffix grouping (J2d-sa)
+
+def _merge_windows_to_spans(
+    dup: DataFrame, window: int, id_col: str
+) -> DataFrame:
+    """Shared island-merge tail of the ExactSubstr family: duplicated
+    window starts (__id, s) -> maximal merged spans (1-based inclusive).
+    Windows whose starts are within ``window`` of each other overlap or
+    touch, so they fuse; the break marker + running sum is the standard
+    gaps-and-islands shape, partitioned per document."""
+    w = int(window)
+    seq = Window.partitionBy("__id").orderBy("s")
+    isl = dup.withColumn(
+        "__brk",
+        F.when(
+            F.lag("s").over(seq).isNull() | (F.col("s") > F.lag("s").over(seq) + w),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("__id", "__island")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(w - 1)).alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def duplicated_spans_sa(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Suffix-grouping form of :func:`duplicated_spans` — the Lee et al.
+    suffix-array semantics computed by EXACT token comparison, no hash
+    anywhere (r8 verdict item 7).
+
+    Equivalence argument (why the two span sets are IDENTICAL, i.e. the
+    fixed-window form is not an approximation): a substring of length
+    L >= w duplicated at two places has every one of its w-windows
+    duplicated (each appears at the aligned offset of both copies), so
+    its full range is covered by duplicated w-windows; conversely every
+    duplicated w-window IS a duplicated substring of length exactly w.
+    Hence ``union of duplicated w-windows == union of all substrings
+    duplicated for >= w tokens`` — the suffix-array scan's marked set,
+    with the same maximal merged spans. The md5 form can in principle
+    only OVER-mark (on a 128-bit collision); this one cannot: windows
+    are grouped by prefix-doubling EQUIVALENCE CLASSES built from the
+    tokens themselves.
+
+    Prefix doubling, equality-only (no lexicographic order needed, so
+    no global sort — every step is a keyed groupBy/join): round k holds
+    one class label per (doc, position) such that two positions share a
+    label iff their k-token prefixes are token-for-token equal. Labels
+    are the minimum (doc, pos) of the class — fixed-size, exact.
+    Doubling: classes of length 2k group by (label[p], label[p+k]);
+    the final length-w classes group by (label_L[p], label_L[p+w-L])
+    with L the largest power of two <= w (the overlapping-blocks trick —
+    valid because equal pairs of overlapping L-blocks <=> equal
+    w-prefixes). ceil(log2(w)) + 1 keyed exchanges over O(total tokens)
+    rows; per-round state localCheckpoint-ed (the iterate() discipline —
+    each round references the carried classes twice).
+
+    Trade-off vs :func:`duplicated_spans`: that one is ONE hash exchange
+    (md5 over the window text — the production default at 100 TB); this
+    one is O(log w) keyed exchanges but collision-free and the
+    scaffolding for variable thresholds (the class tables at each power
+    of two are reusable for any w in between). The workload pins both
+    against brute-force oracles and the pytest twin pins their span-set
+    equality on random corpora.
+    """
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    pos = (
+        tk.filter(F.col("__n") >= 1)
+        .select(
+            "__id",
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("s"),
+            F.element_at("__toks", F.col("s")).alias("__tok"),
+        )
+    )
+
+    def _relabel(keyed: DataFrame, key: str) -> DataFrame:
+        reps = keyed.groupBy(key).agg(
+            F.min(F.struct(F.col("__id"), F.col("s"))).alias("__c")
+        )
+        return keyed.join(reps, key).select("__id", "s", "__c")
+
+    cur = _relabel(pos, "__tok").localCheckpoint(eager=True)
+    L = 1
+    while L * 2 <= w:
+        shifted = cur.select(
+            "__id", (F.col("s") - L).alias("s"), F.col("__c").alias("__c2")
+        )
+        keyed = cur.join(shifted, ["__id", "s"], "left").select(
+            "__id", "s", F.struct("__c", "__c2").alias("__k")
+        )
+        cur = _relabel(keyed, "__k").localCheckpoint(eager=True)
+        L *= 2
+    if L < w:
+        off = w - L
+        shifted = cur.select(
+            "__id", (F.col("s") - off).alias("s"), F.col("__c").alias("__c2")
+        )
+        keyed = cur.join(shifted, ["__id", "s"], "left").select(
+            "__id", "s", F.struct("__c", "__c2").alias("__k")
+        )
+        cur = _relabel(keyed, "__k").localCheckpoint(eager=True)
+    # window starts only (full w-prefix exists); class count > 1 = the
+    # w-prefix occurs elsewhere (another doc or another offset)
+    starts = cur.join(
+        tk.select("__id", "__n"), "__id"
+    ).filter(F.col("s") <= F.col("__n") - w + 1)
+    dup = (
+        starts.withColumn("__cnt", F.count("*").over(Window.partitionBy("__c")))
+        .filter(F.col("__cnt") > 1)
+        .select("__id", "s")
+    )
+    return _merge_windows_to_spans(dup, w, id_col)

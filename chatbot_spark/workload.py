@@ -13433,3 +13433,63 @@ def mixed_edge_batch_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@query(
+    "exact_substring_sa",
+    r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+wins AS (
+  SELECT tk.doc_id, s, array_to_string(toks[s:s+7], ' ') AS wtxt
+  FROM tk, unnest(generate_series(1, n_tokens - 8 + 1)) AS t(s)
+  WHERE n_tokens >= 8
+),
+dup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY wtxt) AS cnt FROM wins
+  ) WHERE cnt > 1
+),
+brk AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+                   OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + 8
+              THEN 1 ELSE 0 END AS is_break
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s,
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + 7 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
+""",
+)
+def exact_substring_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2d, suffix-array semantics WITHOUT hashing (r8 verdict item 7;
+    operators/dedup.py::duplicated_spans_sa): prefix-doubling equivalence
+    classes over the token stream — two positions share a class iff
+    their w-token prefixes are token-for-token equal — so the duplicated
+    set is computed by EXACT comparison (the md5 window form can in
+    principle over-mark on a collision; this cannot). The oracle is the
+    brute-force scan grouping windows by their raw TEXT, not a hash:
+    hash-equality of the results proves the class construction exact.
+    Together with exact_substring_dedup (md5 form, bit-exact against its
+    own replay) and the pytest span-set-equality twin, this closes the
+    one open asterisk on the ExactSubstr family: window-union ==
+    suffix-array marked set, proven, not asserted."""
+    from chatbot_spark.operators.dedup import duplicated_spans_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans_sa(docs, id_col="doc_id", text_col="text", window=8)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )

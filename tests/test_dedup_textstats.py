@@ -651,3 +651,108 @@ def test_prefix_jaccard_boundary_inclusive(spark):
 def test_prefix_jaccard_identical_docs(spark):
     got = _pj(spark, ["x y z w v", "x y z w v", "totally different text here"])
     assert got == {(0, 1): 1000000}
+
+
+def _py_bpe_reference(word_cnt: dict[str, int], n_merges: int):
+    """Driver-side BPE ground truth mirroring train_bpe's exact
+    semantics: symbols = chars + '_', pair counts weighted by word
+    count, argmax (count DESC, left ASC, right ASC), merges applied
+    left-to-right non-overlapping."""
+    words = {w: list(w) + ["_"] for w in word_cnt}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = word_cnt[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((r, a, b, a + b, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_200_merges_matches_reference_with_bounded_plans(spark):
+    """r8 verdict item 4: production vocab sizes. 200 merge rounds must
+    (a) reproduce the driver-side reference merge-for-merge — the
+    incremental pair maintenance is bit-exact, not approximate — and
+    (b) keep the word table's plan bounded by checkpoint_every chained
+    replaces (the LPA lineage lesson: without the cap a 32k-merge vocab
+    is a 32k-deep expression tree)."""
+    import random
+
+    from chatbot_spark.operators.bpe import train_bpe
+
+    rng = random.Random(5)
+    vocab = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(3, 9)))
+        for _ in range(300)
+    ]
+    word_cnt: dict[str, int] = {}
+    for w in vocab:
+        word_cnt[w] = word_cnt.get(w, 0) + rng.randrange(1, 6)
+    docs = spark.createDataFrame(
+        [(w + " ") * c for w, c in word_cnt.items()], "string"
+    ).toDF("text")
+
+    merges, words = train_bpe(docs, n_merges=200, checkpoint_every=64)
+    want = _py_bpe_reference(word_cnt, 200)
+    assert merges == want
+    # lineage cap: after 200 rounds (checkpoints at 64/128/192) the
+    # returned plan holds at most checkpoint_every chained replaces
+    plan = words._jdf.queryExecution().analyzed().toString()
+    assert plan.count("replace(") <= 64
+
+
+def test_duplicated_spans_sa_equals_window_form(spark):
+    """The hash-free suffix-grouping form and the md5 window form must
+    produce the IDENTICAL span set (the docstring's equivalence proof,
+    exercised): random corpora with planted shared passages, within-doc
+    repetitions, and short docs."""
+    import random
+
+    from chatbot_spark.operators.dedup import duplicated_spans, duplicated_spans_sa
+
+    rng = random.Random(23)
+    shared = ["s%d" % rng.randrange(30) for _ in range(40)]
+    rows = []
+    for i in range(40):
+        toks = ["u%d_%d" % (i, j) for j in range(rng.randrange(3, 25))]
+        if i % 4 == 0:  # cross-doc duplicated passage
+            at = rng.randrange(0, max(1, len(toks)))
+            toks = toks[:at] + shared[: rng.randrange(8, 25)] + toks[at:]
+        if i % 7 == 0:  # within-doc repetition (same window, two offsets)
+            toks = toks + toks[:10]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (3, 8):
+        a = sorted(tuple(r) for r in duplicated_spans(df, window=w).collect())
+        b = sorted(tuple(r) for r in duplicated_spans_sa(df, window=w).collect())
+        assert a == b, f"window={w}"
+
+
+def test_duplicated_spans_sa_non_power_of_two_window(spark):
+    # w=6: exercises the final overlapping-blocks combine (L=4, off=2)
+    from chatbot_spark.operators.dedup import duplicated_spans, duplicated_spans_sa
+
+    rows = [
+        (1, "a b c d e f g h i"),
+        (2, "x y a b c d e f q"),   # shares 'a b c d e f' (6 tokens)
+        (3, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in duplicated_spans_sa(df, window=6).collect())
+    want = sorted(tuple(r) for r in duplicated_spans(df, window=6).collect())
+    assert got == want
+    assert got == [(1, 1, 6), (2, 3, 8)]
