@@ -249,6 +249,14 @@ def stage_totals(ui: str) -> dict:
 
 def main() -> int:
     argv = sys.argv[1:]
+    # --json PATH: write the artifact somewhere other than
+    # SHUFFLE_AUDIT.json (e.g. SHUFFLE_AUDIT_SF1.json for the sf1
+    # derivation — r8 verdict item 6 — without clobbering the sf0.1 one)
+    out_file = os.path.join(REPO, "SHUFFLE_AUDIT.json")
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     names = argv[1:] or DEFAULT_QUERIES
 
@@ -320,7 +328,7 @@ def main() -> int:
         },
         "unjustified": unjustified,
     }
-    with open(os.path.join(REPO, "SHUFFLE_AUDIT.json"), "w") as f:
+    with open(out_file, "w") as f:
         f.write(json.dumps(payload, separators=(",", ":")) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()

@@ -223,7 +223,58 @@ def main() -> int:
         rec["cc_decr_speedup"] = round(
             rec["cc_full_sec"] / max(rec["cc_decr_sec"], 1e-9), 2
         )
+
+        # stored-snapshot decremental refresh (r8 verdict item 3): the
+        # label + edge tables live as bucket-partitioned parquet (the
+        # state a pipeline owns between crawls — the write is SETUP),
+        # the refresh reads them PRUNED and returns the label delta.
+        # Honest comparison: the from-scratch solve on this run's
+        # identical island graph (cc_full_sec) — refresh vs rebuild.
+        from chatbot_spark.operators.components import (
+            decremental_components_stored,
+            write_components_snapshot,
+        )
+
+        snap_cc = tempfile.mkdtemp(prefix="cbs_cc_snap_")
+        write_components_snapshot(
+            islands.union(bridges), snap_cc, rounds=8, n_buckets=64
+        )
+        t0 = time.time()
+        decremental_components_stored(
+            spark, snap_cc, bridges, rounds=8, n_buckets=64
+        ).count()
+        rec["cc_decr_stored_sec"] = round(time.time() - t0, 2)
+        rec["cc_decr_stored_speedup"] = round(
+            rec["cc_full_sec"] / max(rec["cc_decr_stored_sec"], 1e-9), 2
+        )
+        shutil.rmtree(snap_cc, ignore_errors=True)
         islands.unpersist()
+
+        # giant-component decremental point (r9 verdict item 1): the
+        # web-graph common case — ONE connected component holding every
+        # node (the synth graph: ring keeps it connected, the scramble
+        # chord keeps the diameter logarithmic), remove one intra-
+        # component edge. The affected node set is the WHOLE graph
+        # (~n_nodes rows), so past the 1M-row default gate the node-set
+        # broadcast is dropped for shuffle joins — the point records
+        # that the gated path COMPLETES with flat-ish cost where an
+        # ungated broadcast would ship ~|V| rows to every executor
+        # (OOM at web scale). PREV labels are setup (untimed).
+        giant_prev = connected_components(e, rounds=None).localCheckpoint(
+            eager=True
+        )
+        one_edge = spark.range(1).select(
+            F.lit(0).cast("long").alias("src"), F.lit(1).cast("long").alias("dst")
+        )
+        e_remaining = e.filter(
+            ~((F.col("src") == 0) & (F.col("dst") == 1))
+        )
+        t0 = time.time()
+        decremental_components(
+            giant_prev, e_remaining, one_edge, rounds=None
+        ).count()
+        rec["cc_decr_giant_sec"] = round(time.time() - t0, 2)
+        rec["cc_decr_giant_gated"] = bool(n_nodes > 1_000_000)
 
         e.unpersist()
         out.append(rec)

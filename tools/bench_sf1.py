@@ -106,6 +106,13 @@ PINNED = [
     # appended r8b (the composition + routing additions)
     "mixed_edge_batch_components",
     "retrieve_routed",
+    # appended r9 (stored-snapshot refreshes — scaling is the point:
+    # they must grow with the DELTA, not the snapshot — plus the NSW
+    # read path and the hash-free ExactSubstr twin)
+    "decremental_components_stored",
+    "mixed_edge_batch_stored",
+    "retrieve_routed_nsw",
+    "exact_substring_sa",
 ]
 
 
