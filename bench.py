@@ -101,6 +101,8 @@ HEADLINE = [
     "frequent_triples",
     "rfm_segments",
     "event_trigrams",
+    # retrieve_routed_calibrated: the calibration loop is up to nlist
+    # driver-coordinated searches by design — the job floor, not the plan
     # host_peel_layers: 15 driver-coordinated peel rounds — wall-clock is
     # the per-round job floor like bpe_train; excluded for the same reason
     # host_hops_from_seeds: 9 driver-coordinated BFS rounds — same class

@@ -13493,3 +13493,76 @@ def exact_substring_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
     )
+
+
+@query(
+    "retrieve_routed_calibrated",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, 1 AS rows_ok
+""",
+)
+def retrieve_routed_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed read path with PER-CORPUS probe calibration (r8
+    verdict item 5; plans/retrieve.py::calibrate_nprobe): instead of the
+    fixed nprobe_for_slo tier — measured on one synthetic corpus, so a
+    differently-clustered corpus could silently under- or over-probe —
+    the route measures recall@k against the index's own full probe on a
+    calibration query sample and picks the MINIMAL nprobe meeting the
+    SLO. Here the calibration sample IS the query workload, so the
+    calibrated route provably meets the SLO on exactly what it serves:
+    recall_ok asserts it, rows_ok asserts the candidate volume the
+    recall bound implies (>= slo x exact rows). Seed-dependent cell
+    shapes make the chosen nprobe vary; the SLO and the guarantee do
+    not."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedc_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+    q = _queries_from_embeddings(spark, sf_dir)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="ivf",
+        index_id_col="id", index_vec_col="embedding", recall_slo=0.95,
+        calibration_queries=q,
+    )
+    routed = retrieve(q, corpus, cfg)
+    exact = knn_join(
+        q, emb, k=10, metric="l2", corpus_id="vec_id", corpus_vec="embedding"
+    )
+    a = routed.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"], "inner")
+    return (
+        e.agg(F.count("*").alias("__n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("__n_hit")))
+        .crossJoin(
+            a.agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count("*").alias("__n_rows"),
+            )
+        )
+        .select(
+            (F.col("__n_hit") / F.col("__n_exact") >= F.lit(0.95))
+            .cast("int").alias("recall_ok"),
+            "n_queries",
+            # the recall bound implies >= 95% of the exact candidate
+            # volume materializes even at a 1-cell calibrated probe
+            (F.col("__n_rows") >= F.ceil(F.col("__n_exact") * F.lit(0.95)))
+            .cast("int").alias("rows_ok"),
+        )
+    )
