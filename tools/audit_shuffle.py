@@ -219,6 +219,13 @@ JUSTIFIED = {
         "O(sqrt m) by the degree orientation, wedges close immediately "
         "against the edge set — the Suri–Vassilvitskii contract"
     ),
+    "frequent_triples": (
+        "the within-basket triple self-join IS the operator (the "
+        "frequent_pairs contract one order up): C(k,3) candidate rows "
+        "per basket AFTER the a-priori prune to frequent pairs — rows "
+        "are (basket, item, item, item) ids, never payloads; "
+        "output-bound by the support threshold"
+    ),
 }
 
 
