@@ -545,6 +545,15 @@ SPECIAL = {
     ),
 }
 
+COMMENT["retrieve_routed_nsw"] = (
+    "The declarative read path rewritten onto the written NSW index "
+    "(r9): the graph scan carries PartitionFilters on the probed "
+    "shard list (file-level pruning of the index parquet), the beam "
+    "walk is ONE applyInPandas over those shards, and the document "
+    "payload joins AFTER candidate selection on neighbor_id (late "
+    "materialization — Q*k rows, the search never carries text)."
+)
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
