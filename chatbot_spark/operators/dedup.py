@@ -1064,7 +1064,12 @@ def duplicated_spans_sa(
         )
         return keyed.join(reps, key).select("__id", "s", "__c")
 
+    # pos feeds both sides of the first relabel (groupBy reps + join
+    # back) inside ONE eager-checkpoint job — persisted, the corpus is
+    # tokenized once instead of twice (the >=3-consumers rule)
+    pos = pos.persist()
     cur = _relabel(pos, "__tok").localCheckpoint(eager=True)
+    pos.unpersist()
     L = 1
     while L * 2 <= w:
         shifted = cur.select(

@@ -13244,9 +13244,13 @@ def retrieve_routed_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     path = os.path.join(tempfile.mkdtemp(prefix="cbs_routed_nsw_q_"), "nsw")
+    # method="knn": the BLAS-vectorized per-shard build (~5x the insert
+    # build, growing with shard size) — same connectivity guarantee
+    # (reachability repair), and exactness here rests on the whole-shard
+    # beam at slo=1.0, not on construction: the oracle pin is identical
     NSWGraphIndex.build(
         corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
-        nlist=4, m=8, ef_construction=64,
+        nlist=4, m=8, ef_construction=64, method="knn",
     ).write(path)
     cfg = RetrieveConfig(
         mode="universal", k=10, index_path=path, index_kind="auto",
