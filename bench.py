@@ -111,6 +111,9 @@ HEADLINE = [
     # stream_point_in_time: multi-batch streaming drain — same class
     # stream_retract_rollup: multi-batch streaming drain — excluded like
     # its siblings (wall-clock measures the replay harness, not the plan)
+    # stream_event_crud_components / stream_edge_crud_components:
+    # multi-batch streaming drain with two full in-stream solves —
+    # wall-clock measures the replay harness; excluded like its siblings
     # stream_event_transitions: multi-batch streaming drain — excluded
     # like the other replay-harness streaming queries
     # stream_approx_distinct_hourly: streaming drain + exact-side

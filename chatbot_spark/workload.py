@@ -13570,3 +13570,83 @@ def retrieve_routed_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("rows_ok"),
         )
     )
+
+
+@query(
+    "stream_edge_crud_components",
+    _cc_oracle(rounds=8, raw_sql=_CC_MIXED_RAW_SQL),
+)
+def stream_edge_crud_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CRUD graph maintenance under an out-of-order-TOLERANT
+    change feed (streaming/graphcrud.py::edge_crud_writer): edge events
+    (op in add/del) arrive as micro-batches; each batch folds signed
+    multiplicities into a stored edge Z-SET (an edge exists iff its net
+    count is positive — the retraction-rollup algebra applied to graph
+    state), derives the batch's EFFECTIVE removals/additions from the
+    sign crossings, and refreshes the label snapshot removals-first
+    (decremental affected-slice re-solve, then incremental contracted
+    solve), committing versioned snapshots. Because the count table is a
+    pure function of the event multiset — a del arriving before its add
+    nets to -1 then 0, both absent — the drained state is independent of
+    batch order or split (the pytest twin replays both orders). Feed:
+    batch 1 adds the fully-bridged 10-island graph; batch 2 removes the
+    bridges at hosts 0/200/400 and adds the long-range 0-450 link — the
+    oracle is from-scratch CC on the FINAL net-positive edge set, the
+    same 8-round unrolled recurrence that pins
+    mixed_edge_batch_components, now reached through the stream."""
+    import os
+    import tempfile
+
+    from chatbot_spark.streaming.graphcrud import (
+        edge_crud_writer,
+        read_latest_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 500
+    blk = u - (u % 50)
+    ring = docs.select(u.alias("src"), (blk + (u % 50 + 1) % 50).alias("dst"))
+    chord = docs.filter(F.col("doc_id") % 3 == 0).select(
+        u.alias("src"), (blk + (u % 50 + 7) % 50).alias("dst")
+    )
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        u.alias("src"), (u + 50).alias("dst")
+    )
+    adds = ring.union(chord).union(bridges).select(
+        F.lit("add").alias("op"), "src", "dst"
+    )
+    dels = bridges.filter(F.col("src") % 200 == 0).select(
+        F.lit("del").alias("op"), "src", "dst"
+    )
+    late_add = docs.filter(F.col("doc_id") % 500 == 0).select(
+        F.lit("add").alias("op"),
+        F.lit(0).cast("long").alias("src"),
+        F.lit(450).cast("long").alias("dst"),
+    )
+    base = tempfile.mkdtemp(prefix="cbs_sccrud_q_")
+    inpath = os.path.join(base, "in")
+    for b in (adds, dels.union(late_add)):
+        b.coalesce(1).write.mode("append").parquet(inpath)
+    state_dir = os.path.join(base, "state")
+
+    stream = (
+        spark.readStream.schema("op string, src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            edge_crud_writer(state_dir, rounds=8, assert_converged=True)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_latest_version(
+        spark, os.path.join(state_dir, "labels"), "node long, component long"
+    )
+    return final.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

@@ -34,6 +34,7 @@ EAGER = {
     "retrieve_routed", "retrieve_routed_pruned",
     "retrieve_routed_nsw", "retrieve_routed_nsw_pruned",
     "decremental_components_stored", "mixed_edge_batch_stored",
+    "stream_edge_crud_components",
 }
 
 

@@ -45,3 +45,55 @@ def test_distinct_batches_accumulate(spark):
         .collect()[0]
     )
     assert (final["n"], final["total"], final["retr"]) == (1, 25, 1)
+
+
+def _fold_crud(spark, tmp_path, batches, tag):
+    import os
+
+    from chatbot_spark.streaming.graphcrud import (
+        edge_crud_writer,
+        read_latest_version,
+    )
+
+    state = str(tmp_path / f"state_{tag}")
+    fold = edge_crud_writer(state)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "op string, src long, dst long")
+        fold(df, i)
+    labels = read_latest_version(
+        spark, os.path.join(state, "labels"), "node long, component long"
+    )
+    return {r["node"]: r["component"] for r in labels.collect()}
+
+
+def test_edge_crud_fold_order_insensitive(spark, tmp_path):
+    """The z-set CRUD fold's drained state must be a pure function of
+    the event MULTISET: replaying the two batches in either order —
+    including the del-before-add case, where the removal nets to -1 and
+    the late add back to 0 (absent both ways) — lands on identical
+    labels."""
+    adds = [("add", 0, 1), ("add", 1, 2), ("add", 10, 11), ("add", 2, 10)]
+    churn = [("del", 2, 10), ("add", 20, 21)]
+    fwd = _fold_crud(spark, tmp_path, [adds, churn], "fwd")
+    rev = _fold_crud(spark, tmp_path, [churn, adds], "rev")
+    assert fwd == rev
+    # and both equal the net-positive-edge ground truth:
+    # {0,1,2} | {10,11} (bridge 2-10 netted out) | {20,21}
+    assert fwd == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_edge_crud_fold_duplicate_multiplicities(spark, tmp_path):
+    # an edge added twice needs two dels to disappear (multiset, not set)
+    got = _fold_crud(
+        spark, tmp_path,
+        [[("add", 1, 2), ("add", 1, 2)], [("del", 1, 2)]],
+        "dup",
+    )
+    assert got == {1: 1, 2: 1}
+    got2 = _fold_crud(
+        spark, tmp_path,
+        [[("add", 1, 2), ("add", 1, 2)], [("del", 1, 2), ("del", 1, 2)]],
+        "dup2",
+    )
+    # fully removed: both endpoints survive as singletons
+    assert got2 == {1: 1, 2: 2}
