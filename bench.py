@@ -89,6 +89,7 @@ HEADLINE = [
     "mixed_edge_batch_stored",
     "exact_substring_sa",
     "training_shard_plan",
+    "token_budget_mixture",
     "event_transitions",
     "cohort_retention",
     "retrieval_eval",

@@ -289,3 +289,50 @@ def seeded_shard_plan(
     return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop(
         "__h"
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group WEIGHT-BUDGETED selection — the token-budget form of
+    the mixing family (capped_sample caps row COUNTS; a training mixture
+    is specified in TOKENS per source): within each group, take rows in
+    content-hash order (md5 of the id — deterministic, engine- and
+    layout-invariant, stable under corpus growth) while the inclusive
+    running ``weight_col`` total stays within ``budget``. Greedy prefix
+    under budget, the standard data-mixture cut (not a knapsack — the
+    hash order IS the sampling design).
+
+    Skew-safe two-phase scan (the capped_sample shape generalized to
+    weights): phase 1 computes the running total within each (group,
+    scan-partition) cell and drops rows whose LOCAL total already
+    exceeds the budget — sound, because the global prefix at a row is a
+    superset of its local prefix, so global > local > budget; a hot
+    group's rows therefore never funnel into one reducer carrying more
+    than O(budget / min-weight x partitions) survivors. Phase 2 ranks
+    the survivors per group and applies the exact cutoff. Output is
+    identical to the single-window plan.
+
+    PRECONDITION: ``id_col`` unique within each group (ties on the
+    (md5, id) order key would make boundary membership shuffle-order
+    dependent — the capped_sample contract)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    pre = df.withColumn("__h", h).withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__h", id_col)
+    survivors = (
+        pre.withColumn("__lc", F.sum(weight_col).over(w1))
+        .filter(F.col("__lc") <= budget)
+        .drop("__lc", "__pid")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("__cum", F.sum(weight_col).over(w2))
+        .filter(F.col("__cum") <= budget)
+        .drop("__h", "__cum")
+    )

@@ -13650,3 +13650,50 @@ def stream_edge_crud_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("size"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@query(
+    "token_budget_mixture",
+    r"""
+WITH tk AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS ntok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+cum AS (
+  SELECT source, doc_id, ntok,
+         sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id) AS c
+  FROM tk)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS member_checksum
+FROM cum WHERE c <= 20000 GROUP BY source
+""",
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted source mixture
+    (operators/sampling.py::token_budget_sample): training mixtures are
+    specified in TOKENS per source, not row counts — each source
+    contributes its content-hash-ordered prefix of documents whose
+    running token total stays within a 20k budget (deterministic,
+    growth-stable: a document already in the mixture stays in it as the
+    corpus grows, until budget-out). Two-phase skew-safe scan: a local
+    per-(source, partition) running total prunes everything past the
+    budget BEFORE the per-source exact cutoff, so a hot source never
+    funnels its full corpus into one reducer. Summary is
+    membership-sensitive (doc-id checksum + token totals per source);
+    the oracle replays the hash order and cutoff exactly."""
+    from chatbot_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ntok"),
+    )
+    picked = token_budget_sample(
+        docs, ["source"], "doc_id", "ntok", budget=20_000
+    )
+    return picked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("member_checksum"),
+    )

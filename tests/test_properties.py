@@ -738,3 +738,45 @@ def test_seeded_shard_plan_reproducible_and_seed_sensitive(spark):
     c = seeded_shard_plan(df, "id", n_shards=4, seed="s2")
     rows_c = sorted(map(tuple, c.select("id", "shard", "pos").collect()))
     assert rows_c != rows_a  # the seed actually reshuffles
+
+
+def test_token_budget_sample_equals_single_window_and_respects_budget(spark):
+    """token_budget_sample's two-phase skew-safe scan must equal the
+    naive single-window cumsum cutoff, and every group's selected total
+    must fit the budget while the next hash-ordered row would bust it
+    (greedy-prefix maximality)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.sampling import token_budget_sample
+
+    rng = random.Random(17)
+    rows = [
+        (f"s{i % 3}", i, rng.randrange(1, 400)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long").repartition(7)
+    budget = 2000
+    got = {
+        (r["source"], r["doc_id"])
+        for r in token_budget_sample(df, ["source"], "doc_id", "w", budget).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = df.withColumn("c", F.sum("w").over(w)).filter(F.col("c") <= budget)
+    want = {(r["source"], r["doc_id"]) for r in naive.collect()}
+    assert got == want
+    # per-group: within budget, and maximal (next row would exceed)
+    full = df.withColumn("c", F.sum("w").over(w)).collect()
+    by_src = {}
+    for r in sorted(full, key=lambda r: r["c"]):
+        by_src.setdefault(r["source"], []).append(r)
+    for src, ordered in by_src.items():
+        picked = [r for r in ordered if (src, r["doc_id"]) in got]
+        total = sum(r["w"] for r in picked)
+        assert total <= budget
+        rest = [r for r in ordered if (src, r["doc_id"]) not in got]
+        if rest:
+            assert total + rest[0]["w"] > budget
