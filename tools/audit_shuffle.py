@@ -110,6 +110,15 @@ DEFAULT_QUERIES = [
     "prefix_jaccard_adversarial",
     "mixed_edge_batch_components",
     "retrieve_routed",
+    # r9 family: stored-snapshot refreshes, NSW-routed read path, the
+    # hash-free ExactSubstr twin, the z-set streaming CRUD fold, and the
+    # token-budget mixture
+    "decremental_components_stored",
+    "mixed_edge_batch_stored",
+    "retrieve_routed_nsw",
+    "exact_substring_sa",
+    "stream_edge_crud_components",
+    "token_budget_mixture",
 ]
 
 
@@ -225,6 +234,23 @@ JUSTIFIED = {
         "per basket AFTER the a-priori prune to frequent pairs — rows "
         "are (basket, item, item, item) ids, never payloads; "
         "output-bound by the support threshold"
+    ),
+    "exact_substring_sa": (
+        "the class tables are per-POSITION by definition (one row per "
+        "token position crosses each of the O(log w) prefix-doubling "
+        "relabel exchanges — fixed-size (id, pos, class) tuples, never "
+        "text) vs a doc-count denominator; the md5 window form "
+        "(exact_substring_dedup) is the 1-exchange production default, "
+        "this is its hash-free exactness twin"
+    ),
+    "stream_edge_crud_components": (
+        "three composed solves across the micro-batches (batch 1 "
+        "incrementally solves the full arriving graph from empty, batch "
+        "2 runs the decremental slice + incremental contracted solves), "
+        "each re-exchanging O(V+E) (node, label) longs per pinned round "
+        "plus convergence probes — the Pregel contract through the "
+        "stream; per-batch volume is O(delta + touched), the denominator "
+        "is one documents scan"
     ),
 }
 
