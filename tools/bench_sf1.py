@@ -113,6 +113,7 @@ PINNED = [
     "mixed_edge_batch_stored",
     "retrieve_routed_nsw",
     "exact_substring_sa",
+    "token_budget_mixture",
 ]
 
 
