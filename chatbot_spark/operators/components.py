@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "apply_component_delta",
     "connected_components",
     "decremental_components",
     "decremental_components_stored",
@@ -537,3 +538,109 @@ def merge_component_delta(stored_labels: DataFrame, delta: DataFrame) -> DataFra
     return stored_labels.select("node", "component").join(
         delta.select("node"), "node", "left_anti"
     ).unionByName(delta.select("node", "component"))
+
+
+def apply_component_delta(
+    spark,
+    snapshot_dir: str,
+    delta: DataFrame,
+    n_buckets: int = 64,
+) -> None:
+    """WRITE-pruned application of a refresh delta to the stored
+    snapshot — the upsert leg :func:`merge_component_delta` only models
+    logically: at 100 TB the label tables must not be rewritten
+    wholesale for a delta-sized refresh, so this rewrites ONLY the
+    bucket partitions the delta touches (dynamic partition overwrite),
+    leaving every other bucket's files byte-identical on disk.
+
+    * ``labels_by_node``: the delta's nodes name their buckets directly
+      — those buckets are read pruned, delta nodes dropped (anti-join),
+      delta rows unioned back, and exactly those partitions overwritten.
+    * ``labels_by_comp``: a relabeled node MOVES between component
+      buckets, so the affected set is bucket(old component) — looked up
+      from the node layout BEFORE it is overwritten — union bucket(new
+      component); stale rows drop by the same anti-join and the delta
+      lands in its new buckets.
+
+    Both merged slices are eagerly localCheckpoint-ed before writing:
+    the write targets the very files the merge reads, and the
+    checkpoint breaks that read-after-overwrite hazard (and Spark's
+    self-overwrite guard). The edge table is maintained separately by
+    the ingest path (A9) — labels are the only state a refresh moves."""
+
+    def _py_bucket(i: int) -> int:
+        return i % n_buckets if i >= 0 else -((-i) % n_buckets)
+
+    delta = delta.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).persist()
+    if delta.isEmpty():
+        delta.unpersist()
+        return
+    node_buckets = sorted(
+        int(r[0])
+        for r in delta.select(
+            _bucket_col(F.col("node"), n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    lbn = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snapshot_dir}/labels_by_node"
+    )
+    # old components (pruned lookup) BEFORE the node layout is rewritten
+    old_comp_buckets = sorted(
+        int(r[0])
+        for r in lbn.filter(F.col("__bucket").isin(node_buckets))
+        .join(delta.select("node"), "node")
+        .select(_bucket_col(F.col("component"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    new_comp_buckets = sorted(
+        int(r[0])
+        for r in delta.select(
+            _bucket_col(F.col("component"), n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    comp_buckets = sorted(set(old_comp_buckets) | set(new_comp_buckets))
+
+    merged_n = (
+        lbn.filter(F.col("__bucket").isin(node_buckets))
+        .join(delta.select("node"), "node", "left_anti")
+        .unionByName(
+            delta.withColumn("__bucket", _bucket_col(F.col("node"), n_buckets))
+        )
+        .localCheckpoint(eager=True)
+    )
+    lbc = spark.read.schema("node long, component long, __bucket int").parquet(
+        f"{snapshot_dir}/labels_by_comp"
+    )
+    merged_c = (
+        lbc.filter(F.col("__bucket").isin(comp_buckets))
+        .join(delta.select("node"), "node", "left_anti")
+        .unionByName(
+            delta.withColumn(
+                "__bucket", _bucket_col(F.col("component"), n_buckets)
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged_n.repartition(max(len(node_buckets), 1), F.col("__bucket"))
+            .write.partitionBy("__bucket").mode("overwrite")
+            .parquet(f"{snapshot_dir}/labels_by_node")
+        )
+        (
+            merged_c.repartition(max(len(comp_buckets), 1), F.col("__bucket"))
+            .write.partitionBy("__bucket").mode("overwrite")
+            .parquet(f"{snapshot_dir}/labels_by_comp")
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    delta.unpersist()

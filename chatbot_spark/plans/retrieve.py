@@ -72,6 +72,14 @@ class RetrieveConfig:
     index_id_col: str = "id"
     index_vec_col: str = "embedding"
     recall_slo: float = 1.0
+    # "broadcast" (default): the bounded-batch fast path — the routed
+    # query shortlist is broadcast/collected (O(Q·d) driver/executor
+    # memory; interactive serving up to ~100k queries). "join": the
+    # unbounded-query-set path — queries never touch the driver; both
+    # index families shuffle-join/cogroup on the routed cell instead
+    # (ann.py / hnsw.py search contract, ~2x wall-clock for O(1) driver
+    # memory). The rewrite is strategy-only: same rows either way.
+    index_route: str = "broadcast"
     # optional per-corpus SLO calibration (r8 verdict item 5): a query
     # sample to MEASURE recall on at route time instead of trusting the
     # fixed nprobe_for_slo tiers — see calibrate_nprobe().
@@ -253,7 +261,9 @@ def _routed_universal(
         nprobe = nprobe_for_slo(cfg.recall_slo, nlist)
 
     if kind == "ivf":
-        hits = index.search(queries_df, k=cfg.k, nprobe=nprobe)
+        hits = index.search(
+            queries_df, k=cfg.k, nprobe=nprobe, route=cfg.index_route
+        )
     else:
         # graph-index exactness needs the beam to walk the WHOLE probed
         # shard (ef_search ≥ shard size — hnsw.py::search contract); the
@@ -267,7 +277,10 @@ def _routed_universal(
             )
         else:
             ef = 64
-        hits = index.search(queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef)
+        hits = index.search(
+            queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,
+            route=cfg.index_route,
+        )
     payload = corpus.select(
         F.col(cfg.index_id_col).alias("neighbor_id"), "document"
     )

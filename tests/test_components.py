@@ -340,3 +340,89 @@ def test_stored_snapshot_reads_prune_at_file_level(spark, tmp_path):
     # the full table holds
     all_files = len(lbn.inputFiles())
     assert all_files >= 8
+
+
+def test_apply_component_delta_write_prunes_untouched_buckets(spark, tmp_path):
+    """The write-pruned upsert must (a) land on exactly the merged
+    labels in BOTH layouts, and (b) leave every untouched bucket's files
+    byte-identical on disk (path + mtime + size) — rewrite cost tracks
+    the delta, not the snapshot."""
+    import os
+
+    from chatbot_spark.operators.components import (
+        apply_component_delta,
+        decremental_components_stored,
+        merge_component_delta,
+        write_components_snapshot,
+    )
+
+    # many SMALL components (4-node paths at 0,4,8,...,36): the delta of
+    # one removal is component-sized = 4 nodes, so most node buckets and
+    # comp buckets stay untouched — the shape the write pruning exists for
+    base = [
+        (s + i, s + i + 1) for s in range(0, 40, 4) for i in range(3)
+    ]
+    snap = str(tmp_path / "snap")
+    write_components_snapshot(
+        spark.createDataFrame(base, "src long, dst long"), snap, n_buckets=8
+    )
+
+    def _files(layout):
+        out = {}
+        root = os.path.join(snap, layout)
+        for b in os.listdir(root):
+            if not b.startswith("__bucket="):
+                continue
+            for f in os.listdir(os.path.join(root, b)):
+                if f.endswith(".parquet"):
+                    pth = os.path.join(root, b, f)
+                    st = os.stat(pth)
+                    out[pth] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before_n = _files("labels_by_node")
+    before_c = _files("labels_by_comp")
+
+    removed = [(9, 10)]
+    del_df = spark.createDataFrame(removed, "src long, dst long")
+    delta = decremental_components_stored(
+        spark, snap, del_df, n_buckets=8
+    ).localCheckpoint(eager=True)
+    want = {
+        r["node"]: r["component"]
+        for r in merge_component_delta(
+            spark.read.parquet(f"{snap}/labels_by_node").select("node", "component"),
+            delta,
+        ).collect()
+    }
+    delta_rows = delta.collect()
+    touched_n = {f"__bucket={r['node'] % 8}" for r in delta_rows}
+    # comp buckets: the affected nodes' OLD comp (8 -> bucket 0) + new
+    touched_c = {f"__bucket={r['component'] % 8}" for r in delta_rows} | {"__bucket=0"}
+
+    apply_component_delta(spark, snap, delta, n_buckets=8)
+
+    got_n = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{snap}/labels_by_node").collect()
+    }
+    got_c = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{snap}/labels_by_comp").collect()
+    }
+    assert got_n == want
+    assert got_c == want
+    # untouched buckets byte-identical
+    after_n = _files("labels_by_node")
+    after_c = _files("labels_by_comp")
+    for before, after, touched in (
+        (before_n, after_n, touched_n),
+        (before_c, after_c, touched_c),
+    ):
+        untouched = {
+            p: v for p, v in before.items()
+            if not any(t in p for t in touched)
+        }
+        assert untouched, "fixture must leave some buckets untouched"
+        for p, v in untouched.items():
+            assert after.get(p) == v, f"untouched file rewritten: {p}"

@@ -794,3 +794,35 @@ def test_retrieve_with_calibration_queries_meets_slo(spark, corpus, tmp_path):
         for r in retrieve(queries, emb, RetrieveConfig(mode="universal", k=3)).collect()
     }
     assert len(routed & exact) / len(exact) >= 0.95
+
+
+def test_retrieve_routed_join_route_same_rows(spark, corpus, tmp_path):
+    """index_route='join' (the unbounded-query-set path: queries never
+    touch the driver; cogroup/shuffle on the routed cell) must return
+    the same rows as the broadcast fast path — strategy, not semantics."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    emb = spark.read.parquet(corpus)
+    queries = spark.createDataFrame(
+        [("q1", "deploy oceanbase cluster now"), ("q2", "ocp metrics")],
+        "query_id STRING, query_text STRING",
+    )
+    norm = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["dist"], 6))
+        for r in rows
+    )
+    for kind, builder in (("ivf", IVFIndex), ("nsw", NSWGraphIndex)):
+        path = str(tmp_path / kind)
+        builder.build(
+            emb.select("id", "embedding"), vec_col="embedding", id_col="id",
+            nlist=2,
+        ).write(path)
+        out = {}
+        for route in ("broadcast", "join"):
+            cfg = RetrieveConfig(
+                mode="universal", k=3, index_path=path, recall_slo=1.0,
+                index_route=route,
+            )
+            out[route] = norm(retrieve(queries, emb, cfg).collect())
+        assert out["broadcast"] == out["join"], kind
