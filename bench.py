@@ -84,6 +84,7 @@ HEADLINE = [
     "retrieve_routed_pruned",
     "retrieve_routed_nsw",
     "retrieve_routed_nsw_pruned",
+    "routed_sql_topk",
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",
@@ -598,19 +599,31 @@ def main() -> None:
     # carrying a loadavg-10 refresh over the committed quiet-host number.
     # Non-canonical results land in a sibling file; the canonical
     # artifact only ever moves canonical→canonical.
-    if not payload["canonical"] and os.path.exists(out_path):
+    if os.path.exists(out_path):
         try:
             with open(out_path) as f:
-                prev_canonical = bool(json.load(f).get("canonical"))
+                prev = json.load(f)
+            prev_canonical = bool(prev.get("canonical"))
+            prev_sf = prev.get("sf")
         except (OSError, ValueError):
-            prev_canonical = False
-        if prev_canonical:
+            prev_canonical, prev_sf = False, None
+        # cross-SF refusal (r10): a canonical artifact at the pinned SF
+        # must also survive a smoke run at a DIFFERENT SF — an sf0.01
+        # spot check silently replaced the committed sf0.1 suite once.
+        if prev_canonical and (
+            not payload["canonical"] or prev_sf != payload.get("sf")
+        ):
+            reason = (
+                "start loadavg > 2"
+                if not payload["canonical"]
+                else f"sf {payload.get('sf')} != pinned sf {prev_sf}"
+            )
             out_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "BENCH_FULL_noncanonical.json",
             )
             print(
-                "# start loadavg > 2: non-canonical run kept aside as "
+                f"# {reason}: run kept aside as "
                 "BENCH_FULL_noncanonical.json (canonical artifact preserved)"
             )
     with open(out_path, "w") as f:

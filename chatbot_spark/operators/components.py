@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "apply_component_delta",
+    "apply_component_delta_versioned",
+    "commit_components_snapshot",
     "connected_components",
     "decremental_components",
     "decremental_components_stored",
@@ -644,3 +646,78 @@ def apply_component_delta(
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     delta.unpersist()
+
+
+def commit_components_snapshot(
+    edges: DataFrame,
+    state_dir: str,
+    rounds: int | None = None,
+    n_buckets: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    assert_converged: bool = False,
+) -> str:
+    """Versioned form of :func:`write_components_snapshot` — the
+    components store's entry into the shared io/versioned.py commit
+    protocol (round-9 verdict item 3): the snapshot is written into
+    ``{state_dir}/v0`` and committed with the atomic ``CURRENT``
+    repoint, so refreshes (:func:`apply_component_delta_versioned`)
+    become immutable commits with time travel and retention instead of
+    in-place mutation. Returns the committed version name."""
+    import os
+
+    from chatbot_spark.io import versioned
+
+    cur = versioned.current_version(state_dir)
+    nxt = 0 if cur is None else int(cur[1:]) + 1
+    vname = f"v{nxt}"
+    write_components_snapshot(
+        edges,
+        os.path.join(state_dir, vname),
+        rounds=rounds,
+        n_buckets=n_buckets,
+        src=src,
+        dst=dst,
+        assert_converged=assert_converged,
+    )
+    versioned.commit(state_dir, vname)
+    return vname
+
+
+def apply_component_delta_versioned(
+    spark,
+    state_dir: str,
+    delta: DataFrame,
+    n_buckets: int = 64,
+    keep_versions: int = 2,
+) -> str:
+    """Copy-on-write versioned refresh: the delta-sized partition
+    overwrite of :func:`apply_component_delta`, but into a NEW commit
+    instead of mutating the snapshot in place. Untouched bucket files
+    are HARDLINKED from the previous version (io.versioned.link_tree —
+    zero bytes copied, the local-FS analog of lakehouse manifest
+    file-sharing), then only the delta's buckets are rewritten inside
+    the new version. The previous commit stays byte-identical and
+    readable (time travel); dynamic partition overwrite UNLINKS the
+    links it replaces, never writes through them, so the share is safe.
+
+    Cost: O(delta buckets rewritten + one hardlink per untouched file +
+    one pointer write) — the 100 TB refresh shape; at 64 buckets the
+    link pass is a few thousand syscalls regardless of table size.
+    Returns the committed version name."""
+    from chatbot_spark.io import versioned
+
+    cur = versioned.current_version(state_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed snapshot in {state_dir}; run "
+            "commit_components_snapshot first"
+        )
+    prev_dir = versioned.resolve(state_dir, cur)
+    vname = f"v{int(cur[1:]) + 1}"
+    vdir = versioned.version_path(state_dir, vname)
+    versioned.link_tree(prev_dir, vdir)
+    apply_component_delta(spark, vdir, delta, n_buckets=n_buckets)
+    versioned.commit(state_dir, vname)
+    versioned.vacuum(state_dir, keep=keep_versions)
+    return vname

@@ -1204,17 +1204,15 @@ def nsw_optimize_cycle(
     import os
     import re as _re
 
+    from chatbot_spark.io import versioned
     from chatbot_spark.io.tables import collect_table_stats
-    from chatbot_spark.streaming.events import vacuum_versions
 
     os.makedirs(state_dir, exist_ok=True)
-    marker = os.path.join(state_dir, "CURRENT")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            cur = f.read().strip()
+    cur = versioned.current_version(state_dir)
+    if cur is not None:
         cycle = int(_re.match(r"v(\d+)", cur).group(1)) + 1
         prev = NSWGraphIndex.load(
-            spark, os.path.join(state_dir, cur), vec_col=vec_col, id_col=id_col
+            spark, versioned.resolve(state_dir, cur), vec_col=vec_col, id_col=id_col
         )
         grown = prev.append(new_rows, m=m, ef_construction=ef_construction)
     else:
@@ -1237,9 +1235,6 @@ def nsw_optimize_cycle(
     except Exception:
         pass
     opt.release()
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(f"v{cycle}")
-    os.replace(tmp, marker)
-    vacuum_versions(state_dir, keep=keep_versions)
+    versioned.commit(state_dir, f"v{cycle}")
+    versioned.vacuum(state_dir, keep=keep_versions)
     return NSWGraphIndex.load(spark, vdir, vec_col=vec_col, id_col=id_col)

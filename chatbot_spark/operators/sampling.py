@@ -307,15 +307,21 @@ def token_budget_sample(
     under budget, the standard data-mixture cut (not a knapsack — the
     hash order IS the sampling design).
 
-    Skew-safe two-phase scan (the capped_sample shape generalized to
-    weights): phase 1 computes the running total within each (group,
-    scan-partition) cell and drops rows whose LOCAL total already
-    exceeds the budget — sound, because the global prefix at a row is a
-    superset of its local prefix, so global > local > budget; a hot
-    group's rows therefore never funnel into one reducer carrying more
-    than O(budget / min-weight x partitions) survivors. Phase 2 ranks
-    the survivors per group and applies the exact cutoff. Output is
-    identical to the single-window plan.
+    Skew-safe EXACT grouped prefix sum (the ``prefix_sum`` two-phase
+    shape, specialized to a uniform order key): the order key is an md5
+    hex string, so its first two hex chars give 256 equal-probability,
+    ORDER-PRESERVING range buckets with no quantile pass (lexical order
+    on a prefix is consistent with lexical order on the full string).
+    Phase 1 cumsums within each (group, bucket) cell — a hot group's
+    rows spread across 256 cells instead of funneling one reducer.
+    Phase 2 adds each cell's running per-group bucket offset (a
+    ≤ groups×256-row broadcast aggregate) back to the local cumsum, so
+    every row carries its EXACT global inclusive prefix, then applies
+    the cutoff. A survivors-only rerank (the capped_sample count trick)
+    is NOT sound for weights: a row pruned in phase 1 still contributes
+    weight to later rows' global prefixes, and dropping it from the
+    phase-2 cumsum made boundary membership depend on the input
+    partition layout (round-9 ADVICE).
 
     PRECONDITION: ``id_col`` unique within each group (ties on the
     (md5, id) order key would make boundary membership shuffle-order
@@ -323,16 +329,26 @@ def token_budget_sample(
     from pyspark.sql import Window
 
     h = F.md5(F.col(id_col).cast("string"))
-    pre = df.withColumn("__h", h).withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__h", id_col)
-    survivors = (
-        pre.withColumn("__lc", F.sum(weight_col).over(w1))
-        .filter(F.col("__lc") <= budget)
-        .drop("__lc", "__pid")
+    pre = df.withColumn("__h", h).withColumn(
+        "__bkt", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
     )
-    w2 = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    w_in = Window.partitionBy(*group_cols, "__bkt").orderBy("__h", id_col)
+    # the windowed subtree feeds the offsets aggregate AND the final
+    # join — persist so the upstream scan executes once per action
+    within = pre.withColumn("__cum_in", F.sum(weight_col).over(w_in)).persist()
+    w_off = Window.partitionBy(*group_cols).orderBy(F.col("__bkt").asc())
+    offsets = (
+        within.groupBy(*group_cols, "__bkt")
+        .agg(F.sum(weight_col).alias("__sub"))
+        # ≤ groups×256 rows: the per-group window here is tiny
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__sub").over(w_off) - F.col("__sub"), F.lit(0)),
+        )
+        .select(*group_cols, "__bkt", "__off")
+    )
     return (
-        survivors.withColumn("__cum", F.sum(weight_col).over(w2))
-        .filter(F.col("__cum") <= budget)
-        .drop("__h", "__cum")
+        within.join(F.broadcast(offsets), [*group_cols, "__bkt"])
+        .filter((F.col("__cum_in") + F.col("__off")) <= budget)
+        .drop("__h", "__bkt", "__cum_in", "__off")
     )

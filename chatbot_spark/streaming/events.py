@@ -285,33 +285,27 @@ def upsert_state_writer(
     fresh paths. Without a token, state_dir and checkpointLocation must
     share a lifecycle (the pre-existing contract).
     """
-    import hashlib
     import os
 
+    from chatbot_spark.io import versioned
     from chatbot_spark.io.tables import upsert_latest
 
-    # the token is baked into the VERSION DIRECTORY NAME, not just the
-    # pointer: with only the pointer stamped, a new lifecycle's batch N
-    # would read prev from v<N> and write its merge back to v<N> — a
-    # read-and-overwrite of the same parquet path (works on some Spark
-    # builds by scan-ordering luck, loses the prior state on builds that
-    # clear the output dir first). Distinct dir names make every merge
-    # write a fresh path.
-    suffix = (
-        "_" + hashlib.md5(run_token.encode()).hexdigest()[:8] if run_token else ""
-    )
+    # token baked into the VERSION DIRECTORY NAME (versioned.stamp), not
+    # just the pointer: with only the pointer stamped, a new lifecycle's
+    # batch N would read prev from v<N> and write its merge back to v<N>
+    # — a read-and-overwrite of the same parquet path.
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(state_dir, "CURRENT")
-        stamp = f"v{int(batch_id)}{suffix}"
-        prev = None
-        if os.path.exists(marker):
-            with open(marker) as f:
-                cur = f.read().strip()
-            if cur == stamp:
-                return
-            prev = spark.read.parquet(os.path.join(state_dir, cur))
+        vname = versioned.stamp(batch_id, run_token)
+        cur = versioned.current_version(state_dir)
+        if cur == vname:
+            return  # crash-window-2 replay: this exact commit is CURRENT
+        prev = (
+            spark.read.parquet(versioned.resolve(state_dir))
+            if cur is not None
+            else None
+        )
         merged = (
             upsert_latest(prev, batch_df, id_col=id_col, version_col=version_col)
             if prev is not None
@@ -319,11 +313,10 @@ def upsert_state_writer(
                 batch_df.limit(0), batch_df, id_col=id_col, version_col=version_col
             )
         )
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, stamp))
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(stamp)
-        os.replace(tmp, marker)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, vname)
+        )
+        versioned.commit(state_dir, vname)
 
     return write_batch
 
@@ -344,34 +337,13 @@ def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
     exempt unconditionally, so a concurrent repoint can at worst leave
     one extra directory behind — never dangle the pointer. Readers of a
     vacuumed snapshot fail like any expired-retention read in a
-    lakehouse; pick ``keep`` >= your longest reader window."""
-    import os
-    import re
-    import shutil
+    lakehouse; pick ``keep`` >= your longest reader window.
 
-    marker = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(marker):
-        return []
-    with open(marker) as f:
-        current = f.read().strip()
-    vers = [
-        d
-        for d in os.listdir(state_dir)
-        if re.fullmatch(r"v\d+(_[0-9a-f]+)?", d)
-        and os.path.isdir(os.path.join(state_dir, d))
-    ]
-    vers.sort(
-        key=lambda d: (
-            os.path.getmtime(os.path.join(state_dir, d)),
-            int(re.match(r"v(\d+)", d).group(1)),
-        )
-    )
-    doomed = [d for d in vers[:-keep] if d != current] if keep > 0 else [
-        d for d in vers if d != current
-    ]
-    for d in doomed:
-        shutil.rmtree(os.path.join(state_dir, d))
-    return doomed
+    (Thin alias since round 10: the protocol lives in io/versioned.py,
+    shared by all four versioned stores.)"""
+    from chatbot_spark.io import versioned
+
+    return versioned.vacuum(state_dir, keep=keep)
 
 
 def read_upsert_state(spark, state_dir: str, version: str | int | None = None) -> DataFrame:
@@ -382,16 +354,9 @@ def read_upsert_state(spark, state_dir: str, version: str | int | None = None) -
     writer never rewrites after the repoint (the Delta/Iceberg
     read-at-snapshot path in miniature; retention/VACUUM of old ``v*``
     dirs is the operator's only extra job at scale)."""
-    import os
+    from chatbot_spark.io import versioned
 
-    if version is None:
-        with open(os.path.join(state_dir, "CURRENT")) as f:
-            cur = f.read().strip()
-    elif isinstance(version, int):
-        cur = f"v{version}"
-    else:
-        cur = version if version.startswith("v") else f"v{version}"
-    return spark.read.parquet(os.path.join(state_dir, cur))
+    return spark.read.parquet(versioned.resolve(state_dir, version))
 
 
 def signed_partials_writer(

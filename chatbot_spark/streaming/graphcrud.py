@@ -23,9 +23,16 @@ Per batch:
    first via :func:`decremental_components` (affected-slice re-solve),
    then additions via :func:`incremental_components` (contracted
    solve);
-4. write counts + labels as version ``v{batch_id}`` (the versioned-
-   commit contract: a crash replay rewrites its own version,
-   idempotent).
+4. write counts + labels under ONE version tree
+   ``v{batch_id}/{counts,labels}`` and commit with the shared
+   io/versioned.py protocol (atomic ``CURRENT`` repoint + vacuum).
+   One pointer covers both datasets, so a crash between the two
+   writes can never leave counts at ``v{b}`` with labels at
+   ``v{b-1}`` — the whole version is simply uncommitted and the
+   replay rewrites it. Replay reads prev from ``CURRENT`` (never a
+   directory listing, never its own in-flight version), and a
+   replay of an already-committed batch short-circuits — the
+   round-9 ADVICE double-fold is structurally impossible.
 
 Because the final count table is a pure function of the event MULTISET
 (not its batch split or arrival order), the drained snapshot equals
@@ -48,43 +55,48 @@ from pyspark.sql import functions as F
 __all__ = ["edge_crud_writer", "read_latest_version"]
 
 
-def _latest_version(root: str) -> int | None:
-    if not os.path.isdir(root):
-        return None
-    vs = [int(d[1:]) for d in os.listdir(root) if d.startswith("v")]
-    return max(vs) if vs else None
+def read_latest_version(spark, state_dir: str, dataset: str, schema: str) -> DataFrame:
+    """Read ``{CURRENT}/{dataset}`` (``"counts"`` or ``"labels"``) of the
+    committed state — empty frame before the first commit. Pointer-only
+    resolution (io/versioned.py): stray directory entries can't poison
+    the read, and an uncommitted in-flight version is invisible."""
+    from chatbot_spark.io import versioned
 
-
-def read_latest_version(spark, root: str, schema: str) -> DataFrame:
-    v = _latest_version(root)
-    if v is None:
+    cur = versioned.current_version(state_dir)
+    if cur is None:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(os.path.join(root, f"v{v}"))
+    return spark.read.schema(schema).parquet(
+        os.path.join(versioned.resolve(state_dir, cur), dataset)
+    )
 
 
 def edge_crud_writer(
     state_dir: str,
     rounds: int | None = None,
     assert_converged: bool = False,
+    run_token: str | None = None,
+    keep_versions: int = 2,
 ):
     """foreachBatch writer folding an (op, src, dst) edge event feed —
-    ``op`` in {'add', 'del'} — into ``{state_dir}/counts`` and
-    ``{state_dir}/labels`` versioned snapshots. See module docstring."""
+    ``op`` in {'add', 'del'} — into one versioned state tree
+    ``{state_dir}/v{batch}/{counts,labels}`` under the shared
+    io/versioned.py commit protocol. See module docstring."""
+    from chatbot_spark.io import versioned
     from chatbot_spark.operators.components import (
         decremental_components,
         incremental_components,
     )
 
-    counts_root = os.path.join(state_dir, "counts")
-    labels_root = os.path.join(state_dir, "labels")
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vname = versioned.stamp(batch_id, run_token)
+        if versioned.is_committed(state_dir, vname):
+            return  # crash-window-2 replay: already the committed state
         prev_counts = read_latest_version(
-            spark, counts_root, "src long, dst long, cnt long"
+            spark, state_dir, "counts", "src long, dst long, cnt long"
         )
         prev_labels = read_latest_version(
-            spark, labels_root, "node long, component long"
+            spark, state_dir, "labels", "node long, component long"
         )
         delta = (
             batch_df.select(
@@ -138,15 +150,17 @@ def edge_crud_writer(
         # keep only live count rows (net != 0 keeps pending negative
         # tombstones so a late add still nets to absent); labels keep
         # every node ever seen (removal never deletes nodes)
+        vdir = versioned.version_path(state_dir, vname)
         (
             merged.filter(F.col("cnt") != 0)
             .select("src", "dst", "cnt")
             .write.mode("overwrite")
-            .parquet(os.path.join(counts_root, f"v{batch_id}"))
+            .parquet(os.path.join(vdir, "counts"))
         )
-        labels.write.mode("overwrite").parquet(
-            os.path.join(labels_root, f"v{batch_id}")
-        )
+        labels.write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
         merged.unpersist()
+        # both datasets durable -> one atomic commit covers the pair
+        versioned.commit(state_dir, vname)
+        versioned.vacuum(state_dir, keep=keep_versions)
 
     return fold

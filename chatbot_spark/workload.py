@@ -13313,6 +13313,76 @@ def retrieve_routed_nsw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(routed, exact)
 
 
+@query(
+    "routed_sql_topk",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM embeddings c, q)
+SELECT neighbor_id, round(d, 6) AS dist
+FROM pairs ORDER BY d ASC, neighbor_id ASC LIMIT 10
+""",
+)
+def routed_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL nearest-neighbor routing (SURVEY §4 item (a), r9 verdict
+    item 6; plans/sqlroute.py): a user writing the idiomatic serving SQL
+    ``SELECT id, l2_dist(embedding, <q>) AS dist ... ORDER BY dist, id
+    LIMIT 10`` against a corpus with a REGISTERED index must get the
+    index route without changing their query — the pre-plan rewriter
+    recognizes the distance-order-by-k shape and rewrites it onto
+    _routed_universal (the same audited path retrieve() uses). At the
+    registration's recall_slo=1.0 the rewrite is BIT-FOR-BIT the exact
+    scan (full probe ≡ exact — the ivf_knn_fullprobe pin), which is
+    exactly what this oracle checks; the body also asserts the executed
+    plan actually read the index layout, so a silent fall-back to the
+    exact scan would fail the query, not just weaken it."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    view = "sqlroute_corpus"
+    corpus.createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_sqlroute_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+    register_corpus_index(
+        view, path, metric="l2", id_col="id", vec_col="embedding",
+        recall_slo=1.0,
+    )
+    sql = (
+        "SELECT id AS neighbor_id, "
+        f"l2_dist(embedding, (SELECT embedding FROM {view} WHERE id = 0)) "
+        f"AS dist FROM {view} ORDER BY dist, neighbor_id LIMIT 10"
+    )
+    routed = routed_sql(spark, sql)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    if "cells" not in plan:
+        raise AssertionError(
+            "routed_sql_topk: the rewrite fell back to the exact scan — "
+            "the executed plan never read the IVF cells/ layout"
+        )
+    return routed.select("neighbor_id", F.round("dist", 6).alias("dist"))
+
+
 def _cc_snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-per-(process, sf_dir) STORED component snapshot of the
     fully-bridged 10-island host graph — the state a crawl pipeline
@@ -13644,7 +13714,7 @@ def stream_edge_crud_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     final = read_latest_version(
-        spark, os.path.join(state_dir, "labels"), "node long, component long"
+        spark, state_dir, "labels", "node long, component long"
     )
     return final.groupBy("component").agg(
         F.count("*").cast("long").alias("size"),

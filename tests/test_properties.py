@@ -780,3 +780,58 @@ def test_token_budget_sample_equals_single_window_and_respects_budget(spark):
         rest = [r for r in ordered if (src, r["doc_id"]) not in got]
         if rest:
             assert total + rest[0]["w"] > budget
+
+
+def test_token_budget_sample_layout_invariant(spark):
+    """Round-9 ADVICE repro: a survivors-only phase-2 rerank loses the
+    weight of rows pruned in phase 1, so a row past the true global
+    cutoff could sneak in when the pruned row sat on a different input
+    partition. The exact-prefix-sum form must give the SAME selection
+    for every partition layout — including the adversarial 3-row case
+    (w=3,9,3, budget=10) where the middle hash-ordered row busts the
+    budget and the last one must stay excluded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.sampling import token_budget_sample
+
+    # find 3 ids whose md5 order is known, then weight the MIDDLE one
+    # so it busts the budget while w_first + w_last would fit
+    ids = sorted(range(100, 103), key=lambda i: __import__("hashlib").md5(str(i).encode()).hexdigest())
+    rows = [("g", ids[0], 3), ("g", ids[1], 9), ("g", ids[2], 3)]
+    budget = 10
+    expect = {("g", ids[0])}  # cum: 3, 12, 15 -> only the first row
+    for nparts in (1, 2, 3):
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, w long"
+        ).repartition(nparts)
+        got = {
+            (r["source"], r["doc_id"])
+            for r in token_budget_sample(
+                df, ["source"], "doc_id", "w", budget
+            ).collect()
+        }
+        assert got == expect, f"layout nparts={nparts} changed the selection"
+    # and at scale: many layouts of a bigger frame agree with the naive window
+    import random
+
+    rng = random.Random(23)
+    big = [(f"s{i % 2}", i, rng.randrange(1, 50)) for i in range(300)]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    base = spark.createDataFrame(big, "source string, doc_id long, w long")
+    want = {
+        (r["source"], r["doc_id"])
+        for r in base.withColumn("c", F.sum("w").over(w))
+        .filter(F.col("c") <= 500)
+        .collect()
+    }
+    for nparts in (1, 5, 17):
+        got = {
+            (r["source"], r["doc_id"])
+            for r in token_budget_sample(
+                base.repartition(nparts), ["source"], "doc_id", "w", 500
+            ).collect()
+        }
+        assert got == want, f"nparts={nparts} diverged from naive window"

@@ -61,7 +61,7 @@ def _fold_crud(spark, tmp_path, batches, tag):
         df = spark.createDataFrame(rows, "op string, src long, dst long")
         fold(df, i)
     labels = read_latest_version(
-        spark, os.path.join(state, "labels"), "node long, component long"
+        spark, state, "labels", "node long, component long"
     )
     return {r["node"]: r["component"] for r in labels.collect()}
 
