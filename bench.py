@@ -514,6 +514,16 @@ def main() -> None:
             ),
         ),
         (
+            "BENCH_ANN_10M.json",
+            "ann_scale_10m",
+            (
+                "n", "exact_search_sec", "knng_build_sec",
+                "calibrated_nprobe", "routed_search_sec",
+                "routed_speedup_vs_exact", "routed_recall_at_10",
+                "optimize_cycle_sec",
+            ),
+        ),
+        (
             "BENCH_HNSW_LAYERS.json",
             "hnsw_layer_walk",
             (

@@ -280,6 +280,33 @@ def stage_totals(ui: str) -> dict:
     return tot
 
 
+def _rejustify(path: str) -> int:
+    """Recompute the flagged/unjustified blocks of an EXISTING artifact
+    from the current JUSTIFIED table — measurements are deterministic,
+    so a justification text added after a sweep must not force re-running
+    55 sf1 queries to refresh two derived fields."""
+    with open(path) as f:
+        payload = json.load(f)
+    flagged = sorted(
+        (
+            (name, r)
+            for name, r in payload["queries"].items()
+            if r["row_amplification"] is not None and r["row_amplification"] > 2.0
+        ),
+        key=lambda kv: -kv[1]["row_amplification"],
+    )
+    unjustified = [n for n, _ in flagged if n not in JUSTIFIED]
+    payload["row_amplified_gt_2"] = {
+        n: JUSTIFIED.get(n, "UNJUSTIFIED — design review required")
+        for n, _ in flagged
+    }
+    payload["unjustified"] = unjustified
+    with open(path, "w") as f:
+        f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    print(json.dumps({"unjustified": unjustified, "flagged": [n for n, _ in flagged]}))
+    return 1 if unjustified else 0
+
+
 def main() -> int:
     argv = sys.argv[1:]
     # --json PATH: write the artifact somewhere other than
@@ -290,6 +317,8 @@ def main() -> int:
         i = argv.index("--json")
         out_file = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if "--rejustify" in argv:
+        return _rejustify(out_file)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     names = argv[1:] or DEFAULT_QUERIES
 

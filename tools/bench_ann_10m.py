@@ -1,0 +1,165 @@
+"""10M-vector ANN point (round-9 verdict item 2): one decade past the
+1M evidence in BENCH_ANN_SCALE.json — the reference claims "millions or
+even billions" of vectors (reference README.md:55) with no number; this
+pins one.
+
+What it runs, all on the deterministic clustered synthetic corpus
+(the bench_ann_scale recipe — cluster centers + noise, engine-side
+expressions, no RNG deps):
+
+1. exact top-10 scan (the baseline the index must beat);
+2. sharded-NSW build via the BLAS-vectorized ``method="knn"`` path
+   (n/2000 shards — per-shard Gram matrices build in parallel);
+3. ROUTED search through the declarative read path
+   (plans/retrieve.py::retrieve with a registered index): per-corpus
+   ``calibrate_nprobe`` picks the minimal probe width meeting the 0.95
+   SLO on a query sample (the r9 calibration machinery, now exercised
+   at 10M), then the routed search is timed and its recall measured
+   against the exact scan;
+4. one OPTIMIZE/rebalance cycle (operators/hnsw.py::nsw_optimize_cycle)
+   appending a 100k batch through the shared versioned-commit protocol
+   — the maintenance loop cost at 10M.
+
+Writes BENCH_ANN_10M.json; bench.py attaches it as ``ann_scale_10m``.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_ann_10m.py [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    dim, n_clusters, n_queries, k = 64, 256, 10, 10
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.hnsw import NSWGraphIndex, nsw_optimize_cycle
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.plans.retrieve import RetrieveConfig, calibrate_nprobe, retrieve
+    from chatbot_spark.session import get_spark
+
+    spark = get_spark(
+        "ann-10m", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            10.0
+            * (
+                F.sin(F.col("cl") * 131 + j * 17)
+                - F.floor(F.sin(F.col("cl") * 131 + j * 17))
+            )
+            + F.rand(seed=7)
+            - 0.5
+        ).cast("float"),
+    )
+    corpus = base.select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).persist()
+    corpus.count()
+    queries = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        .persist()
+    )
+    queries.count()
+
+    def timed(build_fn):
+        build_fn().collect()  # warmup: codegen/plan, not shuffle reuse
+        t0 = time.time()
+        out = build_fn().collect()
+        return out, time.time() - t0
+
+    rec: dict = {"n": n, "dim": dim, "k": k, "n_queries": n_queries}
+
+    exact_rows, t_exact = timed(
+        lambda: knn_join(queries, corpus, k=k, metric="l2", corpus_id="vec_id")
+    )
+    rec["exact_search_sec"] = round(t_exact, 2)
+    exact_df = spark.createDataFrame(exact_rows).persist()
+    exact_df.count()
+
+    nlist = max(64, n // 2000)
+    t0 = time.time()
+    index = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=nlist, m=16,
+        method="knn",
+    )
+    index.graph.persist().count()
+    rec["nsw_nlist"] = nlist
+    rec["knng_build_sec"] = round(time.time() - t0, 2)
+
+    state_dir = tempfile.mkdtemp(prefix="cbs_ann10m_")
+    vdir = os.path.join(state_dir, "v0")
+    t0 = time.time()
+    index.write(vdir)
+    from chatbot_spark.io import versioned
+
+    versioned.commit(state_dir, "v0")
+    rec["index_write_sec"] = round(time.time() - t0, 2)
+
+    # routed read path: per-corpus calibration picks the probe width
+    loaded = NSWGraphIndex.load(spark, vdir, vec_col="embedding", id_col="vec_id")
+    t0 = time.time()
+    nprobe = calibrate_nprobe(loaded, queries, slo=0.95, k=k, ef_search=64)
+    rec["calibrated_nprobe"] = nprobe
+    rec["calibrate_sec"] = round(time.time() - t0, 2)
+    corpus_doc = corpus.select(
+        "vec_id",
+        "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("document"),
+    )
+    cfg = RetrieveConfig(
+        mode="universal", k=k, index_path=vdir, index_kind="auto",
+        index_id_col="vec_id", index_vec_col="embedding", recall_slo=0.95,
+        calibration_queries=queries,
+    )
+    routed_rows, t_routed = timed(lambda: retrieve(queries, corpus_doc, cfg))
+    rec["routed_search_sec"] = round(t_routed, 2)
+    rec["routed_speedup_vs_exact"] = round(t_exact / max(t_routed, 1e-9), 2)
+    routed_df = spark.createDataFrame(routed_rows).select(
+        "query_id", F.col("neighbor_id").cast("long").alias("neighbor_id"), "rank"
+    )
+    rec["routed_recall_at_10"] = round(recall_at_k(routed_df, exact_df), 4)
+
+    # one OPTIMIZE cycle: append 100k new rows through the versioned
+    # maintenance loop (frozen-centroid routing + size-gated rebalance)
+    extra = (
+        spark.range(n, n + 100_000)
+        .withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    )
+    t0 = time.time()
+    nsw_optimize_cycle(
+        spark, state_dir, extra, vec_col="embedding", id_col="vec_id",
+        nlist=nlist, m=16, max_shard_rows=4096, method="knn",
+    )
+    rec["optimize_cycle_sec"] = round(time.time() - t0, 2)
+    rec["loadavg"] = list(os.getloadavg())
+
+    with open(os.path.join(REPO, "BENCH_ANN_10M.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    print(json.dumps(rec))
+    shutil.rmtree(state_dir, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

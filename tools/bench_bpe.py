@@ -73,8 +73,31 @@ def main() -> int:
         print(f"n_merges={n}: {totals[n]}s ({len(merges)} merges learned)")
     docs.unpersist()
 
+    # --- production-vocab point (r9 verdict item 1): >= 2k merges via
+    # the greedy-equivalent batched trainer — pins (a) wall-clock for a
+    # merge count one decade past the serial evidence, (b) the realized
+    # batch factor (merges per driver round), (c) marginal flatness
+    # between the first and second 1000 merges.
+    from chatbot_spark.operators.bpe import train_bpe_batched
+
+    batched: dict[str, object] = {}
+    for n in (1000, 2000):
+        st: dict = {}
+        t0 = time.time()
+        m, _ = train_bpe_batched(
+            docs, n_merges=n, batch_size=64, checkpoint_every=64, stats=st
+        )
+        batched[str(n)] = {
+            "sec": round(time.time() - t0, 2),
+            "merges_learned": len(m),
+            "driver_rounds": st.get("rounds"),
+            "batch_factor": round(len(m) / max(st.get("rounds", 1), 1), 2),
+        }
+        print(f"batched n_merges={n}: {batched[str(n)]}")
+
     m_lo = (totals[100] - totals[50]) / 50  # marginal sec/round, rounds 51-100
     m_hi = (totals[200] - totals[100]) / 100  # rounds 101-200
+    b1, b2 = batched["1000"], batched["2000"]
     payload = {
         "metric": "bpe_round_flatness",
         "unit": "sec",
@@ -85,6 +108,14 @@ def main() -> int:
         "marginal_sec_per_round_51_100": round(m_lo, 4),
         "marginal_sec_per_round_101_200": round(m_hi, 4),
         "late_vs_early_marginal_ratio": round(m_hi / max(m_lo, 1e-9), 2),
+        "batched": batched,
+        "batched_marginal_sec_per_merge_0_1000": round(b1["sec"] / 1000, 4),
+        "batched_marginal_sec_per_merge_1000_2000": round(
+            (b2["sec"] - b1["sec"]) / 1000, 4
+        ),
+        "batched_vs_serial_extrapolation": round(
+            (m_hi * 2000) / max(b2["sec"], 1e-9), 2
+        ),
         "loadavg": list(os.getloadavg()),
         "note": (
             "incremental pair maintenance + lineage caps: marginal "
