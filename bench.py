@@ -524,6 +524,11 @@ def main() -> None:
             ),
         ),
         (
+            "BENCH_ANN_CALIB.json",
+            "ann_calibration",
+            ("n_docs", "nlist", "full_probe_search_sec", "slos"),
+        ),
+        (
             "BENCH_HNSW_LAYERS.json",
             "hnsw_layer_walk",
             (

@@ -1,0 +1,109 @@
+"""Per-corpus routing calibration on a TEXT-derived embedding corpus
+(round-9 verdict item 9): the ANN benches pin geometric synthetics
+(clustered centers + noise — IVF's best case; a uniform blob is its
+worst); a real retrieval corpus is text → embedder, whose cluster
+structure is whatever the embedder induces. This fixture reuses the
+portable Zipf synthetic corpus (workload._ZIPF_TEXT_EXPR: 5-stopword
+50%-mass head + 100k-type tail, planted near-dups) through the hash
+embedder, builds IVF, and records what ``calibrate_nprobe`` CHOOSES on
+it versus the fixed nprobe_for_slo tiers — plus the measured recall and
+the routed-search cost at the calibrated width.
+
+Writes BENCH_ANN_CALIB.json; bench.py attaches it as
+``ann_calibration``.
+
+Usage: PYTHONPATH=/root/repo python tools/bench_ann_calibration.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dim, nlist, k, n_sample = 64, 64, 10, 100
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
+    from chatbot_spark.operators.embed import make_hash_embedder
+    from chatbot_spark.plans.retrieve import calibrate_nprobe, nprobe_for_slo
+    from chatbot_spark.session import get_spark
+    from chatbot_spark.workload import _ZIPF_TEXT_EXPR
+
+    spark = get_spark(
+        "ann-calib", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.expr(_ZIPF_TEXT_EXPR).alias("text")
+    )
+    emb = docs.select(
+        "doc_id", make_hash_embedder(dim)(F.col("text")).alias("embedding")
+    ).persist()
+    emb.count()
+    t0 = time.time()
+    index = IVFIndex.build(emb, vec_col="embedding", id_col="doc_id", nlist=nlist)
+    index.indexed.persist().count()
+    build_sec = round(time.time() - t0, 2)
+    sample = emb.limit(n_sample).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    ).persist()
+    sample.count()
+
+    rec: dict = {
+        "metric": "ann_calibration_zipf_text",
+        "n_docs": n_docs,
+        "dim": dim,
+        "nlist": nlist,
+        "k": k,
+        "n_sample": n_sample,
+        "ivf_build_sec": build_sec,
+        "slos": {},
+        "loadavg_start": list(os.getloadavg()),
+    }
+    exact = index.search(sample, k=k, nprobe=nlist).persist()
+    exact.count()
+    t0 = time.time()
+    exact_rows = index.search(sample, k=k, nprobe=nlist).collect()
+    full_probe_sec = round(time.time() - t0, 3)
+    rec["full_probe_search_sec"] = full_probe_sec
+    del exact_rows
+    for slo in (0.9, 0.95):
+        t0 = time.time()
+        nprobe = calibrate_nprobe(index, sample, slo, k=k)
+        calib_sec = round(time.time() - t0, 2)
+        approx = index.search(sample, k=k, nprobe=nprobe)
+        recall = round(recall_at_k(approx, exact), 4)
+        t0 = time.time()
+        index.search(sample, k=k, nprobe=nprobe).collect()
+        search_sec = round(time.time() - t0, 3)
+        rec["slos"][str(slo)] = {
+            "calibrated_nprobe": nprobe,
+            "fixed_tier_nprobe": nprobe_for_slo(slo, nlist),
+            "measured_recall": recall,
+            "calibrate_sec": calib_sec,
+            "search_sec_at_calibrated": search_sec,
+            "speedup_vs_full_probe": round(
+                full_probe_sec / max(search_sec, 1e-9), 2
+            ),
+        }
+        print(json.dumps({str(slo): rec["slos"][str(slo)]}))
+    exact.unpersist()
+
+    with open(os.path.join(REPO, "BENCH_ANN_CALIB.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    print(json.dumps(rec))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
