@@ -19,7 +19,11 @@ Sub-linear-in-edges growth per operator is the pass signal — every
 exchange is keyed, no operator holds more than O(nodes) driver-visible
 state.
 
-Usage: PYTHONPATH=/root/repo python tools/bench_graph_suite.py [max_scale]
+Usage: PYTHONPATH=/root/repo python tools/bench_graph_suite.py [n_scales] [start_nodes]
+``start_nodes`` (default 200000) lets a big scale re-run alone after a
+memory-config fix; results MERGE into BENCH_GRAPH.json by n_nodes
+(existing rows at other scales are kept). Scales ≥ ~13M nodes need
+SPARK_GRAFT_DRIVER_MEM=64g (the 8g default OOMs).
 """
 
 from __future__ import annotations
@@ -67,11 +71,11 @@ def main() -> int:
     from chatbot_spark.session import get_spark
 
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     spark = get_spark(
         "bench-graph", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     out = []
-    n_nodes = 200_000
     for _ in range(max_scale):
         e = synth_edges(spark, n_nodes).persist()
         n_edges = e.count()
@@ -280,8 +284,20 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec))
         n_nodes *= 4
-    with open(os.path.join(REPO, "BENCH_GRAPH.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # merge by n_nodes so a single-scale re-run updates its row without
+    # dropping the other scales' committed points
+    path = os.path.join(REPO, "BENCH_GRAPH.json")
+    prev = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = []
+    merged = {r["n_nodes"]: r for r in prev}
+    merged.update({r["n_nodes"]: r for r in out})
+    with open(path, "w") as f:
+        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
     spark.stop()
     return 0
 
