@@ -518,9 +518,10 @@ def main() -> None:
             "ann_scale_10m",
             (
                 "n", "exact_search_sec", "knng_build_sec",
-                "calibrated_nprobe", "routed_search_sec",
-                "routed_speedup_vs_exact", "routed_recall_at_10",
-                "optimize_cycle_sec",
+                "calibrated_nprobe", "ef_search", "index_search_sec",
+                "index_search_speedup_vs_exact", "index_recall_at_10",
+                "routed_e2e_sec", "routed_e2e_speedup_vs_exact",
+                "routed_recall_at_10", "optimize_cycle_sec",
             ),
         ),
         (

@@ -72,6 +72,11 @@ class RetrieveConfig:
     index_id_col: str = "id"
     index_vec_col: str = "embedding"
     recall_slo: float = 1.0
+    # pruned-path beam width for the graph index (slo < 1.0 only):
+    # None = the reference's EF_SEARCH=64 default (load.py:26). At very
+    # large shard counts the per-shard beam is the recall limiter (10M
+    # point: 0.94 at ef=64 vs 0.96 at ef=128) — this is the knob.
+    index_ef_search: int | None = None
     # "broadcast" (default): the bounded-batch fast path — the routed
     # query shortlist is broadcast/collected (O(Q·d) driver/executor
     # memory; interactive serving up to ~100k queries). "join": the
@@ -256,7 +261,16 @@ def _routed_universal(
             f"index ({nlist} centroids) — drop it or fix the config"
         )
     if cfg.calibration_queries is not None and cfg.recall_slo < 1.0:
-        nprobe = calibrate_nprobe(index, cfg.calibration_queries, cfg.recall_slo, k=cfg.k)
+        # the graph index must calibrate with the SAME beam width the
+        # routed search will use, or the measured recall is for a
+        # different operator configuration
+        calib_kwargs = (
+            {"ef_search": cfg.index_ef_search or 64} if kind == "nsw" else {}
+        )
+        nprobe = calibrate_nprobe(
+            index, cfg.calibration_queries, cfg.recall_slo, k=cfg.k,
+            **calib_kwargs,
+        )
     else:
         nprobe = nprobe_for_slo(cfg.recall_slo, nlist)
 
@@ -276,7 +290,7 @@ def _routed_universal(
                 .agg(F.max("count")).first()[0]
             )
         else:
-            ef = 64
+            ef = cfg.index_ef_search or 64
         hits = index.search(
             queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,
             route=cfg.index_route,
