@@ -69,6 +69,12 @@ class RetrieveConfig:
     index_path: str | None = None
     index_kind: str = "auto"
     index_nlist: int | None = None
+    # explicit probe width (validated 1..nlist): the production serving
+    # shape — calibrate ONCE per corpus (calibrate_nprobe), pin the
+    # width here; None derives it from recall_slo / calibration_queries
+    # at route time (which re-measures per call — fine interactively,
+    # wrong in a hot serving path)
+    index_nprobe: int | None = None
     index_id_col: str = "id"
     index_vec_col: str = "embedding"
     recall_slo: float = 1.0
@@ -260,7 +266,14 @@ def _routed_universal(
             f"cfg.index_nlist={cfg.index_nlist} does not match the loaded "
             f"index ({nlist} centroids) — drop it or fix the config"
         )
-    if cfg.calibration_queries is not None and cfg.recall_slo < 1.0:
+    if cfg.index_nprobe is not None:
+        if not (1 <= cfg.index_nprobe <= nlist):
+            raise ValueError(
+                f"cfg.index_nprobe={cfg.index_nprobe} outside 1..{nlist} "
+                "(the loaded index's centroid count)"
+            )
+        nprobe = cfg.index_nprobe
+    elif cfg.calibration_queries is not None and cfg.recall_slo < 1.0:
         # the graph index must calibrate with the SAME beam width the
         # routed search will use, or the measured recall is for a
         # different operator configuration
