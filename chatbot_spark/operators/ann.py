@@ -276,6 +276,8 @@ class IVFIndex:
         query_id: str = "query_id",
         query_vec: str = "query_embedding",
         route: str = "broadcast",
+        where=None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k per query over the nprobe nearest cells.
 
@@ -289,7 +291,27 @@ class IVFIndex:
         shortlist is Q × nprobe vector rows; executors each hold it
         whole). ``route="join"`` drops the broadcast hint so Catalyst
         shuffle-joins on centroid_id — the unbounded-query-set form (the
-        routing itself is already distributed either way)."""
+        routing itself is already distributed either way).
+
+        Filtered search (the vector-DB predicate+top-k contract — the
+        reference's OceanBase backend exposes it as metadata-filtered
+        vector search): because IVF rows carry no routing structure, a
+        PRE-filter is exact at any probe width — ranking happens over the
+        filtered rows, so full probe ≡ the exact scan over the filtered
+        corpus, bit-for-bit (same argument as delete(), which is the
+        degenerate allowed-set form).
+
+        * ``where``: a Column / SQL-string predicate over the INDEXED
+          table's own columns, applied to the probed-cells scan — it
+          lands NEXT TO the centroid_id isin in the same Filter, so on a
+          written index both become parquet pushdowns (PartitionFilters
+          + PushedFilters: the filter prunes at the scan, costing zero
+          extra joins — the 100 TB-right path when the cells table
+          carries the metadata).
+        * ``allowed``: a DataFrame whose first column is the allowed id
+          set — the fallback when the predicate needs columns the index
+          never stored (LEFT SEMI join on the id; Catalyst broadcasts a
+          small allowed side). Both given = AND."""
         if route not in ("broadcast", "join"):
             raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
         q = queries.select(
@@ -313,6 +335,15 @@ class IVFIndex:
         # file-level pruning, not dependent on dynamic partition pruning.
         probed = [r[0] for r in qc.select("centroid_id").distinct().collect()]
         corpus_side = self.indexed.filter(F.col("centroid_id").isin(probed))
+        if where is not None:
+            corpus_side = corpus_side.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        if allowed is not None:
+            allow = allowed.select(
+                F.col(allowed.columns[0]).alias(self.id_col)
+            ).distinct()
+            corpus_side = corpus_side.join(allow, self.id_col, "left_semi")
 
         qc_side = F.broadcast(qc) if route == "broadcast" else qc
         pairs = corpus_side.join(qc_side, "centroid_id").select(

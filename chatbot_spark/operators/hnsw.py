@@ -959,6 +959,7 @@ class NSWGraphIndex:
         query_vec: str = "query_embedding",
         query_chunk: int = 4096,
         route: str = "broadcast",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k per query over the nprobe nearest shards' graphs.
 
@@ -966,6 +967,21 @@ class NSWGraphIndex:
         recall rises monotonically with it; ef_search ≥ shard size walks
         the whole (connected) shard graph, i.e. exact within the probed
         shards.
+
+        ``allowed`` (filtered search — the vector-DB predicate+top-k
+        contract): a DataFrame whose first column is the allowed id set.
+        Disallowed nodes keep ROUTING — exactly the tombstone semantics
+        of delete(), generalized from a static set to a per-search
+        predicate — but never emit, so beam paths through filtered-out
+        regions survive and the filter can never disconnect the walk.
+        The mask joins onto the PROBED shards only (one boolean flag per
+        graph row, nprobe/nlist of the corpus — never the whole index);
+        with a whole-shard beam (ef_search ≥ shard size) the walk visits
+        every node, so full probe ≡ the exact scan over the filtered
+        corpus, bit-for-bit. At pruned ef the beam may hold fewer than k
+        allowed nodes under a selective filter — widen ef_search (the
+        standard over-fetch) and measure recall, same contract as the
+        unfiltered pruned path.
 
         Distribution contract, two routing modes:
 
@@ -1023,6 +1039,16 @@ class NSWGraphIndex:
             Xs = np.array(list(pdf[vec_col]), dtype=np.float64)
             adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
             ids = pdf[id_col].to_numpy()
+            # filtered search: disallowed rows carry __emit NULL/False from
+            # the mask join — they route (adjacency untouched) but never
+            # emit, the per-search generalization of the tombstone contract
+            # nullable-boolean cast: join-missing rows arrive as None/NaN
+            # (bool(nan) would be True — the cast maps both to NA → False)
+            emit = (
+                pdf["__emit"].astype("boolean").fillna(False).to_numpy(dtype=bool)
+                if "__emit" in pdf.columns
+                else None
+            )
             layers = None
             if "layer_adj" in pdf.columns:
                 raw = list(pdf["layer_adj"])
@@ -1044,6 +1070,8 @@ class NSWGraphIndex:
                 )
                 emitted = 0
                 for d, pos in found:
+                    if emit is not None and not emit[pos]:
+                        continue  # routing node only — filtered out
                     # `tomb and` short-circuits the per-hit coercion on
                     # the (overwhelmingly common) no-deletes path; the
                     # .item() de-numpys integral ids so set membership
@@ -1065,7 +1093,8 @@ class NSWGraphIndex:
 
         if route == "join":
             cands = self._search_join(
-                queries, nprobe, query_id, query_vec, out_schema, walk_shard
+                queries, nprobe, query_id, query_vec, out_schema, walk_shard,
+                allowed=allowed,
             )
         elif route == "broadcast":
             rows = queries.select(query_id, query_vec).collect()
@@ -1089,6 +1118,8 @@ class NSWGraphIndex:
             self._live_broadcasts.append(bc)
 
             src = self.graph.filter(F.col("shard").isin(sorted(routed)))
+            if allowed is not None:
+                src = self._mask_allowed(src, allowed)
 
             def search_kernel(pdf):
                 import pandas as pd
@@ -1116,7 +1147,22 @@ class NSWGraphIndex:
             .drop("__rdist")
         )
 
-    def _search_join(self, queries, nprobe, query_id, query_vec, out_schema, walk_shard):
+    def _mask_allowed(self, src: DataFrame, allowed: DataFrame) -> DataFrame:
+        """Join the allowed-id emit flag onto the probed graph rows (LEFT
+        join, every row kept: disallowed nodes must stay as routing
+        nodes). The mask touches only the already-pruned probed shards;
+        Catalyst broadcasts a small allowed side."""
+        allow = (
+            allowed.select(F.col(allowed.columns[0]).alias(self.id_col))
+            .distinct()
+            .withColumn("__emit", F.lit(True))
+        )
+        return src.join(allow, self.id_col, "left")
+
+    def _search_join(
+        self, queries, nprobe, query_id, query_vec, out_schema, walk_shard,
+        allowed: DataFrame | None = None,
+    ):
         """Join-based routing: one Arrow/BLAS top-nprobe map per query
         batch (the exact driver-path expression — both routes probe
         identical cells) + explode → cogrouped applyInPandas with the
@@ -1141,6 +1187,8 @@ class NSWGraphIndex:
         if not probed:
             raise ValueError("empty query set")
         src = self.graph.filter(F.col("shard").isin(probed))
+        if allowed is not None:
+            src = self._mask_allowed(src, allowed)
 
         def cogroup_kernel(qdf, gdf):
             import pandas as pd

@@ -95,6 +95,18 @@ class RetrieveConfig:
     # sample to MEASURE recall on at route time instead of trusting the
     # fixed nprobe_for_slo tiers — see calibrate_nprobe().
     calibration_queries: DataFrame | None = None
+    # filtered search (the vector-DB predicate+top-k contract — the
+    # reference's OceanBase backend exposes metadata-filtered vector
+    # search): a SQL predicate over CORPUS columns, e.g.
+    # "lang = 'en' AND quality > 0.5". Exact paths pre-filter the corpus
+    # (trivially exact). The routed paths stay exact at recall_slo=1.0:
+    # IVF pre-filters the probed-cells scan (the predicate lands beside
+    # the centroid isin — parquet pushdown when the cells table carries
+    # the columns, allowed-id semi-join otherwise), and the NSW graph
+    # masks emission (disallowed nodes keep ROUTING — the tombstone
+    # contract generalized — so the whole-shard beam still visits every
+    # node and never loses a path through filtered-out regions).
+    filter: str | None = None
 
 
 def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
@@ -117,6 +129,11 @@ def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> D
 
     if "query_embedding" not in queries_df.columns:
         queries_df = embed_queries(queries_df, backend=cfg.backend, dim=cfg.dim)
+
+    if cfg.filter is not None and cfg.index_path is None:
+        # exact paths: pre-filter the corpus — ranking then happens over
+        # the filtered rows, so this IS the filtered top-k by definition
+        corpus = corpus.filter(F.expr(cfg.filter))
 
     n_comp = len(cfg.component_codes or cfg.components) or 1
     do_rerank = should_rerank(cfg.rerank_enabled, cfg.backend_has_rerank, n_comp)
@@ -287,9 +304,35 @@ def _routed_universal(
     else:
         nprobe = nprobe_for_slo(cfg.recall_slo, nlist)
 
+    # filtered routed search: resolve cfg.filter to the cheapest exact
+    # form each family supports (see RetrieveConfig.filter)
+    flt_kwargs: dict = {}
+    if cfg.filter is not None:
+        if kind == "ivf":
+            try:
+                # predicate over columns the cells table stores → push it
+                # into the probed-cells scan (parquet pushdown, no join)
+                index.indexed.filter(F.expr(cfg.filter)).schema
+                flt_kwargs = {"where": cfg.filter}
+            except Exception:
+                # columns live only on the corpus → allowed-id semi-join
+                flt_kwargs = {
+                    "allowed": corpus.filter(F.expr(cfg.filter)).select(
+                        cfg.index_id_col
+                    )
+                }
+        else:
+            # graph rows never carry metadata — always the emit mask
+            flt_kwargs = {
+                "allowed": corpus.filter(F.expr(cfg.filter)).select(
+                    cfg.index_id_col
+                )
+            }
+
     if kind == "ivf":
         hits = index.search(
-            queries_df, k=cfg.k, nprobe=nprobe, route=cfg.index_route
+            queries_df, k=cfg.k, nprobe=nprobe, route=cfg.index_route,
+            **flt_kwargs,
         )
     else:
         # graph-index exactness needs the beam to walk the WHOLE probed
@@ -306,7 +349,7 @@ def _routed_universal(
             ef = cfg.index_ef_search or 64
         hits = index.search(
             queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,
-            route=cfg.index_route,
+            route=cfg.index_route, **flt_kwargs,
         )
     payload = corpus.select(
         F.col(cfg.index_id_col).alias("neighbor_id"), "document"

@@ -124,11 +124,77 @@ def register_sql_distance_functions(spark) -> list[str]:
     return ["l2_dist", "cosine_dist"]
 
 
-_SHAPE = re.compile(
-    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
-    r"ORDER\s+BY\s+(?P<ob>.+?)\s+LIMIT\s+(?P<k>\d+)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+_KW = re.compile(r"(select|from|where|order\s+by|limit)\b", re.IGNORECASE)
+_TBL = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def _parse_shape(sql: str) -> dict | None:
+    """Split the query into top-level clauses paren- and quote-aware —
+    a regex with an optional WHERE group would bind the FROM inside a
+    scalar subquery in the select list (``l2_dist(e, (SELECT e FROM t
+    WHERE id=0)))``) and swallow the rest as WHERE. Returns
+    {sel, tbl, where, ob, k} for exactly the shape
+    ``SELECT ... FROM <ident> [WHERE ...] ORDER BY ... LIMIT <n>``
+    (each clause keyword appearing once at top level, in order), else
+    None."""
+    s = sql.strip().rstrip(";").strip()
+    depth = 0
+    in_str: str | None = None
+    kws: list[tuple[str, int, int]] = []  # (normalized kw, start, end)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str is not None:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in "'\"":
+            in_str = ch
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+            i += 1
+            continue
+        if ch in ")]":
+            depth -= 1
+            i += 1
+            continue
+        if (
+            depth == 0
+            and ch.isalpha()
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+        ):
+            m = _KW.match(s, i)
+            if m:
+                kws.append(
+                    (re.sub(r"\s+", " ", m.group(1).lower()), m.start(), m.end())
+                )
+                i = m.end()
+                continue
+        i += 1
+    order = [k for k, _, _ in kws]
+    if order not in (
+        ["select", "from", "order by", "limit"],
+        ["select", "from", "where", "order by", "limit"],
+    ):
+        return None
+    seg = {}
+    for idx, (kw, _start, end) in enumerate(kws):
+        nxt = kws[idx + 1][1] if idx + 1 < len(kws) else len(s)
+        seg[kw] = s[end:nxt].strip()
+    if not seg["select"] or not _TBL.match(seg["from"]):
+        return None
+    if not re.fullmatch(r"\d+", seg["limit"]):
+        return None
+    return {
+        "sel": seg["select"],
+        "tbl": seg["from"],
+        "where": seg.get("where"),
+        "ob": seg["order by"],
+        "k": seg["limit"],
+    }
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -209,18 +275,18 @@ def routed_sql(
 
     from chatbot_spark.plans.retrieve import RetrieveConfig, _routed_universal
 
-    m = _SHAPE.match(sql)
-    if not m:
+    shape = _parse_shape(sql)
+    if shape is None:
         return spark.sql(sql)
-    reg = _REGISTRY.get(m.group("tbl").lower())
+    reg = _REGISTRY.get(shape["tbl"].lower())
     if reg is None:
         return spark.sql(sql)
-    tbl = m.group("tbl")
-    k = int(m.group("k"))
+    tbl = shape["tbl"]
+    k = int(shape["k"])
 
     # --- select list: id col and ONE distance call, any order ---------
-    sel_items = [_strip_alias(it) for it in _split_top_level(m.group("sel"))]
-    dist_call = _find_call(m.group("sel"), _FN_METRIC)
+    sel_items = [_strip_alias(it) for it in _split_top_level(shape["sel"])]
+    dist_call = _find_call(shape["sel"], _FN_METRIC)
     id_alias = dist_alias = None
     dist_expr_norm = None
     out_cols: list[tuple[str, str]] = []  # (routed col, output name)
@@ -267,7 +333,7 @@ def routed_sql(
         )
 
     # --- order-by: the distance expr (or its alias), optional id tiebreak
-    ob_items = _split_top_level(m.group("ob"))
+    ob_items = _split_top_level(shape["ob"])
     first = re.sub(r"\s+ASC\s*$", "", ob_items[0].strip(), flags=re.IGNORECASE)
     if re.search(r"\s+DESC\s*$", ob_items[0], re.IGNORECASE):
         return spark.sql(sql)  # farthest-first: not a NN query
@@ -298,6 +364,28 @@ def routed_sql(
         return spark.sql(sql)  # references corpus columns: exact scan
 
     corpus = spark.table(tbl)
+
+    # --- optional WHERE: a metadata predicate → filtered routed search --
+    # (plans/retrieve.py::RetrieveConfig.filter). Routable only when the
+    # predicate (a) never touches the ranking distance — a filter ON the
+    # distance is a radius query, not this rewrite's shape — and (b)
+    # analyzes standalone against the corpus (no subqueries / outer
+    # references: those pass through to the exact scan).
+    where = shape["where"]
+    if where is not None:
+        where = where.strip()
+        if _find_call(where, _FN_METRIC) is not None or (
+            dist_alias is not None
+            and re.search(
+                rf"\b{re.escape(dist_alias)}\b", where, re.IGNORECASE
+            )
+        ):
+            return spark.sql(sql)
+        try:
+            corpus.filter(F.expr(where)).schema  # force analysis
+        except Exception:
+            return spark.sql(sql)
+
     if "document" not in corpus.columns:
         corpus = corpus.withColumn("document", F.lit(None).cast("string"))
     cfg = RetrieveConfig(
@@ -310,6 +398,7 @@ def routed_sql(
         index_vec_col=reg.vec_col,
         recall_slo=reg.recall_slo,
         index_route=route,
+        filter=where,
     )
     hits = _routed_universal(queries_df, corpus, cfg)
     # honor the SQL's ORDER BY in the OUTPUT rows (a k-row sort): rank

@@ -13767,3 +13767,265 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("member_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN search (r10): the vector-DB predicate+top-k contract —
+# the reference's OceanBase backend exposes metadata-filtered vector
+# search (pyobvector ann search accepts a WHERE clause); here it is a
+# first-class, exactness-preserving part of the routed read path.
+# --------------------------------------------------------------------------
+
+_FILTERED_ORACLE_TMPL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {l2} AS d
+  FROM q, embeddings c WHERE {pred}),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+       'doc-' || CAST(neighbor_id AS VARCHAR) AS document
+FROM ranked WHERE rank <= 10
+"""
+_FILTERED_ORACLE = _FILTERED_ORACLE_TMPL.format(
+    l2=_DUCK_L2.format(a="q.qe", b="c.embedding"), pred="c.label % 2 = 0"
+)
+# the IVF pin uses a PUSHABLE predicate (a simple comparison): parquet
+# filter pushdown handles comparisons/in/null-checks, not derived
+# expressions like (label % 2) = 0 — which would still filter in the
+# scan stage, just not inside PushedFilters
+_FILTERED_ORACLE_LT = _FILTERED_ORACLE_TMPL.format(
+    l2=_DUCK_L2.format(a="q.qe", b="c.embedding"), pred="c.label < 5"
+)
+
+
+@query("retrieve_filtered_ivf", _FILTERED_ORACLE_LT)
+def retrieve_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered routed retrieval over the IVF index (ann.py::
+    IVFIndex.search ``where=``; plans/retrieve.py::RetrieveConfig.filter):
+    a metadata predicate (label < 5) restricts the candidate set and
+    the top-k ranks over the filtered rows. IVF rows carry no routing
+    structure, so a PRE-filter is exact at any probe width — and because
+    this index was built WITH the label column, the predicate lands
+    beside the centroid isin in the probed-cells scan (parquet pushdown:
+    zero extra joins, the 100 TB-right path). At recall_slo=1.0 (full
+    probe) the result is bit-for-bit the exact scan over the filtered
+    corpus — the oracle re-ranks with the WHERE applied. The body also
+    asserts the predicate actually reached the cells scan as a pushed
+    filter, so a silent regression to a post-scan filter would fail the
+    query, not just slow it."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding", "label",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_fltivf_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding", "label"), vec_col="embedding",
+        id_col="id", nlist=8,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_nlist=8,
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+        filter="label < 5",
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if "cells" not in plan:
+        raise AssertionError(
+            "retrieve_filtered_ivf: the routed read never touched the "
+            "IVF cells/ layout"
+        )
+    if "PushedFilters: [" not in plan or "label" not in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]:
+        raise AssertionError(
+            "retrieve_filtered_ivf: the label predicate did not reach "
+            "the cells scan as a parquet pushdown"
+        )
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
+
+
+@query("retrieve_filtered_nsw", _FILTERED_ORACLE)
+def retrieve_filtered_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered routed retrieval over the sharded-NSW graph index
+    (hnsw.py::NSWGraphIndex.search ``allowed=``): graph rows never carry
+    metadata, so the predicate resolves to an allowed-id set whose emit
+    flag joins onto the PROBED shards only. Disallowed nodes keep
+    ROUTING — the tombstone contract of delete() generalized from a
+    static set to a per-search predicate — so the beam never loses a
+    path through filtered-out regions and the filter cannot disconnect
+    the walk. At recall_slo=1.0 the whole-shard beam visits every node,
+    so the filtered result is bit-for-bit the exact scan over the
+    filtered corpus (same argument as graph_knn_deleted, whose tombstone
+    set is the degenerate fixed-filter case)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding", "label",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_fltnsw_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4, m=8, ef_construction=64, method="knn",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="auto",
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+        filter="label % 2 = 0",
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
+
+
+@query(
+    "retrieve_filtered_pruned",
+    """
+SELECT 1 AS recall_ok, CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows
+""",
+)
+def retrieve_filtered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered NSW route at its PRUNED setting (recall_slo=0.95,
+    EF_SEARCH=64 beam): under a selective predicate the beam may hold
+    fewer allowed nodes, so filtered recall is the quantity to pin —
+    measured against the exact scan over the FILTERED corpus (recomputed
+    in-plan). label % 2 = 0 keeps ~half the corpus: each 64-wide beam
+    still sees ~32 allowed candidates ≥ k, so the SLO holds without
+    over-fetch; a more selective filter is the ef_search knob's job
+    (hnsw.py::search docstring). Seed-dependent like every pruned pin —
+    the bit-exact transparency twin is retrieve_filtered_nsw."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding", "label",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_fltnp_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8, m=16, ef_construction=256,
+    ).write(path)
+    q = _queries_from_embeddings(spark, sf_dir)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="nsw",
+        index_id_col="id", index_vec_col="embedding", recall_slo=0.95,
+        filter="label % 2 = 0",
+    )
+    routed = retrieve(q, corpus, cfg)
+    exact = knn_join(
+        q, emb.filter("label % 2 = 0"), k=10, metric="l2",
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    return _ann_recall_summary(routed, exact)
+
+
+@query(
+    "routed_sql_filtered",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM embeddings c, q WHERE c.label % 2 = 0)
+SELECT neighbor_id, round(d, 6) AS dist
+FROM pairs ORDER BY d ASC, neighbor_id ASC LIMIT 10
+""",
+)
+def routed_sql_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL FILTERED nearest-neighbor routing (plans/sqlroute.py):
+    the idiomatic filtered-serving SQL ``SELECT id, l2_dist(e, <q>) AS
+    dist FROM corpus WHERE <pred> ORDER BY dist, id LIMIT 10`` routes
+    onto the registered index with the predicate carried into the
+    filtered search path (RetrieveConfig.filter) — the clause scanner is
+    paren-aware, so the WHERE inside the scalar-subquery query vector
+    does not confuse the parse. Routable only when the predicate never
+    touches the ranking distance and analyzes standalone against the
+    corpus; at the registration's recall_slo=1.0 the rewrite is
+    bit-for-bit the filtered exact scan (this oracle). The body asserts
+    the executed plan read the index layout — a silent fall-back to the
+    exact scan fails the query."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+        unregister_corpus_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding", "label",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    view = "sqlroute_flt_corpus"
+    corpus.createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_sqlrfl_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding", "label"), vec_col="embedding",
+        id_col="id", nlist=8,
+    ).write(path)
+    register_corpus_index(
+        view, path, metric="l2", id_col="id", vec_col="embedding",
+        recall_slo=1.0,
+    )
+    try:
+        sql = (
+            "SELECT id AS neighbor_id, "
+            f"l2_dist(embedding, (SELECT embedding FROM {view} WHERE id = 0)) "
+            f"AS dist FROM {view} WHERE label % 2 = 0 "
+            "ORDER BY dist, neighbor_id LIMIT 10"
+        )
+        routed = routed_sql(spark, sql)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        if "cells" not in plan:
+            raise AssertionError(
+                "routed_sql_filtered: the rewrite fell back to the exact "
+                "scan — the executed plan never read the IVF cells/ layout"
+            )
+        return routed.select("neighbor_id", F.round("dist", 6).alias("dist"))
+    finally:
+        unregister_corpus_index(view)

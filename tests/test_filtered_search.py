@@ -1,0 +1,290 @@
+"""Filtered ANN search (r10): predicate+top-k over an indexed corpus —
+the vector-DB filtered-search contract (the reference's OceanBase
+backend exposes metadata-filtered vector search). Exactness invariants:
+
+* IVF: a pre-filter (pushed ``where`` or ``allowed`` semi-join) is exact
+  at ANY probe width — ranking happens over the filtered rows.
+* NSW: disallowed nodes keep ROUTING but never emit (the tombstone
+  contract generalized), so a whole-shard beam stays exact over the
+  filtered corpus and the filter can never disconnect the walk.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _brute_topk(rows, queries, k, pred):
+    """Driver-side oracle: top-k by (l2, id) over the pred-filtered rows."""
+    out = {}
+    kept = [(i, v) for i, v, t in rows if pred(t)]
+    for qid, qv in queries:
+        q = np.array(qv)
+        scored = sorted(
+            (float(np.sum((np.array(v) - q) ** 2)), i) for i, v in kept
+        )
+        out[qid] = [i for _, i in scored[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], int(i % 7))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>, tag int"
+    )
+    queries = [(int(i), rows[i][1]) for i in range(6)]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, query_embedding array<double>"
+    )
+    return rows, df, queries, qdf
+
+
+def _got(hits):
+    out = {}
+    for r in hits.orderBy("query_id", "rank").collect():
+        out.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    return out
+
+
+def test_ivf_where_pushdown_exact(spark, fixture, tmp_path):
+    from chatbot_spark.operators.ann import IVFIndex
+
+    rows, df, queries, qdf = fixture
+    idx = IVFIndex.build(df, vec_col="embedding", id_col="id", nlist=4)
+    idx.write(str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    hits = loaded.search(qdf, k=10, nprobe=4, where="tag < 3")
+    assert _got(hits) == _brute_topk(rows, queries, 10, lambda t: t < 3)
+    # the simple comparison reaches the parquet scan as a pushed filter
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    assert "tag" in pushed
+
+
+def test_ivf_allowed_semijoin_exact(spark, fixture):
+    from chatbot_spark.operators.ann import IVFIndex
+
+    rows, df, queries, qdf = fixture
+    # index WITHOUT the metadata column: the predicate must resolve via
+    # the allowed-id semi-join fallback
+    idx = IVFIndex.build(
+        df.select("id", "embedding"), vec_col="embedding", id_col="id", nlist=4
+    )
+    allowed = df.filter("tag % 2 = 0").select("id")
+    hits = idx.search(qdf, k=10, nprobe=4, allowed=allowed)
+    assert _got(hits) == _brute_topk(rows, queries, 10, lambda t: t % 2 == 0)
+
+
+@pytest.mark.parametrize("route", ["broadcast", "join"])
+def test_nsw_allowed_mask_exact(spark, fixture, route):
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    rows, df, queries, qdf = fixture
+    idx = NSWGraphIndex.build(
+        df.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    allowed = df.filter("tag % 2 = 0").select("id")
+    # whole-shard beam + full probe = exact over the filtered corpus
+    hits = idx.search(
+        qdf, k=10, nprobe=3, ef_search=400, route=route, allowed=allowed
+    )
+    assert _got(hits) == _brute_topk(rows, queries, 10, lambda t: t % 2 == 0)
+
+
+def test_nsw_allpass_filter_equals_unfiltered(spark, fixture):
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    rows, df, queries, qdf = fixture
+    idx = NSWGraphIndex.build(
+        df.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    base = _got(idx.search(qdf, k=10, nprobe=3, ef_search=400))
+    allp = _got(
+        idx.search(
+            qdf, k=10, nprobe=3, ef_search=400, allowed=df.select("id")
+        )
+    )
+    assert allp == base
+
+
+def test_nsw_empty_allowed_empty_result(spark, fixture):
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    rows, df, queries, qdf = fixture
+    idx = NSWGraphIndex.build(
+        df.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    empty = df.filter("tag > 99").select("id")
+    assert idx.search(qdf, k=10, nprobe=3, allowed=empty).count() == 0
+
+
+def test_nsw_filter_composes_with_tombstones(spark, fixture):
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    rows, df, queries, qdf = fixture
+    idx = NSWGraphIndex.build(
+        df.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    # collect every allowed id that would rank, then delete two of them:
+    # the emit mask and the tombstone set must BOTH suppress emission
+    allowed = df.filter("tag % 2 = 0").select("id")
+    want = _brute_topk(rows, queries, 10, lambda t: t % 2 == 0)
+    victims = {want[0][0], want[0][1]}
+    deleted = idx.delete(victims)
+    hits = _got(
+        deleted.search(qdf, k=10, nprobe=3, ef_search=400, allowed=allowed)
+    )
+    want_after = _brute_topk(
+        rows, queries, 10, lambda t: t % 2 == 0
+    )
+    # recompute the oracle without the victims
+    kept = {
+        qid: [i for i in ids if i not in victims]
+        for qid, ids in _brute_topk(
+            rows, queries, 400, lambda t: t % 2 == 0
+        ).items()
+    }
+    want_after = {qid: ids[:10] for qid, ids in kept.items()}
+    assert hits == want_after
+
+
+def test_retrieve_exact_path_filter(spark, fixture):
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    cfg = RetrieveConfig(mode="universal", k=10, filter="tag < 3")
+    res = retrieve(qdf, corpus, cfg)
+    assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t < 3)
+
+
+def test_routed_sql_where_bit_for_bit(spark, fixture, tmp_path):
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+        unregister_corpus_index,
+    )
+
+    rows, df, queries, qdf = fixture
+    view = "fltsql_t"
+    df.withColumn("embedding", F.col("embedding").cast("array<float>")) \
+        .createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        spark.table(view), vec_col="embedding", id_col="id", nlist=4
+    ).write(path)
+    register_corpus_index(view, path, metric="l2")
+    try:
+        sql = (
+            "SELECT id AS neighbor_id, l2_dist(embedding, "
+            f"(SELECT embedding FROM {view} WHERE id = 3)) AS dist "
+            f"FROM {view} WHERE tag < 3 ORDER BY dist, id LIMIT 10"
+        )
+        exact = [(r[0], r[1]) for r in spark.sql(sql).collect()]
+        routed_df = routed_sql(spark, sql)
+        # the view is an ExistingRDD, so the only parquet in a routed
+        # plan is the written index (the cells/ path itself can fall to
+        # the plan printer's field-width truncation under pytest tmpdirs)
+        assert "parquet" in (
+            routed_df._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        assert [(r[0], r[1]) for r in routed_df.collect()] == exact
+    finally:
+        unregister_corpus_index(view)
+
+
+@pytest.mark.parametrize(
+    "where",
+    [
+        # predicate ON the ranking distance: a radius query, not this shape
+        "l2_dist(embedding, (SELECT embedding FROM fltsql_pt WHERE id = 3)) < 2",
+        # subquery predicate: not standalone-analyzable -> exact scan
+        "id IN (SELECT id FROM fltsql_pt WHERE tag = 0)",
+    ],
+)
+def test_routed_sql_where_passthrough(spark, fixture, tmp_path, where):
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+        unregister_corpus_index,
+    )
+
+    rows, df, queries, qdf = fixture
+    view = "fltsql_pt"
+    df.withColumn("embedding", F.col("embedding").cast("array<float>")) \
+        .createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        spark.table(view), vec_col="embedding", id_col="id", nlist=4
+    ).write(path)
+    register_corpus_index(view, path, metric="l2")
+    try:
+        sql = (
+            "SELECT id AS neighbor_id, l2_dist(embedding, "
+            f"(SELECT embedding FROM {view} WHERE id = 3)) AS dist "
+            f"FROM {view} WHERE {where} ORDER BY dist, id LIMIT 10"
+        )
+        routed_df = routed_sql(spark, sql)
+        # pass-through: the plan never reads the written index
+        assert "cells" not in (
+            routed_df._jdf.queryExecution().executedPlan().toString()
+        )
+        # and the answer is the exact scan's
+        assert routed_df.collect() == spark.sql(sql).collect()
+    finally:
+        unregister_corpus_index(view)
+
+
+def test_routed_sql_where_alias_passes_through_verbatim(spark, fixture, tmp_path):
+    """``WHERE dist < 2`` names the SELECT alias — illegal SQL (WHERE
+    evaluates before SELECT). The rewriter refuses to route it and the
+    pass-through surfaces Spark's own analysis error, exactly what the
+    un-rewritten query would do — the rewrite never changes the answer,
+    including the error."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+        unregister_corpus_index,
+    )
+
+    rows, df, queries, qdf = fixture
+    view = "fltsql_alias"
+    df.withColumn("embedding", F.col("embedding").cast("array<float>")) \
+        .createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        spark.table(view), vec_col="embedding", id_col="id", nlist=4
+    ).write(path)
+    register_corpus_index(view, path, metric="l2")
+    try:
+        sql = (
+            "SELECT id AS neighbor_id, l2_dist(embedding, "
+            f"(SELECT embedding FROM {view} WHERE id = 3)) AS dist "
+            f"FROM {view} WHERE dist < 2 ORDER BY dist, id LIMIT 10"
+        )
+        with pytest.raises(AnalysisException):
+            routed_sql(spark, sql)
+    finally:
+        unregister_corpus_index(view)
