@@ -85,6 +85,10 @@ HEADLINE = [
     "retrieve_routed_nsw",
     "retrieve_routed_nsw_pruned",
     "routed_sql_topk",
+    "retrieve_filtered_ivf",
+    "retrieve_filtered_nsw",
+    "retrieve_filtered_pruned",
+    "routed_sql_filtered",
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",

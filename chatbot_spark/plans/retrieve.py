@@ -107,6 +107,21 @@ class RetrieveConfig:
     # contract generalized — so the whole-shard beam still visits every
     # node and never loses a path through filtered-out regions).
     filter: str | None = None
+    # Selective-filter policy knobs (the standard vector-store cutovers):
+    # * filter_brute_threshold: when the filtered subset has at most this
+    #   many rows, SKIP the index and run the exact scan over the
+    #   filtered corpus — below the cutover the subset is small enough
+    #   that brute force beats index overhead AND it is exact at any
+    #   selectivity (the pre-filter brute-force rule production vector
+    #   stores apply). 0 disables (never brute); serving over large
+    #   corpora should set ~10^5.
+    # * Pruned NSW beams auto-WIDEN under a filter (always on): a beam
+    #   of ef holds ~ef·selectivity allowed nodes, so a selective filter
+    #   starves top-k (measured: recall 0.11 at 1% selectivity with
+    #   ef=64 — BENCH_ANN_FILTERED). The routed path scales the beam to
+    #   ceil(2k/selectivity), capped at the max shard size — at the cap
+    #   the walk is whole-shard, i.e. exact within the probed shards.
+    filter_brute_threshold: int = 0
 
 
 def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
@@ -263,6 +278,24 @@ def _routed_universal(
             "only rewrites metric-compatible searches"
         )
     spark = queries_df.sparkSession
+
+    # selective-filter brute cutover (see RetrieveConfig.filter_brute_
+    # threshold): when the filtered subset is small, the exact scan OVER
+    # THE SUBSET is both cheaper than index traversal and exact at any
+    # selectivity — skip the index entirely (it is never even loaded).
+    # The count is one pushdown-friendly aggregate over the predicate
+    # columns; in a hot serving path, cache it per (corpus, predicate).
+    if cfg.filter is not None and cfg.filter_brute_threshold > 0:
+        flt_corpus = corpus.filter(F.expr(cfg.filter))
+        if flt_corpus.count() <= cfg.filter_brute_threshold:
+            from chatbot_spark.operators.topk import knn_join
+
+            return knn_join(
+                queries_df, flt_corpus, k=cfg.k, metric="l2",
+                corpus_id=cfg.index_id_col, corpus_vec=cfg.index_vec_col,
+                extra_cols=["document"],
+            ).select("query_id", "neighbor_id", "rank", "dist", "document")
+
     kind = cfg.index_kind
     if kind == "auto":
         kind = _sniff_index_kind(spark, cfg.index_path)
@@ -347,6 +380,28 @@ def _routed_universal(
             )
         else:
             ef = cfg.index_ef_search or 64
+            if cfg.filter is not None:
+                # selectivity-scaled beam widening (always on for pruned
+                # filtered search): a beam of ef holds ~ef·selectivity
+                # allowed nodes, so to surface k allowed the beam must be
+                # ~k/selectivity wide — we use 2k/selectivity (the
+                # measured cliff: recall 0.11 at 1% selectivity with
+                # ef=64), capped at the max shard size, where the walk
+                # degenerates to whole-shard, i.e. exact within the
+                # probed shards. Counts are pushdown-friendly aggregates
+                # over the predicate columns; cache per (corpus,
+                # predicate) in a hot serving path.
+                import math
+
+                n_allowed = corpus.filter(F.expr(cfg.filter)).count()
+                n_corpus = corpus.count()
+                sel = n_allowed / max(n_corpus, 1)
+                if sel > 0:
+                    shard_max = int(
+                        index.graph.groupBy("shard").count()
+                        .agg(F.max("count")).first()[0]
+                    )
+                    ef = min(shard_max, max(ef, math.ceil(2 * cfg.k / sel)))
         hits = index.search(
             queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,
             route=cfg.index_route, **flt_kwargs,

@@ -288,3 +288,58 @@ def test_routed_sql_where_alias_passes_through_verbatim(spark, fixture, tmp_path
             routed_sql(spark, sql)
     finally:
         unregister_corpus_index(view)
+
+
+def test_retrieve_filtered_brute_cutover(spark, fixture, tmp_path):
+    """Below filter_brute_threshold the routed path must skip the index
+    entirely (never even load it) and run the exact scan over the
+    filtered subset — exact at any selectivity, and visible in the plan:
+    the corpus is an in-memory DataFrame, so a plan with NO parquet scan
+    proves the written index was never touched."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=1.0,
+        filter="tag = 0", filter_brute_threshold=1_000_000,
+    )
+    res = retrieve(qdf, corpus, cfg)
+    assert "parquet" not in (
+        res._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t == 0)
+
+
+def test_retrieve_filtered_pruned_beam_autowidens(spark, fixture, tmp_path):
+    """Pruned NSW + selective filter: the routed path scales the beam to
+    ceil(2k/selectivity) capped at the max shard size. On this corpus
+    the cap engages (whole-shard beam), so the widened pruned search is
+    EXACT over the filtered corpus — deterministic despite the pruned
+    SLO — while the raw ef=64 beam would starve (~64/7 allowed nodes)."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_kind="nsw",
+        recall_slo=0.95, filter="tag = 0",
+    )
+    res = retrieve(qdf, corpus, cfg)
+    assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t == 0)

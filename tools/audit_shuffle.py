@@ -119,6 +119,12 @@ DEFAULT_QUERIES = [
     "exact_substring_sa",
     "stream_edge_crud_components",
     "token_budget_mixture",
+    # r10 family: filtered routed search — the IVF where-pushdown path
+    # (predicate inside the cells scan, zero extra exchanges expected)
+    # and the NSW emit-mask path (one allowed-id join onto the probed
+    # shards — the mask's exchange cost is exactly what to watch)
+    "retrieve_filtered_ivf",
+    "retrieve_filtered_nsw",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Filtered ANN search benchmark (r10): predicate+top-k cost and recall
+across filter selectivities, at a corpus size where the index pays for
+itself.
+
+What it pins, per selectivity (50%, 10%, 1% of the corpus allowed):
+
+* exact filtered scan (the baseline: filter -> knn_join),
+* IVF filtered routed search (``where=`` pushed into the probed-cells
+  scan — exact at full pre-filter semantics, any probe width),
+* NSW filtered routed search (``allowed=`` emit mask — disallowed nodes
+  keep routing) at the reference EF_SEARCH=64 beam — the raw knob,
+  showing the selectivity cliff (a beam of ef holds ~ef·selectivity
+  allowed nodes) — and at the routed path's AUTO-widened beam
+  (ceil(2k/selectivity) capped at the max shard size — the policy
+  plans/retrieve.py::_routed_universal applies), showing recall
+  recover. The exact filtered scan doubles as the brute-cutover
+  baseline (RetrieveConfig.filter_brute_threshold).
+
+Usage: PYTHONPATH=/root/repo python tools/bench_ann_filtered.py [N] [nlist] [nprobe]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    dim, n_clusters, n_queries, k = 64, 256, 10, 10
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.operators.topk import knn_join
+    from chatbot_spark.session import get_spark
+
+    spark = get_spark("ann-filtered")
+
+    # same deterministic clustered corpus as bench_ann_scale.py, plus a
+    # uniform metadata tag: tag = id % 100 makes "tag < s" an exactly
+    # s%-selective predicate that is INDEPENDENT of cluster structure
+    # (every cell loses the same fraction — the fair filtered case)
+    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            10.0 * (F.sin(F.col("cl") * 131 + j * 17) - F.floor(F.sin(F.col("cl") * 131 + j * 17)))
+            + F.rand(seed=7) - 0.5
+        ).cast("float"),
+    )
+    corpus = base.select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        (F.col("id") % 100).cast("int").alias("tag"),
+    ).persist()
+    corpus.count()
+
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    ).persist()
+    queries.count()
+
+    def timed(build_fn):
+        build_fn().collect()
+        t0 = time.time()
+        out = build_fn().collect()
+        return out, time.time() - t0
+
+    t0 = time.time()
+    ivf = IVFIndex.build(corpus, vec_col="embedding", id_col="vec_id", nlist=nlist)
+    ivf.indexed.persist().count()
+    t_ivf_build = time.time() - t0
+
+    nsw_nlist = max(nlist, n // 2000)
+    t0 = time.time()
+    nsw = NSWGraphIndex.build(
+        corpus.select("vec_id", "embedding"), vec_col="embedding",
+        id_col="vec_id", nlist=nsw_nlist, m=16, method="knn",
+    )
+    nsw.graph.persist().count()
+    t_nsw_build = time.time() - t0
+    shard_max = int(
+        nsw.graph.groupBy("shard").count().agg(F.max("count")).first()[0]
+    )
+
+    rows = []
+    for sel_pct in (50, 10, 1):
+        pred = f"tag < {sel_pct}"
+        allowed = corpus.filter(pred).select("vec_id")
+
+        exact_rows, t_exact = timed(
+            lambda: knn_join(
+                queries, corpus.filter(pred), k=k, metric="l2", corpus_id="vec_id"
+            )
+        )
+        exact_df = spark.createDataFrame(exact_rows)
+
+        ivf_rows, t_ivf = timed(
+            lambda: ivf.search(queries, k=k, nprobe=nprobe, where=pred)
+        )
+        rec_ivf = recall_at_k(spark.createDataFrame(ivf_rows), exact_df)
+
+        nsw_rows, t_nsw = timed(
+            lambda: nsw.search(
+                queries, k=k, nprobe=nprobe, ef_search=64, allowed=allowed
+            )
+        )
+        rec_nsw = recall_at_k(spark.createDataFrame(nsw_rows), exact_df)
+
+        row = {
+            "selectivity_pct": sel_pct,
+            "exact_filtered_sec": round(t_exact, 3),
+            "ivf_filtered_sec": round(t_ivf, 3),
+            "ivf_speedup": round(t_exact / t_ivf, 2),
+            "ivf_recall_at_10": round(rec_ivf, 4),
+            "nsw_filtered_sec": round(t_nsw, 3),
+            "nsw_speedup": round(t_exact / t_nsw, 2),
+            "nsw_recall_at_10": round(rec_nsw, 4),
+        }
+        # the routed path's auto-widened beam: ceil(2k/selectivity)
+        # capped at whole-shard (plans/retrieve.py::_routed_universal)
+        import math
+
+        ef_auto = min(shard_max, max(64, math.ceil(2 * k / (sel_pct / 100))))
+        if ef_auto != 64:
+            nsw_rows2, t_nsw2 = timed(
+                lambda: nsw.search(
+                    queries, k=k, nprobe=nprobe, ef_search=ef_auto,
+                    allowed=allowed,
+                )
+            )
+            row["nsw_ef_auto"] = ef_auto
+            row["nsw_ef_auto_sec"] = round(t_nsw2, 3)
+            row["nsw_ef_auto_speedup"] = round(t_exact / t_nsw2, 2)
+            row["nsw_ef_auto_recall_at_10"] = round(
+                recall_at_k(spark.createDataFrame(nsw_rows2), exact_df), 4
+            )
+        rows.append(row)
+
+    print(json.dumps({
+        "metric": "ann_filtered",
+        "n": n, "dim": dim, "nlist": nlist, "nprobe": nprobe, "k": k,
+        "n_queries": n_queries,
+        "ivf_build_sec": round(t_ivf_build, 3),
+        "nsw_nlist": nsw_nlist,
+        "nsw_build_sec": round(t_nsw_build, 3),
+        "selectivities": rows,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -496,6 +496,20 @@ COMMENT = {
         "corpus-keyed shuffle appears anywhere in the plan — the 100 TB "
         "contract is visible in the exchange types."
     ),
+    "retrieve_filtered_ivf": (
+        "Filtered routed search (IVF): the label predicate sits INSIDE "
+        "the cells FileScan (PushedFilters) beside the probed-centroid "
+        "isin PartitionFilters — the metadata filter costs zero joins "
+        "and zero extra scans. Ranking happens over the filtered rows, "
+        "so full probe is exact over the filtered corpus at any scale."
+    ),
+    "retrieve_filtered_nsw": (
+        "Filtered routed search (NSW): the allowed-id emit flag joins "
+        "onto the PROBED shards only (a left join adding one boolean — "
+        "disallowed nodes must stay as routing nodes for the beam); the "
+        "graph read is partition-pruned before the mask, and the payload "
+        "join stays late-materialized (hits x corpus on id)."
+    ),
 }
 
 
