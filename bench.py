@@ -89,6 +89,8 @@ HEADLINE = [
     "retrieve_filtered_nsw",
     "retrieve_filtered_pruned",
     "routed_sql_filtered",
+    "retrieve_routed_cosine",
+    "retrieve_routed_cosine_nsw",
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",

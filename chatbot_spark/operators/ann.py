@@ -136,11 +136,27 @@ class IVFIndex:
     search(): queries -> top-k per query scanning only nprobe cells
     """
 
-    def __init__(self, centroids: DataFrame, indexed: DataFrame, vec_col: str, id_col: str):
+    def __init__(
+        self,
+        centroids: DataFrame,
+        indexed: DataFrame,
+        vec_col: str,
+        id_col: str,
+        metric: str = "l2",
+    ):
         self.centroids = centroids  # (centroid_id INT, centroid ARRAY<DOUBLE>)
         self.indexed = indexed      # corpus + centroid_id
         self.vec_col = vec_col
         self.id_col = id_col
+        # "l2" | "cosine". Cosine is l2 over UNIT vectors: build()
+        # normalizes every indexed row once, search() normalizes the
+        # query and reports dist = ||u-v||^2 / 2 = 1 - cos(u,v) — same
+        # candidate walk, same pruning, exactly the cosine-distance
+        # ranking (the FAISS METRIC_INNER_PRODUCT-with-normalized-rows
+        # recipe). The metric persists with the index (write/load), so a
+        # mismatched query metric is detectable instead of silently
+        # ranking by the wrong geometry.
+        self.metric = metric
 
     def delete(self, ids) -> "IVFIndex":
         """Delete vectors by id — the flat-storage counterpart of the
@@ -152,7 +168,9 @@ class IVFIndex:
         keep = self.indexed.filter(
             ~F.col(self.id_col).isin([int(i) for i in ids])
         )
-        return IVFIndex(self.centroids, keep, self.vec_col, self.id_col)
+        return IVFIndex(
+            self.centroids, keep, self.vec_col, self.id_col, self.metric
+        )
 
     @classmethod
     def build(
@@ -166,6 +184,7 @@ class IVFIndex:
         max_iter: int = 25,
         fit_sample_size: int = 200_000,
         use_mllib: bool = False,
+        metric: str = "l2",
     ) -> "IVFIndex":
         """Fit k-means centroids on a bounded driver-side sample, then
         assign every corpus row distributed (one narrow Arrow-batched map,
@@ -179,7 +198,17 @@ class IVFIndex:
         MLlib distributed fit (``use_mllib=True``) pays ~10 scheduled jobs
         for the same centroids and only wins when even the SAMPLE exceeds
         driver memory — at 200k × 1024-d float64 the sample is 1.6 GB,
-        so the default holds to well past 100 TB corpora."""
+        so the default holds to well past 100 TB corpora.
+
+        ``metric="cosine"`` unit-normalizes every row BEFORE the fit and
+        the assignment (one narrow map — the index stores normalized
+        vectors), reducing cosine search to the l2 machinery exactly."""
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        if metric == "cosine":
+            from chatbot_spark.functions.vector import normalize
+
+            corpus = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
         if use_mllib:
             feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
             fit_input = feat
@@ -211,7 +240,7 @@ class IVFIndex:
         centroids = corpus.sparkSession.createDataFrame(
             list(enumerate(centers)), "centroid_id INT, centroid ARRAY<DOUBLE>"
         )
-        return cls(centroids, indexed, vec_col, id_col)
+        return cls(centroids, indexed, vec_col, id_col, metric)
 
     def write(self, path: str) -> None:
         """Persist the index: corpus clustered by cell (a search scans only
@@ -221,6 +250,9 @@ class IVFIndex:
             f"{path}/cells"
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.centroids.sparkSession.createDataFrame(
+            [(self.metric,)], "metric STRING"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     def append(self, new_rows: DataFrame, path: str | None = None) -> "IVFIndex":
         """Index maintenance: ingest new corpus rows WITHOUT refitting —
@@ -240,6 +272,12 @@ class IVFIndex:
 
         crows = sorted(self.centroids.collect(), key=lambda r: r["centroid_id"])
         centers = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        if self.metric == "cosine":
+            from chatbot_spark.functions.vector import normalize
+
+            new_rows = new_rows.withColumn(
+                self.vec_col, normalize(F.col(self.vec_col))
+            )
         assigned = new_rows.withColumn(
             "centroid_id", _assign_cells(F.col(self.vec_col), centers)
         )
@@ -252,6 +290,7 @@ class IVFIndex:
             self.indexed.unionByName(assigned),
             self.vec_col,
             self.id_col,
+            self.metric,
         )
 
     @classmethod
@@ -261,11 +300,17 @@ class IVFIndex:
         """Reopen a written index. The centroid shortlist then prunes the
         cells scan at the FILE level: only nprobe/nlist of the corpus
         parquet is read (PartitionFilters on centroid_id)."""
+        metric = "l2"
+        try:  # pre-metric layouts have no meta/ — they are l2 by construction
+            metric = spark.read.parquet(f"{path}/meta").first()["metric"]
+        except Exception:
+            pass
         return cls(
             spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/cells"),
             vec_col,
             id_col,
+            metric,
         )
 
     def search(
@@ -314,6 +359,13 @@ class IVFIndex:
           small allowed side). Both given = AND."""
         if route not in ("broadcast", "join"):
             raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
+        if self.metric == "cosine":
+            # unit-normalize the query once: over unit vectors the l2
+            # walk IS the cosine ranking, and dist converts exactly
+            # (||u-v||^2 / 2 = 1 - cos)
+            from chatbot_spark.functions.vector import normalize
+
+            queries = queries.withColumn(query_vec, normalize(F.col(query_vec)))
         q = queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
         )
@@ -363,10 +415,13 @@ class IVFIndex:
             .drop("__pid", "__lrank")
         )
         w = Window.partitionBy(query_id).orderBy(F.col("__rdist").asc(), F.col("neighbor_id").asc())
+        reported = (
+            F.col("__rdist") / 2 if self.metric == "cosine" else F.sqrt("__rdist")
+        )
         return (
             pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .withColumn("dist", F.sqrt("__rdist"))
+            .withColumn("dist", reported)
             .drop("__rdist")
         )
 

@@ -383,6 +383,7 @@ class NSWGraphIndex:
         vec_col: str,
         id_col: str,
         tombstones: frozenset = frozenset(),
+        metric: str = "l2",
     ):
         self.centroids = centroids  # (shard INT, centroid ARRAY<DOUBLE>)
         self.graph = graph  # (shard, pos, id, vec, neighbors ARRAY<INT>)
@@ -396,6 +397,11 @@ class NSWGraphIndex:
         # them and clears the set. Bounded driver/task memory by the
         # deletes-between-compactions contract.
         self.tombstones = frozenset(tombstones)
+        # "l2" | "cosine": cosine is l2 over UNIT vectors — build()
+        # normalizes every indexed row once, search() normalizes the
+        # query and reports dist = ||u-v||^2 / 2 = 1 - cos(u,v); the beam
+        # walk itself is metric-agnostic. Persisted with the index.
+        self.metric = metric
         # broadcast-path query batches, freed by release(): without it,
         # repeated searches in benches / long-lived sessions accumulate
         # broadcast blocks on driver and executors
@@ -425,6 +431,7 @@ class NSWGraphIndex:
         max_iter: int = 25,
         fit_sample_size: int = 200_000,
         method: str = "insert",
+        metric: str = "l2",
     ) -> "NSWGraphIndex":
         """m/ef_construction defaults match the reference's HNSW DDL
         (M=16, EF_CONSTRUCTION=256, load.py:26). nlist sizes the shards:
@@ -441,6 +448,12 @@ class NSWGraphIndex:
 
         if method not in ("insert", "knn"):
             raise ValueError(f"method must be 'insert' or 'knn', got {method!r}")
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        if metric == "cosine":
+            from chatbot_spark.functions.vector import normalize
+
+            corpus = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
 
         sample = corpus.select(vec_col)
         X = np.array(
@@ -466,7 +479,7 @@ class NSWGraphIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "shard INT, centroid ARRAY<DOUBLE>",
         )
-        return cls(centroids, graph, centers, vec_col, id_col)
+        return cls(centroids, graph, centers, vec_col, id_col, metric=metric)
 
     def write(self, path: str) -> None:
         """Persist shard-partitioned: a search reads only its probed
@@ -483,6 +496,9 @@ class NSWGraphIndex:
             f"{self.id_col} {self.graph.schema[self.id_col].dataType.simpleString()}",
         )
         tomb.write.mode("overwrite").parquet(f"{path}/tombstones")
+        spark.createDataFrame([(self.metric,)], "metric STRING").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
 
     @classmethod
     def load(
@@ -508,7 +524,14 @@ class NSWGraphIndex:
             )
         except Exception:  # pre-tombstone index layout
             pass
-        return cls(centroids, graph, centers, vec_col, id_col, tombstones)
+        metric = "l2"
+        try:  # pre-metric layouts have no meta/ — they are l2 by construction
+            metric = spark.read.parquet(f"{path}/meta").first()["metric"]
+        except Exception:
+            pass
+        return cls(
+            centroids, graph, centers, vec_col, id_col, tombstones, metric
+        )
 
     def delete(self, ids) -> "NSWGraphIndex":
         """Tombstone-delete vectors — the CRUD leg append/rebalance don't
@@ -524,6 +547,7 @@ class NSWGraphIndex:
             # with the column values either way); string/uuid ids pass
             # through untouched — the id column's type is the contract
             self.tombstones | {int(i) if isinstance(i, (int,)) or hasattr(i, "__index__") else i for i in ids},
+            self.metric,
         )
 
     def compact_deletes(
@@ -547,7 +571,8 @@ class NSWGraphIndex:
         )
         if not affected:
             return NSWGraphIndex(
-                self.centroids, self.graph, self.centers, vec_col, id_col
+                self.centroids, self.graph, self.centers, vec_col, id_col,
+                metric=self.metric,
             )
         build_kernel = _make_graph_build_kernel(
             id_col, vec_col, m, ef_construction, method
@@ -583,7 +608,8 @@ class NSWGraphIndex:
             ).parquet(f"{path}/tombstones")
             compacted = spark.read.parquet(f"{path}/graph")
         return NSWGraphIndex(
-            self.centroids, compacted, self.centers, vec_col, id_col
+            self.centroids, compacted, self.centers, vec_col, id_col,
+            metric=self.metric,
         )
 
     def append(
@@ -720,10 +746,12 @@ class NSWGraphIndex:
                 vec_col,
                 id_col,
                 self.tombstones,
+                self.metric,
             )
         grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
         return NSWGraphIndex(
-            self.centroids, grown, self.centers, vec_col, id_col, self.tombstones
+            self.centroids, grown, self.centers, vec_col, id_col,
+            self.tombstones, self.metric,
         )
 
     def rebalance(
@@ -908,7 +936,8 @@ class NSWGraphIndex:
             for p in persisted[:-1]:
                 p.unpersist(blocking=False)
             out = NSWGraphIndex(
-                centroids, graph, centers_np, vec_col, id_col, self.tombstones
+                centroids, graph, centers_np, vec_col, id_col,
+                self.tombstones, self.metric,
             )
             out._live_broadcasts.extend(round_broadcasts)
             return out
@@ -947,6 +976,7 @@ class NSWGraphIndex:
             vec_col,
             id_col,
             self.tombstones,
+            self.metric,
         )
 
     def search(
@@ -1011,6 +1041,13 @@ class NSWGraphIndex:
         probe-order ULP ties). ``query_chunk`` is kept for API
         stability; the beam walk is per-query either way."""
         import numpy as np
+
+        if self.metric == "cosine":
+            # unit-normalize the query once: over unit vectors the beam's
+            # l2 walk IS the cosine ranking (dist converts exactly below)
+            from chatbot_spark.functions.vector import normalize
+
+            queries = queries.withColumn(query_vec, normalize(F.col(query_vec)))
 
         c = self.centers
         nprobe = min(nprobe, len(c))
@@ -1140,10 +1177,13 @@ class NSWGraphIndex:
         w = Window.partitionBy(query_id).orderBy(
             F.col("__rdist").asc(), F.col("neighbor_id").asc()
         )
+        reported = (
+            F.col("__rdist") / 2 if self.metric == "cosine" else F.sqrt("__rdist")
+        )
         return (
             cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .withColumn("dist", F.sqrt("__rdist"))
+            .withColumn("dist", reported)
             .drop("__rdist")
         )
 

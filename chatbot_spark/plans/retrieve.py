@@ -272,10 +272,10 @@ def _routed_universal(
     from chatbot_spark.operators.ann import IVFIndex
     from chatbot_spark.operators.hnsw import NSWGraphIndex
 
-    if cfg.metric != "l2":
+    if cfg.metric not in ("l2", "cosine"):
         raise ValueError(
-            f"registered index is l2; cfg.metric={cfg.metric!r} — route "
-            "only rewrites metric-compatible searches"
+            f"cfg.metric={cfg.metric!r} — the routed path serves l2 and "
+            "cosine (cosine indexes store unit-normalized vectors)"
         )
     spark = queries_df.sparkSession
 
@@ -291,7 +291,7 @@ def _routed_universal(
             from chatbot_spark.operators.topk import knn_join
 
             return knn_join(
-                queries_df, flt_corpus, k=cfg.k, metric="l2",
+                queries_df, flt_corpus, k=cfg.k, metric=cfg.metric,
                 corpus_id=cfg.index_id_col, corpus_vec=cfg.index_vec_col,
                 extra_cols=["document"],
             ).select("query_id", "neighbor_id", "rank", "dist", "document")
@@ -306,6 +306,18 @@ def _routed_universal(
     index = loader.load(
         spark, cfg.index_path, vec_col=cfg.index_vec_col, id_col=cfg.index_id_col,
     )
+    # metric agreement is the index's to certify, never config's to
+    # assert: a cosine query routed onto an l2 index (or vice versa)
+    # would rank by the wrong geometry, and a silent exact-scan fallback
+    # would hide that the index is unusable for this query — the same
+    # refuse-loudly contract sqlroute applies.
+    idx_metric = getattr(index, "metric", "l2")
+    if cfg.metric != idx_metric:
+        raise ValueError(
+            f"cfg.metric={cfg.metric!r} but the index at {cfg.index_path!r} "
+            f"was built for {idx_metric!r} — rebuild the index for this "
+            "metric or change the query"
+        )
     # probe width derives from the LOADED index's real centroid count —
     # never from config: an understated cfg nlist would silently probe a
     # subset of cells and break the slo=1.0 ≡ exact guarantee (r8

@@ -29,6 +29,12 @@ Contract:
   L2 index) RAISES — routing would rank by the wrong metric and a
   silent exact-scan fallback would hide that the index the user paid to
   build is unusable for their query (the refuse-loudly contract).
+* ``cosine_dist`` over a COSINE-registered index routes (r10): the
+  index stores unit-normalized vectors and reports
+  dist = ||u-v||^2/2 = 1-cos — identical ranking; the reported values
+  agree with the SQL's 1-dot/(|a||b|) fold up to final-ULP float error
+  (round at 6dp when comparing), unlike the l2 path's bit-for-bit
+  guarantee whose fold shapes are identical.
 
 :func:`register_sql_distance_functions` installs ``l2_dist`` /
 ``cosine_dist`` as Spark SQL scalar UDFs (pure Catalyst ``RETURN``

@@ -14029,3 +14029,115 @@ def routed_sql_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         return routed.select("neighbor_id", F.round("dist", 6).alias("dist"))
     finally:
         unregister_corpus_index(view)
+
+
+# --------------------------------------------------------------------------
+# Cosine-metric routed retrieval (r10): cosine is the conventional text-
+# embedding metric; both written index families now carry their metric
+# (cells/graph store unit-normalized vectors, meta/ persists the metric,
+# search normalizes the query and reports dist = ||u-v||^2/2 = 1-cos).
+# --------------------------------------------------------------------------
+
+_COSINE_ROUTED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         1.0 - {_DUCK_DOT.format(a='q.qe', b='c.embedding')}
+           / (sqrt({_DUCK_NORM.format(a='q.qe')}) * sqrt({_DUCK_NORM.format(a='c.embedding')})) AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+       'doc-' || CAST(neighbor_id AS VARCHAR) AS document
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("retrieve_routed_cosine", _COSINE_ROUTED_ORACLE)
+def retrieve_routed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-metric routed retrieval over the IVF index (ann.py::
+    IVFIndex metric="cosine"): cosine reduces to l2 over UNIT vectors —
+    build() normalizes every indexed row once (the vectors on disk are
+    normalized), search() normalizes the query and reports
+    dist = ||u-v||^2/2 = 1 - cos(u,v) — so the same cell routing, the
+    same pruning, and the same slo=1.0 full-probe exactness argument
+    carry over unchanged from the l2 pins. The metric persists with the
+    written index (meta/), and _routed_universal refuses a mismatched
+    query metric loudly (tested) instead of ranking by the wrong
+    geometry. Oracle: the exact cosine-distance scan over the RAW
+    corpus, rounded at 6dp (the normalize-then-l2 fold differs from the
+    direct 1-dot/(|a||b|) fold only in final-ULP float error)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedcos_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8, metric="cosine",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, metric="cosine", index_path=path,
+        index_nlist=8, index_id_col="id", index_vec_col="embedding",
+        recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
+
+
+@query("retrieve_routed_cosine_nsw", _COSINE_ROUTED_ORACLE)
+def retrieve_routed_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-metric routed retrieval over the sharded-NSW graph index
+    (hnsw.py::NSWGraphIndex metric="cosine") — the ANN contract-
+    uniformity discipline: both routed families serve both metrics with
+    the same normalize-once reduction, the same persisted-metric layout,
+    and the same refuse-loudly mismatch check. At recall_slo=1.0 the
+    whole-shard beam over normalized vectors is bit-for-bit the exact
+    cosine scan (the oracle, at the 6dp float-fold tolerance)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedcosn_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4, m=8, ef_construction=64, method="knn", metric="cosine",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, metric="cosine", index_path=path,
+        index_kind="auto", index_id_col="id", index_vec_col="embedding",
+        recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
