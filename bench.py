@@ -91,6 +91,8 @@ HEADLINE = [
     "routed_sql_filtered",
     "retrieve_routed_cosine",
     "retrieve_routed_cosine_nsw",
+    "retrieve_routed_ip",
+    "retrieve_routed_ip_nsw",
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",

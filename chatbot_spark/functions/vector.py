@@ -75,6 +75,24 @@ def normalize(a: Column) -> Column:
     return F.zip_with(a, F.array_repeat(safe, F.size(a)), lambda x, n: _d(x) / n)
 
 
+def mips_augment_corpus(a: Column, m2: float) -> Column:
+    """Corpus side of the MIPS->L2 reduction (Bachrach et al. 2014):
+    [x, sqrt(max(M^2 - ||x||^2, 0))] with M^2 the max squared norm over
+    the indexed corpus. greatest(0, .) guards the max-norm row against a
+    float-negative slack. Returns ARRAY<DOUBLE> of dim+1."""
+    slack = F.greatest(
+        F.lit(0.0).cast("double"), F.lit(float(m2)) - dot_product(a, a)
+    )
+    return F.concat(F.transform(a, _d), F.array(F.sqrt(slack)))
+
+
+def mips_augment_query(a: Column) -> Column:
+    """Query side of the MIPS->L2 reduction: [q, 0] — then
+    ||x_hat - q_hat||^2 = ||q||^2 + M^2 - 2<x,q>, so the l2 walk ranks by
+    descending inner product exactly."""
+    return F.concat(F.transform(a, _d), F.array(F.lit(0.0).cast("double")))
+
+
 def maxsim(q: Column, d: Column) -> Column:
     """ColBERT late-interaction MaxSim over multi-vector columns
     (ARRAY<ARRAY<FLOAT>> of per-token unit vectors): for each query token

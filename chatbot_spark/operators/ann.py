@@ -156,7 +156,18 @@ class IVFIndex:
         # recipe). The metric persists with the index (write/load), so a
         # mismatched query metric is detectable instead of silently
         # ranking by the wrong geometry.
+        #
+        # "inner_product" (MIPS) uses the classic augmentation reduction
+        # (Bachrach et al. 2014; FAISS): with M^2 = max ||x||^2 over the
+        # indexed corpus, every row is stored as [x, sqrt(M^2-||x||^2)] and a
+        # query as [q, 0], making ||x_hat-q_hat||^2 = ||q||^2 + M^2 - 2<x,q>
+        # — the l2 walk ranks EXACTLY by descending inner product, and the
+        # reported dist converts back to -<x,q> (the DISTANCES convention).
+        # m2 is frozen at build and persists with the index; append()
+        # refuses rows whose norm exceeds it (they would need sqrt of a
+        # negative — rebuild to re-derive M).
         self.metric = metric
+        self.m2: float | None = None
 
     def delete(self, ids) -> "IVFIndex":
         """Delete vectors by id — the flat-storage counterpart of the
@@ -168,9 +179,11 @@ class IVFIndex:
         keep = self.indexed.filter(
             ~F.col(self.id_col).isin([int(i) for i in ids])
         )
-        return IVFIndex(
+        out = IVFIndex(
             self.centroids, keep, self.vec_col, self.id_col, self.metric
         )
+        out.m2 = self.m2
+        return out
 
     @classmethod
     def build(
@@ -202,13 +215,31 @@ class IVFIndex:
 
         ``metric="cosine"`` unit-normalizes every row BEFORE the fit and
         the assignment (one narrow map — the index stores normalized
-        vectors), reducing cosine search to the l2 machinery exactly."""
-        if metric not in ("l2", "cosine"):
+        vectors), reducing cosine search to the l2 machinery exactly.
+        ``metric="inner_product"`` stores the MIPS->L2 augmentation
+        [x, sqrt(M^2-||x||^2)] (see __init__) — one extra agg for M^2 and
+        one narrow map; the fit/assignment run in the augmented space."""
+        if metric not in ("l2", "cosine", "inner_product"):
             raise ValueError(f"unsupported metric {metric!r}")
+        m2 = None
         if metric == "cosine":
             from chatbot_spark.functions.vector import normalize
 
             corpus = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
+        elif metric == "inner_product":
+            from chatbot_spark.functions.vector import (
+                dot_product,
+                mips_augment_corpus,
+            )
+
+            m2 = float(
+                corpus.agg(
+                    F.max(dot_product(F.col(vec_col), F.col(vec_col)))
+                ).first()[0]
+            )
+            corpus = corpus.withColumn(
+                vec_col, mips_augment_corpus(F.col(vec_col), m2)
+            )
         if use_mllib:
             feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
             fit_input = feat
@@ -240,7 +271,9 @@ class IVFIndex:
         centroids = corpus.sparkSession.createDataFrame(
             list(enumerate(centers)), "centroid_id INT, centroid ARRAY<DOUBLE>"
         )
-        return cls(centroids, indexed, vec_col, id_col, metric)
+        out = cls(centroids, indexed, vec_col, id_col, metric)
+        out.m2 = m2
+        return out
 
     def write(self, path: str) -> None:
         """Persist the index: corpus clustered by cell (a search scans only
@@ -251,7 +284,7 @@ class IVFIndex:
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         self.centroids.sparkSession.createDataFrame(
-            [(self.metric,)], "metric STRING"
+            [(self.metric, self.m2)], "metric STRING, m2 DOUBLE"
         ).write.mode("overwrite").parquet(f"{path}/meta")
 
     def append(self, new_rows: DataFrame, path: str | None = None) -> "IVFIndex":
@@ -278,6 +311,25 @@ class IVFIndex:
             new_rows = new_rows.withColumn(
                 self.vec_col, normalize(F.col(self.vec_col))
             )
+        elif self.metric == "inner_product":
+            from chatbot_spark.functions.vector import (
+                dot_product,
+                mips_augment_corpus,
+            )
+
+            worst = new_rows.agg(
+                F.max(dot_product(F.col(self.vec_col), F.col(self.vec_col)))
+            ).first()[0]
+            if worst is not None and self.m2 is not None and worst > self.m2:
+                raise ValueError(
+                    f"append: a new row's squared norm ({worst:.6g}) exceeds "
+                    f"the index's frozen M^2 ({self.m2:.6g}) — its MIPS "
+                    "augmentation would need sqrt of a negative; rebuild the "
+                    "index to re-derive M"
+                )
+            new_rows = new_rows.withColumn(
+                self.vec_col, mips_augment_corpus(F.col(self.vec_col), self.m2)
+            )
         assigned = new_rows.withColumn(
             "centroid_id", _assign_cells(F.col(self.vec_col), centers)
         )
@@ -285,13 +337,15 @@ class IVFIndex:
             assigned.write.mode("append").partitionBy("centroid_id").parquet(
                 f"{path}/cells"
             )
-        return IVFIndex(
+        out = IVFIndex(
             self.centroids,
             self.indexed.unionByName(assigned),
             self.vec_col,
             self.id_col,
             self.metric,
         )
+        out.m2 = self.m2
+        return out
 
     @classmethod
     def load(
@@ -300,18 +354,22 @@ class IVFIndex:
         """Reopen a written index. The centroid shortlist then prunes the
         cells scan at the FILE level: only nprobe/nlist of the corpus
         parquet is read (PartitionFilters on centroid_id)."""
-        metric = "l2"
+        metric, m2 = "l2", None
         try:  # pre-metric layouts have no meta/ — they are l2 by construction
-            metric = spark.read.parquet(f"{path}/meta").first()["metric"]
+            meta = spark.read.parquet(f"{path}/meta").first()
+            metric = meta["metric"]
+            m2 = meta["m2"] if "m2" in meta.asDict() else None
         except Exception:
             pass
-        return cls(
+        out = cls(
             spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/cells"),
             vec_col,
             id_col,
             metric,
         )
+        out.m2 = m2
+        return out
 
     def search(
         self,
@@ -366,9 +424,24 @@ class IVFIndex:
             from chatbot_spark.functions.vector import normalize
 
             queries = queries.withColumn(query_vec, normalize(F.col(query_vec)))
-        q = queries.select(
+        elif self.metric == "inner_product":
+            # MIPS->L2: augment the query with a 0 slack coordinate and
+            # carry ||q||^2 through the shortlist join — the conversion
+            # back to -<x,q> needs it per query (one extra double/row)
+            from chatbot_spark.functions.vector import (
+                dot_product,
+                mips_augment_query,
+            )
+
+            queries = queries.withColumn(
+                "__qnorm", dot_product(F.col(query_vec), F.col(query_vec))
+            ).withColumn(query_vec, mips_augment_query(F.col(query_vec)))
+        qcols = [
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-        )
+        ]
+        if self.metric == "inner_product":
+            qcols.append(F.col("__qnorm"))
+        q = queries.select(*qcols)
         qc = (
             q.crossJoin(F.broadcast(self.centroids))
             .withColumn("__cdist", sq_l2_distance(F.col("__qvec"), F.col("centroid")))
@@ -379,7 +452,10 @@ class IVFIndex:
                 ),
             )
             .filter(F.col("__crank") <= nprobe)
-            .select("__qid", "__qvec", "centroid_id")
+            .select(
+                "__qid", "__qvec", "centroid_id",
+                *(("__qnorm",) if self.metric == "inner_product" else ()),
+            )
         )
         # Static cell pruning: the probed-cell set is tiny (≤ Q×nprobe ids,
         # one metadata-scale collect), and an explicit isin filter turns
@@ -402,6 +478,11 @@ class IVFIndex:
             F.col("__qid").alias(query_id),
             F.col(self.id_col).alias("neighbor_id"),
             sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),
+            *(
+                (F.col("__qnorm"),)
+                if self.metric == "inner_product"
+                else ()
+            ),
         )
         # partial top-k per (query, scan partition) — same skew guard as
         # topk.knn_join: the final per-query window sees ≤ P×k rows
@@ -415,14 +496,23 @@ class IVFIndex:
             .drop("__pid", "__lrank")
         )
         w = Window.partitionBy(query_id).orderBy(F.col("__rdist").asc(), F.col("neighbor_id").asc())
-        reported = (
-            F.col("__rdist") / 2 if self.metric == "cosine" else F.sqrt("__rdist")
-        )
+        if self.metric == "cosine":
+            reported = F.col("__rdist") / 2
+        elif self.metric == "inner_product":
+            # ||x_hat-q_hat||^2 = ||q||^2 + M^2 - 2<x,q>  =>
+            # -<x,q> = (rdist - ||q||^2 - M^2) / 2 (DISTANCES convention)
+            reported = (
+                F.col("__rdist") - F.col("__qnorm") - F.lit(float(self.m2))
+            ) / 2
+        else:
+            reported = F.sqrt("__rdist")
         return (
             pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .withColumn("dist", reported)
-            .drop("__rdist")
+            .drop("__rdist", *(
+                ("__qnorm",) if self.metric == "inner_product" else ()
+            ))
         )
 
 

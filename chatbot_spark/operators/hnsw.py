@@ -397,11 +397,15 @@ class NSWGraphIndex:
         # them and clears the set. Bounded driver/task memory by the
         # deletes-between-compactions contract.
         self.tombstones = frozenset(tombstones)
-        # "l2" | "cosine": cosine is l2 over UNIT vectors — build()
-        # normalizes every indexed row once, search() normalizes the
-        # query and reports dist = ||u-v||^2 / 2 = 1 - cos(u,v); the beam
-        # walk itself is metric-agnostic. Persisted with the index.
+        # "l2" | "cosine" | "inner_product": cosine is l2 over UNIT
+        # vectors (build normalizes rows once; search normalizes the
+        # query and reports dist = ||u-v||^2/2 = 1-cos); inner_product is
+        # the MIPS->L2 augmentation [x, sqrt(M^2-||x||^2)] / [q, 0] (see
+        # ann.py::IVFIndex for the reduction) — the beam walk itself is
+        # metric-agnostic. Persisted with the index; m2 is the frozen
+        # max squared norm (inner_product only).
         self.metric = metric
+        self.m2: float | None = None
         # broadcast-path query batches, freed by release(): without it,
         # repeated searches in benches / long-lived sessions accumulate
         # broadcast blocks on driver and executors
@@ -448,12 +452,27 @@ class NSWGraphIndex:
 
         if method not in ("insert", "knn"):
             raise ValueError(f"method must be 'insert' or 'knn', got {method!r}")
-        if metric not in ("l2", "cosine"):
+        if metric not in ("l2", "cosine", "inner_product"):
             raise ValueError(f"unsupported metric {metric!r}")
+        m2 = None
         if metric == "cosine":
             from chatbot_spark.functions.vector import normalize
 
             corpus = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
+        elif metric == "inner_product":
+            from chatbot_spark.functions.vector import (
+                dot_product,
+                mips_augment_corpus,
+            )
+
+            m2 = float(
+                corpus.agg(
+                    F.max(dot_product(F.col(vec_col), F.col(vec_col)))
+                ).first()[0]
+            )
+            corpus = corpus.withColumn(
+                vec_col, mips_augment_corpus(F.col(vec_col), m2)
+            )
 
         sample = corpus.select(vec_col)
         X = np.array(
@@ -479,7 +498,9 @@ class NSWGraphIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "shard INT, centroid ARRAY<DOUBLE>",
         )
-        return cls(centroids, graph, centers, vec_col, id_col, metric=metric)
+        out = cls(centroids, graph, centers, vec_col, id_col, metric=metric)
+        out.m2 = m2
+        return out
 
     def write(self, path: str) -> None:
         """Persist shard-partitioned: a search reads only its probed
@@ -496,9 +517,9 @@ class NSWGraphIndex:
             f"{self.id_col} {self.graph.schema[self.id_col].dataType.simpleString()}",
         )
         tomb.write.mode("overwrite").parquet(f"{path}/tombstones")
-        spark.createDataFrame([(self.metric,)], "metric STRING").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/meta")
+        spark.createDataFrame(
+            [(self.metric, self.m2)], "metric STRING, m2 DOUBLE"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(
@@ -524,14 +545,18 @@ class NSWGraphIndex:
             )
         except Exception:  # pre-tombstone index layout
             pass
-        metric = "l2"
+        metric, m2 = "l2", None
         try:  # pre-metric layouts have no meta/ — they are l2 by construction
-            metric = spark.read.parquet(f"{path}/meta").first()["metric"]
+            meta = spark.read.parquet(f"{path}/meta").first()
+            metric = meta["metric"]
+            m2 = meta["m2"] if "m2" in meta.asDict() else None
         except Exception:
             pass
-        return cls(
+        out = cls(
             centroids, graph, centers, vec_col, id_col, tombstones, metric
         )
+        out.m2 = m2
+        return out
 
     def delete(self, ids) -> "NSWGraphIndex":
         """Tombstone-delete vectors — the CRUD leg append/rebalance don't
@@ -541,7 +566,7 @@ class NSWGraphIndex:
         ``compact_deletes()`` later rebuilds only the affected shards
         without them. Deletes of absent ids are harmless no-ops (the
         standard idempotent-delete contract)."""
-        return NSWGraphIndex(
+        out = NSWGraphIndex(
             self.centroids, self.graph, self.centers, self.vec_col, self.id_col,
             # normalize numpy integers to python ints (hash-compatible
             # with the column values either way); string/uuid ids pass
@@ -549,6 +574,8 @@ class NSWGraphIndex:
             self.tombstones | {int(i) if isinstance(i, (int,)) or hasattr(i, "__index__") else i for i in ids},
             self.metric,
         )
+        out.m2 = self.m2
+        return out
 
     def compact_deletes(
         self, m: int = 16, ef_construction: int = 256, method: str = "knn",
@@ -570,10 +597,12 @@ class NSWGraphIndex:
             .select("shard").distinct().collect()
         )
         if not affected:
-            return NSWGraphIndex(
+            out = NSWGraphIndex(
                 self.centroids, self.graph, self.centers, vec_col, id_col,
                 metric=self.metric,
             )
+            out.m2 = self.m2
+            return out
         build_kernel = _make_graph_build_kernel(
             id_col, vec_col, m, ef_construction, method
         )
@@ -607,10 +636,12 @@ class NSWGraphIndex:
                 "overwrite"
             ).parquet(f"{path}/tombstones")
             compacted = spark.read.parquet(f"{path}/graph")
-        return NSWGraphIndex(
+        out = NSWGraphIndex(
             self.centroids, compacted, self.centers, vec_col, id_col,
             metric=self.metric,
         )
+        out.m2 = self.m2
+        return out
 
     def append(
         self,
@@ -636,6 +667,32 @@ class NSWGraphIndex:
         import numpy as np
 
         spark = new_rows.sparkSession
+        if self.metric == "cosine":
+            # the graph stores unit vectors — new rows must match
+            from chatbot_spark.functions.vector import normalize
+
+            new_rows = new_rows.withColumn(
+                self.vec_col, normalize(F.col(self.vec_col))
+            )
+        elif self.metric == "inner_product":
+            from chatbot_spark.functions.vector import (
+                dot_product,
+                mips_augment_corpus,
+            )
+
+            worst = new_rows.agg(
+                F.max(dot_product(F.col(self.vec_col), F.col(self.vec_col)))
+            ).first()[0]
+            if worst is not None and self.m2 is not None and worst > self.m2:
+                raise ValueError(
+                    f"append: a new row's squared norm ({worst:.6g}) exceeds "
+                    f"the index's frozen M^2 ({self.m2:.6g}) — its MIPS "
+                    "augmentation would need sqrt of a negative; rebuild "
+                    "the index to re-derive M"
+                )
+            new_rows = new_rows.withColumn(
+                self.vec_col, mips_augment_corpus(F.col(self.vec_col), self.m2)
+            )
         assigned = new_rows.select(
             F.col(self.id_col), F.col(self.vec_col)
         ).withColumn("shard", _assign_cells(F.col(self.vec_col), self.centers))
@@ -739,7 +796,7 @@ class NSWGraphIndex:
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
-            return NSWGraphIndex(
+            out = NSWGraphIndex(
                 self.centroids,
                 spark.read.parquet(f"{path}/graph"),
                 self.centers,
@@ -748,11 +805,15 @@ class NSWGraphIndex:
                 self.tombstones,
                 self.metric,
             )
+            out.m2 = self.m2
+            return out
         grown = self.graph.filter(~F.col("shard").isin(touched)).unionByName(rebuilt)
-        return NSWGraphIndex(
+        out = NSWGraphIndex(
             self.centroids, grown, self.centers, vec_col, id_col,
             self.tombstones, self.metric,
         )
+        out.m2 = self.m2
+        return out
 
     def rebalance(
         self,
@@ -939,6 +1000,7 @@ class NSWGraphIndex:
                 centroids, graph, centers_np, vec_col, id_col,
                 self.tombstones, self.metric,
             )
+            out.m2 = self.m2
             out._live_broadcasts.extend(round_broadcasts)
             return out
 
@@ -969,7 +1031,7 @@ class NSWGraphIndex:
                 bcx.unpersist(blocking=False)
             except Exception:
                 pass
-        return NSWGraphIndex(
+        out = NSWGraphIndex(
             centroids,
             spark.read.parquet(f"{path}/graph"),
             centers_np,
@@ -978,6 +1040,8 @@ class NSWGraphIndex:
             self.tombstones,
             self.metric,
         )
+        out.m2 = self.m2
+        return out
 
     def search(
         self,
@@ -1048,6 +1112,14 @@ class NSWGraphIndex:
             from chatbot_spark.functions.vector import normalize
 
             queries = queries.withColumn(query_vec, normalize(F.col(query_vec)))
+        elif self.metric == "inner_product":
+            # MIPS->L2: [q, 0] — the beam's l2 walk ranks by descending
+            # inner product; dist converts back after the final top-k
+            from chatbot_spark.functions.vector import mips_augment_query
+
+            queries = queries.withColumn(
+                query_vec, mips_augment_query(F.col(query_vec))
+            )
 
         c = self.centers
         nprobe = min(nprobe, len(c))
@@ -1177,15 +1249,33 @@ class NSWGraphIndex:
         w = Window.partitionBy(query_id).orderBy(
             F.col("__rdist").asc(), F.col("neighbor_id").asc()
         )
-        reported = (
-            F.col("__rdist") / 2 if self.metric == "cosine" else F.sqrt("__rdist")
+        topk = cands.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
-        return (
-            cands.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .withColumn("dist", reported)
-            .drop("__rdist")
-        )
+        if self.metric == "cosine":
+            reported = F.col("__rdist") / 2
+        elif self.metric == "inner_product":
+            # conversion back to -<x,q> needs ||q||^2 per query — join it
+            # onto the k FINAL rows only (queries here are already
+            # augmented with a 0 slack coordinate, so the dot is ||q||^2)
+            from chatbot_spark.functions.vector import dot_product
+
+            qn = queries.select(
+                F.col(query_id),
+                dot_product(F.col(query_vec), F.col(query_vec)).alias(
+                    "__qnorm"
+                ),
+            )
+            topk = topk.join(qn, query_id)
+            reported = (
+                F.col("__rdist") - F.col("__qnorm") - F.lit(float(self.m2))
+            ) / 2
+        else:
+            reported = F.sqrt("__rdist")
+        out = topk.withColumn("dist", reported).drop("__rdist")
+        if "__qnorm" in out.columns:
+            out = out.drop("__qnorm")
+        return out
 
     def _mask_allowed(self, src: DataFrame, allowed: DataFrame) -> DataFrame:
         """Join the allowed-id emit flag onto the probed graph rows (LEFT

@@ -272,10 +272,11 @@ def _routed_universal(
     from chatbot_spark.operators.ann import IVFIndex
     from chatbot_spark.operators.hnsw import NSWGraphIndex
 
-    if cfg.metric not in ("l2", "cosine"):
+    if cfg.metric not in ("l2", "cosine", "inner_product"):
         raise ValueError(
-            f"cfg.metric={cfg.metric!r} — the routed path serves l2 and "
-            "cosine (cosine indexes store unit-normalized vectors)"
+            f"cfg.metric={cfg.metric!r} — the routed path serves l2, "
+            "cosine (indexes store unit-normalized vectors), and "
+            "inner_product (indexes store the MIPS->L2 augmentation)"
         )
     spark = queries_df.sparkSession
 

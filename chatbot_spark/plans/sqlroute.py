@@ -69,7 +69,7 @@ class _Registration:
 
 _REGISTRY: dict[str, _Registration] = {}
 
-_FN_METRIC = {"l2_dist": "l2", "cosine_dist": "cosine"}
+_FN_METRIC = {"l2_dist": "l2", "cosine_dist": "cosine", "ip_dist": "inner_product"}
 
 
 def register_corpus_index(
@@ -127,7 +127,16 @@ def register_sql_distance_functions(spark) -> list[str]:
                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))
         """
     )
-    return ["l2_dist", "cosine_dist"]
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ip_dist(
+            a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE
+        RETURN -aggregate(
+            zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """
+    )
+    return ["l2_dist", "cosine_dist", "ip_dist"]
 
 
 _KW = re.compile(r"(select|from|where|order\s+by|limit)\b", re.IGNORECASE)

@@ -14141,3 +14141,110 @@ def retrieve_routed_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 6).alias("dist"),
         "document",
     )
+
+
+# --------------------------------------------------------------------------
+# Inner-product (MIPS) routed retrieval (r10): the third metric of the
+# family — max-inner-product serving reduces to l2 via the augmentation
+# [x, sqrt(M^2-||x||^2)] / [q, 0] (Bachrach et al. 2014, the FAISS
+# recipe); dist reports -<x,q> (the DISTANCES convention).
+# --------------------------------------------------------------------------
+
+_IP_ROUTED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         -{_DUCK_DOT.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+       'doc-' || CAST(neighbor_id AS VARCHAR) AS document
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("retrieve_routed_ip", _IP_ROUTED_ORACLE)
+def retrieve_routed_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product routed retrieval over the IVF index (ann.py::
+    IVFIndex metric="inner_product"): rows are stored as the MIPS->L2
+    augmentation [x, sqrt(M^2-||x||^2)] with M^2 the frozen max squared
+    corpus norm; the query augments as [q, 0], making the l2 cell
+    routing and ranking EXACTLY descending-dot order, and the reported
+    dist converts back to -<x,q> via (rdist - ||q||^2 - M^2)/2. At
+    recall_slo=1.0 the full probe is the exact MIPS scan (this oracle:
+    ORDER BY -dot). The metric AND M^2 persist with the written index;
+    append() refuses rows whose norm exceeds the frozen M (tested)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedip_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8, metric="inner_product",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, metric="inner_product", index_path=path,
+        index_nlist=8, index_id_col="id", index_vec_col="embedding",
+        recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
+
+
+@query("retrieve_routed_ip_nsw", _IP_ROUTED_ORACLE)
+def retrieve_routed_ip_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product routed retrieval over the sharded-NSW graph index —
+    the metric-family uniformity pin: the same augmentation reduces MIPS
+    to the metric-agnostic beam walk, the whole-shard beam at
+    recall_slo=1.0 is the exact MIPS scan, and metric+M^2 persist with
+    the index (refuse-loudly mismatch checks tested both ways)."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_routedipn_q_"), "nsw")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4, m=8, ef_construction=64, method="knn",
+        metric="inner_product",
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, metric="inner_product", index_path=path,
+        index_kind="auto", index_id_col="id", index_vec_col="embedding",
+        recall_slo=1.0,
+    )
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
