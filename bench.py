@@ -93,6 +93,7 @@ HEADLINE = [
     "retrieve_routed_cosine_nsw",
     "retrieve_routed_ip",
     "retrieve_routed_ip_nsw",
+    "radius_search_routed",
     "mixed_edge_batch_components",
     "decremental_components_stored",
     "mixed_edge_batch_stored",

@@ -337,8 +337,52 @@ class IVFIndex:
             assigned.write.mode("append").partitionBy("centroid_id").parquet(
                 f"{path}/cells"
             )
+        cents = self.centroids
+        if "radius" in cents.columns:
+            # cell-stats maintenance: a new row can GROW its cell's true
+            # radius, and a stale smaller radius would let radius_search's
+            # triangle-inequality pruning DROP matches — update from the
+            # new rows alone (one agg over the delta, never the corpus);
+            # deletes need no update (radii only get less tight)
+            from chatbot_spark.functions.vector import l2_distance
+
+            grown_r = (
+                assigned.join(
+                    F.broadcast(cents.select("centroid_id", "centroid")),
+                    "centroid_id",
+                )
+                .groupBy("centroid_id")
+                .agg(
+                    F.max(
+                        l2_distance(F.col(self.vec_col), F.col("centroid"))
+                    ).alias("__new_r")
+                )
+            )
+            cents = (
+                cents.join(grown_r, "centroid_id", "left")
+                .withColumn(
+                    "radius",
+                    F.greatest(
+                        F.col("radius"), F.coalesce("__new_r", F.lit(0.0))
+                    ),
+                )
+                .drop("__new_r")
+            )
+            if path is not None:
+                # the written centroid table must carry the tightened radii
+                cents.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
+                spark = cents.sparkSession
+                cents = spark.read.parquet(f"{path}/centroids_tmp")
+                cents.write.mode("overwrite").parquet(f"{path}/centroids")
+                import shutil
+
+                shutil.rmtree(
+                    f"{path}/centroids_tmp".replace("file:", ""),
+                    ignore_errors=True,
+                )
+                cents = spark.read.parquet(f"{path}/centroids")
         out = IVFIndex(
-            self.centroids,
+            cents,
             self.indexed.unionByName(assigned),
             self.vec_col,
             self.id_col,
@@ -514,6 +558,103 @@ class IVFIndex:
                 ("__qnorm",) if self.metric == "inner_product" else ()
             ))
         )
+
+
+    def with_cell_stats(self) -> "IVFIndex":
+        """Attach per-cell radii to the centroid table: radius[c] =
+        max ||x - centroid_c|| over the cell's members — ONE aggregation
+        over the indexed table (the same order of work as the assignment
+        pass itself). The radii make radius_search()'s triangle-
+        inequality cell pruning possible; they persist with the index
+        (write() stores the centroid table as-is) and stay VALID (only
+        less tight) under delete — deletes can only shrink a cell's true
+        radius. append() tightens them back up from the new rows alone
+        (see append)."""
+        from chatbot_spark.functions.vector import l2_distance
+
+        radii = (
+            self.indexed.join(F.broadcast(self.centroids), "centroid_id")
+            .groupBy("centroid_id")
+            .agg(
+                F.max(
+                    l2_distance(F.col(self.vec_col), F.col("centroid"))
+                ).alias("radius")
+            )
+        )
+        cents = self.centroids.drop("radius").join(radii, "centroid_id", "left")
+        cents = cents.withColumn("radius", F.coalesce("radius", F.lit(0.0)))
+        out = IVFIndex(cents, self.indexed, self.vec_col, self.id_col, self.metric)
+        out.m2 = self.m2
+        return out
+
+    def radius_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        query_id: str = "query_id",
+        query_vec: str = "query_embedding",
+        route: str = "broadcast",
+    ) -> DataFrame:
+        """ALL neighbors within ``radius`` of each query (a range query,
+        not top-k) — COMPLETE by construction, no recall SLO: a cell c
+        can contain a point within r of q only if
+        d(q, centroid_c) <= r + cell_radius_c (triangle inequality), so
+        pruning cells outside that bound can never drop a match, and the
+        exact per-pair distance filter inside the probed cells does the
+        rest. Requires the per-cell radii (with_cell_stats(); computed
+        once on the fly otherwise — fine interactively, wrong as a
+        steady state at scale because it rescans the corpus per call).
+
+        Metrics: l2 (radius in l2 distance) and cosine (radius in cosine
+        DISTANCE, converted to the equivalent chord length
+        sqrt(2*r) over the index's unit vectors). inner_product has no
+        meaningful radius semantics under the augmentation — raises.
+
+        Returns (query_id, neighbor_id, dist) — dist in the index's
+        metric, every match, un-ranked."""
+        if route not in ("broadcast", "join"):
+            raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
+        if self.metric == "inner_product":
+            raise ValueError(
+                "radius_search is undefined for inner_product — the MIPS "
+                "augmentation preserves ORDER, not distances; use search() "
+                "(top-k) or an l2/cosine index"
+            )
+        idx = self if "radius" in self.centroids.columns else self.with_cell_stats()
+        if self.metric == "cosine":
+            # cosine distance r over unit vectors = chord ||u-v|| of
+            # sqrt(2r); the query normalizes exactly like search()
+            from chatbot_spark.functions.vector import normalize
+
+            queries = queries.withColumn(query_vec, normalize(F.col(query_vec)))
+            l2_r = float(2.0 * radius) ** 0.5
+        else:
+            l2_r = float(radius)
+
+        q = queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        qc = (
+            q.crossJoin(F.broadcast(idx.centroids))
+            .withColumn(
+                "__cdist", F.sqrt(sq_l2_distance(F.col("__qvec"), F.col("centroid")))
+            )
+            .filter(F.col("__cdist") <= F.lit(l2_r) + F.col("radius"))
+            .select("__qid", "__qvec", "centroid_id")
+        )
+        probed = [r[0] for r in qc.select("centroid_id").distinct().collect()]
+        corpus_side = idx.indexed.filter(F.col("centroid_id").isin(probed))
+        qc_side = F.broadcast(qc) if route == "broadcast" else qc
+        pairs = corpus_side.join(qc_side, "centroid_id").select(
+            F.col("__qid").alias(query_id),
+            F.col(self.id_col).alias("neighbor_id"),
+            sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias("__rdist"),
+        )
+        pairs = pairs.filter(F.col("__rdist") <= F.lit(l2_r * l2_r))
+        reported = (
+            F.col("__rdist") / 2 if self.metric == "cosine" else F.sqrt("__rdist")
+        )
+        return pairs.withColumn("dist", reported).drop("__rdist")
 
 
 class BRPIndex:

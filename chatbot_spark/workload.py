@@ -14248,3 +14248,49 @@ def retrieve_routed_ip_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 6).alias("dist"),
         "document",
     )
+
+
+@query(
+    "radius_search_routed",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist
+FROM pairs WHERE d <= 1.25
+""",
+)
+def radius_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search ROUTED onto the IVF index (ann.py::radius_search) —
+    COMPLETE by construction, not by SLO: per-cell radii (with_cell_stats,
+    one aggregation persisted with the centroid table) let the shortlist
+    prune every cell with d(q, centroid) > r + cell_radius — the triangle
+    inequality guarantees a pruned cell cannot hold a match — and the
+    exact distance filter inside the probed cells does the rest. The
+    oracle is the full exact range scan (same WHERE as radius_search):
+    hash equality proves the pruning lossless. append() keeps the radii
+    valid by tightening them from the delta alone (a stale smaller
+    radius would silently drop matches — tested); deletes only shrink
+    true radii, so stored radii stay safe."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_radroute_q_"), "ivf")
+    IVFIndex.build(
+        emb.select("vec_id", "embedding"), vec_col="embedding",
+        id_col="vec_id", nlist=8,
+    ).with_cell_stats().write(path)
+    loaded = IVFIndex.load(
+        spark, path, vec_col="embedding", id_col="vec_id"
+    )
+    q = _queries_from_embeddings(spark, sf_dir, n=5)
+    res = loaded.radius_search(q, radius=1.25)
+    return res.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist")
+    )

@@ -510,6 +510,20 @@ COMMENT = {
         "graph read is partition-pruned before the mask, and the payload "
         "join stays late-materialized (hits x corpus on id)."
     ),
+    "retrieve_routed_cosine": (
+        "Cosine routed search: identical plan shape to the l2 route — "
+        "the metric difference is one narrow normalize map on the query "
+        "side and a /2 projection on the reported dist; cell pruning, "
+        "the shortlist broadcast, and late materialization carry over "
+        "unchanged because the index stores unit vectors."
+    ),
+    "retrieve_routed_ip": (
+        "Inner-product routed search: the MIPS->L2 augmentation adds one "
+        "slack coordinate corpus-side at BUILD time, so the search plan "
+        "is again the l2 route — plus one extra double (||q||^2) carried "
+        "through the shortlist join for the -<x,q> conversion in the "
+        "final projection. No extra exchanges versus the l2 plan."
+    ),
 }
 
 
