@@ -129,6 +129,9 @@ HEADLINE = [
     # like the other replay-harness streaming queries
     # stream_approx_distinct_hourly: streaming drain + exact-side
     # comparison — same exclusion class
+    # stream_ann_enrich: multi-batch streaming drain (routed-index
+    # serving per micro-batch) — excluded like its siblings; the index
+    # build/search paths are measured by the ivf_* legs below
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

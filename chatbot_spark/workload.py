@@ -14294,3 +14294,92 @@ def radius_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist")
     )
+
+
+@query(
+    "stream_ann_enrich",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 12),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def stream_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving (the online-retrieval pattern, composing
+    the streaming harness with the routed index): a query stream replays
+    as 3 micro-batches; EACH batch runs routed top-k against the WRITTEN
+    IVF index inside foreachBatch (index loaded once, closure-captured —
+    the stream-static enrichment shape stream_point_in_time uses for its
+    temporal join) and lands in the batch_id-partitioned idempotent sink,
+    so an at-least-once replay rewrites its own attempt. Every query
+    appears in exactly one batch, so the drained union IS the batch
+    answer — and at full probe the batch answer is bit-for-bit the exact
+    scan (the retrieve_routed transparency pin), giving this streaming
+    composition a full DuckDB oracle instead of a weaker invariant."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="cbs_sann_q_")
+    idx_path = os.path.join(base, "ivf")
+    IVFIndex.build(
+        emb.select("vec_id", "embedding"), vec_col="embedding",
+        id_col="vec_id", nlist=8,
+    ).write(idx_path)
+    loaded = IVFIndex.load(spark, idx_path, vec_col="embedding", id_col="vec_id")
+    nlist = loaded.centroids.count()
+
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    inpath = os.path.join(base, "in")
+    lo = 0
+    for hi in (4, 8, 12):
+        queries.filter(
+            (F.col("query_id") >= lo) & (F.col("query_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(inpath)
+        lo = hi
+    stream = (
+        spark.readStream.schema(
+            "query_id long, query_embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    out_path = os.path.join(base, "hits")
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hits = loaded.search(batch_df, k=10, nprobe=nlist)
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.read.parquet(out_path)
+    return drained.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
