@@ -15,7 +15,6 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
-import re
 import sys
 import time
 
@@ -76,9 +75,19 @@ def main() -> int:
         routed_df, n_routed, t_routed = timed(
             lambda: idx.radius_search(queries, r)
         )
-        plan = routed_df._jdf.queryExecution().executedPlan().toString()
-        m = re.search(r"centroid_id#\d+ IN \(([^)]*)\)", plan)
-        probed = len(m.group(1).split(",")) if m else nlist
+        # probed-cell count from the prune rule itself (the plan-string
+        # isin can render as INSET and defeat a regex): union over
+        # queries of cells with d(q, centroid) <= r + cell_radius
+        import numpy as np
+
+        crows = idx.centroids.orderBy("centroid_id").collect()
+        C = np.array([row["centroid"] for row in crows])
+        rad = np.array([row["radius"] for row in crows])
+        Q = np.array([row[1] for row in queries.collect()])
+        d = np.sqrt(
+            ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        )  # (q, cells)
+        probed = int(((d <= r + rad[None, :]).any(axis=0)).sum())
         results.append({
             "radius": r,
             "n_matches": n_exact,
