@@ -129,6 +129,21 @@ def _probe_cells(col, centers, nprobe: int):
     return pandas_udf(T.ArrayType(T.IntegerType()))(one_batch)(col)
 
 
+def _read_index_meta(spark, path: str) -> tuple[str, float | None]:
+    """(metric, m2) from a written index's meta/ — distinguishing ABSENT
+    (a pre-metric layout: l2 by construction, the safe default) from
+    UNREADABLE (raise: a cosine/inner_product index silently degraded to
+    l2 would rank raw queries against normalized/augmented stored
+    vectors — wrong neighbors with no error anywhere)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    if not p.getFileSystem(hconf).exists(p):
+        return "l2", None
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return meta["metric"], (meta["m2"] if "m2" in meta.asDict() else None)
+
+
 class IVFIndex:
     """Inverted-file ANN index: KMeans centroids + per-row cell assignment.
 
@@ -398,13 +413,7 @@ class IVFIndex:
         """Reopen a written index. The centroid shortlist then prunes the
         cells scan at the FILE level: only nprobe/nlist of the corpus
         parquet is read (PartitionFilters on centroid_id)."""
-        metric, m2 = "l2", None
-        try:  # pre-metric layouts have no meta/ — they are l2 by construction
-            meta = spark.read.parquet(f"{path}/meta").first()
-            metric = meta["metric"]
-            m2 = meta["m2"] if "m2" in meta.asDict() else None
-        except Exception:
-            pass
+        metric, m2 = _read_index_meta(spark, path)
         out = cls(
             spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/cells"),

@@ -545,13 +545,9 @@ class NSWGraphIndex:
             )
         except Exception:  # pre-tombstone index layout
             pass
-        metric, m2 = "l2", None
-        try:  # pre-metric layouts have no meta/ — they are l2 by construction
-            meta = spark.read.parquet(f"{path}/meta").first()
-            metric = meta["metric"]
-            m2 = meta["m2"] if "m2" in meta.asDict() else None
-        except Exception:
-            pass
+        from chatbot_spark.operators.ann import _read_index_meta
+
+        metric, m2 = _read_index_meta(spark, path)
         out = cls(
             centroids, graph, centers, vec_col, id_col, tombstones, metric
         )

@@ -145,9 +145,15 @@ def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> D
     if "query_embedding" not in queries_df.columns:
         queries_df = embed_queries(queries_df, backend=cfg.backend, dim=cfg.dim)
 
-    if cfg.filter is not None and cfg.index_path is None:
-        # exact paths: pre-filter the corpus — ranking then happens over
-        # the filtered rows, so this IS the filtered top-k by definition
+    if cfg.filter is not None and not (
+        cfg.mode == "universal" and cfg.index_path is not None
+    ):
+        # every non-routed path (exact universal, component mode even
+        # when an index_path happens to be set — component mode never
+        # consults the index): pre-filter the corpus — ranking then
+        # happens over the filtered rows, so this IS the filtered top-k
+        # by definition. Only universal+index defers to
+        # _routed_universal's filter handling.
         corpus = corpus.filter(F.expr(cfg.filter))
 
     n_comp = len(cfg.component_codes or cfg.components) or 1
@@ -286,13 +292,34 @@ def _routed_universal(
     # selectivity — skip the index entirely (it is never even loaded).
     # The count is one pushdown-friendly aggregate over the predicate
     # columns; in a hot serving path, cache it per (corpus, predicate).
+    # the allowed-id set is computed ONCE per call and cached (persist):
+    # the brute gate, the emit-mask/semi-join kwargs, and the pruned-NSW
+    # beam widening all consume it — without the cache the predicate
+    # columns were scanned up to three times before the search started
+    _allowed_cache: list = []
+    _n_allowed_cache: list = []
+
+    def _allowed() -> DataFrame:
+        if not _allowed_cache:
+            _allowed_cache.append(
+                corpus.filter(F.expr(cfg.filter))
+                .select(cfg.index_id_col)
+                .persist()
+            )
+        return _allowed_cache[0]
+
+    def _n_allowed() -> int:
+        if not _n_allowed_cache:
+            _n_allowed_cache.append(_allowed().count())
+        return _n_allowed_cache[0]
+
     if cfg.filter is not None and cfg.filter_brute_threshold > 0:
-        flt_corpus = corpus.filter(F.expr(cfg.filter))
-        if flt_corpus.count() <= cfg.filter_brute_threshold:
+        if _n_allowed() <= cfg.filter_brute_threshold:
             from chatbot_spark.operators.topk import knn_join
 
             return knn_join(
-                queries_df, flt_corpus, k=cfg.k, metric=cfg.metric,
+                queries_df, corpus.filter(F.expr(cfg.filter)), k=cfg.k,
+                metric=cfg.metric,
                 corpus_id=cfg.index_id_col, corpus_vec=cfg.index_vec_col,
                 extra_cols=["document"],
             ).select("query_id", "neighbor_id", "rank", "dist", "document")
@@ -362,18 +389,10 @@ def _routed_universal(
                 flt_kwargs = {"where": cfg.filter}
             except Exception:
                 # columns live only on the corpus → allowed-id semi-join
-                flt_kwargs = {
-                    "allowed": corpus.filter(F.expr(cfg.filter)).select(
-                        cfg.index_id_col
-                    )
-                }
+                flt_kwargs = {"allowed": _allowed()}
         else:
             # graph rows never carry metadata — always the emit mask
-            flt_kwargs = {
-                "allowed": corpus.filter(F.expr(cfg.filter)).select(
-                    cfg.index_id_col
-                )
-            }
+            flt_kwargs = {"allowed": _allowed()}
 
     if kind == "ivf":
         hits = index.search(
@@ -406,9 +425,8 @@ def _routed_universal(
                 # predicate) in a hot serving path.
                 import math
 
-                n_allowed = corpus.filter(F.expr(cfg.filter)).count()
                 n_corpus = corpus.count()
-                sel = n_allowed / max(n_corpus, 1)
+                sel = _n_allowed() / max(n_corpus, 1)
                 if sel > 0:
                     shard_max = int(
                         index.graph.groupBy("shard").count()

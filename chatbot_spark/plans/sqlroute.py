@@ -301,9 +301,10 @@ def routed_sql(
 
     # --- select list: id col and ONE distance call, any order ---------
     sel_items = [_strip_alias(it) for it in _split_top_level(shape["sel"])]
-    dist_call = _find_call(shape["sel"], _FN_METRIC)
     id_alias = dist_alias = None
     dist_expr_norm = None
+    dist_call = None
+    n_dist_items = 0
     out_cols: list[tuple[str, str]] = []  # (routed col, output name)
     for expr, alias in sel_items:
         col = _bare_col(expr, tbl)
@@ -317,12 +318,19 @@ def routed_sql(
             call[0] + "(" + ",".join(call[1]) + ")"
         ):
             # the whole item IS the distance call (alias already split)
+            n_dist_items += 1
+            dist_call = call
             dist_alias = alias
             dist_expr_norm = _norm(expr)
             out_cols.append(("dist", alias or "dist"))
         else:
             return spark.sql(sql)  # a column the index can't serve
     if dist_call is None or dist_expr_norm is None:
+        return spark.sql(sql)
+    if n_dist_items != 1:
+        # two distance calls = two DIFFERENT rankings in one select list;
+        # routing would serve one call's value for both columns and could
+        # validate the ORDER BY against the wrong one — exact scan
         return spark.sql(sql)
     fn, args, _span = dist_call
     if len(args) != 2:
@@ -336,16 +344,6 @@ def routed_sql(
         qexpr = args[0]
     else:
         return spark.sql(sql)  # ranking on a non-indexed column: exact
-
-    # --- metric check: refuse loudly on mismatch ----------------------
-    if _FN_METRIC[fn] != reg.metric:
-        raise ValueError(
-            f"routed_sql: {fn} ranks by {_FN_METRIC[fn]!r} but the index "
-            f"registered for {tbl!r} is {reg.metric!r} — routing would "
-            "return wrong neighbors and an exact-scan fallback would "
-            "silently ignore the index; rebuild the index for this "
-            "metric or change the query"
-        )
 
     # --- order-by: the distance expr (or its alias), optional id tiebreak
     ob_items = _split_top_level(shape["ob"])
@@ -400,6 +398,21 @@ def routed_sql(
             corpus.filter(F.expr(where)).schema  # force analysis
         except Exception:
             return spark.sql(sql)
+
+    # --- metric check: refuse loudly on mismatch ----------------------
+    # LAST, after every pass-through condition: only a query that WOULD
+    # otherwise route gets the refusal — SQL that cannot route for shape
+    # reasons (ORDER BY not the distance, corpus-dependent query vector,
+    # unroutable WHERE) keeps the verbatim pass-through the module
+    # contract promises, whatever its metric.
+    if _FN_METRIC[fn] != reg.metric:
+        raise ValueError(
+            f"routed_sql: {fn} ranks by {_FN_METRIC[fn]!r} but the index "
+            f"registered for {tbl!r} is {reg.metric!r} — routing would "
+            "return wrong neighbors and an exact-scan fallback would "
+            "silently ignore the index; rebuild the index for this "
+            "metric or change the query"
+        )
 
     if "document" not in corpus.columns:
         corpus = corpus.withColumn("document", F.lit(None).cast("string"))

@@ -64,6 +64,26 @@ def read_latest_version(spark, state_dir: str, dataset: str, schema: str) -> Dat
 
     cur = versioned.current_version(state_dir)
     if cur is None:
+        # distinguish "fresh store" from "pre-r10 layout" (counts/v{n} +
+        # labels/v{n} beside the state root, no CURRENT pointer): reading
+        # an old store as empty would silently discard every folded edge
+        # count while the streaming checkpoint skips the consumed events —
+        # permanent data loss with no error. Refuse with a migration hint.
+        for legacy in ("counts", "labels"):
+            legacy_dir = os.path.join(state_dir, legacy)
+            if os.path.isdir(legacy_dir) and any(
+                e.startswith("v") for e in os.listdir(legacy_dir)
+            ):
+                raise RuntimeError(
+                    f"graphcrud state at {state_dir!r} uses the pre-r10 "
+                    f"layout ({legacy}/v*, max-version listing); this "
+                    "build reads the versioned-commit layout (v*/counts "
+                    "+ v*/labels behind a CURRENT pointer). Migrate: "
+                    "copy the latest counts/v{n} and labels/v{n} into "
+                    "{state_dir}/v{n}/counts|labels and write CURRENT "
+                    "with io/versioned.commit — or drain and rebuild "
+                    "from the source events."
+                )
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
         os.path.join(versioned.resolve(state_dir, cur), dataset)

@@ -343,3 +343,36 @@ def test_retrieve_filtered_pruned_beam_autowidens(spark, fixture, tmp_path):
     )
     res = retrieve(qdf, corpus, cfg)
     assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t == 0)
+
+
+def test_component_mode_with_index_path_still_filters(spark, fixture, tmp_path):
+    """cfg.filter must never be silently dropped: component mode ignores
+    index_path by design, so the pre-filter has to apply even when an
+    index_path is set (review finding r10 — the old gate skipped the
+    filter whenever index_path was non-None)."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = (
+        df.withColumn(
+            "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+        )
+        .withColumn("component_code", (F.col("id") % 2).cast("int"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="component", component_codes=[0, 1], k=5, filter="tag < 3",
+        index_path=path,
+    )
+    res = retrieve(qdf, corpus, cfg)
+    tag_by_id = {i: t for i, v, t in rows}
+    bad = [
+        r["neighbor_id"] for r in res.collect()
+        if tag_by_id[r["neighbor_id"]] >= 3
+    ]
+    assert bad == []

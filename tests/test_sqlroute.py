@@ -148,3 +148,50 @@ def test_sql_udfs_match_dataframe_functions(spark, corpus):
     lg = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
     lw = {r["id"]: (r["a"], r["b"]) for r in want.collect()}
     assert lg == lw
+
+
+def test_two_distance_calls_pass_through(spark, corpus):
+    """Two distance calls = two DIFFERENT rankings in one select list —
+    routing would serve one call's value for both columns and could
+    validate the ORDER BY against the wrong one (review finding r10):
+    must pass through and return exactly the exact scan's answer."""
+    from chatbot_spark.plans.sqlroute import routed_sql
+
+    sql = (
+        f"SELECT id AS neighbor_id, l2_dist(embedding, {_Q}) AS a, "
+        f"l2_dist(embedding, (SELECT embedding FROM {corpus} WHERE id = 7)) AS b "
+        f"FROM {corpus} ORDER BY b, id LIMIT 10"
+    )
+    exact = spark.sql(sql).collect()
+    routed_df = routed_sql(spark, sql)
+    assert "cells" not in (
+        routed_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert routed_df.collect() == exact
+    # the two columns must differ (ranking by b, reporting a correctly)
+    assert any(abs(r["a"] - r["b"]) > 1e-9 for r in exact)
+
+
+def test_metric_mismatch_on_unroutable_shape_passes_through(spark, corpus):
+    """The refuse-loudly contract applies only to SQL that WOULD route:
+    a cosine_dist query over the l2 index that cannot route anyway
+    (ORDER BY id — not a NN query) must pass through verbatim, not raise
+    (review finding r10)."""
+    from chatbot_spark.plans.sqlroute import routed_sql
+
+    sql = (
+        f"SELECT id AS neighbor_id, cosine_dist(embedding, {_Q}) AS d "
+        f"FROM {corpus} ORDER BY id ASC LIMIT 10"
+    )
+    exact = spark.sql(sql).collect()
+    assert routed_sql(spark, sql).collect() == exact  # no ValueError
+
+    # and the mismatch on a ROUTABLE shape still raises
+    import pytest as _pytest
+
+    routable = (
+        f"SELECT id AS neighbor_id, cosine_dist(embedding, {_Q}) AS d "
+        f"FROM {corpus} ORDER BY d, id LIMIT 10"
+    )
+    with _pytest.raises(ValueError, match="routed_sql"):
+        routed_sql(spark, routable)

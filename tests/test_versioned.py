@@ -220,3 +220,54 @@ def test_link_tree_skips_and_links(tmp_path):
     assert (dst / "a" / "f1").read_text() == "x"
     assert not (dst / "b").exists()
     assert os.stat(src / "a" / "f1").st_ino == os.stat(dst / "a" / "f1").st_ino
+
+
+def test_graphcrud_refuses_pre_r10_layout(spark, tmp_path):
+    """An old-layout store (counts/v{n} + labels/v{n}, no CURRENT) read
+    as empty would silently discard every folded count while the stream
+    checkpoint skips the consumed events — must refuse with a migration
+    hint instead (review finding r10)."""
+    import os
+
+    import pytest as _pytest
+
+    from chatbot_spark.streaming.graphcrud import read_latest_version
+
+    state = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(state, "counts", "v0"))
+    with _pytest.raises(RuntimeError, match="pre-r10 layout"):
+        read_latest_version(spark, state, "counts", "src long, dst long")
+
+
+def test_index_meta_unreadable_raises_not_l2(spark, tmp_path):
+    """meta/ EXISTS but is unreadable: loading must raise, never default
+    to l2 — a cosine index silently degraded to l2 ranks raw queries
+    against unit-normalized stored vectors with no error anywhere
+    (review finding r10). Absent meta/ (pre-metric layout) still loads
+    as l2."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest as _pytest
+
+    from chatbot_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.standard_normal(4)]) for i in range(50)],
+        "id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(df, vec_col="embedding", id_col="id", nlist=2,
+                   metric="cosine").write(path)
+    # corrupt meta/: parquet dir replaced by a garbage file
+    shutil.rmtree(os.path.join(path, "meta"))
+    os.makedirs(os.path.join(path, "meta"))
+    with open(os.path.join(path, "meta", "part-00000.parquet"), "w") as f:
+        f.write("not parquet")
+    with _pytest.raises(Exception):
+        IVFIndex.load(spark, path)
+    # absent meta/ = pre-metric layout -> l2 default, no raise
+    shutil.rmtree(os.path.join(path, "meta"))
+    assert IVFIndex.load(spark, path).metric == "l2"

@@ -1,0 +1,62 @@
+"""Shared deterministic clustered synthetic corpus for the ANN benches.
+
+One recipe, one place: center component j of cluster c is
+10·frac(sin(c·131 + j·17)) plus U(-0.5, 0.5) noise (seeded rand), giving
+N×dim float vectors with the loosely clustered structure real embedding
+corpora have. bench_ann_scale / bench_ann_filtered / bench_radius /
+bench_ann_10m all import this so a tweak to the recipe cannot silently
+break cross-bench comparability.
+"""
+
+from __future__ import annotations
+
+
+def clustered_corpus(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: dict | None = None,
+):
+    """(persisted corpus DataFrame) with (id_col, vec_col [, extras]).
+    ``extra_cols``: name -> Column-builder fn taking the base id column
+    (e.g. {"tag": lambda id_: (id_ % 100).cast("int")})."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            10.0
+            * (
+                F.sin(F.col("cl") * 131 + j * 17)
+                - F.floor(F.sin(F.col("cl") * 131 + j * 17))
+            )
+            + F.rand(seed=7)
+            - 0.5
+        ).cast("float"),
+    )
+    cols = [F.col("id").alias(id_col), vec.alias(vec_col)]
+    for name, build in (extra_cols or {}).items():
+        cols.append(build(F.col("id")).alias(name))
+    corpus = base.select(*cols).persist()
+    corpus.count()
+    return corpus
+
+
+def query_batch(corpus, n_queries: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """First n corpus vectors as the (persisted) query workload."""
+    from pyspark.sql import functions as F
+
+    q = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_embedding"),
+        )
+        .persist()
+    )
+    q.count()
+    return q

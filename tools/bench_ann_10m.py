@@ -57,32 +57,10 @@ def main() -> int:
     spark = get_spark(
         "ann-10m", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            10.0
-            * (
-                F.sin(F.col("cl") * 131 + j * 17)
-                - F.floor(F.sin(F.col("cl") * 131 + j * 17))
-            )
-            + F.rand(seed=7)
-            - 0.5
-        ).cast("float"),
-    )
-    corpus = base.select(
-        F.col("id").alias("vec_id"), vec.alias("embedding")
-    ).persist()
-    corpus.count()
-    queries = (
-        corpus.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_embedding"),
-        )
-        .persist()
-    )
-    queries.count()
+    from _synth import clustered_corpus, query_batch
+
+    corpus = clustered_corpus(spark, n, dim=dim, n_clusters=n_clusters)
+    queries = query_batch(corpus, n_queries)
 
     def timed(build_fn):
         build_fn().collect()  # warmup: codegen/plan, not shuffle reuse
@@ -112,6 +90,20 @@ def main() -> int:
     if cur is not None:
         # reuse the committed build; carry its recorded timings forward
         vdir = versioned.resolve(state_dir, cur)
+        # the stored build must match the requested N — a state_dir built
+        # at one N searched against a freshly generated corpus of another
+        # N silently produces garbage recall/speedup labeled with the
+        # wrong size (parquet row-count check: metadata-cheap)
+        stored_n = (
+            corpus.sparkSession.read.parquet(os.path.join(vdir, "graph")).count()
+        )
+        if stored_n != n:
+            raise SystemExit(
+                f"state_dir {state_dir!r} holds a committed build of "
+                f"{stored_n} vectors but N={n} was requested — pass a "
+                "fresh state_dir (or the matching N) instead of reusing "
+                "a mismatched build"
+            )
         try:
             with open(out_path) as f:
                 old = json.load(f)

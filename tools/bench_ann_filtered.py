@@ -42,29 +42,17 @@ def main() -> int:
 
     spark = get_spark("ann-filtered")
 
-    # same deterministic clustered corpus as bench_ann_scale.py, plus a
+    # shared deterministic clustered corpus (tools/_synth.py), plus a
     # uniform metadata tag: tag = id % 100 makes "tag < s" an exactly
     # s%-selective predicate that is INDEPENDENT of cluster structure
     # (every cell loses the same fraction — the fair filtered case)
-    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            10.0 * (F.sin(F.col("cl") * 131 + j * 17) - F.floor(F.sin(F.col("cl") * 131 + j * 17)))
-            + F.rand(seed=7) - 0.5
-        ).cast("float"),
-    )
-    corpus = base.select(
-        F.col("id").alias("vec_id"),
-        vec.alias("embedding"),
-        (F.col("id") % 100).cast("int").alias("tag"),
-    ).persist()
-    corpus.count()
+    from _synth import clustered_corpus, query_batch
 
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-    ).persist()
-    queries.count()
+    corpus = clustered_corpus(
+        spark, n, dim=dim, n_clusters=n_clusters,
+        extra_cols={"tag": lambda id_: (id_ % 100).cast("int")},
+    )
+    queries = query_batch(corpus, n_queries)
 
     def timed(build_fn):
         build_fn().collect()

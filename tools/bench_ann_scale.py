@@ -32,29 +32,13 @@ def main() -> int:
 
     spark = get_spark("ann-scale")
 
-    # clustered synthetic corpus: center(id % n_clusters) + U(-0.5, 0.5) noise,
-    # all seeded rand -> deterministic
-    centers = [
-        F.array(*[(F.rand(seed=1000 + c) * 10).cast("double") for _ in range(1)])
-        for c in range(1)
-    ]  # (placeholder to keep expression style obvious below)
-    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
-    # center component j of cluster c = 10 * fractional(sin(c*131 + j*17)) —
-    # deterministic, engine-side, no python loop over rows
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            10.0 * (F.sin(F.col("cl") * 131 + j * 17) - F.floor(F.sin(F.col("cl") * 131 + j * 17)))
-            + F.rand(seed=7) - 0.5
-        ).cast("float"),
-    )
-    corpus = base.select(F.col("id").alias("vec_id"), vec.alias("embedding")).persist()
-    corpus.count()
+    # shared deterministic clustered corpus (tools/_synth.py — the one
+    # recipe every ANN bench imports): center(id % n_clusters) +
+    # U(-0.5, 0.5) seeded noise, engine-side expressions only
+    from _synth import clustered_corpus, query_batch
 
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-    ).persist()
-    queries.count()
+    corpus = clustered_corpus(spark, n, dim=dim, n_clusters=n_clusters)
+    queries = query_batch(corpus, n_queries)
 
     def timed(build_fn):
         """First run pays codegen/plan warmup; the timed run constructs a

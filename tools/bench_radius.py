@@ -32,20 +32,10 @@ def main() -> int:
 
     spark = get_spark("radius-bench")
 
-    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            10.0 * (F.sin(F.col("cl") * 131 + j * 17) - F.floor(F.sin(F.col("cl") * 131 + j * 17)))
-            + F.rand(seed=7) - 0.5
-        ).cast("float"),
-    )
-    corpus = base.select(F.col("id").alias("vec_id"), vec.alias("embedding")).persist()
-    corpus.count()
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-    ).persist()
-    queries.count()
+    from _synth import clustered_corpus, query_batch
+
+    corpus = clustered_corpus(spark, n, dim=dim, n_clusters=n_clusters)
+    queries = query_batch(corpus, n_queries)
 
     t0 = time.time()
     idx = IVFIndex.build(
