@@ -85,6 +85,14 @@ _PRIORITY = frozenset({
 _RECHECK: dict[str, int] = {
     "prefix_jaccard_neardup": 8,
     "neardup_clusters_exact": 8,
+    # r11: routed cosine/IP retrieval now reports dist/rank recomputed
+    # with the oracle's float64 fold over raw vectors (the determinism
+    # fix for the r10 driver-red cosine pair) — the IP pair's r10 greens
+    # certified the old augmented-l2 dist values
+    "retrieve_routed_cosine": 11,
+    "retrieve_routed_cosine_nsw": 11,
+    "retrieve_routed_ip": 11,
+    "retrieve_routed_ip_nsw": 11,
 }
 
 

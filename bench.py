@@ -88,6 +88,7 @@ HEADLINE = [
     "retrieve_filtered_ivf",
     "retrieve_filtered_nsw",
     "retrieve_filtered_pruned",
+    "retrieve_filtered_auto",
     "routed_sql_filtered",
     "retrieve_routed_cosine",
     "retrieve_routed_cosine_nsw",

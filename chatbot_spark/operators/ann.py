@@ -332,10 +332,20 @@ class IVFIndex:
                 mips_augment_corpus,
             )
 
+            if self.m2 is None:
+                # without the frozen M^2 the augmentation below would die
+                # inside float(None) — and SKIPPING the overflow check
+                # instead would silently corrupt the index (r10 ADVICE)
+                raise ValueError(
+                    "append: this inner_product index has no frozen M^2 "
+                    "(direct construction or a meta row missing m2) — "
+                    "rebuild via IVFIndex.build so the MIPS augmentation "
+                    "bound is derived and persisted"
+                )
             worst = new_rows.agg(
                 F.max(dot_product(F.col(self.vec_col), F.col(self.vec_col)))
             ).first()[0]
-            if worst is not None and self.m2 is not None and worst > self.m2:
+            if worst is not None and worst > self.m2:
                 raise ValueError(
                     f"append: a new row's squared norm ({worst:.6g}) exceeds "
                     f"the index's frozen M^2 ({self.m2:.6g}) — its MIPS "
@@ -348,10 +358,6 @@ class IVFIndex:
         assigned = new_rows.withColumn(
             "centroid_id", _assign_cells(F.col(self.vec_col), centers)
         )
-        if path is not None:
-            assigned.write.mode("append").partitionBy("centroid_id").parquet(
-                f"{path}/cells"
-            )
         cents = self.centroids
         if "radius" in cents.columns:
             # cell-stats maintenance: a new row can GROW its cell's true
@@ -384,18 +390,31 @@ class IVFIndex:
                 .drop("__new_r")
             )
             if path is not None:
-                # the written centroid table must carry the tightened radii
+                # the written centroid table must carry the tightened
+                # radii, and it must land BEFORE the new cell rows (r10
+                # ADVICE): grown radii over cells that don't yet hold the
+                # new rows are safe upper bounds, while appended rows
+                # under stale smaller radii would let radius_search
+                # silently DROP matches in the crash/concurrent-load
+                # window between the two writes. A crash mid-overwrite
+                # leaves centroids/ unreadable — a LOUD load() failure,
+                # never a silently-incomplete search; the crash-safe
+                # deployment shape is the io/versioned CURRENT-pointer
+                # store the OPTIMIZE loop uses.
                 cents.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
                 spark = cents.sparkSession
                 cents = spark.read.parquet(f"{path}/centroids_tmp")
                 cents.write.mode("overwrite").parquet(f"{path}/centroids")
-                import shutil
-
-                shutil.rmtree(
-                    f"{path}/centroids_tmp".replace("file:", ""),
-                    ignore_errors=True,
-                )
                 cents = spark.read.parquet(f"{path}/centroids")
+                jvm = spark._jvm
+                tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids_tmp")
+                tmp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                    tmp, True
+                )
+        if path is not None:
+            assigned.write.mode("append").partitionBy("centroid_id").parquet(
+                f"{path}/cells"
+            )
         out = IVFIndex(
             cents,
             self.indexed.unionByName(assigned),
@@ -495,6 +514,42 @@ class IVFIndex:
         if self.metric == "inner_product":
             qcols.append(F.col("__qnorm"))
         q = queries.select(*qcols)
+
+        # Full-probe fast path (r11): at nprobe >= nlist every cell is
+        # probed, so the routing machinery — the Q×nlist centroid window,
+        # the probed-cell collect, and the shortlist join carrying the
+        # query vectors through centroid_id — buys nothing; the plan is
+        # exactly topk.knn_join's shape (broadcast queries onto one
+        # corpus scan). Output is bit-identical to the routed full probe:
+        # the pair set is all (query, row) pairs either way and the
+        # distance/rank expressions are the same. broadcast route only —
+        # route="join" keeps the centroid_id shuffle join that IS its
+        # distribution strategy.
+        if route == "broadcast" and nprobe >= self._nlist():
+            corpus_side = self.indexed
+            if where is not None:
+                corpus_side = corpus_side.filter(
+                    F.expr(where) if isinstance(where, str) else where
+                )
+            if allowed is not None:
+                allow = allowed.select(
+                    F.col(allowed.columns[0]).alias(self.id_col)
+                ).distinct()
+                corpus_side = corpus_side.join(allow, self.id_col, "left_semi")
+            pairs = corpus_side.join(F.broadcast(q)).select(
+                F.col("__qid").alias(query_id),
+                F.col(self.id_col).alias("neighbor_id"),
+                sq_l2_distance(F.col("__qvec"), F.col(self.vec_col)).alias(
+                    "__rdist"
+                ),
+                *(
+                    (F.col("__qnorm"),)
+                    if self.metric == "inner_product"
+                    else ()
+                ),
+            )
+            return self._rank_and_report(pairs, k, query_id)
+
         qc = (
             q.crossJoin(F.broadcast(self.centroids))
             .withColumn("__cdist", sq_l2_distance(F.col("__qvec"), F.col("centroid")))
@@ -537,6 +592,21 @@ class IVFIndex:
                 else ()
             ),
         )
+        return self._rank_and_report(pairs, k, query_id)
+
+    def _nlist(self) -> int:
+        """Centroid count, memoized per instance — one tiny metadata
+        count, paid once; centroids are immutable under append()."""
+        if getattr(self, "_nlist_memo", None) is None:
+            self._nlist_memo = self.centroids.count()
+        return self._nlist_memo
+
+    def _rank_and_report(
+        self, pairs: DataFrame, k: int, query_id: str
+    ) -> DataFrame:
+        """Shared search tail: two-phase per-query top-k over the
+        (query, neighbor, __rdist) pair stream + conversion of the l2
+        ranking value back to the index metric's reported dist."""
         # partial top-k per (query, scan partition) — same skew guard as
         # topk.knn_join: the final per-query window sees ≤ P×k rows
         w1 = Window.partitionBy(query_id, "__pid").orderBy(

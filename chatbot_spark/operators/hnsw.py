@@ -676,10 +676,20 @@ class NSWGraphIndex:
                 mips_augment_corpus,
             )
 
+            if self.m2 is None:
+                # without the frozen M^2 the augmentation below would die
+                # inside float(None) — and SKIPPING the overflow check
+                # instead would silently corrupt the index (r10 ADVICE)
+                raise ValueError(
+                    "append: this inner_product index has no frozen M^2 "
+                    "(direct construction or a meta row missing m2) — "
+                    "rebuild via NSWGraphIndex.build so the MIPS "
+                    "augmentation bound is derived and persisted"
+                )
             worst = new_rows.agg(
                 F.max(dot_product(F.col(self.vec_col), F.col(self.vec_col)))
             ).first()[0]
-            if worst is not None and self.m2 is not None and worst > self.m2:
+            if worst is not None and worst > self.m2:
                 raise ValueError(
                     f"append: a new row's squared norm ({worst:.6g}) exceeds "
                     f"the index's frozen M^2 ({self.m2:.6g}) — its MIPS "

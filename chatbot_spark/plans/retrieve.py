@@ -19,6 +19,7 @@ gating (rag_graph.py:365-417).
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -36,6 +37,28 @@ from chatbot_spark.operators.topk import (
     knn_join,
     per_component_quota,
 )
+
+
+# Selective-filter brute cutover default (see RetrieveConfig.filter_brute_
+# threshold): BENCH_ANN_FILTERED (1M corpus) — the filtered INDEX route
+# reads 0.17–0.4× vs the exact filtered scan at allowed-subset sizes of
+# 10k–100k rows and only wins (1.8×) at 500k, so 10^5 is the measured
+# crossover under which a default-config retrieve() exact-scans the subset
+# instead of paying index traversal that cannot win.
+DEFAULT_FILTER_BRUTE_THRESHOLD = 100_000
+
+# Probe-fraction cutover to the full-probe scan (see _routed_universal):
+# when the derived/calibrated nprobe exceeds this fraction of nlist, the
+# per-cell routed probe saves too little scan to pay for its routing
+# machinery (centroid shortlist window + probed-cell collect + the
+# shortlist join carrying the query vectors) — IVFIndex.search's
+# nprobe==nlist fast path (one broadcast-query scan, zero routing) is
+# cheaper and can only RAISE recall (probing strictly more cells).
+# Measured honestly in BENCH_ANN_CALIB after the r11 fix of its
+# cache-tainted full-probe timing (the old 6–8× "pruned slower than full"
+# number read a persisted result back through Spark's plan-matching
+# cache).
+PROBE_FRACTION_CUTOVER = 0.8
 
 
 @dataclass
@@ -113,15 +136,19 @@ class RetrieveConfig:
     #   filtered corpus — below the cutover the subset is small enough
     #   that brute force beats index overhead AND it is exact at any
     #   selectivity (the pre-filter brute-force rule production vector
-    #   stores apply). 0 disables (never brute); serving over large
-    #   corpora should set ~10^5.
+    #   stores apply). Default DEFAULT_FILTER_BRUTE_THRESHOLD (10^5):
+    #   BENCH_ANN_FILTERED measured the filtered index 0.17–0.4× vs the
+    #   exact filtered scan when the allowed subset is ≤100k rows (1M
+    #   corpus, 1–10% selectivity) and 1.8× ahead at 500k — a naive
+    #   retrieve() must not pay the losing regime by default. 0 disables
+    #   (never brute — pins that certify the INDEX path set this).
     # * Pruned NSW beams auto-WIDEN under a filter (always on): a beam
     #   of ef holds ~ef·selectivity allowed nodes, so a selective filter
     #   starves top-k (measured: recall 0.11 at 1% selectivity with
     #   ef=64 — BENCH_ANN_FILTERED). The routed path scales the beam to
     #   ceil(2k/selectivity), capped at the max shard size — at the cap
     #   the walk is whole-shard, i.e. exact within the probed shards.
-    filter_brute_threshold: int = 0
+    filter_brute_threshold: int = DEFAULT_FILTER_BRUTE_THRESHOLD
 
 
 def retrieve(queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig) -> DataFrame:
@@ -272,6 +299,24 @@ def calibrate_nprobe(
     return nlist
 
 
+def _memo_count(corpus: DataFrame, key: str, compute) -> int:
+    """Planning-time count memo, keyed (corpus DataFrame, key): the brute
+    gate, selectivity, and beam-widening counts are re-derivable metadata,
+    so a long-lived serving session holding one corpus DF should pay each
+    exactly once — WeakKeyDictionary drops the entry with the DF, so no
+    leak when callers churn corpora (the r10 'cache per (corpus,
+    predicate)' promise, done)."""
+    per_df = _COUNT_CACHE.setdefault(corpus, {})
+    if key not in per_df:
+        per_df[key] = compute()
+    return per_df[key]
+
+
+_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _routed_universal(
     queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig
 ) -> DataFrame:
@@ -290,14 +335,15 @@ def _routed_universal(
     # threshold): when the filtered subset is small, the exact scan OVER
     # THE SUBSET is both cheaper than index traversal and exact at any
     # selectivity — skip the index entirely (it is never even loaded).
-    # The count is one pushdown-friendly aggregate over the predicate
-    # columns; in a hot serving path, cache it per (corpus, predicate).
-    # the allowed-id set is computed ONCE per call and cached (persist):
-    # the brute gate, the emit-mask/semi-join kwargs, and the pruned-NSW
-    # beam widening all consume it — without the cache the predicate
-    # columns were scanned up to three times before the search started
+    # The allowed-id set is computed ONCE per call and persisted for the
+    # duration of PLANNING: the brute gate, the emit-mask/semi-join
+    # kwargs, and the pruned-NSW beam widening all consume it — without
+    # the cache the predicate columns were scanned up to three times
+    # before the search started. The persist is released in the finally
+    # below (r10 ADVICE: the old code leaked one cached DF per filtered
+    # call in a long-lived session); the COUNTS survive across calls in
+    # _memo_count, so repeat calls never re-pay the planning scans.
     _allowed_cache: list = []
-    _n_allowed_cache: list = []
 
     def _allowed() -> DataFrame:
         if not _allowed_cache:
@@ -309,9 +355,32 @@ def _routed_universal(
         return _allowed_cache[0]
 
     def _n_allowed() -> int:
-        if not _n_allowed_cache:
-            _n_allowed_cache.append(_allowed().count())
-        return _n_allowed_cache[0]
+        return _memo_count(
+            corpus, f"allowed:{cfg.filter}", lambda: _allowed().count()
+        )
+
+    try:
+        return _routed_universal_planned(
+            queries_df, corpus, cfg, spark, _allowed, _n_allowed
+        )
+    finally:
+        # release planning-time cache blocks: the returned plan still
+        # references the allowed-id DF and simply recomputes it once at
+        # materialization (one pushdown scan) — bounded, unlike a leak
+        for df in _allowed_cache:
+            df.unpersist()
+
+
+def _routed_universal_planned(
+    queries_df: DataFrame,
+    corpus: DataFrame,
+    cfg: RetrieveConfig,
+    spark,
+    _allowed,
+    _n_allowed,
+) -> DataFrame:
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
 
     if cfg.filter is not None and cfg.filter_brute_threshold > 0:
         if _n_allowed() <= cfg.filter_brute_threshold:
@@ -377,6 +446,20 @@ def _routed_universal(
     else:
         nprobe = nprobe_for_slo(cfg.recall_slo, nlist)
 
+    # probe-fraction cutover (r11): past PROBE_FRACTION_CUTOVER of the
+    # cells, per-cell routing saves too little scan to pay for the
+    # shortlist machinery — widen to the full probe, which takes
+    # IVFIndex.search's routing-free single-scan fast path. Recall can
+    # only rise (strictly more cells probed), so every SLO still holds.
+    # DERIVED/CALIBRATED widths only: an explicit cfg.index_nprobe is a
+    # production pin the caller measured — honored verbatim.
+    if (
+        kind == "ivf"
+        and cfg.index_nprobe is None
+        and nprobe >= PROBE_FRACTION_CUTOVER * nlist
+    ):
+        nprobe = nlist
+
     # filtered routed search: resolve cfg.filter to the cheapest exact
     # form each family supports (see RetrieveConfig.filter)
     flt_kwargs: dict = {}
@@ -425,7 +508,7 @@ def _routed_universal(
                 # predicate) in a hot serving path.
                 import math
 
-                n_corpus = corpus.count()
+                n_corpus = _memo_count(corpus, "__total__", corpus.count)
                 sel = _n_allowed() / max(n_corpus, 1)
                 if sel > 0:
                     shard_max = int(
@@ -436,6 +519,43 @@ def _routed_universal(
         hits = index.search(
             queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,
             route=cfg.index_route, **flt_kwargs,
+        )
+    if cfg.metric in ("cosine", "inner_product"):
+        # canonical-dist contract (r11): the cosine index walks float32
+        # UNIT-NORMALIZED vectors and would report ||u−v||²/2, the MIPS
+        # index the augmented-l2 rearrangement — both drift ~1e-7 from
+        # the metric's defining float64 fold over the user's RAW vectors
+        # (float32 normalization error, NOT final-ULP), which is enough
+        # to flip round(d, 6) on engine-dependent rounding boundaries
+        # (the r10 driver-red cosine pins). So the REPORTED dist is
+        # recomputed on the final k rows with the defining fold
+        # (functions/vector.DISTANCES — the same expression the exact
+        # paths and the DuckDB oracles use), and rank re-derived from it:
+        # one Q×k join back to the raw corpus, never a rescan. The index
+        # dist stays internal — candidate selection is unchanged.
+        from chatbot_spark.functions.vector import DISTANCES
+
+        raw = corpus.select(
+            F.col(cfg.index_id_col).alias("neighbor_id"),
+            F.col(cfg.index_vec_col).alias("__nvec"),
+            "document",
+        )
+        qv = queries_df.select(
+            "query_id", F.col("query_embedding").alias("__qvec")
+        )
+        rescored = (
+            hits.select("query_id", "neighbor_id")
+            .join(raw, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn(
+                "dist", DISTANCES[cfg.metric](F.col("__qvec"), F.col("__nvec"))
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return rescored.withColumn("rank", F.row_number().over(w)).select(
+            "query_id", "neighbor_id", "rank", "dist", "document"
         )
     payload = corpus.select(
         F.col(cfg.index_id_col).alias("neighbor_id"), "document"

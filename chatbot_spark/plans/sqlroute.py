@@ -65,6 +65,11 @@ class _Registration:
     id_col: str
     vec_col: str
     recall_slo: float
+    # filtered-SQL brute cutover, per registration: None inherits the
+    # measured retrieve() default (DEFAULT_FILTER_BRUTE_THRESHOLD); 0
+    # pins the index path unconditionally (parity pins that assert the
+    # plan read the index layout set this)
+    filter_brute_threshold: int | None = None
 
 
 _REGISTRY: dict[str, _Registration] = {}
@@ -79,6 +84,7 @@ def register_corpus_index(
     id_col: str = "id",
     vec_col: str = "embedding",
     recall_slo: float = 1.0,
+    filter_brute_threshold: int | None = None,
 ) -> None:
     """Register a written ANN index for a table/view name. Subsequent
     :func:`routed_sql` calls rewrite matching top-k SQL over that name
@@ -89,6 +95,7 @@ def register_corpus_index(
         id_col=id_col,
         vec_col=vec_col,
         recall_slo=recall_slo,
+        filter_brute_threshold=filter_brute_threshold,
     )
 
 
@@ -416,6 +423,11 @@ def routed_sql(
 
     if "document" not in corpus.columns:
         corpus = corpus.withColumn("document", F.lit(None).cast("string"))
+    cfg_kwargs = (
+        {"filter_brute_threshold": reg.filter_brute_threshold}
+        if reg.filter_brute_threshold is not None
+        else {}
+    )
     cfg = RetrieveConfig(
         mode="universal",
         k=k,
@@ -427,6 +439,7 @@ def routed_sql(
         recall_slo=reg.recall_slo,
         index_route=route,
         filter=where,
+        **cfg_kwargs,
     )
     hits = _routed_universal(queries_df, corpus, cfg)
     # honor the SQL's ORDER BY in the OUTPUT rows (a k-row sort): rank

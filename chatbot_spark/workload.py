@@ -1380,9 +1380,13 @@ def ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6 correctness envelope, oracle-checked: IVF search probing EVERY
     cell must equal the exact scan bit-for-bit (same fold order, same
     (dist, id) tie-break) — the index only ever prunes, never perturbs.
-    This pins the whole index machinery (fit, assignment, shortlist,
-    cell join, two-phase window) against the exact-knn SQL oracle; the
-    pruned nprobe<nlist path is then recall-gated in tests/test_ann.py."""
+    Since r11, nprobe >= nlist on the broadcast route takes the
+    routing-free fast path (one broadcast-query scan — the shortlist
+    machinery buys nothing at full width), so this pins fit + assignment
+    + the fast-path scan against the exact-knn SQL oracle; the shortlist
+    / cell-join machinery is pinned bit-for-bit by the route="join"
+    equivalence tests in tests/test_ann.py, and the pruned nprobe<nlist
+    path is recall-gated there."""
     from chatbot_spark.operators.ann import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -13840,6 +13844,10 @@ def retrieve_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="universal", k=10, index_path=path, index_nlist=8,
         index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
         filter="label < 5",
+        # this pin certifies the INDEX path (the plan assertions below) —
+        # the measured default brute cutover would rightly exact-scan a
+        # subset this small; retrieve_filtered_auto pins the default
+        filter_brute_threshold=0,
     )
     res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
     plan = res._jdf.queryExecution().executedPlan().toString()
@@ -13898,6 +13906,7 @@ def retrieve_filtered_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="universal", k=10, index_path=path, index_kind="auto",
         index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
         filter="label % 2 = 0",
+        filter_brute_threshold=0,  # pin the index path, not the cutover
     )
     res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
     return res.select(
@@ -13948,6 +13957,7 @@ def retrieve_filtered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="universal", k=10, index_path=path, index_kind="nsw",
         index_id_col="id", index_vec_col="embedding", recall_slo=0.95,
         filter="label % 2 = 0",
+        filter_brute_threshold=0,  # pin the index path, not the cutover
     )
     routed = retrieve(q, corpus, cfg)
     exact = knn_join(
@@ -13955,6 +13965,69 @@ def retrieve_filtered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="vec_id", corpus_vec="embedding",
     )
     return _ann_recall_summary(routed, exact)
+
+
+_FILTERED_ORACLE_EQ3 = _FILTERED_ORACLE_TMPL.format(
+    l2=_DUCK_L2.format(a="q.qe", b="c.embedding"), pred="c.label = 3"
+)
+
+
+@query("retrieve_filtered_auto", _FILTERED_ORACLE_EQ3)
+def retrieve_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-filter brute cutover at its DEFAULT setting (r11
+    policy pin): an index is registered, but the predicate's allowed
+    subset is far below DEFAULT_FILTER_BRUTE_THRESHOLD (10^5 — the
+    crossover measured in BENCH_ANN_FILTERED, where the filtered index
+    route reads 0.17–0.4× vs the exact filtered scan at ≤100k allowed
+    rows), so a default-config retrieve() must SKIP the index and run
+    the exact scan over the filtered corpus — exact at any selectivity,
+    and never the measured losing regime. The body asserts the executed
+    plan did NOT read the cells/ layout (the cutover actually fired);
+    the oracle is the exact filtered scan, so the hash also proves the
+    cutover is invisible in the result. The index-path twins (which pin
+    filter_brute_threshold=0) are retrieve_filtered_ivf/_nsw."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import (
+        DEFAULT_FILTER_BRUTE_THRESHOLD,
+        RetrieveConfig,
+        retrieve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding", "label",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_fltauto_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding", "label"), vec_col="embedding",
+        id_col="id", nlist=8,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_nlist=8,
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+        filter="label = 3",  # defaults: the policy under test
+    )
+    assert cfg.filter_brute_threshold == DEFAULT_FILTER_BRUTE_THRESHOLD
+    res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if "cells" in plan:
+        raise AssertionError(
+            "retrieve_filtered_auto: the brute cutover did not fire — "
+            "the plan read the IVF cells/ layout for a subset far below "
+            "the measured crossover"
+        )
+    return res.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+        "document",
+    )
 
 
 @query(
@@ -14011,6 +14084,7 @@ def routed_sql_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_corpus_index(
         view, path, metric="l2", id_col="id", vec_col="embedding",
         recall_slo=1.0,
+        filter_brute_threshold=0,  # pin the index path, not the cutover
     )
     try:
         sql = (
@@ -14068,8 +14142,13 @@ def retrieve_routed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     written index (meta/), and _routed_universal refuses a mismatched
     query metric loudly (tested) instead of ranking by the wrong
     geometry. Oracle: the exact cosine-distance scan over the RAW
-    corpus, rounded at 6dp (the normalize-then-l2 fold differs from the
-    direct 1-dot/(|a||b|) fold only in final-ULP float error)."""
+    corpus. Determinism (r11): the index's internal normalize-then-l2
+    fold over float32 unit vectors drifts ~1e-7 from the oracle's direct
+    float64 1-dot/(|a||b|) — NOT final-ULP — which flipped round(d, 6)
+    on the driver's engine (r10 red); _routed_universal therefore
+    recomputes the REPORTED dist and rank on the final k rows with the
+    defining float64 fold over the raw vectors (one Q×k join), so both
+    engines round the same doubles."""
     import os
     import tempfile
 
@@ -14109,8 +14188,10 @@ def retrieve_routed_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformity discipline: both routed families serve both metrics with
     the same normalize-once reduction, the same persisted-metric layout,
     and the same refuse-loudly mismatch check. At recall_slo=1.0 the
-    whole-shard beam over normalized vectors is bit-for-bit the exact
-    cosine scan (the oracle, at the 6dp float-fold tolerance)."""
+    whole-shard beam selects exactly the exact-scan candidate set, and
+    the reported dist/rank are recomputed on those k rows with the
+    oracle's own float64 fold over the raw vectors (see
+    retrieve_routed_cosine — the r11 determinism contract)."""
     import os
     import tempfile
 
@@ -14173,11 +14254,14 @@ def retrieve_routed_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVFIndex metric="inner_product"): rows are stored as the MIPS->L2
     augmentation [x, sqrt(M^2-||x||^2)] with M^2 the frozen max squared
     corpus norm; the query augments as [q, 0], making the l2 cell
-    routing and ranking EXACTLY descending-dot order, and the reported
-    dist converts back to -<x,q> via (rdist - ||q||^2 - M^2)/2. At
-    recall_slo=1.0 the full probe is the exact MIPS scan (this oracle:
-    ORDER BY -dot). The metric AND M^2 persist with the written index;
-    append() refuses rows whose norm exceeds the frozen M (tested)."""
+    routing and ranking EXACTLY descending-dot order. At recall_slo=1.0
+    the full probe is the exact MIPS scan (this oracle: ORDER BY -dot).
+    The metric AND M^2 persist with the written index; append() refuses
+    rows whose norm exceeds the frozen M (tested). Reported dist/rank
+    follow the r11 determinism contract: recomputed on the final k rows
+    as float64 -dot over the RAW vectors (the oracle's own fold), never
+    the augmented-l2 rearrangement (rdist - ||q||^2 - M^2)/2 whose
+    float drift sat on round(d, 6) boundaries."""
     import os
     import tempfile
 

@@ -779,6 +779,24 @@ def test_ivf_join_route_equals_broadcast(corpus, queries):
     with pytest.raises(ValueError, match="unknown route"):
         idx.search(queries, k=5, route="nope")
 
+def test_ivf_fullprobe_fast_path_equals_routed_fullprobe(corpus, queries):
+    """nprobe >= nlist on the broadcast route takes the r11 routing-free
+    fast path (no centroid shortlist, no probed-cell collect); the join
+    route keeps the full routed machinery at the same width. Both must be
+    bit-identical — (query_id, neighbor_id, rank, dist) — which pins the
+    fast path against the shortlist plan it replaces."""
+    from chatbot_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(corpus, vec_col="embedding", id_col="vec_id", nlist=8)
+    fast = sorted(map(tuple, idx.search(queries, k=5, nprobe=8).collect()))
+    routed = sorted(
+        map(tuple, idx.search(queries, k=5, nprobe=8, route="join").collect())
+    )
+    assert fast == routed
+    # over-asking beyond nlist is the same full probe
+    over = sorted(map(tuple, idx.search(queries, k=5, nprobe=99).collect()))
+    assert over == fast
+
 def test_pq_driver_batched_rerank_equals_broadcast(spark, corpus, queries):
     """The bounded-driver path composed with exact re-rank: the rerank
     join must not broadcast the query side (that would re-collect all Q

@@ -187,7 +187,10 @@ def test_routed_sql_where_bit_for_bit(spark, fixture, tmp_path):
     IVFIndex.build(
         spark.table(view), vec_col="embedding", id_col="id", nlist=4
     ).write(path)
-    register_corpus_index(view, path, metric="l2")
+    # threshold 0: this test certifies the INDEX path bit-for-bit — the
+    # default brute cutover would (rightly) exact-scan a fixture this
+    # small; the default policy has its own test below
+    register_corpus_index(view, path, metric="l2", filter_brute_threshold=0)
     try:
         sql = (
             "SELECT id AS neighbor_id, l2_dist(embedding, "
@@ -340,6 +343,7 @@ def test_retrieve_filtered_pruned_beam_autowidens(spark, fixture, tmp_path):
     cfg = RetrieveConfig(
         mode="universal", k=10, index_path=path, index_kind="nsw",
         recall_slo=0.95, filter="tag = 0",
+        filter_brute_threshold=0,  # exercise the widened beam, not the cutover
     )
     res = retrieve(qdf, corpus, cfg)
     assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t == 0)
@@ -376,3 +380,117 @@ def test_component_mode_with_index_path_still_filters(spark, fixture, tmp_path):
         if tag_by_id[r["neighbor_id"]] >= 3
     ]
     assert bad == []
+
+
+def test_retrieve_filtered_default_policy_brutes_small_subsets(
+    spark, fixture, tmp_path
+):
+    """r11 policy: with NO explicit knob, a filtered retrieve whose
+    allowed subset is below DEFAULT_FILTER_BRUTE_THRESHOLD (the
+    crossover measured in BENCH_ANN_FILTERED) must take the exact-scan
+    path — the measured no-pay regime is never the default. Same
+    plan-shape proof as the explicit-threshold test: the corpus is
+    in-memory, so no parquet scan == the index was never touched."""
+    from chatbot_spark.plans.retrieve import (
+        DEFAULT_FILTER_BRUTE_THRESHOLD,
+        RetrieveConfig,
+        retrieve,
+    )
+    from chatbot_spark.operators.ann import IVFIndex
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=1.0,
+        filter="tag = 1",
+    )
+    assert cfg.filter_brute_threshold == DEFAULT_FILTER_BRUTE_THRESHOLD > 0
+    res = retrieve(qdf, corpus, cfg)
+    assert "parquet" not in (
+        res._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert _got(res) == _brute_topk(rows, queries, 10, lambda t: t == 1)
+
+
+def test_retrieve_filtered_releases_planning_cache(spark, fixture, tmp_path):
+    """r10 ADVICE: _routed_universal persisted the allowed-id DataFrame
+    and never unpersisted it — every filtered retrieve leaked cached
+    blocks in a long-lived serving session. The persist now scopes to
+    planning (try/finally), so repeated calls leave the persistent-RDD
+    registry exactly where it started."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persisted()
+    for trial in range(3):
+        cfg = RetrieveConfig(
+            mode="universal", k=10, index_path=path, recall_slo=1.0,
+            filter="tag % 2 = 0", filter_brute_threshold=0,
+        )
+        retrieve(qdf, corpus, cfg).collect()
+    assert n_persisted() == before
+
+
+def test_probe_fraction_cutover_full_probes_wide_derived_widths(
+    spark, fixture, tmp_path
+):
+    """r11 policy: a DERIVED probe width past PROBE_FRACTION_CUTOVER of
+    nlist (slo 0.95 derives ceil(7/8·nlist)) widens to the full probe,
+    which takes IVFIndex.search's routing-free fast path — visible in
+    the plan: no centroids/ scan, while the cells/ scan remains. An
+    EXPLICIT index_nprobe below the fraction keeps the routed shortlist
+    (centroids/ read). Results stay exact either way on this corpus."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+
+    cut = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=0.95,
+    )
+    res = retrieve(qdf, corpus, cut)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # fast path reads ONE parquet table (cells) — the routed shortlist
+    # would add the centroids scan(s); paths themselves can fall to the
+    # plan printer's field-width truncation, so count scan nodes
+    assert plan.count("Scan parquet") == 1
+    # the cutover widened to the full probe == the exact scan
+    assert _got(res) == _brute_topk(rows, queries, 10, lambda t: True)
+
+    pinned = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=0.95,
+        index_nprobe=5,
+    )
+    plan5 = (
+        retrieve(qdf, corpus, pinned)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan5.count("Scan parquet") >= 2  # shortlist machinery kept

@@ -1,9 +1,10 @@
 """Shared deterministic clustered synthetic corpus for the ANN benches.
 
 One recipe, one place: center component j of cluster c is
-10·frac(sin(c·131 + j·17)) plus U(-0.5, 0.5) noise (seeded rand), giving
-N×dim float vectors with the loosely clustered structure real embedding
-corpora have. bench_ann_scale / bench_ann_filtered / bench_radius /
+10·frac(sin(c·131 + j·17)) plus per-(id, j) U(-0.5, 0.5) jitter from the
+classic frac(sin(id·12.9898 + j·78.233)·43758.5453) hash — deterministic,
+per-component independent — giving N×dim float vectors with the loosely
+clustered structure real embedding corpora have. bench_ann_scale / bench_ann_filtered / bench_radius /
 bench_ann_10m all import this so a tweak to the recipe cannot silently
 break cross-bench comparability.
 """
@@ -26,15 +27,20 @@ def clustered_corpus(
     from pyspark.sql import functions as F
 
     base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+
+    def _frac(x):
+        return x - F.floor(x)
+
+    # per-component jitter from a deterministic hash of (id, j): F.rand
+    # inside a transform lambda evaluates once per ROW, which collapsed
+    # the documented U(-0.5,0.5) per-component noise to a per-row scalar
+    # offset (r10 ADVICE) — frac(sin(...)) is i.i.d.-ish per (id, j) and
+    # fully reproducible without a seed state
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            10.0
-            * (
-                F.sin(F.col("cl") * 131 + j * 17)
-                - F.floor(F.sin(F.col("cl") * 131 + j * 17))
-            )
-            + F.rand(seed=7)
+            10.0 * _frac(F.sin(F.col("cl") * 131 + j * 17))
+            + _frac(F.sin(F.col("id") * 12.9898 + j * 78.233) * 43758.5453)
             - 0.5
         ).cast("float"),
     )

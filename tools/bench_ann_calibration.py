@@ -68,13 +68,20 @@ def main() -> int:
         "slos": {},
         "loadavg_start": list(os.getloadavg()),
     }
-    exact = index.search(sample, k=k, nprobe=nlist).persist()
-    exact.count()
+    # time the full probe BEFORE anything persists an identical plan:
+    # the r10 artifact persisted `exact` first and then re-ran the same
+    # search for the timing, which Spark's plan-matching CacheManager
+    # served from the cached InMemoryRelation — the recorded 1.07 s
+    # "full probe" (vs 6.75–8.45 s calibrated-pruned) was a cache read,
+    # not a scan, and the 6–8× "pruned slower than full" conclusion was
+    # the taint. Timing first makes both numbers cold-plan numbers.
     t0 = time.time()
     exact_rows = index.search(sample, k=k, nprobe=nlist).collect()
     full_probe_sec = round(time.time() - t0, 3)
     rec["full_probe_search_sec"] = full_probe_sec
     del exact_rows
+    exact = index.search(sample, k=k, nprobe=nlist).persist()
+    exact.count()
     for slo in (0.9, 0.95):
         t0 = time.time()
         nprobe = calibrate_nprobe(index, sample, slo, k=k)
