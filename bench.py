@@ -133,6 +133,9 @@ HEADLINE = [
     # stream_ann_enrich: multi-batch streaming drain (routed-index
     # serving per micro-batch) — excluded like its siblings; the index
     # build/search paths are measured by the ivf_* legs below
+    # stream_ann_serve_during_optimize: streaming drain + TWO optimize
+    # cycles in-stream — wall-clock measures the replay harness and the
+    # maintenance builds; excluded like the other streaming drains
     # stream_heavy_hitters: parity-gated; excluded like the other
     # multi-batch streaming drains (wall-clock measures the replay
     # harness, not the plan)

@@ -236,8 +236,13 @@ def train_bpe_batched(
     Worst case (every adjacent rank conflicts) degenerates to exact
     serial greedy one merge per round — never worse than train_bpe.
     ``stats``, when passed, receives {"rounds": driver rounds run} —
-    merges/rounds is the realized batch factor.
+    merges/rounds is the realized batch factor — plus ``"milestones"``:
+    one (rounds_so_far, merges_so_far, monotonic_sec) tuple per round,
+    so a single long run decomposes marginal cost-per-MERGE into
+    cost-per-ROUND × rounds-per-merge at any segment boundary
+    (tools/bench_bpe.py's cost model).
     """
+    import time as _time
     spark = df.sparkSession
     bad = df.filter(F.col(text_col).rlike("[<>_]")).limit(1).count()
     if bad:
@@ -261,6 +266,8 @@ def train_bpe_batched(
     merges: list[tuple[int, str, str, str, int]] = []
     since_ckpt = 0
     rounds = 0
+    if stats is not None:
+        stats["t_start_monotonic"] = _time.monotonic()
     while len(merges) < n_merges:
         rounds += 1
         want = min(batch_size, n_merges - len(merges))
@@ -344,6 +351,10 @@ def train_bpe_batched(
         if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
+        if stats is not None:
+            stats.setdefault("milestones", []).append(
+                (rounds, len(merges), _time.monotonic())
+            )
     base.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

@@ -200,8 +200,21 @@ def make_bge_embedder(model_name: str = "BAAI/bge-m3"):
     return embed
 
 
+def _make_tiny_embedder(model_name: str = "tiny-v1", dim: int = DEFAULT_DIM):
+    """backend="tiny" (r11): the vendored pure-numpy TinyEncoder — a real
+    (miniature) neural encoder exercising the REAL-model serving path
+    end-to-end in this environment: per-executor weight residency,
+    batched vectorized inference per Arrow batch, registry dispatch. The
+    gated sentence_transformers/bge backends share this exact shape; see
+    chatbot_spark/models/tiny_encoder.py and MODELS_E2E.json."""
+    from chatbot_spark.models.tiny_encoder import make_tiny_encoder_embedder
+
+    return make_tiny_encoder_embedder(model_name, dim)
+
+
 BACKENDS = {
     "hash": make_hash_embedder,
+    "tiny": _make_tiny_embedder,
     "sentence_transformers": make_sentence_transformers_embedder,
     "openai": make_openai_embedder,
     "ollama": make_ollama_embedder,

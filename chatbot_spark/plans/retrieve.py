@@ -320,9 +320,6 @@ _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
 def _routed_universal(
     queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig
 ) -> DataFrame:
-    from chatbot_spark.operators.ann import IVFIndex
-    from chatbot_spark.operators.hnsw import NSWGraphIndex
-
     if cfg.metric not in ("l2", "cosine", "inner_product"):
         raise ValueError(
             f"cfg.metric={cfg.metric!r} — the routed path serves l2, "

@@ -14467,3 +14467,149 @@ def stream_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round("dist", 6).alias("dist"),
     )
+
+
+@query(
+    "stream_ann_serve_during_optimize",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 12),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DUCK_L2.format(a='q.qe', b='c.embedding')} AS d
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
+         d
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 10
+""",
+)
+def stream_ann_serve_during_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-during-OPTIMIZE version isolation (r11): streaming ANN
+    serving pinned at the CURRENT version it resolved at start, while a
+    CONCURRENT OPTIMIZE cycle commits the next version mid-stream.
+
+    Composition: cycle 0 of the versioned maintenance loop
+    (hnsw.py::nsw_optimize_cycle) commits the sf corpus as ``v0``; the
+    serving session resolves CURRENT → v0 (io/versioned.py::resolve) and
+    loads the index ONCE (the closure-captured stream-static shape of
+    stream_ann_enrich). Between micro-batches 0 and 1 — inside
+    foreachBatch, i.e. genuinely mid-stream — a maintenance cycle
+    appends 200 far-away synthetic rows and commits ``v1`` (atomic
+    CURRENT repoint + vacuum keep=2, which must RETAIN v0 because a
+    pinned reader is still on it). The oracle is the exact scan over the
+    ORIGINAL corpus only: hash equality proves the serving results never
+    smear across versions (no new row leaks into any batch, including
+    the ones served after the repoint). The body asserts the other half
+    — CURRENT really moved to v1 mid-stream, v0 survived vacuum, and a
+    FRESH load at CURRENT does see the appended rows — so the pin can't
+    silently pass by the optimize never running."""
+    import os
+    import tempfile
+
+    from chatbot_spark.io import versioned
+    from chatbot_spark.operators.hnsw import NSWGraphIndex, nsw_optimize_cycle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="cbs_sannopt_q_")
+    state_dir = os.path.join(base, "nsw_state")
+
+    # cycle 0: the serving corpus becomes v0 (CURRENT)
+    nsw_optimize_cycle(
+        spark, state_dir,
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vec_col="embedding", id_col="id", nlist=4, m=8, ef_construction=64,
+        method="knn",
+    )
+    pinned_version = versioned.current_version(state_dir)
+    pinned = NSWGraphIndex.load(
+        spark, versioned.resolve(state_dir, pinned_version),
+        vec_col="embedding", id_col="id",
+    )
+    nshards = pinned.centroids.count()
+    ef_exact = int(
+        pinned.graph.groupBy("shard").count().agg(F.max("count")).first()[0]
+    )
+
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    inpath = os.path.join(base, "in")
+    lo = 0
+    for hi in (4, 8, 12):
+        queries.filter(
+            (F.col("query_id") >= lo) & (F.col("query_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(inpath)
+        lo = hi
+    stream = (
+        spark.readStream.schema("query_id long, query_embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inpath)
+    )
+    out_path = os.path.join(base, "hits")
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) == 1:
+            # mid-stream maintenance: append far-away rows, commit v1.
+            # The pinned serving index object must be unaffected.
+            new_rows = emb.limit(200).select(
+                (F.col("vec_id") + 1_000_000).alias("id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(100.0)
+                ).alias("embedding"),
+            )
+            nsw_optimize_cycle(
+                spark, state_dir, new_rows,
+                vec_col="embedding", id_col="id", nlist=4, m=8,
+                ef_construction=64, method="knn",
+            )
+        hits = pinned.search(
+            batch_df, k=10, nprobe=nshards, ef_search=ef_exact
+        )
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the optimize really happened mid-stream and retention kept the
+    # pinned version alive for its reader
+    cur = versioned.current_version(state_dir)
+    if cur == pinned_version:
+        raise AssertionError(
+            "serve_during_optimize: CURRENT never moved — the mid-stream "
+            "optimize cycle did not commit"
+        )
+    if not os.path.isdir(versioned.resolve(state_dir, pinned_version)):
+        raise AssertionError(
+            "serve_during_optimize: vacuum dropped the version a pinned "
+            "reader was serving from"
+        )
+    fresh = NSWGraphIndex.load(
+        spark, versioned.resolve(state_dir), vec_col="embedding", id_col="id"
+    )
+    if fresh.graph.filter(F.col("id") >= 1_000_000).count() != 200:
+        raise AssertionError(
+            "serve_during_optimize: the committed v1 lacks the appended "
+            "rows — the maintenance cycle was a no-op"
+        )
+
+    drained = spark.read.parquet(out_path)
+    return drained.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )

@@ -260,3 +260,80 @@ def test_rerank_input_caps_match_reference(spark):
     assert row.s_cap == short          # identity under the cap, spacing intact
     assert row.lq_n == 512             # hard-capped
     assert row.sc_long == row.sc_cap   # tokens past the cap don't affect score
+
+
+def test_serve_replay_idempotent_across_optimize_commit(spark, tmp_path):
+    """Serve-during-OPTIMIZE, the replay half (r10 verdict item 7): a
+    streaming serve batch that REPLAYS after a concurrent OPTIMIZE
+    committed a newer version must rewrite its own batch partition
+    identically — the serving session's index is pinned at the version
+    it loaded (closure residency), so the replay is deterministic and
+    the batch_id-partitioned dynamic overwrite makes it idempotent."""
+    import numpy as np
+
+    from chatbot_spark.io import versioned
+    from chatbot_spark.operators.hnsw import NSWGraphIndex, nsw_optimize_cycle
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, embedding array<double>")
+    state_dir = str(tmp_path / "state")
+    nsw_optimize_cycle(
+        spark, state_dir, corpus, vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    v0 = versioned.current_version(state_dir)
+    pinned = NSWGraphIndex.load(
+        spark, versioned.resolve(state_dir, v0), vec_col="embedding", id_col="id"
+    )
+    nshards = pinned.centroids.count()
+    ef = int(pinned.graph.groupBy("shard").count().agg(F.max("count")).first()[0])
+    qdf = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(5)],
+        "query_id long, query_embedding array<double>",
+    )
+    out_path = str(tmp_path / "hits")
+
+    def serve(batch_df, batch_id):
+        hits = pinned.search(batch_df, k=5, nprobe=nshards, ef_search=ef)
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    serve(qdf, 0)
+    first = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+
+    # concurrent OPTIMIZE commits v1 with new rows
+    new_rows = spark.createDataFrame(
+        [(1000 + i, [float(x + 50.0) for x in rng.standard_normal(8)]) for i in range(30)],
+        "id long, embedding array<double>",
+    )
+    nsw_optimize_cycle(
+        spark, state_dir, new_rows, vec_col="embedding", id_col="id",
+        nlist=3, m=8, ef_construction=64, method="knn",
+    )
+    assert versioned.current_version(state_dir) != v0
+    # retention kept the pinned reader's version
+    import os
+    assert os.path.isdir(versioned.resolve(state_dir, v0))
+
+    # the REPLAY: same batch, after the commit — must rewrite identically
+    serve(qdf, 0)
+    replay_rows = spark.read.parquet(out_path).collect()
+    replayed = sorted(map(tuple, replay_rows))
+    assert replayed == first
+    # and no new-corpus row ever leaked into the pinned serving output
+    assert all(r["neighbor_id"] < 1000 for r in replay_rows)
+
+    # a FRESH resolve+load at CURRENT does see the new rows (the isolation
+    # is per-pin, not staleness of the store)
+    fresh = NSWGraphIndex.load(
+        spark, versioned.resolve(state_dir), vec_col="embedding", id_col="id"
+    )
+    assert fresh.graph.filter(F.col("id") >= 1000).count() == 30

@@ -77,6 +77,21 @@ def main() -> int:
         nsw.graph.groupBy("shard").count().agg(F.max("count")).first()[0]
     )
 
+    # retrieve()'s DEFAULT policy (r11): the measured brute cutover
+    # (DEFAULT_FILTER_BRUTE_THRESHOLD) must route each regime to its
+    # winner — index at high selectivity, exact subset scan at low —
+    # with the production pinned-nprobe serving shape. Needs a written
+    # index (retrieve loads from disk) and a document payload column.
+    import tempfile
+
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    idx_path = tempfile.mkdtemp(prefix="cbs_afl_") + "/ivf"
+    ivf.write(idx_path)
+    corpus_doc = corpus.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("vec_id").cast("string"))
+    )
+
     rows = []
     for sel_pct in (50, 10, 1):
         pred = f"tag < {sel_pct}"
@@ -129,6 +144,25 @@ def main() -> int:
             row["nsw_ef_auto_recall_at_10"] = round(
                 recall_at_k(spark.createDataFrame(nsw_rows2), exact_df), 4
             )
+
+        cfg = RetrieveConfig(
+            mode="universal", k=k, index_path=idx_path,
+            index_id_col="vec_id", index_vec_col="embedding",
+            index_nprobe=nprobe, recall_slo=1.0, filter=pred,
+        )
+        pol_rows, t_pol = timed(lambda: retrieve(queries, corpus_doc, cfg))
+        row["retrieve_default_sec"] = round(t_pol, 3)
+        row["retrieve_default_recall_at_10"] = round(
+            recall_at_k(
+                spark.createDataFrame(pol_rows).select(
+                    "query_id", "neighbor_id", "rank"
+                ),
+                exact_df,
+            ),
+            4,
+        )
+        best_static = min(t_exact, t_ivf)
+        row["retrieve_vs_best_static"] = round(best_static / t_pol, 2)
         rows.append(row)
 
     print(json.dumps({
