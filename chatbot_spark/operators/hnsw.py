@@ -1060,8 +1060,22 @@ class NSWGraphIndex:
         query_chunk: int = 4096,
         route: str = "broadcast",
         allowed: DataFrame | None = None,
+        exact_fallback: bool = True,
     ) -> DataFrame:
         """Top-k per query over the nprobe nearest shards' graphs.
+
+        ``exact_fallback`` (default on — the r11 exact-mode fast path):
+        when the requested search IS the exact scan — every shard probed
+        (nprobe ≥ nshards) and a whole-shard beam (ef_search ≥ max shard
+        size) on the broadcast route — the per-shard Python beam walk
+        computes exactly the broadcast-query JVM scan, row for row (the
+        kernel's numpy float64 sums are sequential at dim ≤ 128, the
+        same left fold as functions/vector), but orders of magnitude
+        more slowly. The fast path runs the scan instead: tombstones and
+        the allowed mask become plain emission filters (routing is
+        irrelevant when every node is visited), queries broadcast-join
+        without ever touching the driver. Pass False to certify the walk
+        machinery itself (the graph_knn_* pins do).
 
         ef_search is the beam width (reference default EF_SEARCH=64) —
         recall rises monotonically with it; ef_search ≥ shard size walks
@@ -1132,6 +1146,47 @@ class NSWGraphIndex:
         ef = max(ef_search, k)
         id_col = self.id_col
         vec_col = self.vec_col
+
+        if (
+            exact_fallback
+            and route == "broadcast"
+            and nprobe >= len(c)
+            and ef >= self._max_shard_rows()
+        ):
+            from chatbot_spark.functions.vector import sq_l2_distance
+
+            src = self.graph.select(id_col, vec_col)
+            if self.tombstones:
+                src = src.filter(~F.col(id_col).isin(list(self.tombstones)))
+            if allowed is not None:
+                allow = allowed.select(
+                    F.col(allowed.columns[0]).alias(id_col)
+                ).distinct()
+                src = src.join(allow, id_col, "left_semi")
+            q = queries.select(
+                F.col(query_id).alias("__qid"),
+                F.col(query_vec).cast("array<double>").alias("__qvec"),
+            )
+            pairs = src.join(F.broadcast(q)).select(
+                F.col("__qid").alias(query_id),
+                F.col(id_col).alias("neighbor_id"),
+                sq_l2_distance(F.col("__qvec"), F.col(vec_col)).alias(
+                    "__rdist"
+                ),
+            )
+            # partial per-(query, scan-partition) top-k: the final window
+            # then sees ≤ P×k rows per query, same skew guard as the walk
+            # path's per-shard k-cap
+            w1 = Window.partitionBy(query_id, "__pid").orderBy(
+                F.col("__rdist").asc(), F.col("neighbor_id").asc()
+            )
+            cands = (
+                pairs.withColumn("__pid", F.spark_partition_id())
+                .withColumn("__lrank", F.row_number().over(w1))
+                .filter(F.col("__lrank") <= k)
+                .drop("__pid", "__lrank")
+            )
+            return self._report_topk(cands, queries, k, query_id, query_vec)
         qid_field = queries.schema[query_id]
         id_field = self.graph.schema[id_col]
         out_schema = (
@@ -1252,6 +1307,26 @@ class NSWGraphIndex:
         else:
             raise ValueError(f"unknown route {route!r}; have ['broadcast', 'join']")
 
+        return self._report_topk(cands, queries, k, query_id, query_vec)
+
+    def _max_shard_rows(self) -> int:
+        """Largest shard's row count, memoized per instance — one
+        metadata-cheap aggregate; the graph is immutable per instance
+        (append/rebalance/delete all return new indexes)."""
+        if getattr(self, "_max_shard_memo", None) is None:
+            self._max_shard_memo = int(
+                self.graph.groupBy("shard").count().agg(F.max("count"))
+                .first()[0]
+            )
+        return self._max_shard_memo
+
+    def _report_topk(
+        self, cands: DataFrame, queries: DataFrame, k: int,
+        query_id: str, query_vec: str,
+    ) -> DataFrame:
+        """Shared search tail: final per-query top-k over the candidate
+        (query, neighbor, __rdist) stream + conversion of the l2 walk
+        value back to the index metric's reported dist."""
         w = Window.partitionBy(query_id).orderBy(
             F.col("__rdist").asc(), F.col("neighbor_id").asc()
         )

@@ -54,11 +54,21 @@ DEFAULT_FILTER_BRUTE_THRESHOLD = 100_000
 # shortlist join carrying the query vectors) — IVFIndex.search's
 # nprobe==nlist fast path (one broadcast-query scan, zero routing) is
 # cheaper and can only RAISE recall (probing strictly more cells).
-# Measured honestly in BENCH_ANN_CALIB after the r11 fix of its
-# cache-tainted full-probe timing (the old 6–8× "pruned slower than full"
-# number read a persisted result back through Spark's plan-matching
-# cache).
-PROBE_FRACTION_CUTOVER = 0.8
+# Measured: BENCH_PROBE_CUTOVER.json (200k Zipf-text docs, nlist=64) —
+# routed probing still wins at 0.875 of the cells (10.4 s vs 11.5 s
+# full fast path) and loses from ~0.9 up (11.7 s at 0.906, 13.7 s at
+# 0.984); two independent runs put the crossover in [0.87, 0.92], so
+# 0.9 cuts over only where the full scan is the measured winner —
+# never materially slower than the best static choice, and recall can
+# only rise. In practice this protects the CALIBRATED branch
+# (calibrate_nprobe can return any width): the fixed nprobe_for_slo
+# tiers emit either nlist (already the fast path) or ≤ 7/8·nlist
+# (below the crossover). (The r10 BENCH_ANN_CALIB "pruned 6–8× slower
+# than full" figure that first motivated a much lower cutover was
+# CACHE-TAINTED — the bench persisted an identical plan before timing;
+# fixed in r11, honest full-probe cost is 12 s vs calibrated-pruned
+# 6–7 s, i.e. pruned probing genuinely pays at low fractions.)
+PROBE_FRACTION_CUTOVER = 0.9
 
 
 @dataclass
@@ -316,6 +326,26 @@ _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
+# loaded-index cache for the routed serving path (see _routed_universal_
+# planned): index objects are lazy DataFrames + a small centroid/meta
+# payload and carry their own memoized metadata counts, so caching a
+# handful is cheap; FIFO-bounded so corpus churn cannot grow it.
+_INDEX_CACHE: dict = {}
+_INDEX_CACHE_MAX = 8
+
+
+def invalidate_index_cache(path: str | None = None) -> None:
+    """Drop cached loaded indexes — EVERY entry with ``path=None``, else
+    the entries for one written-index path. Needed only after an
+    IN-PLACE ``append(path=...)`` mutated a written index a prior
+    retrieve() had loaded (versioned/CURRENT-pointer layouts get a fresh
+    directory per commit and never need this)."""
+    if path is None:
+        _INDEX_CACHE.clear()
+        return
+    for key in [k for k in _INDEX_CACHE if k[2] == path]:
+        _INDEX_CACHE.pop(key, None)
+
 
 def _routed_universal(
     queries_df: DataFrame, corpus: DataFrame, cfg: RetrieveConfig
@@ -396,10 +426,28 @@ def _routed_universal_planned(
     if kind not in ("ivf", "nsw"):
         raise ValueError(f"unknown index_kind {kind!r}; have ['ivf', 'nsw', 'auto']")
 
-    loader = IVFIndex if kind == "ivf" else NSWGraphIndex
-    index = loader.load(
-        spark, cfg.index_path, vec_col=cfg.index_vec_col, id_col=cfg.index_id_col,
+    # serving-path index cache: a hot retrieve() loop must not re-pay
+    # the load actions per call (meta + centroids read, centroid count,
+    # layout sniff — measured ~0.5 s/call against a ~2.4 s search in
+    # BENCH_ANN_FILTERED's policy rows). Keyed on the EXACT path: the
+    # versioned-commit layout (io/versioned) gives every OPTIMIZE a
+    # fresh version directory, so serving sessions that resolve CURRENT
+    # never see a stale entry; an IN-PLACE append(path=...) mutates the
+    # cells under a cached listing — call invalidate_index_cache(path)
+    # after one (or serve from versioned paths, the deployment shape).
+    cache_key = (
+        id(spark), kind, cfg.index_path, cfg.index_vec_col, cfg.index_id_col
     )
+    index = _INDEX_CACHE.get(cache_key)
+    if index is None:
+        loader = IVFIndex if kind == "ivf" else NSWGraphIndex
+        index = loader.load(
+            spark, cfg.index_path, vec_col=cfg.index_vec_col,
+            id_col=cfg.index_id_col,
+        )
+        _INDEX_CACHE[cache_key] = index
+        while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
     # metric agreement is the index's to certify, never config's to
     # assert: a cosine query routed onto an l2 index (or vice versa)
     # would rank by the wrong geometry, and a silent exact-scan fallback

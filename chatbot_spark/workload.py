@@ -1459,7 +1459,11 @@ def graph_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, vec_col="embedding", id_col="vec_id", nlist=4, m=8,
         ef_construction=64,
     )
-    res = index.search(q, k=10, nprobe=4, ef_search=1_000_000)
+    # exact_fallback=False: this pin certifies the BEAM WALK machinery
+    # bit-for-bit; the r11 exact-mode fast path has its own pins/tests
+    res = index.search(
+        q, k=10, nprobe=4, ef_search=1_000_000, exact_fallback=False
+    )
     return res.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
@@ -12079,7 +12083,10 @@ def graph_knn_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     deleted = index.delete(del_ids)
     def run(ix, phase):
-        res = ix.search(q, k=10, nprobe=4, ef_search=1_000_000)
+        # exact_fallback=False: certifies the walk + tombstone routing
+        res = ix.search(
+            q, k=10, nprobe=4, ef_search=1_000_000, exact_fallback=False
+        )
         return res.select(
             F.lit(phase).alias("phase"), "query_id", "neighbor_id",
             F.col("rank").cast("long").alias("rank"),

@@ -1084,3 +1084,47 @@ def test_sq_degenerate_constant_dimension(spark):
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)][0] == 0
     assert abs(sorted(top, key=lambda r: r.rank)[0].dist) < 1e-12
     index.release()
+
+def test_nsw_exact_fast_path_equals_walk(spark, corpus, queries):
+    """The r11 exact-mode fast path (nprobe >= nshards AND ef >= max
+    shard size on the broadcast route => one JVM broadcast-query scan)
+    must return exactly what the whole-shard Python beam walk
+    (exact_fallback=False) returns — including tombstone and allowed-set
+    emission semantics."""
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+
+    idx = NSWGraphIndex.build(
+        corpus, vec_col="embedding", id_col="vec_id", nlist=3, m=8,
+        ef_construction=64, method="knn",
+    )
+
+    def rows_of(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    kw = dict(k=5, nprobe=3, ef_search=1_000_000)
+    assert rows_of(idx.search(queries, **kw)) == rows_of(
+        idx.search(queries, exact_fallback=False, **kw)
+    )
+    # tombstones: deleted ids must vanish from BOTH paths identically
+    victims = {r["neighbor_id"] for r in idx.search(queries, **kw).collect()}
+    victims = set(list(victims)[:2])
+    deleted = idx.delete(victims)
+    fast = rows_of(deleted.search(queries, **kw))
+    walk = rows_of(deleted.search(queries, exact_fallback=False, **kw))
+    assert fast == walk
+    assert not any(n in victims for _, _, n in fast)
+    # allowed mask: emission-filtered identically
+    allowed = corpus.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    fast_f = rows_of(deleted.search(queries, allowed=allowed, **kw))
+    walk_f = rows_of(
+        deleted.search(queries, allowed=allowed, exact_fallback=False, **kw)
+    )
+    assert fast_f == walk_f
+    # a PRUNED request must never take the fast path (recall contract):
+    # nprobe below the shard count keeps the routed walk
+    pruned_plan = deleted.search(queries, k=5, nprobe=2, ef_search=1_000_000)
+    assert "FlatMapGroupsInPandas" in (
+        pruned_plan._jdf.queryExecution().executedPlan().toString()
+    )

@@ -452,39 +452,61 @@ def test_retrieve_filtered_releases_planning_cache(spark, fixture, tmp_path):
 
 
 def test_probe_fraction_cutover_full_probes_wide_derived_widths(
-    spark, fixture, tmp_path
+    spark, fixture, tmp_path, monkeypatch
 ):
-    """r11 policy: a DERIVED probe width past PROBE_FRACTION_CUTOVER of
-    nlist (slo 0.95 derives ceil(7/8·nlist)) widens to the full probe,
-    which takes IVFIndex.search's routing-free fast path — visible in
-    the plan: no centroids/ scan, while the cells/ scan remains. An
-    EXPLICIT index_nprobe below the fraction keeps the routed shortlist
-    (centroids/ read). Results stay exact either way on this corpus."""
+    """r11 policy: a derived/CALIBRATED probe width past
+    PROBE_FRACTION_CUTOVER of nlist widens to the full probe, which
+    takes IVFIndex.search's routing-free fast path — visible in the
+    plan: ONE parquet scan (cells), no centroids shortlist scans. An
+    EXPLICIT index_nprobe below the fraction keeps the routed shortlist.
+    slo=1.0 takes the fast path trivially (nprobe == nlist). Results
+    stay exact in every case on this corpus."""
     from chatbot_spark.operators.ann import IVFIndex
-    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+    from chatbot_spark.plans import retrieve as retrieve_mod
+    from chatbot_spark.plans.retrieve import (
+        PROBE_FRACTION_CUTOVER,
+        RetrieveConfig,
+        retrieve,
+    )
 
     rows, df, queries, qdf = fixture
     corpus = df.withColumn(
         "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
     )
     path = str(tmp_path / "ivf")
+    nlist = 10
     IVFIndex.build(
         corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
-        nlist=8,
+        nlist=nlist,
     ).write(path)
 
-    cut = RetrieveConfig(
-        mode="universal", k=10, index_path=path, recall_slo=0.95,
+    # slo=1.0: full probe == the fast path, one parquet scan
+    exact_cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=1.0,
     )
-    res = retrieve(qdf, corpus, cut)
+    res = retrieve(qdf, corpus, exact_cfg)
     plan = res._jdf.queryExecution().executedPlan().toString()
-    # fast path reads ONE parquet table (cells) — the routed shortlist
-    # would add the centroids scan(s); paths themselves can fall to the
-    # plan printer's field-width truncation, so count scan nodes
+    # paths can fall to the plan printer's field-width truncation, so
+    # count scan NODES instead of matching path substrings
     assert plan.count("Scan parquet") == 1
-    # the cutover widened to the full probe == the exact scan
     assert _got(res) == _brute_topk(rows, queries, 10, lambda t: True)
 
+    # CALIBRATED width past the cutover fraction: force calibrate_nprobe
+    # to return 9/10 (>= 0.9) — the policy must widen to the full probe
+    wide = int(PROBE_FRACTION_CUTOVER * nlist)  # 9
+    monkeypatch.setattr(
+        retrieve_mod, "calibrate_nprobe", lambda *a, **kw: wide
+    )
+    calib_cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, recall_slo=0.95,
+        calibration_queries=qdf,
+    )
+    res_c = retrieve(qdf, corpus, calib_cfg)
+    plan_c = res_c._jdf.queryExecution().executedPlan().toString()
+    assert plan_c.count("Scan parquet") == 1  # widened -> fast path
+    assert _got(res_c) == _brute_topk(rows, queries, 10, lambda t: True)
+
+    # EXPLICIT pinned width below the fraction keeps the shortlist
     pinned = RetrieveConfig(
         mode="universal", k=10, index_path=path, recall_slo=0.95,
         index_nprobe=5,

@@ -32,16 +32,33 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def parse_event_log(log_dir: str) -> dict:
-    """Sum task spill/GC and per-stage skew from the newest event log."""
-    logs = sorted(
+def _event_lines(log_dir: str):
+    """Yield event-log JSON lines. Spark 4 writes a rolling DIRECTORY
+    per application (eventlog_v2_<app>/events_1_... files) — handle both
+    that and the classic single-file layout."""
+    newest = sorted(
         (os.path.join(log_dir, f) for f in os.listdir(log_dir)),
         key=os.path.getmtime,
+    )[-1]
+    files = (
+        sorted(
+            os.path.join(newest, f)
+            for f in os.listdir(newest)
+            if f.startswith("events_")
+        )
+        if os.path.isdir(newest)
+        else [newest]
     )
+    for path in files:
+        with open(path) as f:
+            yield from f
+
+
+def parse_event_log(log_dir: str) -> dict:
+    """Sum task spill/GC and per-stage skew from the newest event log."""
     stages: dict[int, dict] = {}
     tot = {"mem_spill": 0, "disk_spill": 0, "gc_ms": 0, "tasks": 0}
-    with open(logs[-1]) as f:
-        for line in f:
+    for line in _event_lines(log_dir):
             try:
                 ev = json.loads(line)
             except ValueError:
