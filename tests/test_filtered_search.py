@@ -516,3 +516,66 @@ def test_probe_fraction_cutover_full_probes_wide_derived_widths(
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan5.count("Scan parquet") >= 2  # shortlist machinery kept
+
+
+def test_index_cache_reuses_and_invalidates(spark, fixture, tmp_path):
+    """The r11 loaded-index cache: repeat retrieve() calls against the
+    same written path reuse one loaded index object (no per-call load
+    actions), invalidate_index_cache(path) drops exactly that entry, and
+    results are identical either way."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans import retrieve as retrieve_mod
+    from chatbot_spark.plans.retrieve import (
+        RetrieveConfig,
+        invalidate_index_cache,
+        retrieve,
+    )
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    invalidate_index_cache()
+    cfg = RetrieveConfig(
+        mode="universal", k=5, index_path=path, index_id_col="id",
+        index_vec_col="embedding", recall_slo=1.0,
+    )
+    first = _got(retrieve(qdf, corpus, cfg))
+    cached = [
+        v for k, v in retrieve_mod._INDEX_CACHE.items() if k[2] == path
+    ]
+    assert len(cached) == 1
+    again = _got(retrieve(qdf, corpus, cfg))
+    assert again == first
+    assert (
+        len([v for k, v in retrieve_mod._INDEX_CACHE.items() if k[2] == path])
+        == 1
+    )
+    # the cached object is REUSED (identity, not just equality)
+    assert (
+        [v for k, v in retrieve_mod._INDEX_CACHE.items() if k[2] == path][0]
+        is cached[0]
+    )
+    invalidate_index_cache(path)
+    assert not [k for k in retrieve_mod._INDEX_CACHE if k[2] == path]
+    # in-place append + invalidate: the next retrieve sees the new rows
+    idx = IVFIndex.load(spark, path, vec_col="embedding", id_col="id")
+    extra = spark.createDataFrame(
+        [(10_000, rows[0][1])], "id long, embedding array<double>"
+    )
+    idx.append(extra, path=path)
+    invalidate_index_cache(path)
+    corpus2 = corpus.unionByName(
+        extra.withColumn("tag", F.lit(0)).withColumn(
+            "document", F.lit("d-10000")
+        ).select(*corpus.columns)
+    )
+    res2 = retrieve(qdf, corpus2, cfg)
+    # query 0 IS rows[0]'s vector: its duplicate 10_000 must now appear
+    got0 = _got(res2)[0]
+    assert 10_000 in got0

@@ -125,6 +125,7 @@ DEFAULT_QUERIES = [
     # shards — the mask's exchange cost is exactly what to watch)
     "retrieve_filtered_ivf",
     "retrieve_filtered_nsw",
+    "retrieve_filtered_auto",
 ]
 
 

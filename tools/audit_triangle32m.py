@@ -123,6 +123,10 @@ def run_point(n_nodes: int, shuffle_partitions: int) -> dict:
             "spark.ui.showConsoleProgress": "false",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            # rolling event-log files are zstd-compressed by default —
+            # plain JSON so the parser reads them without a codec dep
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     e = synth_edges(spark, n_nodes).persist()
@@ -134,13 +138,19 @@ def run_point(n_nodes: int, shuffle_partitions: int) -> dict:
     e.unpersist()
     spark.stop()  # flush the event log; fresh JVM per point
     time.sleep(2)
+    load = list(os.getloadavg())
     rec = {
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "shuffle_partitions": shuffle_partitions,
         "triangle_sec": wall,
         "n_triangle_nodes": n_tri_nodes,
-        "loadavg_start": list(os.getloadavg()),
+        # NOTE: collected at the END of the point — a 32-thread run
+        # pushes its own loadavg to ~10-20, so this reflects self-load
+        # plus residue; points whose PREDECESSOR ran within ~2 min carry
+        # residue and are marked load_suspect for the comparison fields
+        "loadavg_end": load,
+        "load_suspect": load[1] > 8,
     }
     rec.update(parse_event_log(log_dir))
     print(json.dumps(rec))
@@ -154,7 +164,9 @@ def main() -> int:
         (12_800_000, 128),   # 32M edges, 4x partitions
     ]
     out = []
-    for n_nodes, parts in points:
+    for i, (n_nodes, parts) in enumerate(points):
+        if i:
+            time.sleep(120)  # let loadavg decay between fresh sessions
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
             os.cpu_count() or 4
         )
@@ -169,6 +181,12 @@ def main() -> int:
             out[2]["triangle_sec"] / max(wall8, 1e-9), 2
         ),
         "expected_ratio": "~4 (constant-degree generator: wedge count O(m))",
+        "note": (
+            "the verdict rests on the first two points (run after decay "
+            "sleeps): any point marked load_suspect inherited residue "
+            "from its predecessor's 32-thread run and its wall time is "
+            "an upper bound only"
+        ),
     }
     with open(os.path.join(REPO, "BENCH_GRAPH_TRI32_AUDIT.json"), "w") as f:
         json.dump(payload, f, indent=1)

@@ -6,11 +6,16 @@ with rounds: driver/codegen blowup at production 32k-merge vocabs) and
 re-exploded the WHOLE vocabulary's pairs every round.
 
 Method: one deterministic synthetic vocabulary (LCG words — no RNG deps);
-train_bpe from scratch at n_merges = 50, 100, 200 and compare MARGINAL
-per-round cost between consecutive spans: marginal(100→200) /
-marginal(50→100) ≈ 1 means flat (a lineage- or recount-driven cost grows
-with the round number, pushing the ratio well above 1; the old form's
-total was superlinear by construction).
+train_bpe from scratch at n_merges = 50, 100, 200 gives the EARLY-round
+marginals — which sit on a RAMP (~0.22 s/round with a tiny pair table,
+plateauing ~0.45 s/round by round ~150 on a quiet host), so the
+late/early ratio of this triple measures the ramp, not growth. The claim
+that matters for production vocabs is the PLATEAU: the single 4k-merge
+batched run's per-round milestones decompose marginal-per-merge =
+sec/round × rounds/merge at every 1k boundary, and sec/round must stay
+~flat from 1k to 4k (it measures 0.57 → 0.41–0.48; a lineage- or
+recount-driven cost would grow with the round number instead — the old
+pre-r9 form was superlinear by construction).
 
 Writes BENCH_BPE.json at the repo root; bench.py attaches it as
 ``bpe_scale``.
@@ -51,7 +56,13 @@ def make_words(n: int) -> dict[str, int]:
 def main() -> int:
     from chatbot_spark.session import get_spark
 
-    n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    # --serial-only: re-measure just the serial flatness points and
+    # update those fields of the existing BENCH_BPE.json in place —
+    # the 4k batched run costs ~30 min and its segment decomposition
+    # does not need re-measuring to refresh a noisy serial triple.
+    serial_only = "--serial-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--serial-only"]
+    n_words = int(argv[0]) if argv else 5000
     spark = get_spark(
         "bench-bpe", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -71,6 +82,30 @@ def main() -> int:
         totals[n] = round(time.time() - t0, 2)
         merge_counts[n] = len(merges)
         print(f"n_merges={n}: {totals[n]}s ({len(merges)} merges learned)")
+
+    if serial_only:
+        m_lo = (totals[100] - totals[50]) / 50
+        m_hi = (totals[200] - totals[100]) / 100
+        path = os.path.join(REPO, "BENCH_BPE.json")
+        with open(path) as f:
+            payload = json.load(f)
+        payload.update(
+            {
+                "total_sec": {str(k): v for k, v in totals.items()},
+                "merges_learned": {str(k): v for k, v in merge_counts.items()},
+                "marginal_sec_per_round_51_100": round(m_lo, 4),
+                "marginal_sec_per_round_101_200": round(m_hi, 4),
+                "late_vs_early_marginal_ratio": round(m_hi / max(m_lo, 1e-9), 2),
+                "loadavg": list(os.getloadavg()),
+            }
+        )
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        print(json.dumps({k: payload[k] for k in (
+            "total_sec", "late_vs_early_marginal_ratio")}))
+        docs.unpersist()
+        return 0
 
     # --- production-vocab point (r9 verdict item 1, r10 verdict item 3):
     # ONE batched run to 4k merges whose per-round milestones decompose

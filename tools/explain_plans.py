@@ -471,18 +471,18 @@ COMMENT = {
     ),
     "retrieve_routed": (
         "Index-aware retrieval routing (SURVEY §4): the exact knn_join "
-        "rewritten onto a WRITTEN IVF index. What to notice: the cells "
-        "scan carries PartitionFilters: centroid_id IN (...) — the probed "
-        "set is an explicit isin, so only the routed cells' parquet "
-        "directories are read (nprobe/nlist of the corpus at the pruned "
-        "SLO; this full-probe pin reads all 8 of 8); the centroid table "
-        "and the query shortlist are BroadcastExchange (tiny by "
-        "construction); the per-query ranking reuses the two-phase "
-        "WindowGroupLimit pair; and the document payload joins AFTER "
-        "candidate selection — the text column appears only in the final "
-        "id-keyed join, never in the distance pipeline (late "
-        "materialization: at 100 TB the search moves ids and floats, not "
-        "documents)."
+        "rewritten onto a WRITTEN IVF index. This slo=1.0 pin takes the "
+        "r11 FULL-PROBE FAST PATH: one cells FileScan + one "
+        "BroadcastExchange of the query batch — no centroid scan, no "
+        "shortlist window, no probed-cell collect (at full width the "
+        "routing machinery buys nothing; BENCH_PROBE_CUTOVER). The "
+        "per-query ranking keeps the two-phase WindowGroupLimit pair, "
+        "and the document payload joins AFTER candidate selection — the "
+        "text column appears only in the final id-keyed join, never in "
+        "the distance pipeline (late materialization: at 100 TB the "
+        "search moves ids and floats, not documents). The pruned-SLO "
+        "shortlist plan (PartitionFilters: centroid_id IN (...)) is "
+        "shown under retrieve_routed_pruned_shortlist below."
     ),
     "decremental_components": (
         "The graph family's delete verb. What to notice: every touch of "
@@ -498,10 +498,13 @@ COMMENT = {
     ),
     "retrieve_filtered_ivf": (
         "Filtered routed search (IVF): the label predicate sits INSIDE "
-        "the cells FileScan (PushedFilters) beside the probed-centroid "
-        "isin PartitionFilters — the metadata filter costs zero joins "
-        "and zero extra scans. Ranking happens over the filtered rows, "
-        "so full probe is exact over the filtered corpus at any scale."
+        "the cells FileScan (PushedFilters) — the metadata filter costs "
+        "zero joins and zero extra scans. At this pin's slo=1.0 the r11 "
+        "fast path reads the cells table once with the filter pushed; "
+        "at pruned SLOs the same PushedFilters sit beside the "
+        "probed-centroid isin PartitionFilters. Ranking happens over "
+        "the filtered rows, so full probe is exact over the filtered "
+        "corpus at any scale."
     ),
     "retrieve_filtered_nsw": (
         "Filtered routed search (NSW): the allowed-id emit flag joins "
@@ -511,18 +514,22 @@ COMMENT = {
         "join stays late-materialized (hits x corpus on id)."
     ),
     "retrieve_routed_cosine": (
-        "Cosine routed search: identical plan shape to the l2 route — "
-        "the metric difference is one narrow normalize map on the query "
-        "side and a /2 projection on the reported dist; cell pruning, "
-        "the shortlist broadcast, and late materialization carry over "
-        "unchanged because the index stores unit vectors."
+        "Cosine routed search: the candidate selection is the l2 route "
+        "over the index's stored unit vectors (one narrow normalize map "
+        "on the query side); the REPORTED dist/rank come from the r11 "
+        "canonical-dist recompute — a Q×k join back to the raw corpus "
+        "evaluating the defining float64 1−dot/(|a||b|) fold (the same "
+        "expression the oracles use), visible as the final join + "
+        "window. The index's float32-normalized internal fold never "
+        "reaches the output (the r10 driver-red determinism fix)."
     ),
     "retrieve_routed_ip": (
         "Inner-product routed search: the MIPS->L2 augmentation adds one "
-        "slack coordinate corpus-side at BUILD time, so the search plan "
-        "is again the l2 route — plus one extra double (||q||^2) carried "
-        "through the shortlist join for the -<x,q> conversion in the "
-        "final projection. No extra exchanges versus the l2 plan."
+        "slack coordinate corpus-side at BUILD time, so candidate "
+        "selection is again the l2 route; like cosine, the REPORTED "
+        "dist/rank come from the r11 canonical recompute — float64 "
+        "-dot(q, raw) on the final Q×k rows — so the augmented-l2 "
+        "rearrangement never reaches the output."
     ),
 }
 
@@ -554,7 +561,55 @@ def nsw_from_disk_search(spark, sf_dir):
     return loaded.search(q, k=10, nprobe=3, ef_search=64)
 
 
+def ivf_pruned_routed_shortlist(spark, sf_dir):
+    """Pruned routed retrieve (index_nprobe below the cutover): shows the
+    centroid-shortlist machinery the slo=1.0 fast path skips."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_plans_prt_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8,
+    ).write(path)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cfg = RetrieveConfig(
+        mode="universal", k=10, index_path=path, index_id_col="id",
+        index_vec_col="embedding", recall_slo=0.95, index_nprobe=3,
+    )
+    return retrieve(q, corpus, cfg)
+
+
 SPECIAL = {
+    "retrieve_routed_pruned_shortlist (index_nprobe=3 of nlist=8)": (
+        ivf_pruned_routed_shortlist,
+        "The routed-shortlist plan the slo=1.0 fast path replaces: the "
+        "cells FileScan carries PartitionFilters: centroid_id IN (...) — "
+        "only the probed cells' parquet directories are read "
+        "(nprobe/nlist of the corpus); the centroid table and the routed "
+        "query shortlist are BroadcastExchange (tiny by construction); "
+        "ranking keeps the two-phase WindowGroupLimit pair and the "
+        "payload joins late. This is the plan production serving runs at "
+        "calibrated pruned widths — the r11 cutover switches to the "
+        "routing-free single-scan form only past the measured 0.9·nlist "
+        "crossover where this machinery stops paying."
+    ),
     "graph_knn (NSWGraphIndex.search, from a written index)": (
         nsw_from_disk_search,
         "Sharded NSW graph ANN — the HNSW-equivalent. What to notice: "
@@ -574,12 +629,15 @@ SPECIAL = {
 }
 
 COMMENT["retrieve_routed_nsw"] = (
-    "The declarative read path rewritten onto the written NSW index "
-    "(r9): the graph scan carries PartitionFilters on the probed "
-    "shard list (file-level pruning of the index parquet), the beam "
-    "walk is ONE applyInPandas over those shards, and the document "
-    "payload joins AFTER candidate selection on neighbor_id (late "
-    "materialization — Q*k rows, the search never carries text)."
+    "The declarative read path rewritten onto the written NSW index. "
+    "At this pin's slo=1.0 the r11 exact-mode fast path applies: one "
+    "graph FileScan + a broadcast-query join replaces the per-shard "
+    "applyInPandas beam walk (bit-identical rows, no Python kernel, no "
+    "driver-side query collect); the document payload still joins AFTER "
+    "candidate selection on neighbor_id (late materialization — Q*k "
+    "rows). Pruned SLOs keep the walk: PartitionFilters on the probed "
+    "shard list + ONE applyInPandas over those shards (see "
+    "graph_knn/retrieve_routed_nsw_pruned parity pins)."
 )
 
 
