@@ -90,6 +90,7 @@ HEADLINE = [
     "retrieve_filtered_pruned",
     "retrieve_filtered_auto",
     "routed_sql_filtered",
+    "routed_sql_cosine",
     "retrieve_routed_cosine",
     "retrieve_routed_cosine_nsw",
     "retrieve_routed_ip",

@@ -1320,6 +1320,12 @@ class NSWGraphIndex:
             )
         return self._max_shard_memo
 
+    def _nlist(self) -> int:
+        """Shard count, memoized per instance (the IVF twin's contract):
+        len(self.centers) is already local — kept as a method so the
+        routed serving path can treat both index families uniformly."""
+        return len(self.centers)
+
     def _report_topk(
         self, cands: DataFrame, queries: DataFrame, k: int,
         query_id: str, query_vec: str,

@@ -290,7 +290,11 @@ def calibrate_nprobe(
     the SAMPLE (keep it ~100s of queries, not the workload)."""
     from chatbot_spark.operators.ann import recall_at_k
 
-    nlist = index.centroids.count()
+    nlist = (
+        index._nlist()
+        if hasattr(index, "_nlist")
+        else index.centroids.count()
+    )
     if slo >= 1.0:
         return nlist
     exact = index.search(
@@ -463,8 +467,10 @@ def _routed_universal_planned(
     # probe width derives from the LOADED index's real centroid count —
     # never from config: an understated cfg nlist would silently probe a
     # subset of cells and break the slo=1.0 ≡ exact guarantee (r8
-    # ADVICE). cfg.index_nlist, when given, is validated instead.
-    nlist = index.centroids.count()
+    # ADVICE). cfg.index_nlist, when given, is validated instead. The
+    # count memoizes on the index instance, which the _INDEX_CACHE keeps
+    # across calls — a hot serving loop pays it once.
+    nlist = index._nlist()
     if cfg.index_nlist is not None and cfg.index_nlist != nlist:
         raise ValueError(
             f"cfg.index_nlist={cfg.index_nlist} does not match the loaded "
@@ -534,10 +540,8 @@ def _routed_universal_planned(
         # cheap. Pruned SLOs use the reference's EF_SEARCH=64 default
         # (BENCH_ANN_SCALE: recall 0.99, 9.9× at 1M vectors).
         if cfg.recall_slo >= 1.0:
-            ef = int(
-                index.graph.groupBy("shard").count()
-                .agg(F.max("count")).first()[0]
-            )
+            # memoized on the cached index instance — paid once per load
+            ef = index._max_shard_rows()
         else:
             ef = cfg.index_ef_search or 64
             if cfg.filter is not None:
@@ -556,10 +560,7 @@ def _routed_universal_planned(
                 n_corpus = _memo_count(corpus, "__total__", corpus.count)
                 sel = _n_allowed() / max(n_corpus, 1)
                 if sel > 0:
-                    shard_max = int(
-                        index.graph.groupBy("shard").count()
-                        .agg(F.max("count")).first()[0]
-                    )
+                    shard_max = index._max_shard_rows()
                     ef = min(shard_max, max(ef, math.ceil(2 * cfg.k / sel)))
         hits = index.search(
             queries_df, k=cfg.k, nprobe=nprobe, ef_search=ef,

@@ -14112,6 +14112,78 @@ def routed_sql_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         unregister_corpus_index(view)
 
 
+@query(
+    "routed_sql_cosine",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id AS neighbor_id,
+         1.0 - {_DUCK_DOT.format(a='q.qe', b='c.embedding')}
+           / (sqrt({_DUCK_NORM.format(a='q.qe')}) * sqrt({_DUCK_NORM.format(a='c.embedding')})) AS d
+  FROM embeddings c, q)
+SELECT neighbor_id, round(d, 6) AS dist
+FROM pairs ORDER BY d ASC, neighbor_id ASC LIMIT 10
+""",
+)
+def routed_sql_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL COSINE nearest-neighbor routing (r11 — the metric-family
+    completion of routed_sql_topk): ``SELECT id, cosine_dist(e, <q>) AS
+    dist FROM corpus ORDER BY dist, id LIMIT 10`` routes onto a
+    COSINE-registered index (the metric check matches fn ↔ registration;
+    a mismatch refuses loudly — tested). The rewrite serves the r11
+    canonical-dist contract: the reported dist is recomputed on the
+    final k rows with the defining float64 fold over the RAW vectors —
+    exactly what the verbatim SQL's cosine_dist scalar UDF computes and
+    what this oracle computes — so routed, verbatim, and oracle agree on
+    identical doubles. The body asserts the plan read the index layout."""
+    import os
+    import tempfile
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.sqlroute import (
+        register_corpus_index,
+        register_sql_distance_functions,
+        routed_sql,
+        unregister_corpus_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "document"
+        ),
+    )
+    view = "sqlroute_cos_corpus"
+    corpus.createOrReplaceTempView(view)
+    register_sql_distance_functions(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="cbs_sqlrcos_q_"), "ivf")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=8, metric="cosine",
+    ).write(path)
+    register_corpus_index(
+        view, path, metric="cosine", id_col="id", vec_col="embedding",
+        recall_slo=1.0,
+    )
+    try:
+        sql = (
+            "SELECT id AS neighbor_id, "
+            f"cosine_dist(embedding, (SELECT embedding FROM {view} WHERE id = 0)) "
+            f"AS dist FROM {view} ORDER BY dist, neighbor_id LIMIT 10"
+        )
+        routed = routed_sql(spark, sql)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        if "cells" not in plan:
+            raise AssertionError(
+                "routed_sql_cosine: the rewrite fell back to the exact "
+                "scan — the executed plan never read the IVF cells/ layout"
+            )
+        return routed.select("neighbor_id", F.round("dist", 6).alias("dist"))
+    finally:
+        unregister_corpus_index(view)
+
+
 # --------------------------------------------------------------------------
 # Cosine-metric routed retrieval (r10): cosine is the conventional text-
 # embedding metric; both written index families now carry their metric
