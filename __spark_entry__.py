@@ -89,10 +89,15 @@ _RECHECK: dict[str, int] = {
     # with the oracle's float64 fold over raw vectors (the determinism
     # fix for the r10 driver-red cosine pair) — the IP pair's r10 greens
     # certified the old augmented-l2 dist values
-    "retrieve_routed_cosine": 11,
-    "retrieve_routed_cosine_nsw": 11,
     "retrieve_routed_ip": 11,
     "retrieve_routed_ip_nsw": 11,
+    # r12: the cosine pins' hashed projection drops the engine-computed
+    # double entirely — (ids, rank, document, dist_ok boolean invariant)
+    # vs constant-TRUE oracle; r10+r11 proved fold-alignment cannot make
+    # a hashed round(double,6) engine-portable here
+    "retrieve_routed_cosine": 12,
+    "retrieve_routed_cosine_nsw": 12,
+    "routed_sql_cosine": 12,
 }
 
 

