@@ -415,6 +415,14 @@ class IVFIndex:
             assigned.write.mode("append").partitionBy("centroid_id").parquet(
                 f"{path}/cells"
             )
+            # the written layout changed under any index a prior
+            # retrieve() loaded from this path — drop those entries so
+            # the next routed call reloads (the content stamp in the
+            # cache key also catches this cross-process; the hook keeps
+            # the in-process FIFO from pinning dead entries)
+            from chatbot_spark.plans.retrieve import invalidate_index_cache
+
+            invalidate_index_cache(path)
         out = IVFIndex(
             cents,
             self.indexed.unionByName(assigned),

@@ -632,6 +632,9 @@ class NSWGraphIndex:
                 "overwrite"
             ).parquet(f"{path}/tombstones")
             compacted = spark.read.parquet(f"{path}/graph")
+            from chatbot_spark.plans.retrieve import invalidate_index_cache
+
+            invalidate_index_cache(path)
         out = NSWGraphIndex(
             self.centroids, compacted, self.centers, vec_col, id_col,
             metric=self.metric,
@@ -802,6 +805,12 @@ class NSWGraphIndex:
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+            # cached loaded indexes for this path are now stale (the
+            # content stamp also catches it; the hook keeps in-process
+            # FIFO entries from lingering)
+            from chatbot_spark.plans.retrieve import invalidate_index_cache
+
+            invalidate_index_cache(path)
             out = NSWGraphIndex(
                 self.centroids,
                 spark.read.parquet(f"{path}/graph"),
@@ -995,6 +1004,9 @@ class NSWGraphIndex:
         if path is None or not changed:
             if path is not None:
                 centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+                from chatbot_spark.plans.retrieve import invalidate_index_cache
+
+                invalidate_index_cache(path)
             # keep only the FINAL round's persist (the returned graph);
             # earlier rounds' cached parents are dead weight. The
             # per-round broadcasts stay live (the returned graph is lazy
@@ -1028,6 +1040,9 @@ class NSWGraphIndex:
         import shutil
 
         shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+        from chatbot_spark.plans.retrieve import invalidate_index_cache
+
+        invalidate_index_cache(path)
         # everything is on disk now — free the per-round caches and plan
         # broadcasts entirely
         for p in persisted:
@@ -1068,10 +1083,18 @@ class NSWGraphIndex:
         when the requested search IS the exact scan — every shard probed
         (nprobe ≥ nshards) and a whole-shard beam (ef_search ≥ max shard
         size) on the broadcast route — the per-shard Python beam walk
-        computes exactly the broadcast-query JVM scan, row for row (the
-        kernel's numpy float64 sums are sequential at dim ≤ 128, the
-        same left fold as functions/vector), but orders of magnitude
-        more slowly. The fast path runs the scan instead: tombstones and
+        computes exactly the broadcast-query JVM scan, row for row. The
+        bit-equality argument is dim-bounded: the kernel's numpy float64
+        sums are sequential (the same left fold as functions/vector)
+        only at dim ≤ 128 (numpy's pairwise-summation block); above
+        that, walk and scan distances can differ in the last ULP, so
+        equality of the returned ROWS holds because ranking ties break
+        on neighbor_id and a ULP-wide distance near-tie between distinct
+        neighbors is required to flip membership — enforced at the
+        reference's real 1024-d by a walk≡scan row-equality test
+        (tests/test_ann.py::test_exact_fast_path_matches_walk_1024d)
+        rather than a guard, keeping the fast path at high dim. The
+        fast path runs the scan instead: tombstones and
         the allowed mask become plain emission filters (routing is
         irrelevant when every node is visited), queries broadcast-join
         without ever touching the driver. Pass False to certify the walk
@@ -1153,6 +1176,11 @@ class NSWGraphIndex:
             and nprobe >= len(c)
             and ef >= self._max_shard_rows()
         ):
+            # contract consistency with the walk paths (r11 ADVICE): both
+            # routes raise on an empty query batch, and this probe is
+            # strictly cheaper than the broadcast walk's full collect
+            if queries.isEmpty():
+                raise ValueError("empty query set")
             from chatbot_spark.functions.vector import sq_l2_distance
 
             src = self.graph.select(id_col, vec_col)
@@ -1312,12 +1340,16 @@ class NSWGraphIndex:
     def _max_shard_rows(self) -> int:
         """Largest shard's row count, memoized per instance — one
         metadata-cheap aggregate; the graph is immutable per instance
-        (append/rebalance/delete all return new indexes)."""
+        (append/rebalance/delete all return new indexes). An EMPTY graph
+        yields 0 (the max aggregate is NULL), not a TypeError — the
+        exact-fast-path condition and the slo=1.0 retrieve branch both
+        evaluate this unconditionally (r11 ADVICE)."""
         if getattr(self, "_max_shard_memo", None) is None:
-            self._max_shard_memo = int(
+            top = (
                 self.graph.groupBy("shard").count().agg(F.max("count"))
                 .first()[0]
             )
+            self._max_shard_memo = int(top) if top is not None else 0
         return self._max_shard_memo
 
     def _nlist(self) -> int:

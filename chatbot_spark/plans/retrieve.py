@@ -340,15 +340,47 @@ _INDEX_CACHE_MAX = 8
 
 def invalidate_index_cache(path: str | None = None) -> None:
     """Drop cached loaded indexes — EVERY entry with ``path=None``, else
-    the entries for one written-index path. Needed only after an
-    IN-PLACE ``append(path=...)`` mutated a written index a prior
-    retrieve() had loaded (versioned/CURRENT-pointer layouts get a fresh
-    directory per commit and never need this)."""
+    the entries for one written-index path — and ALL memoized corpus
+    counts (_COUNT_CACHE): the in-place-mutation scenario that stales a
+    loaded index also stales the allowed/total counts a long-lived
+    serving loop memoized over the same storage, which would silently
+    mis-size the brute cutover and the pruned-NSW beam widening (r11
+    ADVICE). Since r12 this is a SAFETY VALVE, not a required call:
+    the cache key carries a content stamp (_index_content_stamp) that
+    changes on every in-place ``append(path=...)`` / ``compact_deletes
+    (path=...)`` write, and those methods also call this hook — a
+    retrieve after an in-place mutation loads fresh with no manual
+    call. Versioned/CURRENT-pointer layouts get a fresh directory per
+    commit and never needed any of it."""
+    _COUNT_CACHE.clear()
     if path is None:
         _INDEX_CACHE.clear()
         return
     for key in [k for k in _INDEX_CACHE if k[2] == path]:
         _INDEX_CACHE.pop(key, None)
+
+
+def _index_content_stamp(spark, path: str) -> tuple:
+    """Cheap content fingerprint of a written index: the modification
+    time of each data dir's _SUCCESS marker (Spark rewrites the marker
+    on EVERY successful write job — mode-append, overwrite, and dynamic
+    partition overwrite alike), plus the marker's presence set. An
+    in-place append/compact therefore changes the stamp and the next
+    retrieve() loads fresh — cross-process safe, unlike the in-process
+    invalidation hook. Cost: ≤4 FS metadata RPCs per retrieve call,
+    micro against the ~0.5 s load it guards."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    stamp = []
+    for sub in ("cells", "graph", "centroids", "tombstones", "meta"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}/_SUCCESS")
+        try:
+            fs = p.getFileSystem(conf)
+            st = fs.getFileStatus(p)
+            stamp.append((sub, st.getModificationTime(), st.getLen()))
+        except Exception:
+            continue  # this layout has no such dir — part of the stamp
+    return tuple(stamp)
 
 
 def _routed_universal(
@@ -413,17 +445,6 @@ def _routed_universal_planned(
     from chatbot_spark.operators.ann import IVFIndex
     from chatbot_spark.operators.hnsw import NSWGraphIndex
 
-    if cfg.filter is not None and cfg.filter_brute_threshold > 0:
-        if _n_allowed() <= cfg.filter_brute_threshold:
-            from chatbot_spark.operators.topk import knn_join
-
-            return knn_join(
-                queries_df, corpus.filter(F.expr(cfg.filter)), k=cfg.k,
-                metric=cfg.metric,
-                corpus_id=cfg.index_id_col, corpus_vec=cfg.index_vec_col,
-                extra_cols=["document"],
-            ).select("query_id", "neighbor_id", "rank", "dist", "document")
-
     kind = cfg.index_kind
     if kind == "auto":
         kind = _sniff_index_kind(spark, cfg.index_path)
@@ -433,14 +454,22 @@ def _routed_universal_planned(
     # serving-path index cache: a hot retrieve() loop must not re-pay
     # the load actions per call (meta + centroids read, centroid count,
     # layout sniff — measured ~0.5 s/call against a ~2.4 s search in
-    # BENCH_ANN_FILTERED's policy rows). Keyed on the EXACT path: the
-    # versioned-commit layout (io/versioned) gives every OPTIMIZE a
-    # fresh version directory, so serving sessions that resolve CURRENT
-    # never see a stale entry; an IN-PLACE append(path=...) mutates the
-    # cells under a cached listing — call invalidate_index_cache(path)
-    # after one (or serve from versioned paths, the deployment shape).
+    # BENCH_ANN_FILTERED's policy rows). Keyed on (session identity,
+    # exact path, CONTENT STAMP): the stamp (see _index_content_stamp)
+    # makes an in-place append/compact load fresh automatically — the
+    # r11 silent-staleness window is closed; versioned-commit layouts
+    # (io/versioned) get a fresh directory per OPTIMIZE and never hit
+    # it. Session identity is applicationId + a weak self-ref, NOT
+    # id(spark): CPython recycles ids after GC, so a stopped session's
+    # entry could otherwise serve DataFrames bound to a dead context to
+    # an unlucky new session (r11 ADVICE).
     cache_key = (
-        id(spark), kind, cfg.index_path, cfg.index_vec_col, cfg.index_id_col
+        spark.sparkContext.applicationId,
+        kind,
+        cfg.index_path,
+        cfg.index_vec_col,
+        cfg.index_id_col,
+        _index_content_stamp(spark, cfg.index_path),
     )
     index = _INDEX_CACHE.get(cache_key)
     if index is None:
@@ -476,6 +505,27 @@ def _routed_universal_planned(
             f"cfg.index_nlist={cfg.index_nlist} does not match the loaded "
             f"index ({nlist} centroids) — drop it or fix the config"
         )
+
+    # selective-filter brute cutover (see RetrieveConfig.filter_brute_
+    # threshold): when the filtered subset is small, the exact scan OVER
+    # THE SUBSET is both cheaper than index traversal and exact at any
+    # selectivity — skip the index traversal entirely. The gate sits
+    # AFTER load + metric/nlist validation (r11 ADVICE: the old
+    # return-before-load silently skipped the refuse-loudly checks, so a
+    # misregistered index only surfaced once the subset crossed the
+    # cutover); the load is _INDEX_CACHE'd, so a hot serving loop pays
+    # the metadata read once, not per call.
+    if cfg.filter is not None and cfg.filter_brute_threshold > 0:
+        if _n_allowed() <= cfg.filter_brute_threshold:
+            from chatbot_spark.operators.topk import knn_join
+
+            return knn_join(
+                queries_df, corpus.filter(F.expr(cfg.filter)), k=cfg.k,
+                metric=cfg.metric,
+                corpus_id=cfg.index_id_col, corpus_vec=cfg.index_vec_col,
+                extra_cols=["document"],
+            ).select("query_id", "neighbor_id", "rank", "dist", "document")
+
     if cfg.index_nprobe is not None:
         if not (1 <= cfg.index_nprobe <= nlist):
             raise ValueError(
@@ -579,6 +629,15 @@ def _routed_universal_planned(
         # paths and the DuckDB oracles use), and rank re-derived from it:
         # one Q×k join back to the raw corpus, never a rescan. The index
         # dist stays internal — candidate selection is unchanged.
+        # Residual boundary tolerance (r11 ADVICE): the re-rank is WITHIN
+        # the k candidates the index's float32 fold selected, so when the
+        # true float64 dists of candidates k and k+1 differ by less than
+        # the ~1e-7 normalization drift, the returned top-k SET can
+        # differ from the exact float64 top-k at the k boundary even at
+        # recall_slo=1.0 — ordering inside k is canonical, membership at
+        # the boundary carries that ±~1e-7 tolerance. Callers needing
+        # strict set parity should over-fetch (k+m) and truncate after
+        # the canonical re-rank.
         from chatbot_spark.functions.vector import DISTANCES
 
         raw = corpus.select(

@@ -13,6 +13,17 @@ Float discipline (why every query looks the way it does):
  * Ranks order by (value, id) so ties never flip between engines.
  * Every computed column is aliased identically in Spark and SQL (driver
    hashes values under sorted column names).
+ * SIGNED ZERO (the r10/r11 cosine-pin driver-red, root-caused r12):
+   round() of a TINY NEGATIVE double (e.g. a self-match cosine dist of
+   -2.2e-16) yields -0.0 in DuckDB but +0.0 in Spark. Python == treats
+   them equal (local parity green) but the driver's value hash is
+   bit-sensitive (driver red). tools/check_parity.py now FAILs any
+   query whose raw outputs' per-column -0.0 counts differ between
+   engines. Rules: never hash an engine-computed double whose value can
+   be tiny-negative — either keep it out of the hashed projection and
+   pin it as a boolean invariant against a constant oracle column (the
+   cosine pins), or normalize with `+ 0.0` on BOTH sides (IEEE:
+   -0.0 + 0.0 = +0.0).
 """
 
 from __future__ import annotations

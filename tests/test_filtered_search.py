@@ -579,3 +579,128 @@ def test_index_cache_reuses_and_invalidates(spark, fixture, tmp_path):
     # query 0 IS rows[0]'s vector: its duplicate 10_000 must now appear
     got0 = _got(res2)[0]
     assert 10_000 in got0
+
+
+def test_index_cache_auto_invalidates_on_inplace_mutation(
+    spark, fixture, tmp_path
+):
+    """r12: an in-place append(path=...) / compact_deletes(path=...) must
+    be visible to the NEXT retrieve() with NO manual
+    invalidate_index_cache call — the r11 silent-staleness window. Two
+    mechanisms close it (both exercised here): the mutating methods call
+    the invalidation hook in-process, and the cache key carries a
+    content stamp so even a cross-process mutation misses the cache."""
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans import retrieve as retrieve_mod
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+
+    # --- IVF append path: new duplicate-of-query row must surface ---
+    path = str(tmp_path / "ivf_auto")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    cfg = RetrieveConfig(
+        mode="universal", k=5, index_path=path, index_id_col="id",
+        index_vec_col="embedding", recall_slo=1.0,
+    )
+    assert 20_000 not in _got(retrieve(qdf, corpus, cfg))[0]  # warms cache
+    extra = spark.createDataFrame(
+        [(20_000, rows[0][1])], "id long, embedding array<double>"
+    )
+    IVFIndex.load(spark, path, vec_col="embedding", id_col="id").append(
+        extra, path=path
+    )
+    corpus2 = corpus.unionByName(
+        extra.withColumn("tag", F.lit(0))
+        .withColumn("document", F.lit("d-20000"))
+        .select(*corpus.columns)
+    )
+    # NO invalidate_index_cache call — query 0 is rows[0]'s own vector,
+    # so its new exact duplicate must appear in the top-k
+    assert 20_000 in _got(retrieve(qdf, corpus2, cfg))[0]
+
+    # --- stamp-only path (simulates a cross-process mutation): drop the
+    # in-process hook's effect by re-warming, then mutate WITHOUT the
+    # hook by rewriting cells directly ---
+    stamp_before = retrieve_mod._index_content_stamp(spark, path)
+    spark.read.parquet(f"{path}/cells").limit(0).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/cells")
+    assert retrieve_mod._index_content_stamp(spark, path) != stamp_before
+
+    # --- NSW delete + compact path: deleted row must stop surfacing ---
+    npath = str(tmp_path / "nsw_auto")
+    NSWGraphIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=2, m=8, ef_construction=32, method="knn",
+    ).write(npath)
+    ncfg = RetrieveConfig(
+        mode="universal", k=5, index_path=npath, index_kind="nsw",
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+    )
+    got = _got(retrieve(qdf, corpus, ncfg))[0]
+    assert got[0] == 0  # self-match first; warms the cache
+    loaded = NSWGraphIndex.load(
+        spark, npath, vec_col="embedding", id_col="id"
+    )
+    loaded.delete([0]).compact_deletes(
+        m=8, ef_construction=32, method="knn", path=npath
+    )
+    corpus3 = corpus.filter(F.col("id") != 0)
+    got_after = _got(retrieve(qdf, corpus3, ncfg))[0]
+    assert 0 not in got_after  # stale cache would still emit id 0
+
+
+def test_brute_gate_still_validates_index_registration(
+    spark, fixture, tmp_path
+):
+    """r11 ADVICE: with a high filter_brute_threshold the brute path
+    returned BEFORE the index was loaded, silently skipping the
+    metric/nlist refuse-loudly checks — a misregistered index only
+    surfaced once the subset crossed the cutover. The gate now sits
+    after load+validation (the load is cached, paid once per path)."""
+    import pytest as _pytest
+
+    from chatbot_spark.operators.ann import IVFIndex
+    from chatbot_spark.plans.retrieve import RetrieveConfig, retrieve
+
+    rows, df, queries, qdf = fixture
+    corpus = df.withColumn(
+        "document", F.concat(F.lit("d-"), F.col("id").cast("string"))
+    )
+    path = str(tmp_path / "ivf_l2")
+    IVFIndex.build(
+        corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
+        nlist=4,
+    ).write(path)
+    # metric mismatch refuses loudly EVEN when the brute gate would fire
+    bad_metric = RetrieveConfig(
+        mode="universal", k=5, metric="cosine", index_path=path,
+        index_id_col="id", index_vec_col="embedding", recall_slo=1.0,
+        filter="tag = 0", filter_brute_threshold=1_000_000,
+    )
+    with _pytest.raises(ValueError, match="built for 'l2'"):
+        retrieve(qdf, corpus, bad_metric)
+    # nlist mismatch likewise
+    bad_nlist = RetrieveConfig(
+        mode="universal", k=5, index_path=path, index_id_col="id",
+        index_vec_col="embedding", recall_slo=1.0, index_nlist=99,
+        filter="tag = 0", filter_brute_threshold=1_000_000,
+    )
+    with _pytest.raises(ValueError, match="does not match the loaded"):
+        retrieve(qdf, corpus, bad_nlist)
+    # and the brute path itself still serves (exact over the subset)
+    ok = RetrieveConfig(
+        mode="universal", k=5, index_path=path, index_id_col="id",
+        index_vec_col="embedding", recall_slo=1.0,
+        filter="tag = 0", filter_brute_threshold=1_000_000,
+    )
+    got = _got(retrieve(qdf, corpus, ok))
+    assert got == _brute_topk(rows, queries, 5, lambda t: t == 0)

@@ -95,6 +95,22 @@ def normalize(rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def neg_zero_counts(rows: list[tuple]) -> dict[int, int]:
+    """Per-column count of float -0.0 cells in the RAW (pre-normalize)
+    result. The r12 lesson: Spark's round() returns +0.0 for tiny
+    negative doubles while DuckDB's returns -0.0; Python == (and
+    normalize() above) treats them equal, but the driver's value hash is
+    bit-sensitive — the r10/r11 cosine-pin driver-reds were exactly
+    this. A per-column count mismatch between engines is therefore a
+    guaranteed driver hash-red that local value comparison cannot see."""
+    counts: dict[int, int] = {}
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                counts[i] = counts.get(i, 0) + 1
+    return counts
+
+
 def floorize_round(sql: str) -> str:
     """Rewrite every round(x) / round(x, n) call in *sql* to the
     rounding-mode-free floor form: floor(x + 0.5) resp.
@@ -172,9 +188,11 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sorted(sdf.columns)
-            srows = normalize(
-                [tuple(r[c] for c in spark_cols) for r in (row.asDict() for row in sdf.collect())]
-            )
+            sraw = [
+                tuple(r[c] for c in spark_cols)
+                for r in (row.asDict() for row in sdf.collect())
+            ]
+            srows = normalize(sraw)
         except Exception as e:
             failures.append(name)
             report[name] = {"status": "FAIL", "detail": f"spark {type(e).__name__}: {e}"}
@@ -189,7 +207,8 @@ def main() -> int:
             duck_cols_raw = [d[0] for d in cur.description]
             order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
             duck_cols = [duck_cols_raw[i] for i in order]
-            drows = normalize([tuple(r[i] for i in order) for r in cur.fetchall()])
+            draw = [tuple(r[i] for i in order) for r in cur.fetchall()]
+            drows = normalize(draw)
             # Schema-only re-probe (LIMIT 0) to get the oracle's arrow
             # types without re-materializing the result.
             duck_schema = con.execute(
@@ -240,6 +259,25 @@ def main() -> int:
             status.append(f"types {tdiff}")
         if len(srows) != len(drows):
             status.append(f"rows spark={len(srows)} duck={len(drows)}")
+        sz_s, sz_d = neg_zero_counts(sraw), neg_zero_counts(draw)
+        if sz_s != sz_d:
+            # bitwise driver-hash red that == comparison cannot see
+            diff = {
+                spark_cols[i]: (sz_s.get(i, 0), sz_d.get(i, 0))
+                for i in set(sz_s) | set(sz_d)
+                if sz_s.get(i, 0) != sz_d.get(i, 0)
+            }
+            status.append(
+                f"SIGNED-ZERO (spark,duck) -0.0 counts differ: {diff} — "
+                "normalize with `+ 0.0` (Spark) / `+ 0.0` (SQL) on the "
+                "rounded output"
+            )
+        elif sz_d:
+            print(
+                f"note  {name}: both engines emit -0.0 "
+                f"({ {spark_cols[i]: c for i, c in sz_d.items()} }) — "
+                "hash-consistent today, prefer normalizing"
+            )
         if not status and srows != drows:
             n_bad = sum(1 for a, b in zip(srows, drows) if a != b)
             ex = next((a, b) for a, b in zip(srows, drows) if a != b)
