@@ -263,6 +263,8 @@ HEADLINE = [
     # bpe_train: 10 driver-coordinated merge rounds — wall-clock is the
     # per-round job floor (~2 s x 10), not a data-plane cost, so it is
     # excluded like the multi-batch streaming drains
+    # bpe_train_speculative: same class (driver-round floor; the batching
+    # win is measured at 2k merges in BENCH_BPE.json's speculative section)
     # snapshot_time_travel: three commit cycles of the versioned-commit
     # writer — measures the commit harness, not a query plan; excluded
     # like the streaming drains

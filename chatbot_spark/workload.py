@@ -4291,6 +4291,32 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_train_speculative", _bpe_oracle_sql(10))
+def bpe_train_speculative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 learn-side, r12 batching form: speculate-then-verify BPE
+    (operators/bpe.py::train_bpe_speculative) — the driver speculates a
+    ranked merge chain, ONE distributed action computes exact per-step
+    pair-count deltas, and the chain's certified prefix is kept (every
+    competitor either exactly known or bounded by the ranked window's
+    floor), so dozens of merges land per driver round-trip instead of
+    one. The merge sequence is PROVABLY the serial greedy order — this
+    pin shares bpe_train's oracle verbatim, so the driver certifies the
+    equivalence on real documents data."""
+    from chatbot_spark.operators.bpe import merges_df, train_bpe_speculative
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = train_bpe_speculative(
+        docs, text_col="text", n_merges=10, batch_size=8, spec_chunk=4
+    )
+    return merges_df(spark, merges).select(
+        F.col("round").cast("long").alias("merge_round"),
+        "left_sym",
+        "right_sym",
+        "merged",
+        "weight",
+    )
+
+
 @query(
     "vocab_topk",
     f"""

@@ -62,6 +62,12 @@ def main() -> int:
     # does not need re-measuring to refresh a noisy serial triple.
     serial_only = "--serial-only" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--serial-only"]
+    if "--speculative" in argv:
+        j = argv.index("--speculative")
+        # drop the flag and its optional numeric operand
+        tail = argv[j + 1 : j + 2]
+        drop = 2 if tail and tail[0].isdigit() else 1
+        argv = argv[:j] + argv[j + drop:]
     n_words = int(argv[0]) if argv else 5000
     spark = get_spark(
         "bench-bpe", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -73,6 +79,98 @@ def main() -> int:
         [(w + " ") * c for w, c in words.items()], "string"
     ).toDF("text").repartition(8).persist()
     docs.count()
+
+    # --speculative [n]: the r12 speculate-then-verify point (r11 verdict
+    # item 4). Runs train_bpe_speculative AND train_bpe_batched to the
+    # same n_merges (default 2000), asserts the merge sequences are
+    # IDENTICAL (batched is itself proven ≡ serial greedy by the pytest
+    # equivalence suite, so equality here certifies speculative ≡ serial
+    # without paying a third 700 s serial run), and records both action
+    # counts — "driver rounds" = distributed actions with a driver
+    # barrier (window sorts + verification collects for speculative; one
+    # argmax sort per loop round for batched), the honest common
+    # denominator. Updates the "speculative" section of BENCH_BPE.json.
+    if "--speculative" in sys.argv:
+        i = sys.argv.index("--speculative")
+        n_spec = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 2000
+        from chatbot_spark.operators.bpe import (
+            train_bpe_batched,
+            train_bpe_speculative,
+        )
+
+        st_s: dict = {}
+        t0 = time.time()
+        ms_spec, _ = train_bpe_speculative(
+            docs, n_merges=n_spec, batch_size=64, spec_chunk=24,
+            checkpoint_every=64, stats=st_s,
+        )
+        spec_sec = round(time.time() - t0, 2)
+        print(f"speculative {n_spec}: {spec_sec}s rounds={st_s['rounds']} "
+              f"factor={round(n_spec / st_s['rounds'], 2)}")
+        st_b: dict = {}
+        t0 = time.time()
+        ms_batch, _ = train_bpe_batched(
+            docs, n_merges=n_spec, batch_size=64, checkpoint_every=64,
+            stats=st_b,
+        )
+        batch_sec = round(time.time() - t0, 2)
+        print(f"batched {n_spec}: {batch_sec}s rounds={st_b['rounds']} "
+              f"factor={round(n_spec / st_b['rounds'], 2)}")
+        if ms_spec != ms_batch:
+            first = next(
+                (k for k, (x, y) in enumerate(zip(ms_spec, ms_batch)) if x != y),
+                min(len(ms_spec), len(ms_batch)),
+            )
+            raise AssertionError(
+                f"speculative diverged from batched(≡serial) at merge {first}"
+            )
+        path = os.path.join(REPO, "BENCH_BPE.json")
+        with open(path) as f:
+            payload = json.load(f)
+        # per-1k segment factors from the speculative milestones
+        seg = {}
+        pts = {0: (0, 0, st_s["t_start_monotonic"])}
+        for b in range(1000, n_spec + 1, 1000):
+            pts[b] = next(
+                (x for x in st_s["milestones"] if x[1] >= b),
+                st_s["milestones"][-1],
+            )
+        bounds = sorted(pts)
+        for lo, hi in zip(bounds, bounds[1:]):
+            r0, g0, s0 = pts[lo]
+            r1, g1, s1 = pts[hi]
+            seg[f"{lo}_{hi}"] = {
+                "sec": round(s1 - s0, 2),
+                "merges": g1 - g0,
+                "driver_rounds": r1 - r0,
+                "batch_factor": round((g1 - g0) / max(r1 - r0, 1), 3),
+            }
+            print(f"spec segment {lo}-{hi}: {seg[f'{lo}_{hi}']}")
+        payload["speculative"] = {
+            "n_merges": n_spec,
+            "total_sec": spec_sec,
+            "driver_rounds": st_s["rounds"],
+            "batch_factor": round(n_spec / st_s["rounds"], 3),
+            "segments": seg,
+            "batched_same_n": {
+                "total_sec": batch_sec,
+                "driver_rounds": st_b["rounds"],
+                "batch_factor": round(n_spec / st_b["rounds"], 3),
+            },
+            "bit_identical_to_batched": True,
+            "rounds_vs_batched_ratio": round(
+                st_b["rounds"] / max(st_s["rounds"], 1), 2
+            ),
+            "loadavg": list(os.getloadavg()),
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"speculative_rounds": st_s["rounds"],
+                          "batched_rounds": st_b["rounds"]}))
+        docs.unpersist()
+        return 0
+
 
     totals: dict[int, float] = {}
     merge_counts: dict[int, int] = {}
