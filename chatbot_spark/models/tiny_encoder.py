@@ -157,3 +157,110 @@ def make_tiny_encoder_embedder(model_name: str = "tiny-v1", dim: int = 64):
         return pd.Series([v.tolist() for v in vecs])
 
     return embed
+
+
+# --------------------------------------------------------------------------
+# TinyCrossScorer — the cross-encoder twin (r11 verdict item 5): the
+# embedding side's serving machinery is certified above; the RERANK path
+# (pair-batched scoring, per-executor weight residency, the reference's
+# 512/8192 token caps — src/rag/embedding/bge.py:237-271) was only
+# gate-tested. This scores (query, passage) PAIRS jointly — a true
+# cross-encoder shape (interaction features, not two independent
+# encodings) — with the same vendored-weights discipline.
+# --------------------------------------------------------------------------
+
+# mirror operators.rerank's caps (reference bge.py:256-258)
+_CROSS_MAX_QUERY_TOKENS, _CROSS_MAX_PASSAGE_TOKENS = 512, 8192
+
+
+def _truncate_ws_tokens(text: str, max_tokens: int) -> str:
+    """Python twin of operators.rerank.truncate_tokens: identity
+    (byte-for-byte, whitespace included) under the cap, else the first
+    max_tokens whitespace tokens joined by single spaces — the two
+    implementations must agree so Spark-side and local scoring match."""
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text or "")]
+    if len(toks) <= max_tokens:
+        return text or ""
+    return " ".join(toks[:max_tokens])
+
+
+class TinyCrossScorer:
+    """Miniature neural cross-encoder: trigram bags of query and passage
+    plus their elementwise interaction → tanh MLP → scalar in (-1, 1).
+    The interaction term is what makes it CROSS (joint scoring, the
+    architectural property rerankers pay a forward pass per pair for)
+    rather than a bi-encoder dot product."""
+
+    def __init__(self, model_name: str = "tiny-cross-v1"):
+        self.model_name = model_name
+        self.emb = _weight(f"{model_name}/emb", (VOCAB_BUCKETS, HIDDEN))
+        self.w1 = _weight(f"{model_name}/w1", (3 * HIDDEN, HIDDEN))
+        self.b1 = _weight(f"{model_name}/b1", (HIDDEN,))
+        self.w2 = _weight(f"{model_name}/w2", (HIDDEN, 1))
+
+    def _bag(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        bags = np.zeros((n, HIDDEN), dtype=np.float32)
+        for i, t in enumerate(texts):
+            ids = TinyEncoder._trigram_ids(t if t is not None else "")
+            bags[i] = self.emb[ids].sum(axis=0)
+        norm = np.linalg.norm(bags, axis=1, keepdims=True)
+        norm[norm == 0.0] = 1.0
+        return bags / norm
+
+    def score(self, queries: list[str], passages: list[str]) -> np.ndarray:
+        """(n,) float32 scores for n (query, passage) pairs — one batched
+        forward pass (two scatter-adds + one GEMM), inputs capped at the
+        reference's 512/8192 whitespace tokens first."""
+        q = self._bag(
+            [_truncate_ws_tokens(t, _CROSS_MAX_QUERY_TOKENS) for t in queries]
+        )
+        d = self._bag(
+            [
+                _truncate_ws_tokens(t, _CROSS_MAX_PASSAGE_TOKENS)
+                for t in passages
+            ]
+        )
+        feats = np.concatenate([q, d, q * d], axis=1)
+        h = np.tanh(feats @ self.w1 + self.b1)
+        return np.tanh(h @ self.w2)[:, 0].astype(np.float32)
+
+    def fingerprint(self) -> dict:
+        probe = self.score(
+            ["what is spark", "what is spark"],
+            ["spark is a distributed engine", "unrelated text entirely"],
+        )
+        return {
+            "model_name": self.model_name,
+            "vocab_buckets": VOCAB_BUCKETS,
+            "hidden": HIDDEN,
+            "max_query_tokens": _CROSS_MAX_QUERY_TOKENS,
+            "max_passage_tokens": _CROSS_MAX_PASSAGE_TOKENS,
+            "weights_sha256": {
+                k: hashlib.sha256(getattr(self, k).tobytes()).hexdigest()[:16]
+                for k in ("emb", "w1", "b1", "w2")
+            },
+            "probe_scores": [round(float(x), 6) for x in probe],
+        }
+
+
+def make_tiny_cross_scorer(model_name: str = "tiny-cross-v1"):
+    """Scorer factory (registered as scorer="tiny_cross" in
+    operators.rerank.cross_score): pair-batched Arrow scoring with
+    per-executor weight residency — the BGE compute_score serving shape,
+    actually executed in-sandbox."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def score(query: pd.Series, doc: pd.Series) -> pd.Series:
+        if not hasattr(score, "_model"):  # lazy per-executor singleton
+            score._model = TinyCrossScorer(model_name)
+        vals = score._model.score(
+            query.fillna("").tolist(), doc.fillna("").tolist()
+        )
+        return pd.Series([float(v) for v in vals])
+
+    return score

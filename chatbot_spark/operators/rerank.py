@@ -112,13 +112,22 @@ def make_bge_cross_scorer(
 
 def cross_score(query_text: Column, doc_text: Column, scorer: str = "hash", **kwargs) -> Column:
     """Scorer registry mirroring the embedding BACKENDS factory: 'hash'
-    (deterministic, engine-agnostic — the test/oracle scorer) or 'bge'
-    (real BGE-M3 cross-encoder, FlagEmbedding-gated)."""
+    (deterministic, engine-agnostic — the test/oracle scorer), 'bge'
+    (real BGE-M3 cross-encoder, FlagEmbedding-gated), or 'tiny_cross'
+    (the vendored pure-numpy cross-encoder — the real-model serving
+    shape with zero blocked deps; models/tiny_encoder.py and
+    MODELS_E2E.json's tiny_cross section)."""
     if scorer == "hash":
         return hash_cross_score(query_text, doc_text)
     if scorer == "bge":
         return make_bge_cross_scorer(**kwargs)(query_text, doc_text)
-    raise ValueError(f"unknown cross scorer {scorer!r}; have ['hash', 'bge']")
+    if scorer == "tiny_cross":
+        from chatbot_spark.models.tiny_encoder import make_tiny_cross_scorer
+
+        return make_tiny_cross_scorer(**kwargs)(query_text, doc_text)
+    raise ValueError(
+        f"unknown cross scorer {scorer!r}; have ['hash', 'bge', 'tiny_cross']"
+    )
 
 
 def rerank(

@@ -364,3 +364,108 @@ def test_tiny_encoder_feeds_routed_index(spark, tmp_path):
     assert routed == exact
     corpus.unpersist()
     queries.unpersist()
+
+
+def test_tiny_cross_scorer_matches_committed_fingerprint():
+    """r12 (r11 verdict item 5): the cross-encoder twin's committed
+    identity — weight hashes + a fixed 2-pair probe batch — must
+    reproduce exactly, mirroring the tiny_encoder record."""
+    import json
+    import os
+
+    from chatbot_spark.models.tiny_encoder import TinyCrossScorer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "MODELS_E2E.json")) as f:
+        committed = json.load(f)
+    assert "tiny_cross" in committed, "MODELS_E2E.json lacks the tiny_cross record"
+    assert (
+        TinyCrossScorer().fingerprint()
+        == committed["tiny_cross"]["fingerprint"]
+    )
+
+
+def test_tiny_cross_scorer_spark_equals_local_inference(spark):
+    """Executor-side pair scoring must match driver-side score() to
+    float32 ULP tolerance independent of partitioning (weight-residency
+    contract, GEMM batch-shape caveat as the encoder twin)."""
+    import numpy as np
+
+    from chatbot_spark.models.tiny_encoder import TinyCrossScorer
+    from chatbot_spark.operators.rerank import cross_score
+
+    pairs = [
+        (i, f"query about {i % 5}", f"passage {i} discussing topic {i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pairs, "id LONG, q STRING, d STRING").repartition(8)
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", cross_score(F.col("q"), F.col("d"), scorer="tiny_cross").alias("s")
+        ).collect()
+    }
+    m = TinyCrossScorer()
+    want = m.score([p[1] for p in pairs], [p[2] for p in pairs])
+    for i in range(len(pairs)):
+        assert abs(got[i] - float(want[i])) <= 1e-6
+
+
+def test_tiny_cross_scorer_caps_match_rerank_truncation(spark):
+    """The 512/8192 whitespace-token caps (reference bge.py:256-258):
+    a query over the cap must score exactly like its truncated form —
+    and the Python truncation must agree with operators.rerank.
+    truncate_tokens' Spark expression on the same input."""
+    from chatbot_spark.models.tiny_encoder import (
+        TinyCrossScorer,
+        _truncate_ws_tokens,
+    )
+    from chatbot_spark.operators.rerank import truncate_tokens
+
+    long_q = " ".join(f"w{i}" for i in range(600))
+    short_q = " ".join(f"w{i}" for i in range(512))
+    m = TinyCrossScorer()
+    a, b = m.score([long_q, short_q], ["some passage", "some passage"])
+    assert float(a) == float(b)
+    # Spark-side and Python-side truncation agree byte-for-byte
+    row = spark.createDataFrame([(long_q,)], "t STRING").select(
+        truncate_tokens(F.col("t"), 512).alias("t")
+    ).first()
+    assert row["t"] == _truncate_ws_tokens(long_q, 512)
+    # identity under the cap, whitespace preserved
+    weird = "a  b\tc"
+    assert _truncate_ws_tokens(weird, 512) == weird
+
+
+def test_tiny_cross_scorer_reranks_hybrid_candidates(spark):
+    """The full rerank serving path with a real (if miniature) model:
+    fuse dense/sparse/colbert components, CROSS-score (query, document)
+    pairs with scorer='tiny_cross', rerank to top-3 — registry dispatch,
+    Arrow pair batching, per-executor residency, deterministic output
+    across repeat runs."""
+    from chatbot_spark.operators.rerank import cross_score, fuse_scores, rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, i, f"candidate passage {i}", 0.1 * i % 1, 0.2 * i % 1, 0.3 * i % 1)
+            for i in range(8)
+        ],
+        "query_id LONG, neighbor_id LONG, document STRING, "
+        "dense DOUBLE, sparse DOUBLE, colbert DOUBLE",
+    ).withColumn("query_text", F.lit("what is candidate"))
+    scored = cands.withColumn(
+        "rerank_score",
+        0.5 * fuse_scores(F.col("dense"), F.col("sparse"), F.col("colbert"))
+        + 0.5 * cross_score(
+            F.col("query_text"), F.col("document"), scorer="tiny_cross"
+        ),
+    )
+    out1 = [
+        (r["neighbor_id"], round(r["rerank_score"], 8))
+        for r in rerank(scored, keep=3).orderBy("rerank_rank").collect()
+    ]
+    out2 = [
+        (r["neighbor_id"], round(r["rerank_score"], 8))
+        for r in rerank(scored, keep=3).orderBy("rerank_rank").collect()
+    ]
+    assert out1 == out2 and len(out1) == 3
