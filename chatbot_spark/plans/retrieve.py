@@ -280,15 +280,28 @@ def calibrate_nprobe(
 ) -> int:
     """Per-corpus SLO calibration (r8 verdict item 5): measure recall@k
     against the index's OWN full probe (≡ the exact scan — the
-    fullprobe pins) on a query sample and return the MINIMAL nprobe
+    fullprobe pins) on a query sample and return the minimal nprobe
     meeting the SLO, instead of the fixed nprobe_for_slo tiers measured
     on one synthetic corpus. Works for any index exposing
-    ``search(queries, k=, nprobe=)`` and a ``centroids`` DataFrame (IVF
-    and NSW both do). Ascending linear scan — nlist is small and recall
-    is monotone-in-practice in nprobe; the exact baseline is computed
-    once. Cost: one full-probe search + up to nlist pruned searches over
-    the SAMPLE (keep it ~100s of queries, not the workload)."""
-    from chatbot_spark.operators.ann import recall_at_k
+    ``search(queries, k=, nprobe=)`` and a ``centroids`` DataFrame.
+
+    Cost (r12 — the r11 loop cost 9–15× one full-probe search,
+    BENCH_ANN_CALIB): IVF takes the HISTOGRAM path — recall at EVERY
+    probe width derives from ONE full-probe search, because a pruned
+    IVF search is exact within its probed cells, so an exact-top-k
+    member is recalled at width p iff its cell's per-query rank ≤ p;
+    recall(p) is then the cumulative histogram of those cell ranks
+    (÷ total exact rows, recall_at_k's own normalization) and the
+    minimal SLO-meeting width is read off the cumsum — ~1× a full-probe
+    search, exactly equal to the measured loop's answer (the
+    deterministic (dist, id) tie-break makes the pruned∩exact
+    derivation watertight). Graph indexes (beam recall within a probed
+    shard < 1, so the derivation doesn't hold) keep MEASURED searches
+    but gallop-then-bisect — O(log nlist) searches; the returned width's
+    recall is always measured ≥ slo, with minimality riding on the
+    monotone-in-practice recall assumption. Keep the sample ~100s of
+    queries, not the workload."""
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
 
     nlist = (
         index._nlist()
@@ -297,19 +310,100 @@ def calibrate_nprobe(
     )
     if slo >= 1.0:
         return nlist
+    if isinstance(index, IVFIndex):
+        return _calibrate_nprobe_ivf_histogram(
+            index, sample_queries, slo, k, nlist, **search_kwargs
+        )
     exact = index.search(
         sample_queries, k=k, nprobe=nlist, **search_kwargs
     ).persist()
     exact.count()
-    try:
-        for nprobe in range(1, nlist + 1):
-            approx = index.search(
-                sample_queries, k=k, nprobe=nprobe, **search_kwargs
+    measured: dict[int, float] = {}
+
+    def rec(p: int) -> float:
+        if p not in measured:
+            measured[p] = recall_at_k(
+                index.search(sample_queries, k=k, nprobe=p, **search_kwargs),
+                exact,
             )
-            if recall_at_k(approx, exact) >= slo:
-                return nprobe
+        return measured[p]
+
+    try:
+        hi = 1
+        while hi < nlist and rec(hi) < slo:
+            hi = min(hi * 2, nlist)
+        if rec(hi) < slo:
+            return nlist
+        lo = hi // 2 + 1 if hi > 1 else 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if rec(mid) >= slo:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
     finally:
         exact.unpersist()
+
+
+def _calibrate_nprobe_ivf_histogram(
+    index, sample_queries: DataFrame, slo: float, k: int, nlist: int,
+    **search_kwargs,
+) -> int:
+    """See calibrate_nprobe — the one-search IVF path. The cell ranking
+    replicates IVFIndex.search's routing expression exactly (same
+    sq_l2_distance fold over the metric-transformed query, same
+    (dist, centroid_id) tie-break), so the derived widths probe the
+    same cells the real search will."""
+    from chatbot_spark.functions.vector import (
+        mips_augment_query,
+        normalize,
+        sq_l2_distance,
+    )
+
+    qid = search_kwargs.get("query_id", "query_id")
+    qv = search_kwargs.get("query_vec", "query_embedding")
+    exact = index.search(sample_queries, k=k, nprobe=nlist, **search_kwargs)
+    q = sample_queries
+    if index.metric == "cosine":
+        q = q.withColumn(qv, normalize(F.col(qv)))
+    elif index.metric == "inner_product":
+        q = q.withColumn(qv, mips_augment_query(F.col(qv)))
+    crank = (
+        q.select(F.col(qid), F.col(qv).alias("__qvec"))
+        .crossJoin(F.broadcast(index.centroids.select("centroid_id", "centroid")))
+        .withColumn(
+            "__cdist", sq_l2_distance(F.col("__qvec"), F.col("centroid"))
+        )
+        .withColumn(
+            "__crank",
+            F.row_number().over(
+                Window.partitionBy(qid).orderBy(
+                    F.col("__cdist").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .select(qid, "centroid_id", "__crank")
+    )
+    cells = index.indexed.select(
+        F.col(index.id_col).alias("neighbor_id"), "centroid_id"
+    )
+    hist = (
+        exact.select(qid, "neighbor_id")
+        .join(cells, "neighbor_id")
+        .join(crank, [qid, "centroid_id"])
+        .groupBy("__crank")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in hist)
+    if total == 0:
+        return nlist
+    cum = 0
+    for r in sorted(hist, key=lambda r: r["__crank"]):
+        cum += r["n"]
+        if cum / total >= slo:
+            return int(r["__crank"])
     return nlist
 
 

@@ -868,3 +868,77 @@ def test_retrieve_routed_join_route_same_rows(spark, corpus, tmp_path):
             )
             out[route] = norm(retrieve(queries, emb, cfg).collect())
         assert out["broadcast"] == out["join"], kind
+
+
+def test_calibrate_histogram_equals_measured_loop(spark):
+    """r12 (r11 verdict item 6): the one-search IVF histogram path must
+    return EXACTLY what the r11 measured ascending loop returned — the
+    pruned∩exact derivation (a pruned IVF search is exact within probed
+    cells) is an identity, not an approximation. Checked across SLOs and
+    metrics, including cosine (metric-transformed cell ranking)."""
+    from chatbot_spark.operators.ann import IVFIndex, recall_at_k
+    from chatbot_spark.plans.retrieve import calibrate_nprobe
+
+    def measured_loop(index, sample, slo, k, nlist):
+        exact = index.search(sample, k=k, nprobe=nlist)
+        for nprobe in range(1, nlist + 1):
+            approx = index.search(sample, k=k, nprobe=nprobe)
+            if recall_at_k(approx, exact) >= slo:
+                return nprobe
+        return nlist
+
+    blob = _clustered_corpus(
+        spark, [[0.0] * 4, [3.0, 0, 0, 0]], n_per=150, sigma=4.0, seed=3
+    )
+    for metric in ("l2", "cosine"):
+        index = IVFIndex.build(
+            blob, vec_col="embedding", id_col="id", nlist=6, metric=metric
+        )
+        sample = blob.limit(20).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        for slo in (0.5, 0.8, 0.9, 0.99):
+            want = measured_loop(index, sample, slo, 10, 6)
+            got = calibrate_nprobe(index, sample, slo, k=10)
+            assert got == want, (metric, slo, got, want)
+
+
+def test_calibrate_nsw_gallop_meets_slo(spark):
+    """The graph-index leg keeps MEASURED searches (beam recall within a
+    probed shard < 1, the histogram derivation doesn't hold) but
+    gallops-then-bisects: the returned width's recall is measured ≥ slo
+    and the search count is O(log nlist), pinned via a counting wrapper."""
+    from chatbot_spark.operators.ann import recall_at_k
+    from chatbot_spark.operators.hnsw import NSWGraphIndex
+    from chatbot_spark.plans.retrieve import calibrate_nprobe
+
+    blob = _clustered_corpus(
+        spark, [[0.0] * 4, [4.0, 0, 0, 0], [0, 4.0, 0, 0]],
+        n_per=80, sigma=3.0, seed=9,
+    )
+    index = NSWGraphIndex.build(
+        blob, vec_col="embedding", id_col="id", nlist=8, m=6,
+        ef_construction=32, method="knn",
+    )
+    calls = []
+    orig = index.search
+
+    def counting(*a, **kw):
+        calls.append(kw.get("nprobe"))
+        return orig(*a, **kw)
+
+    index.search = counting
+    sample = blob.limit(15).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    slo = 0.9
+    nprobe = calibrate_nprobe(index, sample, slo, k=10, ef_search=64)
+    index.search = orig
+    exact = index.search(sample, k=10, nprobe=8, ef_search=64)
+    approx = index.search(sample, k=10, nprobe=nprobe, ef_search=64)
+    assert recall_at_k(approx, exact) >= slo
+    # gallop+bisect: ≤ 1 exact + 2·log2(nlist)+2 measured searches, far
+    # under the r11 linear scan's worst case (nlist+1)
+    assert len(calls) <= 9, calls
