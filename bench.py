@@ -544,6 +544,17 @@ def main() -> None:
             ),
         ),
         (
+            "BENCH_ANN_20M.json",
+            "ann_scale_20m",
+            (
+                "n", "exact_search_sec", "knng_build_sec",
+                "calibrated_nprobe", "ef_search", "index_search_sec",
+                "index_search_speedup_vs_exact", "index_recall_at_10",
+                "routed_e2e_sec", "routed_e2e_speedup_vs_exact",
+                "routed_recall_at_10", "optimize_cycle_sec",
+            ),
+        ),
+        (
             "BENCH_ANN_CALIB.json",
             "ann_calibration",
             ("n_docs", "nlist", "full_probe_search_sec", "slos"),

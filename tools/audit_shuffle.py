@@ -126,6 +126,12 @@ DEFAULT_QUERIES = [
     "retrieve_filtered_ivf",
     "retrieve_filtered_nsw",
     "retrieve_filtered_auto",
+    # r12 family: the cosine pins' restructured checked projection adds
+    # a Q×k broadcast join back to the raw vectors (the dist_ok
+    # invariant) — watch that it stays broadcast, never a shuffle of
+    # the corpus
+    "retrieve_routed_cosine",
+    "routed_sql_cosine",
 ]
 
 

@@ -86,7 +86,14 @@ def main() -> int:
     )
     keep_state = len(sys.argv) > 2
     cur = versioned.current_version(state_dir) if keep_state else None
-    out_path = os.path.join(REPO, "BENCH_ANN_10M.json")
+    # size-keyed artifact: the 10M point stays committed history when a
+    # larger run (r11 verdict item 7's 20M doubling) lands beside it
+    out_path = os.path.join(
+        REPO,
+        "BENCH_ANN_10M.json"
+        if n == 10_000_000
+        else f"BENCH_ANN_{n // 1_000_000}M.json",
+    )
     if cur is not None:
         # reuse the committed build; carry its recorded timings forward
         vdir = versioned.resolve(state_dir, cur)
