@@ -453,7 +453,7 @@ def train_bpe_speculative(
     text_col: str = "text",
     n_merges: int = 10,
     batch_size: int = 64,
-    lookahead: int = 512,
+    lookahead: int = 4096,
     spec_chunk: int = 24,
     checkpoint_every: int = 64,
     stats: dict | None = None,
@@ -560,6 +560,13 @@ def train_bpe_speculative(
         if not top:
             break
         window = {(r["a"], r["b"]): int(r["c"]) for r in top}
+        # a window that holds EVERY live pair certifies against floor 0
+        # (no unknown tail at all) — the reason lookahead defaults high
+        # (4096): late-stage BPE collapses counts onto small tie
+        # plateaus, and a truncated window's floor sits ON the plateau,
+        # stopping certification (the measured 2.0 late-segment factor
+        # at lookahead=512); window rows are (a, b, count) triples, so
+        # even 64k rows is sub-MB driver traffic
         floor = int(top[-1]["c"]) if len(top) == lookahead else 0
         want = min(batch_size, n_merges - len(merges))
 
