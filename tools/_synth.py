@@ -20,13 +20,18 @@ def clustered_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: dict | None = None,
+    id_start: int = 0,
 ):
     """(persisted corpus DataFrame) with (id_col, vec_col [, extras]).
     ``extra_cols``: name -> Column-builder fn taking the base id column
-    (e.g. {"tag": lambda id_: (id_ % 100).cast("int")})."""
+    (e.g. {"tag": lambda id_: (id_ % 100).cast("int")}).
+    ``id_start``: first id — an append batch for a corpus of n rows is
+    ``clustered_corpus(spark, 100_000, id_start=n)``, same recipe."""
     from pyspark.sql import functions as F
 
-    base = spark.range(n).withColumn("cl", (F.col("id") % n_clusters).cast("int"))
+    base = spark.range(id_start, id_start + n).withColumn(
+        "cl", (F.col("id") % n_clusters).cast("int")
+    )
 
     def _frac(x):
         return x - F.floor(x)

@@ -114,12 +114,21 @@ def main() -> int:
         try:
             with open(out_path) as f:
                 old = json.load(f)
-            for key in ("knng_build_sec", "index_write_sec"):
+            for key in ("knng_build_sec", "index_write_sec", "knng_build_note"):
                 if key in old:
                     rec[key] = old[key]
             rec["build_reused"] = True
         except (OSError, ValueError):
             rec["build_reused"] = True
+        if "knng_build_sec" not in rec:
+            # the committed build's own run never recorded a clean
+            # timing (e.g. it crashed after the commit) — say so rather
+            # than invent one
+            rec["knng_build_sec"] = None
+            rec["knng_build_note"] = (
+                "build committed by a prior run without a clean timing "
+                "sample; see the 10M artifact for the build-cost trend"
+            )
     else:
         t0 = time.time()
         index = NSWGraphIndex.build(
@@ -184,10 +193,8 @@ def main() -> int:
 
     # one OPTIMIZE cycle: append 100k new rows through the versioned
     # maintenance loop (frozen-centroid routing + size-gated rebalance)
-    extra = (
-        spark.range(n, n + 100_000)
-        .withColumn("cl", (F.col("id") % n_clusters).cast("int"))
-        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    extra = clustered_corpus(
+        spark, 100_000, dim=dim, n_clusters=n_clusters, id_start=n
     )
     t0 = time.time()
     nsw_optimize_cycle(
