@@ -33,6 +33,17 @@ def main() -> int:
     if len(paths) != 4:
         print(__doc__)
         return 2
+    la = os.environ.get("AB_LABEL_A", "r9")
+    lb = os.environ.get("AB_LABEL_B", "r10")
+    ca = os.environ.get("AB_CODE_A", "d8a14cc")
+    cb = os.environ.get("AB_CODE_B", "88bbfde")
+    note = os.environ.get(
+        "AB_NOTE",
+        "closes the r10 BENCH_DIFF adjudication: the committed r10 "
+        "canonical read 13% slower per entry than r9's because the "
+        "HOST was slower that day — on one quiet host, interleaved, "
+        "the same two code versions measure at parity.",
+    )
     r9a, r10a, r10b, r9b = (json.load(open(p)) for p in paths)
     q9 = {
         k: min(r9a["queries"][k], r9b["queries"][k])
@@ -55,20 +66,20 @@ def main() -> int:
     payload = {
         "metric": "ab_drift_adjudication",
         "design": "ABBA interleaved, same host, min-of-2 per entry",
-        "r9_code": "d8a14cc",
-        "r10_code": "88bbfde",
+        f"{la}_code": ca,
+        f"{lb}_code": cb,
         "runs": [
             {
                 "tag": t,
                 "total_sec": d["value"],
                 "loadavg_start": d.get("loadavg"),
             }
-            for t, d in (("r9_run1", r9a), ("r10_run1", r10a),
-                         ("r10_run2", r10b), ("r9_run2", r9b))
+            for t, d in ((f"{la}_run1", r9a), (f"{lb}_run1", r10a),
+                         (f"{lb}_run2", r10b), (f"{la}_run2", r9b))
         ],
         "n_common": len(common),
-        "uniform_ratio_median_r10_over_r9": round(med, 3),
-        "total_common_sec": {"r9": round(total9, 1), "r10": round(total10, 1)},
+        f"uniform_ratio_median_{lb}_over_{la}": round(med, 3),
+        "total_common_sec": {la: round(total9, 1), lb: round(total10, 1)},
         "total_ratio": round(total10 / total9, 3),
         "flagged_entries_ratio_gt_1_25": flagged,
         "verdict": (
@@ -76,21 +87,7 @@ def main() -> int:
             if med < 1.05
             else "ratio above 1.05 — investigate flagged entries"
         ),
-        "known_deltas": {
-            "token_budget_mixture": (
-                "real, deliberate: r10 d0deb31 replaced the layout-"
-                "dependent token-budget cutoff with exact grouped prefix "
-                "sums (the r9 ADVICE correctness fix) — ~0.4s -> ~0.9s at "
-                "sf0.1, the price of layout-invariant exactness; "
-                "reproduces in every A/B run"
-            ),
-        },
-        "note": (
-            "closes the r10 BENCH_DIFF adjudication: the committed r10 "
-            "canonical read 13% slower per entry than r9's because the "
-            "HOST was slower that day — on one quiet host, interleaved, "
-            "the same two code versions measure at parity."
-        ),
+        "note": note,
     }
     out = os.path.join(REPO, "BENCH_AB_DRIFT.json")
     with open(out, "w") as f:
