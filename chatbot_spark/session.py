@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the output partitioning of
+        # CACHED plans too (default false). Every iterative operator here
+        # persists its adjacency/state; with the default, those cached
+        # stages keep their full pre-AQE partition count and every round
+        # re-reads N near-empty cache partitions (measured r13: 64-task
+        # stages per CC round; mixed_edge_batch_components 17.9→13.0 s,
+        # neardup_clusters_exact 20.1→11.9 s, web_curation 13.8→6.1 s
+        # with this on). Partitioning stays bytes-derived (AQE advisory
+        # size), so the same plans keep full parallelism at cluster scale.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # reference table uses zstd compression (load.py:27); parquet analog
