@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from chatbot_spark.operators.textstats import fingerprint, tokens
+from chatbot_spark.operators.textstats import fingerprint, let, tokens
 
 
 # ---------------------------------------------------------------- exact (J1)
@@ -174,14 +174,22 @@ def incremental_dedup(
 # ------------------------------------------------------------- shingles
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column — pure builtins."""
-    toks = tokens(col)
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    """Distinct word n-gram shingles of a text column — pure builtins.
+
+    The token array is let-bound (textstats.let) so tokenization runs
+    once per row: referenced directly inside the per-position lambda it
+    would re-run per shingle — O(len²) per document (r13 measurement:
+    this was the dominant CPU cost of every shingle-based operator)."""
+    return let(
+        tokens(col),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
     )
 
 
@@ -194,8 +202,6 @@ def minhash_signature(col: Column, num_hashes: int = 12, shingle_n: int = 3) -> 
     lexicographic min over the document's shingles. md5 makes the family
     portable: any engine computes the identical signature.
     """
-    sh = shingles(col, shingle_n)
-
     # NB: the lambda must take exactly ONE parameter — pyspark passes
     # (element, index) to two-parameter lambdas, which would silently
     # rebind a `j=j` default to the index column.
@@ -203,8 +209,13 @@ def minhash_signature(col: Column, num_hashes: int = 12, shingle_n: int = 3) -> 
         prefix = f"{j}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    return F.array(
-        *[F.array_min(F.transform(sh, _h(j))) for j in range(num_hashes)]
+    # let-bound: the shingle array is built once per row, not once per
+    # hash function (num_hashes copies of the tokenize+shingle tree).
+    return let(
+        shingles(col, shingle_n),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, _h(j))) for j in range(num_hashes)]
+        ),
     )
 
 
@@ -418,31 +429,46 @@ def simhash_bits(col: Column, n_bits: int = 64) -> Column:
     Entirely higher-order expressions — the per-token 64-bit hash comes
     from two 32-bit md5 words, so no engine-specific hashing is involved.
     """
-    toks = tokens(col)
     votes = F.aggregate(
-        toks,
+        tokens(col),
         F.array_repeat(F.lit(0), n_bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bits - 1)),
-                # (word >> (bpos % 32)) & 1 without shiftright (which needs a
-                # literal shift): word / 2^b truncated, then parity.
-                lambda bpos: (
-                    F.when(
-                        (
-                            F.floor(
-                                F.when(bpos < 32, _hash32(t, 1)).otherwise(_hash32(t, 9))
-                                / F.pow(F.lit(2.0), bpos % 32)
-                            ).cast("long")
-                            % 2
-                        )
-                        == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
+        # The two 32-bit hash words are let-bound per token: referenced
+        # directly inside the per-bit lambda, md5+conv would re-run for
+        # every one of the n_bits positions (r13: 64 md5s per token).
+        lambda acc, t: let(
+            let(
+                F.md5(t),
+                lambda h: F.array(
+                    *[
+                        F.conv(F.substring(h, off, 8), 16, 10).cast("long")
+                        for off in (1, 9)
+                    ]
                 ),
             ),
-            lambda a, v: a + v,
+            lambda w: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                    # (word >> (bpos % 32)) & 1 without shiftright (which
+                    # needs a literal shift): word / 2^b truncated, parity.
+                    lambda bpos: (
+                        F.when(
+                            (
+                                F.floor(
+                                    F.when(bpos < 32, F.element_at(w, 1)).otherwise(
+                                        F.element_at(w, 2)
+                                    )
+                                    / F.pow(F.lit(2.0), bpos % 32)
+                                ).cast("long")
+                                % 2
+                            )
+                            == 1,
+                            F.lit(1),
+                        ).otherwise(F.lit(-1))
+                    ),
+                ),
+                lambda a, v: a + v,
+            ),
         ),
     )
     return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))

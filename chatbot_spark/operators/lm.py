@@ -48,11 +48,18 @@ def doc_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     narrow map) and exploded once; docs with < 2 tokens contribute no
     rows on any engine.
     """
-    w = F.split(F.col(text_col), " ")
-    pairs = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.struct(
-            x.alias("w1"), F.element_at(w, i + F.lit(2)).alias("w2")
+    # let-bound: referenced inside the per-pair lambda, the split would
+    # re-run for every bigram position (O(len²) per doc — the r13 no-CSE-
+    # through-lambdas finding).
+    from chatbot_spark.operators.textstats import let
+
+    pairs = let(
+        F.split(F.col(text_col), " "),
+        lambda w: F.transform(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(w, i + F.lit(2)).alias("w2")
+            ),
         ),
     )
     return (

@@ -26,6 +26,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 _CJK = r"[一-鿿぀-ヿ가-힯]"
 
 
+def let(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE and pass the bound value to ``body`` — a
+    let-binding built from transform over a one-element array.
+
+    Catalyst performs no common-subexpression elimination through
+    ``lambdafunction``: a Column tree referenced k times inside a
+    higher-order lambda is evaluated k times PER ELEMENT. For the text
+    kernels here that meant the full ``regexp_extract_all`` tokenization
+    re-ran for every shingle position — O(len²) per document (measured
+    r13: the single biggest CPU sink of the dedup/ngram family). Binding
+    the array as a lambda variable evaluates it once per row; the body
+    then references a materialized value.
+    """
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens via regexp_extract_all — robust to repeated
     whitespace and identical across engines (unlike split())."""
@@ -143,55 +159,85 @@ def repetition_stats(col: Column, ngram_n: int = 2) -> dict[str, Column]:
 
     Integer counts are exact in both engines; the two ratios are single
     divisions of exact integers — bit-identical, safe to round(6).
+
+    The token array, the sorted-run aggregate and the gram array are all
+    let-bound (``let``): referenced directly across the five signal
+    expressions, tokenization would re-run per signal AND per gram slice
+    (no CSE through lambdafunctions — the r13 O(len²) finding). The five
+    signals are built once inside one bound struct; callers project its
+    fields.
     """
-    toks = tokens(col)
-    n_tok = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    # max token frequency = longest run in the SORTED token array — one
-    # O(N) aggregate pass (the naive transform(distinct, count-in-tokens)
-    # form is O(|vocab|·N) and measured ~5× slower at sf0.1; lambdas run
-    # interpreted, so the constant factor matters).
-    srt = F.array_sort(toks)
-    top_struct = F.aggregate(
-        srt,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-    )
-    top_cnt = F.when(n_tok == 0, F.lit(None)).otherwise(top_struct["best"])
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - F.lit(ngram_n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, ngram_n)),
-    )
-    n_grams = F.size(grams)
-    n_distinct_grams = F.size(F.array_distinct(grams))
-    denom = F.greatest(n_tok, F.lit(1)).cast("double")
-    return {
-        "n_tokens": n_tok.cast("long"),
-        "distinct_token_ratio": n_distinct.cast("double") / denom,
-        "top_token_count": top_cnt.cast("long"),
-        "top_token_frac": top_cnt.cast("double") / denom,
-        "dup_ngram_frac": F.lit(1.0)
-        - n_distinct_grams.cast("double") / F.greatest(n_grams, F.lit(1)).cast("double"),
-    }
+
+    def _signals(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        denom = F.greatest(n_tok, F.lit(1)).cast("double")
+        # max token frequency = longest run in the SORTED token array — one
+        # O(N) aggregate pass (the naive transform(distinct, count-in-tokens)
+        # form is O(|vocab|·N) and measured ~5× slower at sf0.1; lambdas run
+        # interpreted, so the constant factor matters).
+        top_struct = F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, t: F.struct(
+                t.alias("prev"),
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - F.lit(ngram_n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram_n)),
+        )
+        dup_frac = let(
+            grams,
+            lambda g: F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double")
+            / F.greatest(F.size(g), F.lit(1)).cast("double"),
+        )
+        return let(
+            F.when(n_tok == 0, F.lit(None)).otherwise(top_struct["best"]),
+            lambda top_cnt: F.struct(
+                n_tok.cast("long").alias("n_tokens"),
+                (F.size(F.array_distinct(toks)).cast("double") / denom).alias(
+                    "distinct_token_ratio"
+                ),
+                top_cnt.cast("long").alias("top_token_count"),
+                (top_cnt.cast("double") / denom).alias("top_token_frac"),
+                dup_frac.alias("dup_ngram_frac"),
+            ),
+        )
+
+    return {"__rep_struct": let(tokens(col), _signals)}
+
+
+_REPETITION_FIELDS = (
+    "n_tokens",
+    "distinct_token_ratio",
+    "top_token_count",
+    "top_token_frac",
+    "dup_ngram_frac",
+)
 
 
 def with_repetition_stats(
     df: DataFrame, text_col: str = "text", ngram_n: int = 2
 ) -> DataFrame:
-    """Attach the repetition signal set — one narrow JVM-side map."""
-    cols = repetition_stats(F.col(text_col), ngram_n=ngram_n)
-    for name, c in cols.items():
-        df = df.withColumn(name, c)
-    return df
+    """Attach the repetition signal set — one narrow JVM-side map.
+
+    The struct column materializes in its own projection; the field
+    projection stays separate (5 non-cheap references, CollapseProject
+    keeps the barrier), so the whole signal set costs ONE tokenization
+    per row."""
+    s = repetition_stats(F.col(text_col), ngram_n=ngram_n)["__rep_struct"]
+    df = df.withColumn("__rep_struct", s)
+    for name in _REPETITION_FIELDS:
+        df = df.withColumn(name, F.col("__rep_struct")[name])
+    return df.drop("__rep_struct")
 
 
 def rolling_fingerprints(

@@ -768,7 +768,9 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
 def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 oracle path: exact 3-gram Jaccard pairs via inverted shingle
     index (the verification operator behind MinHash LSH)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
     res = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1)
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1663,7 +1665,9 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must produce the same candidate set, not just the same verified set."""
     from chatbot_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
     res = minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text",
         num_hashes=_DUCK_MINHASH_K, bands=_DUCK_MINHASH_K // 2, shingle_n=3,
@@ -1727,7 +1731,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-blocked LSH) shows up as a hash mismatch here."""
     from chatbot_spark.operators.dedup import simhash_pairs
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
     res = simhash_pairs(docs, max_hamming=8, n_bits=64)
     return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -8998,10 +9004,8 @@ def mlm_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform/filter pass over the token array — no explode, no
     shuffle, embarrassingly parallel at 100 TB — and the verdict hashes
     both the corrupted input and the target list."""
-    docs = load_table(spark, sf_dir, "documents")
-    from chatbot_spark.operators.textstats import tokens
-
-    tk = tokens(F.col("text"))
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    from chatbot_spark.operators.textstats import let, tokens
 
     def mask_hash(i):
         return (
@@ -9024,24 +9028,43 @@ def mlm_example_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 150
         )
 
-    pieces = F.transform(
-        tk, lambda x, i: F.when(mask_hash(i), F.lit("<mask>")).otherwise(x)
-    )
-    targets = F.filter(
-        F.transform(
-            tk,
-            lambda x, i: F.when(
-                mask_hash(i), F.concat(i.cast("string"), F.lit("="), x)
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    return docs.select(
+    # let-bound: the token array and the per-position mask bits are each
+    # computed ONCE per row (tk was referenced by 4 output columns and the
+    # mask md5 ran twice per position — the r13 no-CSE-through-lambdas
+    # finding); the four outputs project fields of one bound struct.
+    def _mlm(tk):
+        def _with_mask(mask):
+            pieces = F.zip_with(
+                tk, mask, lambda x, m: F.when(m, F.lit("<mask>")).otherwise(x)
+            )
+            targets = F.filter(
+                F.transform(
+                    tk,
+                    lambda x, i: F.when(
+                        F.element_at(mask, i + F.lit(1)),
+                        F.concat(i.cast("string"), F.lit("="), x),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            return F.struct(
+                F.size(tk).cast("long").alias("n_tokens"),
+                F.size(targets).cast("long").alias("n_masked"),
+                F.md5(F.array_join(pieces, " ")).alias("input_md5"),
+                F.md5(F.array_join(targets, " ")).alias("targets_md5"),
+            )
+
+        return let(
+            F.transform(tk, lambda x, i: mask_hash(i)), _with_mask
+        )
+
+    out = docs.select("doc_id", let(tokens(F.col("text")), _mlm).alias("__m"))
+    return out.select(
         "doc_id",
-        F.size(tk).cast("long").alias("n_tokens"),
-        F.size(targets).cast("long").alias("n_masked"),
-        F.md5(F.array_join(pieces, " ")).alias("input_md5"),
-        F.md5(F.array_join(targets, " ")).alias("targets_md5"),
+        F.col("__m")["n_tokens"].alias("n_tokens"),
+        F.col("__m")["n_masked"].alias("n_masked"),
+        F.col("__m")["input_md5"].alias("input_md5"),
+        F.col("__m")["targets_md5"].alias("targets_md5"),
     )
 
 
@@ -9126,7 +9149,10 @@ def t5_span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact input AND target text of all 500 examples."""
     from chatbot_spark.operators.spancorrupt import t5_span_corrupt
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the tokenize+posexplode feeding the persisted postings is a
+    # CPU-bound narrow map over a single ~600 KB scan split — one task
+    # without the rebalance (guide §2: parallelism from rows, not bytes).
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     res = t5_span_corrupt(docs)
     return res.select(
         "doc_id",
@@ -9263,16 +9289,26 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce keyed by doc) move 32-byte hashes + ids, never text — the
     same exchange discipline as the dedup family. Docs under 8 tokens
     drop identically on both engines (empty shingle list)."""
-    from chatbot_spark.operators.textstats import tokens
+    from chatbot_spark.operators.textstats import let, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
+    # spread: the per-row kernel (tokenize + per-position md5) is CPU-bound
+    # while the scan is one ~600 KB split — without the rebalance the whole
+    # corpus hashes in one task. let-binding the token array keeps the
+    # tokenization O(len) per row (inlined it re-runs per shingle position);
+    # unhex halves the two hash exchanges (16-byte binary vs 32-char hex,
+    # bijective so every count is unchanged).
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.slice(tk, 1, F.greatest(F.size(tk) - 7, F.lit(0))),
-                lambda x, i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 8))),
+            let(
+                tokens(F.col("text")),
+                lambda tk: F.transform(
+                    F.slice(tk, 1, F.greatest(F.size(tk) - 7, F.lit(0))),
+                    lambda x, i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(tk, i + 1, 8)))
+                    ),
+                ),
             )
         ).alias("h"),
     )
@@ -9484,7 +9520,8 @@ def per_lang_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair filter. The oracle replays the scoped bucket ids verbatim."""
     from chatbot_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle+signature kernel is CPU-bound on a one-split scan
+    docs = spread(load_table(spark, sf_dir, "documents"))
     res = minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text",
         num_hashes=_DUCK_MINHASH_K, bands=_DUCK_MINHASH_K // 2, shingle_n=3,
