@@ -585,6 +585,25 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
 
+def _best_label(nbr: DataFrame) -> DataFrame:
+    """(u, __new): the most frequent label per u, count DESC / label ASC
+    tie-break, from a (u, label, cnt) table with distinct labels per u.
+
+    max_by over the lexicographic key struct(cnt, -label) picks exactly
+    the row row_number(ORDER BY cnt DESC, label ASC) = 1 would (the key
+    is unique per group — labels are distinct within u — so the argmax
+    is total and deterministic). A hash aggregate with map-side partial
+    aggregation replaces the r12 window form's per-round sort: one LPA
+    round drops the WindowExec sort + rank-filter entirely (guide §2.3
+    "aggregate before you shuffle"; measured r13 on the incremental_lpa
+    entry)."""
+    return nbr.groupBy("u").agg(
+        F.max_by(
+            "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+        ).alias("__new")
+    )
+
+
 def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous LPA update: every node adopts its neighbors' most
     frequent label (count DESC, label ASC tie-break); dangling nodes keep
@@ -596,12 +615,7 @@ def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy("u", "label")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    best = (
-        nbr.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("u").alias("node"), F.col("label").alias("__new"))
-    )
+    best = _best_label(nbr).select(F.col("u").alias("node"), "__new")
     return labels.join(best, "node", "left").select(
         "node", F.coalesce("__new", "label").alias("label")
     )
@@ -774,12 +788,7 @@ def _incr_lpa_round(und: DataFrame, cur_rec: DataFrame, h_prev: DataFrame) -> Da
         .groupBy("u", "label")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    best = (
-        nbr.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("u").alias("node"), F.col("label").alias("__new"))
-    )
+    best = _best_label(nbr).select(F.col("u").alias("node"), "__new")
     # carry-forward for frontier nodes with no current neighbors
     own_prev = nxt_aff.join(lab_prev, "node")
     return own_prev.join(best, "node", "left").select(

@@ -13365,7 +13365,14 @@ def retrieve_routed_nsw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is seed-dependent (k-means shard assignment), so the driver
     oracle asserts the BASELINE.md SLO (recall@10 >= 0.95 vs the exact
     scan, recomputed in-plan) plus structural counts; the bit-exact
-    transparency pin is the full-probe twin retrieve_routed_nsw."""
+    transparency pin is the full-probe twin retrieve_routed_nsw.
+
+    r13: built with method="knn" (the BLAS KGraph-style per-shard build —
+    same m=16 degree cap, same reachability repair, equal-or-better
+    recall; _build_knn_graph docstring) instead of the sequential
+    insertion loop: the insert kernel was the single biggest job of this
+    entry (~3 s of 6.7 s, event-log profile). The SEARCH setting is
+    unchanged — EF_SEARCH=64 beam over 7/8 routed shards."""
     import os
     import tempfile
 
@@ -13384,7 +13391,7 @@ def retrieve_routed_nsw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="cbs_routednp_q_"), "nsw")
     NSWGraphIndex.build(
         corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
-        nlist=8, m=16, ef_construction=256,
+        nlist=8, m=16, ef_construction=256, method="knn",
     ).write(path)
     q = _queries_from_embeddings(spark, sf_dir)
     cfg = RetrieveConfig(
@@ -14013,7 +14020,12 @@ def retrieve_filtered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     still sees ~32 allowed candidates ≥ k, so the SLO holds without
     over-fetch; a more selective filter is the ef_search knob's job
     (hnsw.py::search docstring). Seed-dependent like every pruned pin —
-    the bit-exact transparency twin is retrieve_filtered_nsw."""
+    the bit-exact transparency twin is retrieve_filtered_nsw.
+
+    r13: method="knn" build (same degree cap + reachability repair,
+    equal-or-better recall; see retrieve_routed_nsw_pruned) — the insert
+    kernel was this entry's biggest job (~2.2 s, event-log profile).
+    Search setting unchanged."""
     import os
     import tempfile
 
@@ -14031,7 +14043,7 @@ def retrieve_filtered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="cbs_fltnp_q_"), "nsw")
     NSWGraphIndex.build(
         corpus.select("id", "embedding"), vec_col="embedding", id_col="id",
-        nlist=8, m=16, ef_construction=256,
+        nlist=8, m=16, ef_construction=256, method="knn",
     ).write(path)
     q = _queries_from_embeddings(spark, sf_dir)
     cfg = RetrieveConfig(
