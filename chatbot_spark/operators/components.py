@@ -56,6 +56,68 @@ __all__ = [
 
 _MAX_FIXPOINT_ROUNDS = 64
 
+# Size gate for the driver-local solve of small / delta-sized graphs
+# (r13 optimization): the CRUD verbs hand this solver DELTA-sized
+# contractions by contract (incremental: contracted on touched
+# components; decremental: the affected slice), so at 100 TB the
+# iterative part is small even though the corpus is not. Below this many
+# DISTINCT symmetrized edges (~16 MB of long pairs at the default — the
+# same order as DEFAULT_BROADCAST_NODE_ROWS and Spark's broadcast
+# budget), the label recurrence is replayed bit-exactly in vectorized
+# numpy on the driver instead of as driver-coordinated Spark rounds:
+# profiling (tools/profile_queries.py, r13) showed these solves spend
+# their wall time on the per-round job floor (~27 ms/job × ~5 jobs/round
+# × rounds, with 3 solver invocations per maintenance query), not on
+# data. Corpus-scale edge sets exceed the gate and take the distributed
+# rounds unchanged. 0 disables the fast path.
+DEFAULT_DRIVER_SOLVE_ROWS = 1_000_000
+
+
+def _solve_cc_numpy(nodes_arr, eu, ev, rounds, assert_converged):
+    """Bit-exact numpy twin of the :func:`_cc_round` recurrence.
+
+    ``nodes_arr``: sorted distinct node ids (int64). ``eu``/``ev``:
+    node-INDEX arrays of the de-self-looped symmetrized distinct edge
+    set (both directions present). Replays hash-to-min + pointer-jump in
+    exact int64 arithmetic: m(v) = min(l(v), min of neighbor labels)
+    (the self-loop term is the explicit ``l.copy()``), then
+    l'(v) = min(m(v), m(m(v))). Labels are always node ids, so m(v)
+    indexes back into ``nodes_arr`` via searchsorted — the same total
+    function the label-keyed jump join computes. Truncated pins
+    (``rounds=k``) produce exactly the k-round state; once a round is a
+    no-op every later round provably is too, so early exit is exact."""
+    import numpy as np
+
+    l = nodes_arr.copy()
+
+    def step(lab):
+        m = lab.copy()
+        if len(eu):
+            np.minimum.at(m, eu, lab[ev])
+        return np.minimum(m, m[np.searchsorted(nodes_arr, m)])
+
+    if rounds is None:
+        for _ in range(_MAX_FIXPOINT_ROUNDS):
+            nxt = step(l)
+            done = bool(np.array_equal(nxt, l))
+            l = nxt
+            if done:
+                break
+    else:
+        for _ in range(rounds):
+            nxt = step(l)
+            done = bool(np.array_equal(nxt, l))
+            l = nxt
+            if done:
+                break
+        if assert_converged and not np.array_equal(step(l), l):
+            raise RuntimeError(
+                f"connected_components: rounds={rounds} did not reach the "
+                "fixpoint (an extra round still changes labels) — raise "
+                "the pin and its unrolled oracle depth together"
+            )
+    return l
+
 
 def connected_components(
     edges: DataFrame,
@@ -63,6 +125,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     assert_converged: bool = False,
+    driver_solve_rows: int = DEFAULT_DRIVER_SOLVE_ROWS,
 ) -> DataFrame:
     """(node, component) — component is the minimum node id reachable
     from ``node``. Node ids must be integral (cast to long here).
@@ -79,7 +142,14 @@ def connected_components(
     and raise if any label still changes — the guard for pinned-round
     callers whose oracle replays the same truncated recurrence and would
     therefore stay hash-green even after scale growth pushed the true
-    fixpoint past the pin. Costs one O(V) count action."""
+    fixpoint past the pin. Costs one O(V) count action.
+
+    ``driver_solve_rows``: below this many distinct symmetrized edges
+    (and nodes) the recurrence replays in exact numpy on the driver
+    (:func:`_solve_cc_numpy`) — bit-identical labels for every
+    rounds/assert combination, without the per-round job floor the
+    distributed loop pays. See DEFAULT_DRIVER_SOLVE_ROWS for the 100 TB
+    rationale; 0 forces the distributed path."""
     from chatbot_spark.operators.graph import _symmetrize, iterate
 
     # the edge input feeds THREE subtrees (symmetrize + both node-set
@@ -102,6 +172,40 @@ def connected_components(
         .union(edges.select(F.col(dst).cast("long").alias("node")))
         .distinct()
     )
+
+    if rounds is not None and rounds < 0:
+        raise ValueError("rounds must be >= 0")
+
+    # small-graph driver solve (r13; see DEFAULT_DRIVER_SOLVE_ROWS): two
+    # counted passes over the (persisted) input decide the regime; under
+    # the gate, the distinct adjacency and node set are collected (Arrow,
+    # bounded by the gate at ~16 MB) and the recurrence replays in numpy
+    # — same labels bit-for-bit, zero per-round jobs. Over the gate, the
+    # distributed rounds below run unchanged.
+    if driver_solve_rows > 0:
+        und = und.persist()
+        small = und.count() <= driver_solve_rows
+        if small:
+            nodes = nodes.persist()
+            small = nodes.count() <= driver_solve_rows
+        if small:
+            import numpy as np
+            import pandas as pd
+
+            und_pdf = und.toPandas()
+            nodes_pdf = nodes.toPandas()
+            und.unpersist()
+            nodes.unpersist()
+            if _owns_cache:
+                edges.unpersist()
+            spark = edges.sparkSession
+            nodes_arr = np.sort(nodes_pdf["node"].to_numpy(dtype=np.int64))
+            eu = np.searchsorted(nodes_arr, und_pdf["u"].to_numpy(dtype=np.int64))
+            ev = np.searchsorted(nodes_arr, und_pdf["v"].to_numpy(dtype=np.int64))
+            lbl = _solve_cc_numpy(nodes_arr, eu, ev, rounds, assert_converged)
+            out = pd.DataFrame({"node": nodes_arr, "component": lbl})
+            return spark.createDataFrame(out, schema="node long, component long")
+
     # self-loops make every node its own neighbor: m(v) <= l(v) without
     # a separate carry-forward join
     adj = und.union(
@@ -111,9 +215,16 @@ def connected_components(
         eager=True
     )
 
+    def _drop_caches() -> None:
+        adj.unpersist()
+        # the gate probe may have left und/nodes persisted (big-graph
+        # regime); unpersist is a no-op on uncached frames
+        und.unpersist()
+        nodes.unpersist()
+        if _owns_cache:
+            edges.unpersist()
+
     if rounds is not None:
-        if rounds < 0:
-            raise ValueError("rounds must be >= 0")
         labels = iterate(labels, lambda lab, _i: _cc_round(adj, lab), rounds)
         if assert_converged:
             probe = iterate(labels, lambda lab, _i: _cc_round(adj, lab), 1)
@@ -123,9 +234,7 @@ def connected_components(
                 .filter(F.col("__new") != F.col("__old"))
             )
             if not moved.isEmpty():
-                adj.unpersist()
-                if _owns_cache:
-                    edges.unpersist()
+                _drop_caches()
                 raise RuntimeError(
                     f"connected_components: rounds={rounds} did not reach the "
                     "fixpoint (an extra round still changes labels) — raise "
@@ -143,9 +252,7 @@ def connected_components(
             labels = nxt
             if done:
                 break
-    adj.unpersist()
-    if _owns_cache:
-        edges.unpersist()
+    _drop_caches()
     return labels.select("node", F.col("lbl").alias("component"))
 
 

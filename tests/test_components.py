@@ -213,6 +213,39 @@ def test_decremental_unknown_removed_edge_is_harmless(spark):
     assert got == {0: 0, 1: 0}
 
 
+def test_cc_driver_solve_matches_distributed_exactly(spark):
+    # r13: the small-graph driver fast path (numpy recurrence twin) must
+    # be bit-identical to the distributed rounds in EVERY mode — fixpoint,
+    # converged truncated pin, and a NON-converged truncated pin (the
+    # driver twin replays the same truncated recurrence, not union-find)
+    rng = random.Random(7)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (None, 12, 1):  # rounds=1 is mid-convergence on 400 nodes
+        fast = {
+            r["node"]: r["component"]
+            for r in connected_components(df, rounds=rounds).collect()
+        }
+        dist = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, rounds=rounds, driver_solve_rows=0
+            ).collect()
+        }
+        assert fast == dist, f"rounds={rounds}"
+
+
+def test_cc_driver_solve_assert_converged_raises_like_distributed(spark):
+    # a 64-node chain cannot converge in 2 rounds: both regimes must raise
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    for kw in ({}, {"driver_solve_rows": 0}):
+        with pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+            connected_components(chain, rounds=2, assert_converged=True, **kw)
+
+
 def test_decremental_gate_shuffle_path_same_labels_and_warns(spark):
     # the giant-component regime (r8 verdict item 1): force the node-set
     # broadcast gate with threshold 0 — every affected node set is now
