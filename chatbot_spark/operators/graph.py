@@ -540,11 +540,69 @@ def hits_integer(
     return out
 
 
+# Size gate for the driver-local replay of the LPA recurrences (r13) —
+# same rationale and default as components.DEFAULT_DRIVER_SOLVE_ROWS
+# (which cannot be imported here: components imports this module): the
+# maintenance verbs operate on delta-sized frontiers and the bench-scale
+# community graphs are tiny, so the wall cost of the distributed rounds
+# is the per-round job-scheduling floor, not data. Below this many
+# symmetrized edge rows the synchronous recurrence replays bit-exactly
+# in vectorized numpy (exact int64 counts and argmax — the max_by
+# tie-break is total); above it the distributed rounds run unchanged.
+DEFAULT_DRIVER_SOLVE_ROWS = 1_000_000
+
+
+def _lpa_best_numpy(u_idx, lab_vals, n):
+    """Exact numpy twin of :func:`_best_label`: per-u most frequent
+    label, count DESC / label ASC tie-break. ``u_idx``: int array of
+    node indices (one per incident edge), ``lab_vals``: the neighbor
+    label carried by that edge, ``n``: node universe size. Returns
+    (has_best bool[n], best int64[n]) — has_best is False for nodes with
+    no incident edge (the left-join carry-forward case)."""
+    import numpy as np
+
+    has = np.zeros(n, dtype=bool)
+    best = np.zeros(n, dtype=np.int64)
+    if len(u_idx) == 0:
+        return has, best
+    order = np.lexsort((lab_vals, u_idx))
+    su, sl = u_idx[order], lab_vals[order]
+    new_grp = np.empty(len(su), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (su[1:] != su[:-1]) | (sl[1:] != sl[:-1])
+    gstart = np.flatnonzero(new_grp)
+    gu, gl = su[gstart], sl[gstart]
+    gcnt = np.diff(np.append(gstart, len(su)))
+    o2 = np.lexsort((gl, -gcnt, gu))
+    gu2, gl2 = gu[o2], gl[o2]
+    first = np.empty(len(gu2), dtype=bool)
+    first[0] = True
+    first[1:] = gu2[1:] != gu2[:-1]
+    has[gu2[first]] = True
+    best[gu2[first]] = gl2[first]
+    return has, best
+
+
+def _collect_sym_graph(und: DataFrame):
+    """Collect a (small, gate-checked) symmetrized edge table: returns
+    (ids int64[n] sorted unique endpoints, eu, ev index arrays — one row
+    per edge row, duplicates preserved so multi-edge counts replay
+    exactly)."""
+    import numpy as np
+
+    pdf = und.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([u, v])) if len(u) else np.empty(0, np.int64)
+    return ids, np.searchsorted(ids, u), np.searchsorted(ids, v)
+
+
 def lpa_communities(
     edges: DataFrame,
     rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    driver_solve_rows: int = DEFAULT_DRIVER_SOLVE_ROWS,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) made fully
     deterministic: every node starts as its own label; each round every
@@ -569,6 +627,19 @@ def lpa_communities(
     label via the left join.
     """
     und = _symmetrize(edges, src, dst).persist()
+    if driver_solve_rows > 0 and und.count() <= driver_solve_rows:
+        import numpy as np
+        import pandas as pd
+
+        spark = edges.sparkSession
+        ids, eu, ev = _collect_sym_graph(und)
+        und.unpersist()
+        lab = ids.copy()
+        for _ in range(rounds):
+            has, best = _lpa_best_numpy(eu, lab[ev], len(ids))
+            lab = np.where(has, best, lab)
+        out = pd.DataFrame({"node": ids, "label": lab})
+        return spark.createDataFrame(out, schema="node long, label long")
     nodes = und.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     labels = iterate(labels, lambda lab, _i: _lpa_round(und, lab), rounds)
@@ -635,6 +706,31 @@ def lpa_with_history(
     pipeline persists them next to the converged labels (R is small —
     the whole history is a few node-sized tables)."""
     und = _symmetrize(edges, src, dst).persist()
+    if (
+        DEFAULT_DRIVER_SOLVE_ROWS > 0
+        and und.count() <= DEFAULT_DRIVER_SOLVE_ROWS
+    ):
+        import numpy as np
+        import pandas as pd
+
+        spark = edges.sparkSession
+        ids, eu, ev = _collect_sym_graph(und)
+        und.unpersist()
+        lab = ids.copy()
+        history = []
+        for r in range(rounds + 1):
+            h = spark.createDataFrame(
+                pd.DataFrame({"node": ids, "label": lab}),
+                schema="node long, label long",
+            )
+            # stash the local arrays so incremental_lpa's driver replay
+            # reads them without a per-table collect job
+            h._cbs_lpa_local = (ids, lab.copy())  # type: ignore[attr-defined]
+            history.append(h)
+            if r < rounds:
+                has, best = _lpa_best_numpy(eu, lab[ev], len(ids))
+                lab = np.where(has, best, lab)
+        return history
     nodes = und.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
@@ -722,6 +818,11 @@ def incremental_lpa(
     ch = changed_edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    if DEFAULT_DRIVER_SOLVE_ROWS > 0 and und.count() <= DEFAULT_DRIVER_SOLVE_ROWS:
+        local = _incremental_lpa_numpy(und, ch, history, return_delta)
+        if local is not None:
+            und.unpersist()
+            return local
     # round-0 recomputed labels: identity (same as scratch); the node
     # set of `rec` IS the round's affected set
     rec = (
@@ -749,6 +850,86 @@ def incremental_lpa(
     )
     und.unpersist()
     return out
+
+
+def _incremental_lpa_numpy(
+    und: DataFrame, ch: DataFrame, history: list[DataFrame], return_delta: bool
+):
+    """Driver replay of the frontier recurrence (:func:`_incr_lpa_round`
+    + the final stitch) for gate-checked small inputs — the numpy ops
+    mirror the distributed round ONE FOR ONE (frontier hop-growth,
+    recomputed-over-stored label resolution, exact count/argmax,
+    carry-forward), so the result is bit-identical. Returns None when a
+    label lookup would fall off both the recomputed set and the stored
+    history (the distributed form would produce a NULL there) — the
+    caller then runs the distributed rounds instead of guessing."""
+    import numpy as np
+    import pandas as pd
+
+    rounds = len(history) - 1
+    spark = und.sparkSession
+    und_pdf = und.toPandas()
+    ch_pdf = ch.toPandas()
+    hist_local = []
+    for h in history:
+        attr = getattr(h, "_cbs_lpa_local", None)
+        if attr is not None:
+            hist_local.append(attr)
+        else:
+            hp = h.toPandas()
+            hist_local.append(
+                (
+                    hp["node"].to_numpy(dtype=np.int64),
+                    hp["label"].to_numpy(dtype=np.int64),
+                )
+            )
+    uu = und_pdf["u"].to_numpy(dtype=np.int64)
+    uv = und_pdf["v"].to_numpy(dtype=np.int64)
+    cu = ch_pdf["u"].to_numpy(dtype=np.int64)
+    cv = ch_pdf["v"].to_numpy(dtype=np.int64)
+    all_ids = np.unique(
+        np.concatenate([uu, uv, cu, cv] + [h[0] for h in hist_local])
+    )
+    n = len(all_ids)
+    eu = np.searchsorted(all_ids, uu)
+    ev = np.searchsorted(all_ids, uv)
+    hmaps = []
+    for h_ids, h_lab in hist_local:
+        h_has = np.zeros(n, dtype=bool)
+        h_map = np.zeros(n, dtype=np.int64)
+        hi = np.searchsorted(all_ids, h_ids)
+        h_has[hi] = True
+        h_map[hi] = h_lab
+        hmaps.append((h_has, h_map))
+    in_rec = np.zeros(n, dtype=bool)
+    in_rec[np.searchsorted(all_ids, cu)] = True
+    in_rec[np.searchsorted(all_ids, cv)] = True
+    rmap = all_ids.copy()  # round-0 recomputed labels: identity
+    for i in range(rounds):
+        h_has, h_map = hmaps[i]
+        nxt = in_rec.copy()
+        nxt[ev[in_rec[eu]]] = True
+        lp_has = in_rec | h_has
+        lp = np.where(in_rec, rmap, h_map)
+        im = nxt[eu]
+        iu, iv = eu[im], ev[im]
+        if not lp_has[iv].all() or not lp_has[nxt].all():
+            return None
+        has, best = _lpa_best_numpy(iu, lp[iv], n)
+        rmap = np.where(has, best, lp)
+        in_rec = nxt
+    if return_delta:
+        out = pd.DataFrame({"node": all_ids[in_rec], "label": rmap[in_rec]})
+        return spark.createDataFrame(out, schema="node long, label long")
+    h_has, h_map = hmaps[rounds]
+    node_mask = np.zeros(n, dtype=bool)
+    node_mask[eu] = True
+    node_mask[ev] = True
+    if not (in_rec | h_has)[node_mask].all():
+        return None
+    final = np.where(in_rec, rmap, h_map)
+    out = pd.DataFrame({"node": all_ids[node_mask], "label": final[node_mask]})
+    return spark.createDataFrame(out, schema="node long, label long")
 
 
 def _default_bucket(col, n_buckets: int):
