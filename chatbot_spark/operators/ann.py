@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chatbot_spark.functions.vector import sq_l2_distance
+from chatbot_spark.io.smallio import read_small_df, write_small_parquet
 
 
 def _numpy_kmeans(X, k: int, seed: int, max_iter: int):
@@ -140,8 +141,33 @@ def _read_index_meta(spark, path: str) -> tuple[str, float | None]:
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
     if not p.getFileSystem(hconf).exists(p):
         return "l2", None
+    from chatbot_spark.io.smallio import read_small_arrow
+
+    tbl = read_small_arrow(spark, f"{path}/meta")
+    if tbl is not None:  # local: driver-side read, no Spark job
+        metric = tbl.column("metric")[0].as_py()
+        m2 = (
+            tbl.column("m2")[0].as_py()
+            if "m2" in tbl.schema.names
+            else None
+        )
+        return metric, m2
     meta = spark.read.parquet(f"{path}/meta").first()
     return meta["metric"], (meta["m2"] if "m2" in meta.asDict() else None)
+
+
+def _meta_table(metric: str, m2: float | None):
+    """The 1-row (metric, m2) meta dataset as a pyarrow table — the
+    driver-side twin of the old createDataFrame(...".write" (identical
+    schema: metric STRING, m2 DOUBLE)."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "metric": pa.array([metric], pa.string()),
+            "m2": pa.array([m2], pa.float64()),
+        }
+    )
 
 
 class IVFIndex:
@@ -297,10 +323,12 @@ class IVFIndex:
         self.indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(
             f"{path}/cells"
         )
-        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-        self.centroids.sparkSession.createDataFrame(
-            [(self.metric, self.m2)], "metric STRING, m2 DOUBLE"
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        # centroids/meta are driver-resident by construction (nlist-
+        # bounded; the numpy fit produced them) — the driver-side parquet
+        # writer skips two ~0.7 s Spark write jobs per index (smallio)
+        spark = self.centroids.sparkSession
+        write_small_parquet(spark, f"{path}/centroids", self.centroids.toArrow())
+        write_small_parquet(spark, f"{path}/meta", _meta_table(self.metric, self.m2))
 
     def append(self, new_rows: DataFrame, path: str | None = None) -> "IVFIndex":
         """Index maintenance: ingest new corpus rows WITHOUT refitting —
@@ -396,21 +424,16 @@ class IVFIndex:
                 # new rows are safe upper bounds, while appended rows
                 # under stale smaller radii would let radius_search
                 # silently DROP matches in the crash/concurrent-load
-                # window between the two writes. A crash mid-overwrite
-                # leaves centroids/ unreadable — a LOUD load() failure,
-                # never a silently-incomplete search; the crash-safe
-                # deployment shape is the io/versioned CURRENT-pointer
-                # store the OPTIMIZE loop uses.
-                cents.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
+                # window between the two writes. cents derives from the
+                # very files being overwritten, so it is MATERIALIZED
+                # driver-side (nlist-bounded) before the overwrite — the
+                # read-overwrite hazard the old centroids_tmp dance
+                # staged around is gone, and the staged-swap write in
+                # smallio keeps the no-half-written-dataset contract.
                 spark = cents.sparkSession
-                cents = spark.read.parquet(f"{path}/centroids_tmp")
-                cents.write.mode("overwrite").parquet(f"{path}/centroids")
-                cents = spark.read.parquet(f"{path}/centroids")
-                jvm = spark._jvm
-                tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids_tmp")
-                tmp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
-                    tmp, True
-                )
+                cents_tbl = cents.toArrow()
+                write_small_parquet(spark, f"{path}/centroids", cents_tbl)
+                cents = spark.createDataFrame(cents_tbl)
         if path is not None:
             assigned.write.mode("append").partitionBy("centroid_id").parquet(
                 f"{path}/cells"
@@ -441,14 +464,19 @@ class IVFIndex:
         cells scan at the FILE level: only nprobe/nlist of the corpus
         parquet is read (PartitionFilters on centroid_id)."""
         metric, m2 = _read_index_meta(spark, path)
+        centroids, ctbl = read_small_df(spark, f"{path}/centroids")
         out = cls(
-            spark.read.parquet(f"{path}/centroids"),
+            centroids,
             spark.read.parquet(f"{path}/cells"),
             vec_col,
             id_col,
             metric,
         )
         out.m2 = m2
+        if ctbl is not None:
+            # driver-side read: the centroid count is already known — the
+            # _nlist() metadata job never needs to run for this instance
+            out._nlist_memo = ctbl.num_rows
         return out
 
     def search(

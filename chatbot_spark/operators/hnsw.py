@@ -53,7 +53,12 @@ import heapq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chatbot_spark.operators.ann import _assign_cells, _numpy_kmeans
+from chatbot_spark.io.smallio import (
+    read_small_arrow,
+    read_small_df,
+    write_small_parquet,
+)
+from chatbot_spark.operators.ann import _assign_cells, _meta_table, _numpy_kmeans
 
 
 def _beam_search(X, adj, q, ef: int, entry: int = 0, extra_entries=(), stats=None):
@@ -510,16 +515,18 @@ class NSWGraphIndex:
         self.graph.write.mode("overwrite").partitionBy("shard").parquet(
             f"{path}/graph"
         )
-        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        # centroids / tombstones / meta are driver-resident by
+        # construction (nlist-bounded centers, the in-memory tombstone
+        # set, one metric row) — driver-side parquet writes skip three
+        # ~0.7 s Spark write jobs per index (io/smallio)
         spark = self.graph.sparkSession
+        write_small_parquet(spark, f"{path}/centroids", self.centroids.toArrow())
         tomb = spark.createDataFrame(
             [(t,) for t in sorted(self.tombstones)],
             f"{self.id_col} {self.graph.schema[self.id_col].dataType.simpleString()}",
         )
-        tomb.write.mode("overwrite").parquet(f"{path}/tombstones")
-        spark.createDataFrame(
-            [(self.metric, self.m2)], "metric STRING, m2 DOUBLE"
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        write_small_parquet(spark, f"{path}/tombstones", tomb.toArrow())
+        write_small_parquet(spark, f"{path}/meta", _meta_table(self.metric, self.m2))
 
     @classmethod
     def load(
@@ -527,8 +534,11 @@ class NSWGraphIndex:
     ) -> "NSWGraphIndex":
         import numpy as np
 
-        centroids = spark.read.parquet(f"{path}/centroids")
-        crows = sorted(centroids.collect(), key=lambda r: r["shard"])
+        centroids, ctbl = read_small_df(spark, f"{path}/centroids")
+        if ctbl is not None:  # local: centers come driver-side, no job
+            crows = sorted(ctbl.to_pylist(), key=lambda r: r["shard"])
+        else:
+            crows = sorted(centroids.collect(), key=lambda r: r["shard"])
         centers = np.array([r["centroid"] for r in crows], dtype=np.float64)
         graph = spark.read.parquet(f"{path}/graph")
         if "layer_adj" not in graph.columns:
@@ -540,9 +550,14 @@ class NSWGraphIndex:
             )
         tombstones: frozenset = frozenset()
         try:
-            tombstones = frozenset(
-                r[0] for r in spark.read.parquet(f"{path}/tombstones").collect()
-            )
+            ttbl = read_small_arrow(spark, f"{path}/tombstones")
+            if ttbl is not None:  # local: driver-side read, no Spark job
+                tombstones = frozenset(ttbl.column(0).to_pylist())
+            else:
+                tombstones = frozenset(
+                    r[0]
+                    for r in spark.read.parquet(f"{path}/tombstones").collect()
+                )
         except Exception:  # pre-tombstone index layout
             pass
         from chatbot_spark.operators.ann import _read_index_meta
@@ -628,9 +643,11 @@ class NSWGraphIndex:
                 "shard"
             ).parquet(f"{path}/graph")
             shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
-            spark.createDataFrame([], f"{id_col} {id_type}").write.mode(
-                "overwrite"
-            ).parquet(f"{path}/tombstones")
+            write_small_parquet(
+                spark,
+                f"{path}/tombstones",
+                spark.createDataFrame([], f"{id_col} {id_type}").toArrow(),
+            )
             compacted = spark.read.parquet(f"{path}/graph")
             from chatbot_spark.plans.retrieve import invalidate_index_cache
 
@@ -1003,7 +1020,9 @@ class NSWGraphIndex:
 
         if path is None or not changed:
             if path is not None:
-                centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+                write_small_parquet(
+                    spark, f"{path}/centroids", centroids.toArrow()
+                )
                 from chatbot_spark.plans.retrieve import invalidate_index_cache
 
                 invalidate_index_cache(path)
@@ -1036,7 +1055,7 @@ class NSWGraphIndex:
             ).parquet(f"{path}/graph")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        write_small_parquet(spark, f"{path}/centroids", centroids.toArrow())
         import shutil
 
         shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)

@@ -150,20 +150,47 @@ class IVFPQIndex:
         self.encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(
             f"{path}/codes"
         )
+        # centroids + codebooks are driver-resident by construction —
+        # driver-side parquet writes, no Spark jobs (io/smallio)
+        import pyarrow as pa
+
+        from chatbot_spark.io.smallio import write_small_parquet
+
         spark = self.encoded.sparkSession
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)],
-            "centroid_id INT, centroid ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        write_small_parquet(
+            spark,
+            f"{path}/centroids",
+            pa.table(
+                {
+                    "centroid_id": pa.array(range(len(self.centers)), pa.int32()),
+                    "centroid": pa.array(
+                        [[float(x) for x in c] for c in self.centers],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        )
         mm, ksub, _ = self.books.shape
-        spark.createDataFrame(
-            [
-                (j, c, [float(x) for x in self.books[j, c]])
-                for j in range(mm)
-                for c in range(ksub)
-            ],
-            "subspace INT, code INT, center ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(f"{path}/books")
+        write_small_parquet(
+            spark,
+            f"{path}/books",
+            pa.table(
+                {
+                    "subspace": pa.array(
+                        [j for j in range(mm) for _ in range(ksub)], pa.int32()
+                    ),
+                    "code": pa.array(list(range(ksub)) * mm, pa.int32()),
+                    "center": pa.array(
+                        [
+                            [float(x) for x in self.books[j, c]]
+                            for j in range(mm)
+                            for c in range(ksub)
+                        ],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        )
 
     @classmethod
     def load(
@@ -171,11 +198,28 @@ class IVFPQIndex:
     ) -> "IVFPQIndex":
         import numpy as np
 
-        crows = spark.read.parquet(f"{path}/centroids").collect()
+        from chatbot_spark.io.smallio import read_small_arrow
+
+        ctbl = read_small_arrow(spark, f"{path}/centroids")
+        crows = (
+            ctbl.to_pylist()
+            if ctbl is not None  # local: driver-side reads, no Spark jobs
+            else [
+                r.asDict()
+                for r in spark.read.parquet(f"{path}/centroids").collect()
+            ]
+        )
         centers = np.empty((len(crows), len(crows[0]["centroid"])), dtype=np.float64)
         for r in crows:
             centers[r["centroid_id"]] = r["centroid"]
-        brows = spark.read.parquet(f"{path}/books").collect()
+        btbl = read_small_arrow(spark, f"{path}/books")
+        brows = (
+            btbl.to_pylist()
+            if btbl is not None
+            else [
+                r.asDict() for r in spark.read.parquet(f"{path}/books").collect()
+            ]
+        )
         m = max(r["subspace"] for r in brows) + 1
         ksub = max(r["code"] for r in brows) + 1
         books = np.empty((m, ksub, len(brows[0]["center"])), dtype=np.float64)

@@ -158,20 +158,42 @@ class PQIndex:
         512-row table; a handful of small files is free by comparison."""
         self.encoded.write.mode("overwrite").parquet(f"{path}/codes")
         m, ksub, dsub = self.books.shape
-        rows = [
-            (j, c, [float(x) for x in self.books[j, c]])
-            for j in range(m)
-            for c in range(ksub)
-        ]
-        self.encoded.sparkSession.createDataFrame(
-            rows, "subspace INT, code INT, center ARRAY<DOUBLE>"
-        ).write.mode("overwrite").parquet(f"{path}/books")
+        # the codebook is driver-resident by construction (numpy fit) —
+        # driver-side parquet write, no Spark job (io/smallio)
+        import pyarrow as pa
+
+        from chatbot_spark.io.smallio import write_small_parquet
+
+        tbl = pa.table(
+            {
+                "subspace": pa.array(
+                    [j for j in range(m) for _ in range(ksub)], pa.int32()
+                ),
+                "code": pa.array(list(range(ksub)) * m, pa.int32()),
+                "center": pa.array(
+                    [
+                        [float(x) for x in self.books[j, c]]
+                        for j in range(m)
+                        for c in range(ksub)
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        write_small_parquet(self.encoded.sparkSession, f"{path}/books", tbl)
 
     @classmethod
     def load(cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id") -> "PQIndex":
         import numpy as np
 
-        rows = spark.read.parquet(f"{path}/books").collect()
+        from chatbot_spark.io.smallio import read_small_arrow
+
+        btbl = read_small_arrow(spark, f"{path}/books")
+        rows = (
+            btbl.to_pylist()
+            if btbl is not None  # local: driver-side read, no Spark job
+            else [r.asDict() for r in spark.read.parquet(f"{path}/books").collect()]
+        )
         m = max(r["subspace"] for r in rows) + 1
         ksub = max(r["code"] for r in rows) + 1
         dsub = len(rows[0]["center"])

@@ -110,19 +110,36 @@ class SQIndex:
         """Code table + a tiny parquet of (dim, lo, span) rows — portable,
         no pickle (same recipe as PQIndex.write)."""
         self.encoded.write.mode("overwrite").parquet(f"{path}/codes")
-        rows = [
-            (i, float(self.mins[i]), float(self.spans[i]))
-            for i in range(len(self.mins))
-        ]
-        self.encoded.sparkSession.createDataFrame(
-            rows, "dim INT, lo DOUBLE, span DOUBLE"
-        ).write.mode("overwrite").parquet(f"{path}/bounds")
+        # bounds are driver-resident by construction — driver-side
+        # parquet write, no Spark job (io/smallio)
+        import pyarrow as pa
+
+        from chatbot_spark.io.smallio import write_small_parquet
+
+        d = len(self.mins)
+        tbl = pa.table(
+            {
+                "dim": pa.array(range(d), pa.int32()),
+                "lo": pa.array([float(x) for x in self.mins], pa.float64()),
+                "span": pa.array([float(x) for x in self.spans], pa.float64()),
+            }
+        )
+        write_small_parquet(self.encoded.sparkSession, f"{path}/bounds", tbl)
 
     @classmethod
     def load(cls, spark, path: str, vec_col: str = "embedding", id_col: str = "id") -> "SQIndex":
         import numpy as np
 
-        rows = spark.read.parquet(f"{path}/bounds").collect()
+        from chatbot_spark.io.smallio import read_small_arrow
+
+        btbl = read_small_arrow(spark, f"{path}/bounds")
+        rows = (
+            btbl.to_pylist()
+            if btbl is not None  # local: driver-side read, no Spark job
+            else [
+                r.asDict() for r in spark.read.parquet(f"{path}/bounds").collect()
+            ]
+        )
         d = max(r["dim"] for r in rows) + 1
         mins = np.zeros(d, dtype=np.float64)
         spans = np.zeros(d, dtype=np.float64)

@@ -515,7 +515,17 @@ def test_probe_fraction_cutover_full_probes_wide_derived_widths(
         retrieve(qdf, corpus, pinned)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan5.count("Scan parquet") >= 2  # shortlist machinery kept
+    # shortlist machinery kept: the cells scan is pruned to the probed
+    # cells (PartitionFilters on centroid_id). The centroids table loads
+    # driver-side since r13 (io/smallio) so it no longer appears as a
+    # second parquet scan — the partition filter is the discriminator
+    # (the fast-path plans above scan cells with NO centroid_id filter).
+    assert "PartitionFilters" in plan5 and "centroid_id" in plan5.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert "PartitionFilters" not in plan_c or "centroid_id" not in plan_c.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
 
 
 def test_index_cache_reuses_and_invalidates(spark, fixture, tmp_path):
