@@ -1024,11 +1024,79 @@ def _merge_windows_to_spans(
     )
 
 
+def _duplicated_spans_sa_numpy(tk: DataFrame, w: int, id_col: str) -> DataFrame:
+    """Driver kernel behind :func:`duplicated_spans_sa`'s size gate: the
+    gate-checked tokenized table (``__id``, ``__toks``, ``__n`` — the
+    SAME Spark tokenization expression, collected once via Arrow, so
+    token boundaries are identical by construction) grouped by exact
+    w-token windows in numpy. Tokens are dictionary-coded to int32
+    (exact: code equality ⟺ string equality), windows are rows of a
+    stride view over the doc-major code stream (rows crossing a doc
+    boundary masked out), and duplicated starts are the rows whose
+    byte-view occurs more than once — token-for-token equality, no
+    hashing, exactly the prefix-doubling classes' duplicated set. The
+    island merge replays :func:`_merge_windows_to_spans` (break where
+    the gap exceeds w, 1-based inclusive spans)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spark = tk.sparkSession
+    tbl = tk.select("__id", "__toks", "__n").toArrow()
+    id_arr = tbl.column("__id").combine_chunks()
+    ntoks = np.asarray(tbl.column("__n").to_numpy(zero_copy_only=False), dtype=np.int64)
+    toks = tbl.column("__toks").combine_chunks()
+    flat = pc.list_flatten(toks)
+    empty_spans = pa.table(
+        {
+            id_col: id_arr.take(pa.array([], pa.int64())),
+            "span_start": pa.array([], pa.int32()),
+            "span_end": pa.array([], pa.int32()),
+        }
+    )
+    if len(flat) == 0 or len(flat) < w:
+        return spark.createDataFrame(empty_spans)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int32)
+    off = np.concatenate([[0], np.cumsum(ntoks)])
+    doc_of = np.repeat(np.arange(len(ntoks), dtype=np.int64), ntoks)
+    g = np.arange(len(codes) - w + 1, dtype=np.int64)
+    d = doc_of[g]
+    s_local = g - off[d]  # 0-based window start within its doc
+    full = s_local <= ntoks[d] - w  # window stays inside one doc
+    if not full.any():
+        return spark.createDataFrame(empty_spans)
+    wins = np.lib.stride_tricks.sliding_window_view(codes, w)[full]
+    wv = np.ascontiguousarray(wins).view(f"V{4 * w}").ravel()
+    _, inv, cnt = np.unique(wv, return_inverse=True, return_counts=True)
+    dup = cnt[inv] > 1
+    dd, ds = d[full][dup], (s_local[full][dup] + 1).astype(np.int32)  # 1-based
+    if len(dd) == 0:
+        return spark.createDataFrame(empty_spans)
+    # island merge per doc (inputs are doc-major, s ascending)
+    brk = np.empty(len(dd), dtype=bool)
+    brk[0] = True
+    brk[1:] = (dd[1:] != dd[:-1]) | (ds[1:] > ds[:-1] + w)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:] - 1, len(dd) - 1)
+    out = pa.table(
+        {
+            id_col: id_arr.take(pa.array(dd[starts], pa.int64())),
+            "span_start": pa.array(ds[starts], pa.int32()),
+            "span_end": pa.array(ds[ends] + np.int32(w - 1), pa.int32()),
+        }
+    )
+    return spark.createDataFrame(out)
+
+
 def duplicated_spans_sa(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    driver_solve_tokens: int = 5_000_000,
 ) -> DataFrame:
     """Suffix-grouping form of :func:`duplicated_spans` — the Lee et al.
     suffix-array semantics computed by EXACT token comparison, no hash
@@ -1067,6 +1135,17 @@ def duplicated_spans_sa(
     of two are reusable for any w in between). The workload pins both
     against brute-force oracles and the pytest twin pins their span-set
     equality on random corpora.
+
+    Size gate (r13, same rationale as the components/LPA driver
+    solves): below ``driver_solve_tokens`` total tokens the duplicated
+    set is computed in one vectorized numpy pass on the driver —
+    EXACT token comparison as here (integer-coded tokens, byte-view
+    window grouping — no hash truncation anywhere), identical
+    duplicated-start set by definition (count of identical w-token
+    windows > 1 is a property of the data, not the algorithm), same
+    island merge. The prefix-doubling rounds pay ceil(log2 w)+1 eager
+    exchanges of job-floor latency that tiny inputs never amortize;
+    past the gate the distributed rounds run unchanged. 0 disables.
     """
     w = int(window)
     if w < 2:
@@ -1075,6 +1154,10 @@ def duplicated_spans_sa(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
+    if driver_solve_tokens > 0:
+        total = tk.agg(F.sum("__n")).first()[0] or 0
+        if total <= driver_solve_tokens:
+            return _duplicated_spans_sa_numpy(tk, w, id_col)
     pos = (
         tk.filter(F.col("__n") >= 1)
         .select(

@@ -819,6 +819,43 @@ def test_duplicated_spans_sa_non_power_of_two_window(spark):
     assert got == [(1, 1, 6), (2, 3, 8)]
 
 
+def test_duplicated_spans_sa_driver_gate_equals_distributed(spark):
+    """r13 size gate: the driver numpy kernel (token dictionary-coding +
+    byte-view window grouping) must return EXACTLY the distributed
+    prefix-doubling rounds' spans — same random corpus run through both
+    paths by toggling driver_solve_tokens, power-of-two and overlapping-
+    blocks windows, and the empty/no-dup edges."""
+    import random
+
+    from chatbot_spark.operators.dedup import duplicated_spans_sa
+
+    rng = random.Random(41)
+    shared = ["s%d" % rng.randrange(20) for _ in range(30)]
+    rows = []
+    for i in range(30):
+        toks = ["u%d_%d" % (i, j) for j in range(rng.randrange(2, 20))]
+        if i % 3 == 0:
+            at = rng.randrange(0, max(1, len(toks)))
+            toks = toks[:at] + shared[: rng.randrange(7, 20)] + toks[at:]
+        if i % 5 == 0:
+            toks = toks + toks[:9]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (4, 6, 8):
+        drv = duplicated_spans_sa(df, window=w)  # gate on (tiny corpus)
+        dist = duplicated_spans_sa(df, window=w, driver_solve_tokens=0)
+        assert [f.dataType for f in drv.schema.fields] == [
+            f.dataType for f in dist.schema.fields
+        ], f"window={w}: schema drift between driver kernel and rounds"
+        assert sorted(map(tuple, drv.collect())) == sorted(
+            map(tuple, dist.collect())
+        ), f"window={w}"
+    none = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    assert duplicated_spans_sa(none, window=3).count() == 0
+
+
 def test_bpe_speculative_equals_serial_greedy(spark):
     """r12 (r11 verdict item 4): the speculate-then-verify trainer must
     reproduce serial greedy BIT-FOR-BIT at every batch size / chunk —
