@@ -192,6 +192,12 @@ def embedding_neardup_pairs_blocked(
     return out
 
 
+# row-chunk width of the driver-gated pair kernel's sims slab (memory
+# bound: chunk x n doubles); module-level so tests can shrink it to
+# exercise chunk boundaries on small corpora
+_DRIVER_PAIR_CHUNK = 4096
+
+
 def embedding_neardup_pairs_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -200,10 +206,21 @@ def embedding_neardup_pairs_bucketed(
     nlist: int = 64,
     seed: int = 42,
     fit_sample_size: int = 200_000,
+    driver_solve_rows: int = 20_000,
 ) -> DataFrame:
     """Cluster-blocked ε-ball self-join — the SemDeDup-style (Abbas et al.
     2023) scale path for embedding near-dup, with an EXACTNESS guarantee
     the plain "compare within cluster" recipe lacks.
+
+    Size gate (r13, the components/LPA driver-solve precedent): at or
+    below ``driver_solve_rows`` non-zero-norm rows the pair set is
+    computed in one chunked BLAS pass on the driver over the SAME
+    JVM-normalized unit vectors the distributed kernel would see — the
+    emitted (min id, max id) pair set is identical (each unordered pair
+    enumerated exactly once either way, same ``thr`` guard band), and
+    the cosine values are the same dgemm to reassociation (~1e-15; the
+    band the distributed kernel already carries). Past the gate the
+    fit + radius + block machinery below runs unchanged; 0 disables.
 
     Geometry: on unit vectors, cosine ≥ τ  ⟺  L2 ≤ ε = sqrt(2 − 2τ). Fit
     k-means cells (the IVFIndex coarse-quantizer machinery), record each
@@ -257,6 +274,39 @@ def embedding_neardup_pairs_bucketed(
         "__id",
         F.transform("__vec", lambda x: x / F.col("__norm")).alias("__unit"),
     )
+
+    if driver_solve_rows > 0:
+        probe = unit.limit(driver_solve_rows + 1).toArrow()
+        if probe.num_rows <= driver_solve_rows:
+            import pyarrow as pa
+
+            ids = np.asarray(
+                probe.column("__id").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            if len(ids) == 0:
+                return spark.createDataFrame([], out_schema)
+            U = np.array(probe.column("__unit").to_pylist(), dtype=np.float64)
+            thr_d = min_cosine - 1e-12
+            outs_a, outs_b, outs_c = [], [], []
+            step = _DRIVER_PAIR_CHUNK  # bounds the sims slab at step x n
+            for a in range(0, len(U), step):
+                sims = U[a : a + step] @ U.T
+                bi, bj = np.nonzero(sims >= thr_d)
+                gi = bi + a
+                keep = gi < bj  # strict upper triangle by position
+                ia, ib = ids[gi[keep]], ids[bj[keep]]
+                outs_a.append(np.minimum(ia, ib))
+                outs_b.append(np.maximum(ia, ib))
+                outs_c.append(sims[bi[keep], bj[keep]])
+            tbl = pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                    "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+                    "cosine": pa.array(np.concatenate(outs_c), pa.float64()),
+                }
+            )
+            return spark.createDataFrame(tbl)
 
     sample = np.array(
         [r[0] for r in unit.select("__unit").limit(fit_sample_size).collect()],

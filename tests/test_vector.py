@@ -234,6 +234,48 @@ def test_bucketed_neardup_equals_exact(spark, sf_dir):
             assert v == pytest.approx(exact[k], abs=1e-6)
 
 
+def test_bucketed_neardup_driver_gate_equals_distributed(spark, sf_dir):
+    """r13 size gate: the driver chunked-BLAS kernel must emit the same
+    pair set as the distributed block machinery (gate toggled via
+    driver_solve_rows), cosines within the documented reassociation
+    band, and a chunk boundary inside the corpus must not drop or
+    duplicate cross-chunk pairs."""
+    import pytest
+
+    from chatbot_spark.operators import similarity as sim_mod
+    from chatbot_spark.operators.similarity import embedding_neardup_pairs_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dist = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_bucketed(
+            emb, min_cosine=0.35, nlist=8, driver_solve_rows=0
+        ).collect()
+    }
+    drv = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_bucketed(
+            emb, min_cosine=0.35, nlist=8
+        ).collect()
+    }
+    assert set(drv) == set(dist)
+    for k, v in drv.items():
+        assert v == pytest.approx(dist[k], abs=1e-6)
+    # chunk boundary inside the corpus: same set, cross-chunk pairs kept
+    orig = sim_mod._DRIVER_PAIR_CHUNK
+    sim_mod._DRIVER_PAIR_CHUNK = 97
+    try:
+        chunked = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs_bucketed(
+                emb, min_cosine=0.35, nlist=8
+            ).collect()
+        }
+    finally:
+        sim_mod._DRIVER_PAIR_CHUNK = orig
+    assert chunked == set(dist)
+
+
 def test_bucketed_neardup_zero_norm_and_empty(spark):
     """Zero-norm vectors never pair (cosine undefined — same contract as
     the exact operator), and an all-zero corpus yields an empty result
