@@ -17,6 +17,16 @@ from chatbot_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Inferred-schema memo for the testdata loader, keyed (path, dir mtime):
+# schema inference reads parquet footers on the driver (~100 ms per
+# read.parquet vs ~30 ms schema-supplied — measured r13), and a bench /
+# parity sweep calls load_table hundreds of times on the SAME immutable
+# tables. The mtime key drops the entry if the dataset is rewritten
+# (part files are created/deleted, so the directory mtime moves). This
+# memoizes plan METADATA only — every query still scans the parquet.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table, e.g. load_table(spark, sf_dir, "lineitem").
 
@@ -41,7 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # stored micros as epoch micros, so read them as TIMESTAMP_LTZ — the
     # raw stored value is preserved bit-for-bit either way.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None  # non-local or missing: plain inferring read below
+    if key is not None and key in _SCHEMA_MEMO:
+        df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
+            while len(_SCHEMA_MEMO) > 64:
+                _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div, NOT floor(x/1000): epoch-nanos (~1.7e18) overflow
         # DOUBLE precision (2^53) and the float division is off by ±1 µs
