@@ -104,6 +104,7 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     init: DataFrame | None = None,
+    driver_solve_rows: int = 1_000_000,
 ) -> DataFrame:
     """Simplified PageRank in exact BIGINT fixed-point.
 
@@ -129,6 +130,14 @@ def pagerank_integer(
     fall back to the current graph's r0 via coalesce). The recurrence is
     identical either way, so the warm-started result is exactly the
     recurrence applied to (coalesced init) — oracle-replayable.
+
+    Size gate (r13, the components/LPA driver-solve precedent): at or
+    below ``driver_solve_rows`` distinct edges the supersteps replay on
+    the driver in vectorized int64 numpy — the arithmetic is EXACT
+    integer floor-division and order-independent integer sums on both
+    paths, so the replay is bit-identical by construction (every
+    quantity non-negative, so floor == Spark's truncating ``div``).
+    Past the gate the Pregel rounds below run unchanged; 0 disables.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -144,6 +153,12 @@ def pagerank_integer(
         .distinct()
         .persist()
     )
+    if driver_solve_rows > 0 and e.count() <= driver_solve_rows:
+        out = _pagerank_numpy(
+            e, iterations, scale, damping_num, damping_den, init
+        )
+        e.unpersist()
+        return out
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -195,6 +210,63 @@ def pagerank_integer(
     for df in (e, nodes, ew, base):
         df.unpersist()
     return rank
+
+
+def _pagerank_numpy(
+    e: DataFrame,
+    iterations: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+    init: DataFrame | None,
+) -> DataFrame:
+    """Driver replay of :func:`pagerank_integer`'s superstep for
+    gate-checked small edge sets — int64 floor-divisions and
+    order-independent integer sums mirror the distributed round ONE FOR
+    ONE, so the result is bit-identical (all quantities non-negative:
+    Python/numpy floor-division == Spark's truncating ``div``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = e.sparkSession
+    tbl = e.toArrow()
+    node_type = tbl.schema.field("src").type
+    s = np.asarray(tbl.column("src").to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(tbl.column("dst").to_numpy(zero_copy_only=False), np.int64)
+    ids = np.unique(np.concatenate([s, d])) if len(s) else np.empty(0, np.int64)
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame(
+            pa.table({"node": pa.array([], node_type), "rank": pa.array([], pa.int64())})
+        )
+    si, di = np.searchsorted(ids, s), np.searchsorted(ids, d)
+    r0 = scale // n
+    rank = np.full(n, r0, dtype=np.int64)
+    if init is not None:
+        itbl = init.select("node", "rank").toArrow()
+        inode = np.asarray(
+            itbl.column("node").to_numpy(zero_copy_only=False), np.int64
+        )
+        irank = np.asarray(
+            itbl.column("rank").to_numpy(zero_copy_only=False), np.int64
+        )
+        pos = np.searchsorted(ids, inode)
+        hit = (pos < n) & (ids[np.minimum(pos, n - 1)] == inode)
+        rank[pos[hit]] = irank[hit]
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    base_term = ((damping_den - damping_num) * r0) // damping_den
+    for _ in range(iterations):
+        contrib = rank[si] // outdeg[si]
+        inc = np.zeros(n, dtype=np.int64)
+        np.add.at(inc, di, contrib)
+        rank = base_term + (damping_num * inc) // damping_den
+    out = pa.table(
+        {
+            "node": pa.array(ids, pa.int64()).cast(node_type),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+    return spark.createDataFrame(out)
 
 
 def triangle_count(

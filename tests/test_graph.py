@@ -55,6 +55,39 @@ def test_pagerank_zero_iterations_uniform(spark):
     assert {r["rank"] for r in got} == {10**12 // 2}
 
 
+def test_pagerank_driver_gate_equals_distributed(spark):
+    """r13 size gate: the numpy replay must equal the distributed Pregel
+    rounds bit-for-bit (toggled via driver_solve_rows), including the
+    warm-start init path with nodes missing from init (coalesce to r0)
+    and init rows for nodes absent from the new graph (dropped)."""
+    edges = [(i % 9, (i * 5 + 2) % 9) for i in range(25)] + [(9, 1), (2, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = {
+        r["node"]: r["rank"] for r in pagerank_integer(df, iterations=4).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iterations=4, driver_solve_rows=0).collect()
+    }
+    assert drv == dist
+    # warm start: init covers some nodes, adds one absent from the graph
+    init = spark.createDataFrame(
+        [(0, 7_000_000), (1, 3_000_000), (999, 5)], "node long, rank long"
+    )
+    drv_w = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, iterations=2, init=init).collect()
+    }
+    dist_w = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            df, iterations=2, init=init, driver_solve_rows=0
+        ).collect()
+    }
+    assert drv_w == dist_w
+    assert 999 not in drv_w
+
+
 def test_pagerank_total_mass_conserved_no_dangling(spark):
     # every node has out-edges -> total mass stays within integer-floor
     # loss of the exact recurrence (each of n nodes floors twice per
