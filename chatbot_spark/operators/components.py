@@ -281,6 +281,7 @@ def incremental_components(
     dst: str = "dst",
     rounds: int | None = None,
     assert_converged: bool = False,
+    driver_solve_rows: int = DEFAULT_DRIVER_SOLVE_ROWS,
 ) -> DataFrame:
     """Incremental connected components under EDGE ADDITIONS — the
     append-only crawl/dedup contract: new links can only MERGE
@@ -310,7 +311,15 @@ def incremental_components(
     100 TB: the corpus-sized tables are touched by exactly two
     label-keyed hash joins (prev snapshot is a stored table — partition
     pruning applies when it is bucketed by label); the iterative part
-    runs on the delta-sized contraction only."""
+    runs on the delta-sized contraction only.
+
+    Size gate (r13): when BOTH the previous snapshot and the delta fit
+    ``driver_solve_rows`` rows, the whole composition — contract joins,
+    the CC recurrence (:func:`_solve_cc_numpy`, the already-pinned twin)
+    and the stitch — replays on the driver in exact int64 numpy,
+    bit-identical row multiset included (each prev row relabels
+    one-for-one; new endpoints anti-joined the same way). The
+    distributed composition below runs unchanged past the gate."""
     prev = prev_labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
@@ -318,6 +327,15 @@ def incremental_components(
     e = new_edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # gate probes cheapest-first: the delta, then the snapshot (one
+    # columnless count each — at scale both are single scans, small next
+    # to the two label-keyed joins the big path runs anyway)
+    if (
+        driver_solve_rows > 0
+        and e.count() <= driver_solve_rows
+        and prev.count() <= driver_solve_rows
+    ):
+        return _incremental_cc_numpy(prev, e, rounds, assert_converged)
     lu = prev.select(F.col("node").alias("u"), F.col("component").alias("cu"))
     lv = prev.select(F.col("node").alias("v"), F.col("component").alias("cv"))
     contracted = (
@@ -341,6 +359,85 @@ def incremental_components(
         prev.select("node"), "node", "left_anti"
     )
     return carried.unionByName(new_nodes)
+
+
+def _incremental_cc_numpy(
+    prev: DataFrame, e: DataFrame, rounds: int | None, assert_converged: bool
+) -> DataFrame:
+    """Driver replay of :func:`incremental_components`' composition for
+    gate-checked small inputs — contract (label lookup with coalesce-to-
+    self), the CC recurrence via :func:`_solve_cc_numpy` (the pinned
+    bit-exact twin of the distributed rounds, same ``rounds`` /
+    ``assert_converged`` semantics), and the stitch (each prev row
+    relabeled one-for-one, plus solved nodes absent from prev)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = prev.sparkSession
+    ptbl = prev.toArrow()
+    etbl = e.toArrow()
+    pn = np.asarray(ptbl.column("node").to_numpy(zero_copy_only=False), np.int64)
+    pc = np.asarray(
+        ptbl.column("component").to_numpy(zero_copy_only=False), np.int64
+    )
+    u = np.asarray(etbl.column("u").to_numpy(zero_copy_only=False), np.int64)
+    v = np.asarray(etbl.column("v").to_numpy(zero_copy_only=False), np.int64)
+    # contract: label(u)/label(v), unseen endpoints keep themselves.
+    # prev is unique by node (the snapshot contract the distributed
+    # joins assume too); sort it once for searchsorted lookups.
+    order = np.argsort(pn, kind="stable")
+    pn_s, pc_s = pn[order], pc[order]
+
+    def _lookup(x):
+        if len(pn_s) == 0:
+            return x.copy()
+        pos = np.searchsorted(pn_s, x)
+        pos_c = np.minimum(pos, len(pn_s) - 1)
+        hit = pn_s[pos_c] == x
+        out = x.copy()
+        out[hit] = pc_s[pos_c[hit]]
+        return out
+
+    cu, cv = _lookup(u), _lookup(v)
+    # connected_components over the contracted edges: node set from the
+    # RAW endpoints; adjacency = de-self-looped symmetrized distinct
+    nodes_arr = (
+        np.unique(np.concatenate([cu, cv])) if len(cu) else np.empty(0, np.int64)
+    )
+    nl = cu != cv
+    su = np.concatenate([cu[nl], cv[nl]])
+    sv = np.concatenate([cv[nl], cu[nl]])
+    if len(su):
+        sym = np.unique(np.stack([su, sv], axis=1), axis=0)
+        eu = np.searchsorted(nodes_arr, sym[:, 0])
+        ev = np.searchsorted(nodes_arr, sym[:, 1])
+    else:
+        eu = ev = np.empty(0, np.int64)
+    lbl = _solve_cc_numpy(nodes_arr, eu, ev, rounds, assert_converged)
+    # stitch: prev rows relabel through the contracted solution (their
+    # component is a contracted-graph node when touched), untouched pass
+    # through; solved nodes absent from prev append as new nodes
+    if len(nodes_arr):
+        pos = np.searchsorted(nodes_arr, pc)
+        pos_c = np.minimum(pos, len(nodes_arr) - 1)
+        hit = nodes_arr[pos_c] == pc
+        carried = pc.copy()
+        carried[hit] = lbl[pos_c[hit]]
+    else:
+        carried = pc.copy()
+    if len(pn_s):
+        pos = np.searchsorted(pn_s, nodes_arr)
+        pos_c = np.minimum(pos, len(pn_s) - 1)
+        is_new = ~(pn_s[pos_c] == nodes_arr) if len(nodes_arr) else np.empty(0, bool)
+    else:
+        is_new = np.ones(len(nodes_arr), dtype=bool)
+    out = pd.DataFrame(
+        {
+            "node": np.concatenate([pn, nodes_arr[is_new]]),
+            "component": np.concatenate([carried, lbl[is_new]]),
+        }
+    )
+    return spark.createDataFrame(out, schema="node long, component long")
 
 
 DEFAULT_BROADCAST_NODE_ROWS = 1_000_000

@@ -111,6 +111,51 @@ def test_incremental_equals_scratch_on_union(spark):
     assert got == _uf_reference(base + delta)
 
 
+def test_incremental_driver_gate_equals_distributed(spark):
+    """r13 composition gate: the driver replay of contract + solve +
+    stitch must equal the distributed composition (gate toggled via
+    driver_solve_rows) as a row MULTISET, across random deltas, pinned
+    rounds, and assert_converged."""
+    from chatbot_spark.operators.components import incremental_components
+
+    rng = random.Random(31)
+    base = [(rng.randrange(150), rng.randrange(150)) for _ in range(90)]
+    base = [(u, v) for u, v in base if u != v]
+    delta = [(rng.randrange(200), rng.randrange(200)) for _ in range(25)]
+    delta = [(u, v) for u, v in delta if u != v]
+    prev = connected_components(
+        spark.createDataFrame(base, "src long, dst long")
+    )
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    for kw in (
+        {"rounds": None},
+        {"rounds": 8, "assert_converged": True},
+    ):
+        drv = sorted(
+            map(tuple, incremental_components(prev, ddf, **kw).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                incremental_components(
+                    prev, ddf, driver_solve_rows=0, **kw
+                ).collect(),
+            )
+        )
+        assert drv == dist, kw
+    # under-pinned rounds must raise identically through the gate
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    empty_prev = spark.createDataFrame([], "node long, component long")
+    with pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+        incremental_components(
+            empty_prev, chain, rounds=2, assert_converged=True
+        ).collect()
+
+
 def test_incremental_merge_two_islands_via_one_bridge(spark):
     base = [(0, 1), (1, 2), (10, 11), (11, 12)]
     got = _inc(spark, base, [(2, 10)])
