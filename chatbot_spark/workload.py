@@ -6900,7 +6900,9 @@ def dataprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chatbot_spark.operators.dedup import exact_dedup
     from chatbot_spark.operators.textstats import quality_score, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the quality gate + shingle build are CPU per row on a
+    # one-split compressed scan (the per_lang_neardup pattern — r13 §3)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     passed = docs.filter(quality_score(F.col("text")) >= 0.6).select("doc_id", "source", "text")
     # d1 feeds three consumers (both posting-join sides via the index,
     # and the final anti-join); persist it — and the posting index — so
