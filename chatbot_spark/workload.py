@@ -7781,7 +7781,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — exact integer parity."""
     from chatbot_spark.operators.fuzzy import fuzzy_pairs
 
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # spread: the deletion-neighborhood expansion is CPU per row on a
+    # one-split scan — neutral at sf0.1 (2.30 vs 2.26 s A/B), −14% at the
+    # sf1 point (24.6 → 21.2 s), a no-op-ish rebalance at real file counts
+    s = spread(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     pairs = fuzzy_pairs(s, id_col="s_suppkey", text_col="s_name", max_dist=2)
     return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 

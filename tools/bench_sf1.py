@@ -114,6 +114,14 @@ PINNED = [
     "retrieve_routed_nsw",
     "exact_substring_sa",
     "token_budget_mixture",
+    # appended r13 (r12 verdict item 2: the r10-r12 heavy additions —
+    # the routed cosine/ip pins and the entries this round's driver
+    # gates / metadata-IO changes touched, so the 10x point certifies
+    # the gates fall back or stay cheap as data grows)
+    "retrieve_routed_cosine",
+    "retrieve_routed_ip",
+    "retrieve_filtered_pruned",
+    "incremental_pagerank",
 ]
 
 
