@@ -691,7 +691,15 @@ def train_bpe_speculative(
             prev_words.unpersist(blocking=False)
         since_ckpt += len(verified)
         if since_ckpt >= checkpoint_every:
+            # rebinding `words` to the checkpointed frame would strand the
+            # persisted predecessor in the cache (next round's
+            # prev_words.unpersist() only sees the checkpointed frame) —
+            # one leaked word-table per checkpoint over a long run (r12
+            # ADVICE). Materialize the checkpoint FROM the cache, then
+            # release the cached copy explicitly.
+            pre_ckpt = words
             words = words.localCheckpoint(eager=True)
+            pre_ckpt.unpersist(blocking=False)
             since_ckpt = 0
         _mark()
     base.unpersist()
