@@ -362,6 +362,37 @@ def main() -> None:
             # 3-6× (cms_heavy_hitters measured 10 s late vs 1.7 s solo)
             spark.catalog.clearCache()
 
+    # gate-off regression leg (r13 verdict item 2): since r13 every graph/
+    # dedup maintenance entry driver-solves at sf0.1, so the DISTRIBUTED
+    # recurrences — the 100 TB path — would otherwise have no tracked
+    # number and a regression in _cc_round/_lpa_round/the Pregel loop
+    # would be invisible round-over-round. CBS_FORCE_DISTRIBUTED=1
+    # (chatbot_spark.gating.effective_gate) forces every size gate to 0
+    # for four representative entries; timings land as ADDED
+    # `<name>__gateoff` keys (existing entries untouched). min-of-two,
+    # same policy as the main loop.
+    gateoff = [
+        "mixed_edge_batch_components",
+        "incremental_lpa",
+        "incremental_pagerank",
+        "exact_substring_sa",
+    ]
+    os.environ["CBS_FORCE_DISTRIBUTED"] = "1"
+    try:
+        for pass_n in range(2):
+            for name in gateoff:
+                fn = SPARK_QUERIES.get(name)
+                if fn is None:
+                    continue
+                key = f"{name}__gateoff"
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t = round(time.time() - t0, 3)
+                times[key] = t if pass_n == 0 else min(times[key], t)
+                spark.catalog.clearCache()
+    finally:
+        os.environ.pop("CBS_FORCE_DISTRIBUTED", None)
+
     # ANN measured as the production shape: build+persist ONCE (amortized
     # over every later search batch — BASELINE.md §C), then search the
     # written, partition-pruned index repeatedly and report the mean.

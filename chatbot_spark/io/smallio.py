@@ -27,6 +27,7 @@ cluster deployments behave exactly as before.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -41,14 +42,27 @@ __all__ = [
 def is_local_path(path: str) -> bool:
     """True when ``path`` addresses the local filesystem (no scheme, or
     an explicit file: scheme) — the only case the pyarrow fast path
-    handles; everything else takes the Spark fallback."""
-    if "://" in path:
-        return path.startswith("file://")
-    return not path.startswith(("hdfs:", "s3:", "s3a:", "gs:", "abfs:"))
+    handles; everything else takes the Spark fallback.
+
+    Allowlist, not blocklist (r13 ADVICE): any URI scheme other than
+    file: — including single-slash forms like ``dbfs:/x`` or
+    ``alluxio:/x`` — goes through Spark, so index side tables can never
+    silently land on the driver's local disk while the data tables go
+    through the Hadoop FS. A Windows drive letter (``C:\\x``) is not a
+    scheme; RFC 3986 schemes are >= 2 chars here, which keeps those
+    local."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+):", path)
+    if m is None:
+        return True
+    return m.group(1).lower() == "file"
 
 
 def _strip_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
 
 
 def write_small_parquet(spark, path: str, table) -> None:

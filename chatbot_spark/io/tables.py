@@ -17,13 +17,14 @@ from chatbot_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Inferred-schema memo for the testdata loader, keyed (path, dir mtime):
+# Inferred-schema memo for the testdata loader, keyed (path, listing):
 # schema inference reads parquet footers on the driver (~100 ms per
 # read.parquet vs ~30 ms schema-supplied — measured r13), and a bench /
 # parity sweep calls load_table hundreds of times on the SAME immutable
-# tables. The mtime key drops the entry if the dataset is rewritten
-# (part files are created/deleted, so the directory mtime moves). This
-# memoizes plan METADATA only — every query still scans the parquet.
+# tables. The key carries every entry's (name, size, mtime_ns), so any
+# rewrite — even within a 1 s mtime tick — changes the key and drops
+# the entry (r13 ADVICE). This memoizes plan METADATA only — every
+# query still scans the parquet.
 _SCHEMA_MEMO: dict = {}
 
 
@@ -53,7 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        key = (path, os.path.getmtime(path))
+        # key on the full listing (name, size, mtime_ns per entry), not
+        # just the directory mtime: a rewrite within one mtime tick (1 s
+        # granularity filesystems) would otherwise serve a stale schema
+        # to spark.read.schema() (r13 ADVICE). One listdir per call —
+        # same order of cost as the getmtime it replaces.
+        with os.scandir(path) as it:
+            listing = tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                )
+            )
+        key = (path, listing)
     except OSError:
         key = None  # non-local or missing: plain inferring read below
     if key is not None and key in _SCHEMA_MEMO:

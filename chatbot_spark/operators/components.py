@@ -42,6 +42,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chatbot_spark.gating import effective_gate, rows_at_most
+
 __all__ = [
     "apply_component_delta",
     "apply_component_delta_versioned",
@@ -176,26 +178,28 @@ def connected_components(
     if rounds is not None and rounds < 0:
         raise ValueError("rounds must be >= 0")
 
-    # small-graph driver solve (r13; see DEFAULT_DRIVER_SOLVE_ROWS): two
-    # counted passes over the (persisted) input decide the regime; under
-    # the gate, the distinct adjacency and node set are collected (Arrow,
-    # bounded by the gate at ~16 MB) and the recurrence replays in numpy
-    # — same labels bit-for-bit, zero per-round jobs. Over the gate, the
-    # distributed rounds below run unchanged.
+    # small-graph driver solve (r13; see DEFAULT_DRIVER_SOLVE_ROWS): a
+    # truncated limit-probe on the RAW edge rows decides the regime (r14,
+    # verdict item 3 — the former full count() of the distinct symmetrized
+    # set paid a complete scan + shuffle per call even on obviously-huge
+    # inputs). raw <= gate bounds the collected adjacency at 2·gate rows
+    # (~32 MB of long pairs) and the node set likewise. Under the gate,
+    # the distinct adjacency and node set are collected (Arrow) and the
+    # recurrence replays in numpy — same labels bit-for-bit, zero
+    # per-round jobs. Over the gate, the distributed rounds below run
+    # unchanged after only a truncated read.
+    driver_solve_rows = effective_gate(driver_solve_rows)
     if driver_solve_rows > 0:
-        und = und.persist()
-        small = und.count() <= driver_solve_rows
-        if small:
-            nodes = nodes.persist()
-            small = nodes.count() <= driver_solve_rows
+        small = rows_at_most(edges.select(F.col(src), F.col(dst)), driver_solve_rows)
         if small:
             import numpy as np
             import pandas as pd
 
+            # und and nodes are each consumed exactly once below; the
+            # persisted `edges` (shared ancestor) is what saves the
+            # double scan of an expensive input subtree
             und_pdf = und.toPandas()
             nodes_pdf = nodes.toPandas()
-            und.unpersist()
-            nodes.unpersist()
             if _owns_cache:
                 edges.unpersist()
             spark = edges.sparkSession
@@ -217,10 +221,6 @@ def connected_components(
 
     def _drop_caches() -> None:
         adj.unpersist()
-        # the gate probe may have left und/nodes persisted (big-graph
-        # regime); unpersist is a no-op on uncached frames
-        und.unpersist()
-        nodes.unpersist()
         if _owns_cache:
             edges.unpersist()
 
@@ -327,13 +327,15 @@ def incremental_components(
     e = new_edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    # gate probes cheapest-first: the delta, then the snapshot (one
-    # columnless count each — at scale both are single scans, small next
-    # to the two label-keyed joins the big path runs anyway)
+    # gate probes cheapest-first: the delta, then the snapshot — each a
+    # truncated limit-probe (r14 verdict item 3), so a corpus-sized
+    # snapshot rejects after a bounded read instead of a full
+    # columnless scan per maintenance call
+    driver_solve_rows = effective_gate(driver_solve_rows)
     if (
         driver_solve_rows > 0
-        and e.count() <= driver_solve_rows
-        and prev.count() <= driver_solve_rows
+        and rows_at_most(e, driver_solve_rows)
+        and rows_at_most(prev, driver_solve_rows)
     ):
         return _incremental_cc_numpy(prev, e, rounds, assert_converged)
     lu = prev.select(F.col("node").alias("u"), F.col("component").alias("cu"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chatbot_spark.gating import effective_gate, rows_at_most
 from chatbot_spark.operators.textstats import fingerprint, let, tokens
 
 
@@ -1042,7 +1043,11 @@ def _duplicated_spans_sa_numpy(tk: DataFrame, w: int, id_col: str) -> DataFrame:
     import pyarrow.compute as pc
 
     spark = tk.sparkSession
-    tbl = tk.select("__id", "__toks", "__n").toArrow()
+    # match the distributed path's __n >= 1 filter (r13 ADVICE): a null
+    # text yields null __toks / __n = -1, which the distributed explode
+    # drops but would turn into garbage offsets (and a np.repeat raise)
+    # here
+    tbl = tk.filter(F.col("__n") >= 1).select("__id", "__toks", "__n").toArrow()
     id_arr = tbl.column("__id").combine_chunks()
     ntoks = np.asarray(tbl.column("__n").to_numpy(zero_copy_only=False), dtype=np.int64)
     toks = tbl.column("__toks").combine_chunks()
@@ -1154,8 +1159,16 @@ def duplicated_spans_sa(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
-    if driver_solve_tokens > 0:
-        total = tk.agg(F.sum("__n")).first()[0] or 0
+    # gate probe, cheapest-first (r14 verdict item 3 class): the token
+    # SUM has no early exit, so a corpus with more DOCS than the token
+    # budget rejects on a truncated row probe first (every non-empty doc
+    # has >= 1 token) — the full tokenize-and-sum pass only runs on
+    # doc-count-bounded inputs
+    driver_solve_tokens = effective_gate(driver_solve_tokens)
+    if driver_solve_tokens > 0 and rows_at_most(
+        df.select(F.col(id_col)), driver_solve_tokens
+    ):
+        total = tk.agg(F.sum(F.greatest(F.col("__n"), F.lit(0)))).first()[0] or 0
         if total <= driver_solve_tokens:
             return _duplicated_spans_sa_numpy(tk, w, id_col)
     pos = (

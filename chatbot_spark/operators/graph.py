@@ -30,6 +30,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from chatbot_spark.gating import effective_gate, rows_at_most
+
 __all__ = [
     "bfs_layers",
     "hits_integer",
@@ -131,8 +133,9 @@ def pagerank_integer(
     identical either way, so the warm-started result is exactly the
     recurrence applied to (coalesced init) — oracle-replayable.
 
-    Size gate (r13, the components/LPA driver-solve precedent): at or
-    below ``driver_solve_rows`` distinct edges the supersteps replay on
+    Size gate (r13, the components/LPA driver-solve precedent; probe
+    cheapened r14): at or below ``driver_solve_rows`` raw de-self-looped
+    edge rows (limit-probed, no full scan) the supersteps replay on
     the driver in vectorized int64 numpy — the arithmetic is EXACT
     integer floor-division and order-independent integer sums on both
     paths, so the replay is bit-identical by construction (every
@@ -153,7 +156,15 @@ def pagerank_integer(
         .distinct()
         .persist()
     )
-    if driver_solve_rows > 0 and e.count() <= driver_solve_rows:
+    # gate probe (r14 verdict item 3): truncated limit-probe on the RAW
+    # de-self-looped rows instead of a full count of the distinct set —
+    # raw <= gate bounds the collected distinct set at gate rows, and an
+    # over-gate input rejects after a bounded read, no shuffle
+    driver_solve_rows = effective_gate(driver_solve_rows)
+    if driver_solve_rows > 0 and rows_at_most(
+        edges.select(F.col(src), F.col(dst)).filter(F.col(src) != F.col(dst)),
+        driver_solve_rows,
+    ):
         out = _pagerank_numpy(
             e, iterations, scale, damping_num, damping_den, init
         )
@@ -699,7 +710,14 @@ def lpa_communities(
     label via the left join.
     """
     und = _symmetrize(edges, src, dst).persist()
-    if driver_solve_rows > 0 and und.count() <= driver_solve_rows:
+    # gate probe (r14 verdict item 3): truncated limit-probe on the RAW
+    # edge rows — raw <= gate bounds the collected symmetrized set at
+    # 2·gate rows; over-gate inputs reject after a bounded read instead
+    # of paying the full symmetrize shuffle just to be counted
+    driver_solve_rows = effective_gate(driver_solve_rows)
+    if driver_solve_rows > 0 and rows_at_most(
+        edges.select(F.col(src), F.col(dst)), driver_solve_rows
+    ):
         import numpy as np
         import pandas as pd
 
@@ -778,9 +796,10 @@ def lpa_with_history(
     pipeline persists them next to the converged labels (R is small —
     the whole history is a few node-sized tables)."""
     und = _symmetrize(edges, src, dst).persist()
-    if (
-        DEFAULT_DRIVER_SOLVE_ROWS > 0
-        and und.count() <= DEFAULT_DRIVER_SOLVE_ROWS
+    # truncated raw-row limit-probe (r14 verdict item 3; see
+    # lpa_communities)
+    if effective_gate(DEFAULT_DRIVER_SOLVE_ROWS) > 0 and rows_at_most(
+        edges.select(F.col(src), F.col(dst)), DEFAULT_DRIVER_SOLVE_ROWS
     ):
         import numpy as np
         import pandas as pd
@@ -890,7 +909,13 @@ def incremental_lpa(
     ch = changed_edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    if DEFAULT_DRIVER_SOLVE_ROWS > 0 and und.count() <= DEFAULT_DRIVER_SOLVE_ROWS:
+    # truncated raw-row limit-probe (r14 verdict item 3): bounds the
+    # collected symmetrized set at 2·gate rows; a corpus-sized
+    # updated_edges rejects after a bounded read, not a full
+    # symmetrize + count
+    if effective_gate(DEFAULT_DRIVER_SOLVE_ROWS) > 0 and rows_at_most(
+        updated_edges.select(F.col(src), F.col(dst)), DEFAULT_DRIVER_SOLVE_ROWS
+    ):
         local = _incremental_lpa_numpy(und, ch, history, return_delta)
         if local is not None:
             und.unpersist()

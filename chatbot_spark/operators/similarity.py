@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chatbot_spark.functions.vector import cosine_similarity, dot_product, l2_norm
+from chatbot_spark.gating import effective_gate, rows_at_most
 
 
 def cosine_topk_join(
@@ -275,11 +276,17 @@ def embedding_neardup_pairs_bucketed(
         F.transform("__vec", lambda x: x / F.col("__norm")).alias("__unit"),
     )
 
+    # gate probe (r14, r13 ADVICE): a truncated row probe on the RAW id
+    # column decides the regime — the former limit(N+1).toArrow() probe
+    # shipped up to N+1 full embedding vectors to the driver per call
+    # just to decide. raw rows >= non-zero-norm rows, so raw <= gate
+    # still bounds the collect below.
+    driver_solve_rows = effective_gate(driver_solve_rows)
     if driver_solve_rows > 0:
-        probe = unit.limit(driver_solve_rows + 1).toArrow()
-        if probe.num_rows <= driver_solve_rows:
+        if rows_at_most(df.select(F.col(id_col)), driver_solve_rows):
             import pyarrow as pa
 
+            probe = unit.toArrow()  # bounded by the row probe above
             ids = np.asarray(
                 probe.column("__id").to_numpy(zero_copy_only=False),
                 dtype=np.int64,
@@ -294,7 +301,11 @@ def embedding_neardup_pairs_bucketed(
                 sims = U[a : a + step] @ U.T
                 bi, bj = np.nonzero(sims >= thr_d)
                 gi = bi + a
-                keep = gi < bj  # strict upper triangle by position
+                # id-strict (r13 ADVICE): the distributed diagonal kernel
+                # keeps lids[bi] < lids[bj], so duplicate ids never emit
+                # self-pairs — match it exactly (ids unique => identical
+                # to the former position-triangle keep)
+                keep = ids[gi] < ids[bj]
                 ia, ib = ids[gi[keep]], ids[bj[keep]]
                 outs_a.append(np.minimum(ia, ib))
                 outs_b.append(np.maximum(ia, ib))

@@ -27,10 +27,10 @@ deterministic order from the unique pos key, never shuffle luck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from chatbot_spark.operators.textstats import tokens
+from chatbot_spark.operators.textstats import let, tokens
 
 __all__ = ["t5_span_corrupt"]
 
@@ -63,7 +63,155 @@ def t5_span_corrupt(
     input = tokens with each masked island collapsed to <extra_id_k>;
     target = '<extra_id_k> tok ...' chunks in island order ('' when the
     document drew no span). Deterministic md5 seeding as per module doc.
+
+    r14 execution (guide §1.2 — fix the distributed algorithm first):
+    every decision is a pure function of (doc_id, pos, tokens), i.e.
+    strictly PER-DOCUMENT, so the whole construction evaluates as one
+    narrow pass of array expressions — the former position-keyed
+    posexplode + 2 joins + 2 windows + 3 persists (6 exchanges at sf1)
+    assembled per-position rows only to regroup them by the document
+    they never left. Exact by construction: identical md5/integer
+    arithmetic per position, identical island decomposition (a position
+    is masked iff one of the max_span preceding seeds covers it; an
+    island starts where masked starts), identical join-with-space
+    assembly — all integer/string logic, no floats. The join form
+    remains below (:func:`_t5_span_corrupt_joins`) as the pinned
+    equivalence twin.
     """
+    sentinel = lambda k: F.concat(  # noqa: E731  k is the 0-based island index
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+
+    def _hash_at(p: Column) -> Column:
+        # the exact _pos_hash expression with pos = p (lambda variable)
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _assemble(tk: Column) -> Column:
+        # every intermediate ARRAY is let-bound before reuse: Catalyst
+        # does no CSE through lambdafunction (the r13 `let` finding), so
+        # an unbound reference would re-evaluate the whole array per
+        # element — O(n²) md5s for the hash array
+        n = F.size(tk)
+        pos = F.sequence(F.lit(0), n - 1)
+
+        def _with_hashes(hh: Column) -> Column:
+            # pm = masked[] padded with False on both ends, so prev/next
+            # probes (island boundaries) never index out of range:
+            # pm[p+2] == masked[p] for p in 0..n-1.
+            # masked[p] <=> EXISTS s in [p-(max_span-1), p]: seed(s)
+            # fires (h % 1000 < permille) and covers p (s + h%span >= p)
+            padded = F.concat(
+                F.array(F.lit(False)),
+                F.transform(
+                    pos,
+                    lambda p: F.exists(
+                        F.sequence(F.greatest(p - (max_span - 1), F.lit(0)), p),
+                        lambda s: (
+                            F.element_at(hh, s + 1) % 1000 < start_permille
+                        )
+                        & (s + (F.element_at(hh, s + 1) % max_span) >= p),
+                    ),
+                ),
+                F.array(F.lit(False)),
+            )
+            return let(padded, _with_mask)
+
+        def _with_mask(pm: Column) -> Column:
+            starts = F.filter(
+                pos,
+                lambda p: F.element_at(pm, p + 2) & ~F.element_at(pm, p + 1),
+            )
+            ends = F.filter(
+                pos,
+                lambda p: F.element_at(pm, p + 2) & ~F.element_at(pm, p + 3),
+            )
+            return let(
+                starts, lambda ss: let(ends, lambda ee: _result(pm, ss, ee))
+            )
+
+        def _result(pm: Column, ss: Column, ee: Column) -> Column:
+            pieces = F.transform(
+                pos,
+                lambda p: F.when(
+                    F.array_position(ss, p) > 0,
+                    sentinel(F.array_position(ss, p) - 1),
+                )
+                .when(F.element_at(pm, p + 2), F.lit(None).cast("string"))
+                .otherwise(F.element_at(tk, p + 1)),
+            )
+            target = F.array_join(
+                F.transform(
+                    ss,
+                    lambda s, i: F.concat(
+                        sentinel(i.cast("long")),
+                        F.lit(" "),
+                        F.array_join(
+                            F.slice(tk, s + 1, F.element_at(ee, i + 1) - s + 1),
+                            " ",
+                        ),
+                    ),
+                ),
+                " ",
+            )
+            return F.struct(
+                n.cast("long").alias("n_tokens"),
+                F.size(ss).cast("long").alias("n_spans"),
+                F.size(F.filter(F.slice(pm, 2, n), lambda x: x))
+                .cast("long")
+                .alias("n_masked"),
+                F.array_join(
+                    F.filter(pieces, lambda x: x.isNotNull()), " "
+                ).alias("input"),
+                target.alias("target"),
+            )
+
+        # zero-token (and null-text) documents: CaseWhen guards the whole
+        # evaluation — sequence(0, n-1) with n <= 0 would run descending
+        return F.when(n >= 1, let(F.transform(pos, _hash_at), _with_hashes))
+
+    out = docs.select(
+        F.col(id_col),
+        let(tokens(F.col(text_col)), _assemble).alias("__r"),
+    ).filter(
+        # the join form's posexplode drops zero-token (and null-text)
+        # documents from the output entirely — replicate that contract
+        F.col("__r.n_tokens") >= 1
+    )
+    return out.select(
+        id_col,
+        "__r.n_tokens",
+        "__r.n_spans",
+        "__r.n_masked",
+        "__r.input",
+        "__r.target",
+    )
+
+
+def _t5_span_corrupt_joins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_permille: int = 60,
+    max_span: int = 3,
+) -> DataFrame:
+    """The r13 position-keyed join/window execution of
+    :func:`t5_span_corrupt` — kept as the pinned equivalence twin (the
+    array form must emit the identical row set; tests toggle between
+    them on the same corpus)."""
     tk = tokens(F.col(text_col))
     # The postings feed THREE consumers (seed scan, mask-token join,
     # final assembly) and the span table two; without persisting, each

@@ -64,3 +64,18 @@ def test_span_corrupt_zero_span_doc_passthrough(spark):
         assert ex["input"] == "solo" and ex["target"] == ""
     else:  # single token fully masked
         assert ex["input"] == "<extra_id_0>" and ex["target"] == "<extra_id_0> solo"
+
+
+def test_span_corrupt_array_form_equals_joins_form(spark):
+    """r14: the single-pass array execution must emit the identical row
+    set as the r13 position-keyed join/window form — including
+    zero-token, null and whitespace-only documents (which both drop)."""
+    from chatbot_spark.operators.spancorrupt import _t5_span_corrupt_joins
+
+    texts = TEXTS + ["", None, "   ", "a b", " x  y\tz \n w"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, t5_span_corrupt(df).collect()))
+    b = sorted(map(tuple, _t5_span_corrupt_joins(df).collect()))
+    assert a == b
