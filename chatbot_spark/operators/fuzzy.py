@@ -126,16 +126,28 @@ def fuzzy_pairs(
     mapping = with_rep.select("__fid", "__rep")
 
     variants = _variant_rows(reps, "__fid", "__t", max_dist).persist()
-    # keep the candidate join NARROW: ids + variant key only. Texts rejoin
-    # after the distinct, so the big shuffles move two ids, not two strings,
-    # and each surviving pair pays exactly one levenshtein.
+    # keep the candidate join NARROW: ids + variant key only (texts attach
+    # via the planner-chosen rep join — broadcast whenever reps fit).
+    #
+    # VERIFY BEFORE DEDUP (r14, guide §2.3/§2.5): on corpora with heavy
+    # shared structure (e.g. fixed-prefix zero-padded names) the deletion
+    # blocking degenerates — measured at the sf1 point: 10k names -> 77 M
+    # raw candidate rows, 30 M DISTINCT candidate pairs, and the
+    # pre-verify distinct was one 15 s exchange that then fed 30 M
+    # levenshteins anyway. The thresholded levenshtein is prefix/suffix-
+    # trimmed banded DP (~O(max_dist · len) per pair after the common
+    # prefix drops out), far cheaper per row than exchanging and hashing
+    # the row, so verification now runs map-side ON the join stream and
+    # only TRUE pairs (identical (ra, rb, dist) per duplicate, dist is a
+    # pure function of the texts) reach the dedup exchange. On selective
+    # corpora raw ~= distinct and the order is a wash; on degenerate ones
+    # the exchange shrinks by the false-positive factor.
     a = variants.select(F.col("__fid").alias("__ra"), "__variant")
     b = variants.select(F.col("__fid").alias("__rb"), "__variant")
     cand = (
         a.join(b, "__variant")
         .filter(F.col("__ra") < F.col("__rb"))
         .select("__ra", "__rb")
-        .distinct()
     )
     base_a = reps.select(F.col("__fid").alias("__ra"), F.col("__t").alias("__ta"))
     base_b = reps.select(F.col("__fid").alias("__rb"), F.col("__t").alias("__tb"))
@@ -145,6 +157,7 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
         .filter(F.col("dist") >= 0)
         .select("__ra", "__rb", "dist")
+        .distinct()
     )
     ga = mapping.select(F.col("__rep").alias("__ra"), F.col("__fid").alias("__ia"))
     gb = mapping.select(F.col("__rep").alias("__rb"), F.col("__fid").alias("__ib"))

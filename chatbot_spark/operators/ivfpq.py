@@ -129,10 +129,9 @@ class IVFPQIndex:
 
         if not 0 < ksub <= 256:
             raise ValueError("ksub must fit a uint8 code (1..256)")
-        X = np.array(
-            [r[0] for r in corpus.select(vec_col).limit(fit_sample_size).collect()],
-            dtype=np.float64,
-        )
+        from chatbot_spark.operators.ann import _sample_matrix
+
+        X = _sample_matrix(corpus, vec_col, fit_sample_size)
         centers = _numpy_kmeans(X, min(nlist, len(X)), seed, max_iter)
         assign = (X @ centers.T * -2 + (centers**2).sum(axis=1)[None, :]).argmin(axis=1)
         books = _fit_codebooks(X - centers[assign], m, ksub, seed, max_iter)

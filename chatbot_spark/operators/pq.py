@@ -140,10 +140,9 @@ class PQIndex:
 
         if not 0 < ksub <= 256:
             raise ValueError("ksub must fit a uint8 code (1..256)")
-        X = np.array(
-            [r[0] for r in corpus.select(vec_col).limit(fit_sample_size).collect()],
-            dtype=np.float64,
-        )
+        from chatbot_spark.operators.ann import _sample_matrix
+
+        X = _sample_matrix(corpus, vec_col, fit_sample_size)
         books = _fit_codebooks(X, m, ksub, seed, max_iter)
         encoded = corpus.select(
             F.col(id_col), _encode_codes(F.col(vec_col), books).alias("pq_code")

@@ -141,9 +141,22 @@ def embedding_neardup_pairs_blocked(
         ]
     )
 
+    from chatbot_spark.io.tables import spread
+
     side = df.select(id_col, vec_col)
     n = side.count()
     n_tiles = max(1, -(-n // tile_rows))
+    # r14 (guide §2.5/§2.6 — parallelism from rows, not bytes): the
+    # streaming pass below is pure BLAS CPU per row over a small
+    # compressed scan, which AQE byte-coalescing collapses to 1-2 tasks
+    # (measured at the sf1 point: one 4.9 s single-task matmul job, 31
+    # idle cores). Round-robin rebalance the STREAM side only; the pair
+    # values are unchanged — every (query row, tile row) cosine is one
+    # dgemm element whose k-accumulation order does not depend on batch
+    # composition (numpy 2-D matmul always dispatches GEMM), pinned by
+    # the batch-shape invariance test and the sf0.01/sf0.001 parity
+    # sweeps.
+    stream = spread(side)
     # deterministic tile ownership by id hash — tiles are disjoint and cover
     # the corpus, so the per-tile `stream_id < tile_id` emit is exactly-once
     tile_of = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n_tiles))
@@ -183,7 +196,7 @@ def embedding_neardup_pairs_blocked(
                 keep = ia < ib  # upper triangle, id_a < id_b
                 yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cosine": s[keep]})
 
-        outs.append(side.mapInPandas(kernel, out_schema))
+        outs.append(stream.mapInPandas(kernel, out_schema))
 
     if not outs:
         return spark.createDataFrame([], out_schema)
@@ -319,10 +332,9 @@ def embedding_neardup_pairs_bucketed(
             )
             return spark.createDataFrame(tbl)
 
-    sample = np.array(
-        [r[0] for r in unit.select("__unit").limit(fit_sample_size).collect()],
-        dtype=np.float64,
-    )
+    from chatbot_spark.operators.ann import _sample_matrix
+
+    sample = _sample_matrix(unit, "__unit", fit_sample_size)
     if len(sample) == 0:
         return spark.createDataFrame([], out_schema)
     k = min(nlist, len(sample))

@@ -97,3 +97,29 @@ def test_semdedup_gate_strict_id_filter(spark):
     ).collect()
     assert all(r.id_a < r.id_b for r in out)
     assert {(r.id_a, r.id_b) for r in out} == {(7, 9)}
+
+
+def test_blocked_neardup_batch_shape_invariance(spark, sf_dir):
+    """r14 spread() on the blocked-matmul stream side: the emitted pair
+    set AND the float64 cosines must be bit-identical under any input
+    partitioning (every pair value is one dgemm element; its
+    k-accumulation does not depend on batch composition)."""
+    import struct
+
+    from chatbot_spark.io.tables import load_table
+    from chatbot_spark.operators.similarity import embedding_neardup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r.id_a, r.id_b): struct.pack("<d", r.cosine)
+        for r in embedding_neardup_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", min_cosine=0.35
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): struct.pack("<d", r.cosine)
+        for r in embedding_neardup_pairs_blocked(
+            emb.coalesce(1), id_col="vec_id", vec_col="embedding", min_cosine=0.35
+        ).collect()
+    }
+    assert a == b and len(a) > 0
