@@ -41,22 +41,79 @@ from pyspark.sql import functions as F
 __all__ = ["frequent_pairs", "frequent_triples"]
 
 
-def _capped(b: DataFrame, max_basket_items: int | None) -> DataFrame:
-    """Mega-basket guard: keep each basket's ``max_basket_items``
-    smallest items (deterministic order — items are comparable), so a
-    pathological basket holding 10^5 items emits C(cap,2) pairs instead
-    of 5·10^9. The same guard class as dedup.py's duplicate-storm
-    collapse; None disables. Applied AFTER dedup so multiplicity never
-    affects which items survive."""
-    if max_basket_items is None:
-        return b
-    from pyspark.sql import Window
+def _basket_arrays(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int | None,
+) -> DataFrame:
+    """(basket, items) with ``items`` the basket's SORTED distinct item
+    array — ONE grouped pass (collect_set partially aggregates map-side,
+    so dedup happens before the exchange; the r13-era plan paid a
+    distinct shuffle + a row_number window + per-pair self-joins for the
+    same information).
 
-    w = Window.partitionBy("basket").orderBy("item")
-    return (
-        b.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(max_basket_items))
-        .drop("__rn")
+    Mega-basket guard: ``max_basket_items`` keeps each basket's smallest
+    items (array slice over the sorted set — same deterministic
+    keep-smallest as the old row_number cap), so a pathological basket
+    holding 10^5 items emits C(cap,2) pairs instead of 5·10^9. None
+    disables. Applied after dedup so multiplicity never affects which
+    items survive."""
+    arr = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
+        .groupBy("basket")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+    )
+    if max_basket_items is not None:
+        arr = arr.select(
+            "basket", F.slice("items", 1, int(max_basket_items)).alias("items")
+        )
+    return arr
+
+
+def _pair_combos(items) -> F.Column:
+    """array<struct(item_a, item_b)> of all a < b combinations of a
+    SORTED distinct array — the within-basket pair generator as a codegen
+    expression (streams straight into the partially-aggregated pair
+    count; no self-join, no shuffle of candidate rows)."""
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.greatest(F.size(items) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+
+
+def _triple_combos(items) -> F.Column:
+    """array<struct(a, b, c)> of all a < b < c combinations of a SORTED
+    distinct array (see _pair_combos)."""
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(
+                        items, i + 2, F.greatest(F.size(items) - i - 1, F.lit(0))
+                    ),
+                    lambda y, j: F.transform(
+                        F.slice(
+                            items,
+                            i + j + 3,
+                            F.greatest(F.size(items) - i - j - 2, F.lit(0)),
+                        ),
+                        lambda z: F.struct(
+                            x.alias("a"), y.alias("b"), z.alias("c")
+                        ),
+                    ),
+                )
+            ),
+        )
     )
 
 
@@ -80,41 +137,35 @@ def frequent_pairs(
       lift_ppm                   ppm_scale * pair * n_baskets div (ca*cb)
 
     all BIGINT, all exact (integer floor division), so the output is
-    bit-identical across engines. Plan: one distinct (shuffle on
-    basket,item), one item-count agg (map-side combinable), the pruned
-    self-join on basket (shuffle on basket), one pair-count agg, then two
-    broadcast joins to attach item counts and a broadcast of the 1-row
-    basket total — no driver-side state.
+    bit-identical across engines.
+
+    Plan (r14, guide §2.3/§2.4 — one grouped pass, no self-join): per
+    basket a SORTED distinct item array (collect_set partially
+    aggregates map-side), then the C(k,2) combination explode streams
+    straight into the partially-aggregated pair count — the only big
+    exchange is the basket grouping, and the pair exchange carries at
+    most the distinct pairs present per map partition, never candidate
+    rows. The a-priori item prune is enforced by the INNER joins onto
+    the support-filtered item counts (a pair with an infrequent member
+    never survives them — same output set as pruning before
+    generation, without staging a pruned copy of the corpus through a
+    second shuffle). The r13-era plan paid: distinct shuffle +
+    row_number cap window + basket-keyed self-join + a separate
+    distinct-basket count job.
     """
-    # b is referenced by the item-count agg, the basket total, and both
-    # sides of the pair self-join; item_counts by the prune and the two
-    # count-attach joins. Unpersisted, the lazy plan re-derives the
-    # distinct over the source for every reference (measured 6 source
-    # scans at sf0.01) — persisting both caps the source at ONE scan.
-    b = (
-        baskets.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
-        .distinct()
-    )
-    b = _capped(b, max_basket_items).persist()
-    # a-priori prune: only items frequent on their own can appear in a
-    # frequent pair — shrinks the self-join input before pairs exist.
+    arr = _basket_arrays(baskets, basket_col, item_col, max_basket_items).persist()
     item_counts = (
-        b.groupBy("item")
+        arr.select(F.explode("items").alias("item"))
+        .groupBy("item")
         .agg(F.count("*").cast("long").alias("item_count"))
         .filter(F.col("item_count") >= int(min_item_support))
         .persist()
     )
-    frequent = b.join(F.broadcast(item_counts.select("item")), "item")
-    n_baskets = b.select("basket").distinct().count()
+    n_baskets = arr.count()
 
-    left = frequent.select("basket", F.col("item").alias("item_a"))
-    right = frequent.select("basket", F.col("item").alias("item_b"))
     pairs = (
-        left.join(right, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        arr.select(F.explode(_pair_combos(F.col("items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("pair_count"))
         .filter(F.col("pair_count") >= int(min_pair_support))
@@ -144,7 +195,7 @@ def frequent_pairs(
     # be released without the caller's later action re-deriving them.
     out = out.localCheckpoint(eager=True)
     item_counts.unpersist()
-    b.unpersist()
+    arr.unpersist()
     return out
 
 
@@ -155,53 +206,22 @@ def frequent_triples(
     min_support: int = 2,
     max_basket_items: int | None = None,
 ) -> DataFrame:
-    """Level-wise a-priori frequent TRIPLES: candidates are generated
-    from the frequent-PAIR lattice (a triple can only be frequent if all
-    three sub-pairs are — the downward-closure property), so the cubic
-    within-basket join never materializes a candidate whose sub-pairs
-    already failed support. Plan: basket-pair rows semi-join the
-    broadcast frequent-pair set BEFORE the third item attaches, and the
-    (a,c)/(b,c) sub-pairs are semi-checked broadcast-side too — the
-    wide exchange carries only pair-supported candidates. Exact BIGINT
-    counts; the oracle counts triples the naive HAVING way (equal by
-    downward closure)."""
-    b = (
-        baskets.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-        )
-        .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
-        .distinct()
-    )
-    b = _capped(b, max_basket_items).persist()
-    left = b.select("basket", F.col("item").alias("a"))
-    right = b.select("basket", F.col("item").alias("b"))
-    pair_rows = left.join(right, "basket").filter(F.col("a") < F.col("b"))
-    fp = (
-        pair_rows.groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("pc"))
-        .filter(F.col("pc") >= int(min_support))
-        .select("a", "b")
-        .persist()
-    )
-    # candidate (basket, a, b) restricted to frequent pairs, then attach c
-    bp = pair_rows.join(F.broadcast(fp), ["a", "b"], "left_semi")
-    third = b.select("basket", F.col("item").alias("c"))
-    cand = (
-        bp.join(third, "basket")
-        .filter(F.col("b") < F.col("c"))
-        .join(
-            F.broadcast(fp.select(F.col("a"), F.col("b").alias("c"))),
-            ["a", "c"],
-            "left_semi",
-        )
-        .join(
-            F.broadcast(fp.select(F.col("a").alias("b"), F.col("b").alias("c"))),
-            ["b", "c"],
-            "left_semi",
-        )
-    )
+    """Frequent TRIPLES in one grouped pass (r14, guide §2.3/§2.4): per
+    basket a sorted distinct item array, then the C(k,3) combination
+    explode streams straight into a partially-aggregated count — the
+    exchange carries at most the distinct triples present per map
+    partition, never candidate rows, so the r13 level-wise plan's three
+    basket-keyed joins and both candidate exchanges are gone. The
+    a-priori downward-closure prune those semi-joins implemented is
+    subsumed by the final support filter (a triple whose sub-pair is
+    infrequent can never reach min_support — the same equality argument
+    the oracle's naive HAVING form rests on); the mega-basket cap is the
+    remaining guard against C(k,3) per-row work. Exact BIGINT counts."""
+    arr = _basket_arrays(baskets, basket_col, item_col, max_basket_items)
     out = (
-        cand.groupBy("a", "b", "c")
+        arr.select(F.explode(_triple_combos(F.col("items"))).alias("t"))
+        .select("t.a", "t.b", "t.c")
+        .groupBy("a", "b", "c")
         .agg(F.count("*").cast("long").alias("triple_count"))
         .filter(F.col("triple_count") >= int(min_support))
         .select(
@@ -211,7 +231,4 @@ def frequent_triples(
             "triple_count",
         )
     )
-    out = out.localCheckpoint(eager=True)
-    fp.unpersist()
-    b.unpersist()
     return out

@@ -5783,16 +5783,27 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     s = load_table(spark, sf_dir, "supplier")
-    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+    # r14 (guide §2.3 aggregate before you shuffle): pre-aggregate the
+    # fact table to one row per (order, supplier) BEFORE the orders join
+    # — a supplier is late in an order iff its LATEST shipment is late,
+    # so max(l_shipdate) carries everything the lateness test needs. The
+    # two countDistincts then become plain counts over already-distinct
+    # rows, which drops the Expand (3x row multiplication through the
+    # aggregate) the distinct-aggregate plan paid on the full join
+    # output. Exact: same integer counts, same sole-supplier argmax.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__max_ship")
+    )
+    flagged = per_os.join(o, per_os.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+        (F.col("__max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
             "int"
         ),
     )
     late_supp = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
     per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.count("*").alias("n_supp"),
+        F.count(late_supp).alias("n_late_supp"),
         F.max(late_supp).alias("sole_suppkey"),
     )
     sole = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
@@ -9876,11 +9887,13 @@ JOIN ic cb ON cb.item = p.item_b
 )
 def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent-pair mining (operators/basket.py): orders
-    are baskets, part-category (l_partkey % 100) the item — the a-priori
-    pruned pair generator with exact integer confidence and lift in ppm.
-    The item-support prune (>= 40) removes infrequent items BEFORE the
-    within-basket self-join materializes any pair (at 100 TB that prune
-    is most of the volume); the pair join shuffles on the basket id only.
+    are baskets, part-category (l_partkey % 100) the item — exact
+    integer confidence and lift in ppm. r14 plan: ONE grouped pass
+    builds each basket's sorted distinct item array (map-side partial
+    collect_set), the C(k,2) combination explode streams into a
+    partially-aggregated pair count, and the a-priori item prune
+    (>= 40) is enforced by the inner joins onto the support-filtered
+    item counts — same output set, no self-join, no candidate exchange.
     All outputs are BIGINT counts or BIGINT floor-divisions, so the
     DuckDB oracle replays the identical algebra bit-for-bit."""
     from chatbot_spark.operators.basket import frequent_pairs as fp
@@ -11002,13 +11015,15 @@ SELECT item_a, item_b, item_c, triple_count FROM t
 """,
 )
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-2 a-priori (operators/basket.py::frequent_triples): frequent
-    item triples generated from the frequent-PAIR lattice — downward
-    closure means no candidate whose sub-pairs failed support ever
-    reaches the wide exchange (the naive cubic join the oracle runs
-    would be the 100 TB killer; the level-wise plan semi-joins the
-    broadcast pair set before and after the third item attaches).
-    Counts exact BIGINT, result provably equal to the naive HAVING."""
+    """Frequent item triples (operators/basket.py::frequent_triples).
+    r14 plan: per-basket sorted distinct item arrays (one grouped pass,
+    map-side partial collect_set), C(k,3) combination explode streaming
+    into a partially-aggregated count — the exchange carries distinct
+    triples per map partition, never candidate rows (the naive cubic
+    join the oracle runs would be the 100 TB killer). The a-priori
+    downward-closure prune is subsumed by the final support filter — a
+    triple with an infrequent sub-pair cannot reach min_support. Counts
+    exact BIGINT, result provably equal to the naive HAVING."""
     from chatbot_spark.operators.basket import frequent_triples as ft
 
     li = load_table(spark, sf_dir, "lineitem")
