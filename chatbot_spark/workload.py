@@ -9311,8 +9311,22 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the scan is one ~600 KB split — without the rebalance the whole
     # corpus hashes in one task. let-binding the token array keeps the
     # tokenization O(len) per row (inlined it re-runs per shingle position);
-    # unhex halves the two hash exchanges (16-byte binary vs 32-char hex,
+    # unhex halves the hash exchange (16-byte binary vs 32-char hex,
     # bijective so every count is unchanged).
+    #
+    # r14 (guide §2.4 — remove shuffles outright): the former plan joined
+    # the shingle stream BACK onto its own corpus-count aggregate, so the
+    # tokenize+md5 kernel ran twice (once per consumer) and the shingle
+    # rows crossed TWO h-keyed exchanges plus a doc-keyed one. A corpus-
+    # unique shingle (c = 1) has exactly one occurrence, so min(doc_id)
+    # within its hash group IS the owning doc: one grouped pass over the
+    # shingle stream yields (h, c, owner), unique hashes reduce straight
+    # to per-doc n_unique, and n_shingles is a pure per-row function of
+    # the token count (greatest(len-7, 0) — exactly the number of slice
+    # positions the explode emits), recomputed narrowly instead of
+    # re-aggregated. Same integer outputs row-for-row: docs under 8
+    # tokens drop on both forms (explode of an empty array ⟷ the
+    # n_shingles >= 1 filter), and every (doc, count) is unchanged.
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id",
@@ -9328,21 +9342,28 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    cnt = sh.groupBy("h").agg(F.count("*").alias("c"))
-    return (
-        sh.join(cnt, "h")
+    uniq = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
-        )
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(tokens(F.col("text"))) - 7, F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+    ).filter(F.col("n_shingles") >= 1)
+    return (
+        base.join(uniq, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_unique",
-            F.expr("n_unique * 1000 div n_shingles").alias("novelty_milli"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.expr(
+                "coalesce(n_unique, 0) * 1000 div n_shingles"
+            ).alias("novelty_milli"),
         )
     )
 
